@@ -1,0 +1,53 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** A named dataflow — the analogue of the reference's `Dataflow`
+  * (reference: pysrc/bytewax/dataflow.py:177-210). In this engine the
+  * operator DAG *is* Catalyst's `LogicalPlan`; `Flow` is a lightweight
+  * registry of step ids for diagnostics/visualization (the analogue of
+  * `visualize.to_mermaid`, reference pysrc/bytewax/visualize.py:301).
+  */
+final class Flow(val flowId: String) {
+  private val steps =
+    scala.collection.mutable.LinkedHashMap.empty[String, (String, Seq[String])]
+
+  private[graft] def record(stepId: String, kind: String, ups: Seq[String]): Unit =
+    synchronized { steps += (stepId -> ((kind, ups))) }
+
+  def stepIds: Seq[String] = synchronized(steps.keys.toSeq)
+
+  /** Render the recorded step graph as mermaid (reference:
+    * pysrc/bytewax/visualize.py:201-301).
+    */
+  def toMermaid: String = synchronized {
+    val sb = new StringBuilder("flowchart TD\n")
+    steps.foreach { case (id, (kind, ups)) =>
+      sb.append(s"""  $id["$id ($kind)"]\n""")
+      ups.foreach(u => sb.append(s"  $u --> $id\n"))
+    }
+    sb.result()
+  }
+}
+
+object Flow {
+  def apply(id: String): Flow = new Flow(id)
+}
+
+/** Typed stream handle — the analogue of the reference's `Stream[X]`
+  * (reference: pysrc/bytewax/dataflow.py:213-310). Wraps a lazy
+  * `Dataset[T]`; operators extend it via methods in `graft.operators`.
+  * `thenDo` mirrors the reference's fluent `.then()` chainer
+  * (dataflow.py:252-310).
+  */
+final case class Stream[T](ds: Dataset[T], flow: Flow, stepId: String) {
+  def spark: SparkSession = ds.sparkSession
+
+  def thenDo[U](id: String, f: Dataset[T] => Dataset[U]): Stream[U] = {
+    flow.record(id, "then", Seq(stepId))
+    Stream(f(ds), flow, id)
+  }
+}
+
+/** Output of `branch` (reference: pysrc/bytewax/operators/__init__.py:107-116). */
+final case class BranchOut[T](trues: Stream[T], falses: Stream[T])

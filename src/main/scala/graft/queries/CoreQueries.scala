@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Ops
+
+/** Correctness-gate queries for the core + stateless operator surface
+  * (SURVEY §2.1–2.2). Each query exercises one library operator and has
+  * an ANSI-SQL oracle in [[CoreQueries.oracle]] that DuckDB runs on the
+  * same parquet tables.
+  *
+  * Numeric parity notes: all money/measure doubles in the test tables
+  * are exact 2-decimal values, so casting to DECIMAL before SUM makes
+  * aggregation exact and engine-order-independent; final CAST back to
+  * DOUBLE is then deterministic on both engines.
+  */
+object CoreQueries {
+
+  private def d12(c: Column) = c.cast("decimal(12,2)")
+  private def d6(c: Column) = c.cast("decimal(6,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // flagship: TPC-H Q1-style pricing summary — input + filter + agg
+    "q1_agg" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      Ops.filter(li, $"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(d12($"l_quantity")).cast("double").as("sum_qty"),
+          sum(d12($"l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(d12($"l_extendedprice") * d6(lit(1) - $"l_discount")).cast("double").as("sum_disc_price"),
+          sum(d12($"l_extendedprice") * d6(lit(1) - $"l_discount") * d6(lit(1) + $"l_tax")).cast("double").as("sum_charge"),
+          (sum(d12($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(d12($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // core input: plain scan + projection (predicate/column pushdown)
+    "q_input" -> { (s, dir) =>
+      import s.implicits._
+      val n = Ops.input(s, s"$dir/nation.parquet")
+      Ops.map(n, $"n_nationkey", $"n_name", $"n_regionkey")
+    },
+
+    // core flat_map_batch: mapPartitions (typed, per-batch lambda)
+    "q_flat_map_batch" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+        .as[(Long, Int, Double, Double)]
+      Ops.flatMapBatch(li) { it =>
+        it.map { case (k, n, p, d) => (k, n, p * d) }
+      }.toDF("l_orderkey", "l_linenumber", "margin")
+    },
+
+    // core branch: predicate split, both sides observed
+    "q_branch" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val (trues, falses) = Ops.branch(li, $"l_quantity" >= 25)
+      Ops.merge(
+        trues.groupBy().agg(lit("trues").as("side"), count(lit(1)).as("n")),
+        falses.groupBy().agg(lit("falses").as("side"), count(lit(1)).as("n")))
+    },
+
+    // core merge: union of two filtered streams
+    "q_merge" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val a = Ops.filter(o, $"o_orderstatus" === "F").select($"o_orderkey", $"o_orderstatus")
+      val b = Ops.filter(o, $"o_orderstatus" === "O").select($"o_orderkey", $"o_orderstatus")
+      Ops.merge(a, b)
+    },
+
+    // core redistribute: round-robin reshuffle (row-preserving)
+    "q_redistribute" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      Ops.redistribute(li, 32).groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    },
+
+    // inspect: observe() metrics tee, stream unchanged
+    "q_inspect" -> { (s, dir) =>
+      import s.implicits._
+      val r = Tables.load(s, dir, "region")
+      Ops.inspect(r, "region_obs").select($"r_regionkey", $"r_name")
+    },
+
+    // map: projection with derived exprs
+    "q_map" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      Ops.map(o,
+        $"o_orderkey",
+        (d12($"o_totalprice") * d6(lit(0.9))).cast("double").as("discounted"),
+        upper($"o_orderpriority").as("prio"))
+    },
+
+    // filter
+    "q_filter" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      Ops.filter(li, $"l_quantity" > 45 && $"l_returnflag" === "A")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    },
+
+    // flat_map: one doc → many words
+    "q_flat_map" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Ops.flatMap(docs, split($"text", " "), "word", keep = Seq($"doc_id"))
+    },
+
+    // flatten: array column → items
+    "q_flatten" -> { (s, dir) =>
+      import s.implicits._
+      val p = Tables.load(s, dir, "part")
+      val arred = Ops.map(p, $"p_partkey", split($"p_name", " ").as("words"))
+      Ops.flatten(arred, "words", "word", keep = Seq($"p_partkey"))
+    },
+
+    // filter_map: parse-or-drop (regex extract of the props json int)
+    "q_filter_map" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      Ops.filterMap(ev,
+        regexp_extract($"props", "\"k\": (\\d+)", 1).cast("int"),
+        "k", keep = Seq($"event_id"))
+    },
+
+    // key_on: attach string key (reference requires str keys)
+    "q_key_on" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.load(s, dir, "customer")
+      Ops.keyOn(c, $"c_mktsegment").select(col(Ops.KEY), $"c_custkey")
+    },
+
+    // key_rm
+    "q_key_rm" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.load(s, dir, "customer")
+      val keyed = Ops.keyOn(c, $"c_mktsegment").select(col(Ops.KEY), $"c_custkey", $"c_name")
+      Ops.keyRm(keyed)
+    },
+
+    // map_value on a keyed stream
+    "q_map_value" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val keyed = Ops.keyOn(ev, $"user_id").select(col(Ops.KEY), $"event_id", $"value")
+      Ops.mapValue(keyed, "value", $"value" * 2)
+    },
+
+    // filter_value
+    "q_filter_value" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val keyed = Ops.keyOn(ev, $"user_id").select(col(Ops.KEY), $"event_id", $"value")
+      Ops.filterValue(keyed, $"value" > 50)
+    },
+
+    // filter_map_value: map-or-drop on the value
+    "q_filter_map_value" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val keyed = Ops.keyOn(ev, $"user_id").select(col(Ops.KEY), $"event_id", $"value")
+      Ops.filterMapValue(keyed, "value", when($"value" >= 10, sqrt($"value")))
+    },
+
+    // flat_map_value: value → many values
+    "q_flat_map_value" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val keyed = Ops.keyOn(ev, $"user_id").select(col(Ops.KEY), $"event_id", $"value")
+      Ops.flatMapValue(keyed, "value", array($"value", -$"value"))
+    },
+
+    // enrich_cached: per-executor TTL cache against a lookup service
+    "q_enrich_cached" -> { (s, dir) =>
+      import s.implicits._
+      val sup = Tables.load(s, dir, "supplier")
+        .select($"s_suppkey", $"s_nationkey").as[(Long, Int)]
+      // "external service": a driver-collected nation map shipped in the
+      // closure (25 rows); the TTL cache dedups lookups per executor.
+      val nations = Tables.load(s, dir, "nation")
+        .select($"n_nationkey", $"n_name").as[(Int, String)]
+        .collect().toMap
+      Ops.enrichCached[(Long, Int, String), Int, String](
+        sup.map { case (k, nk) => (k, nk, "") }, ttlMillis = 60000L)(
+        _._2, nk => nations(nk))((t, nname) => (t._1, t._2, nname))
+        .toDF("s_suppkey", "s_nationkey", "n_name")
+    },
+
+    // enrich via broadcast join (the static-dim fast path)
+    "q_enrich_broadcast" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+        .select($"o_custkey", $"c_name")
+      Ops.enrichBroadcast(o, c, Seq("o_custkey"), "left")
+        .select($"o_orderkey", $"c_name")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(6,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(6,2)) * CAST(1+l_tax AS DECIMAL(6,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2""".stripMargin,
+    "q_input" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_flat_map_batch" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice*l_discount AS margin FROM lineitem",
+    "q_branch" ->
+      """SELECT CASE WHEN l_quantity >= 25 THEN 'trues' ELSE 'falses' END AS side, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_merge" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus IN ('F','O')",
+    "q_redistribute" ->
+      "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1",
+    "q_inspect" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "q_map" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.9 AS DECIMAL(6,2)) AS DOUBLE) AS discounted,
+        |  UPPER(o_orderpriority) AS prio
+        |FROM orders""".stripMargin,
+    "q_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'A'",
+    "q_flat_map" ->
+      "SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents",
+    "q_flatten" ->
+      "SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word FROM part",
+    "q_filter_map" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+        |FROM events WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''""".stripMargin,
+    "q_key_on" ->
+      "SELECT c_mktsegment AS key, c_custkey FROM customer",
+    "q_key_rm" ->
+      "SELECT c_custkey, c_name FROM customer",
+    "q_map_value" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, event_id, value*2 AS value FROM events",
+    "q_filter_value" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, event_id, value FROM events WHERE value > 50",
+    "q_filter_map_value" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, event_id, sqrt(value) AS value
+        |FROM events WHERE value >= 10""".stripMargin,
+    "q_flat_map_value" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, event_id, UNNEST([value, -value]) AS value
+        |FROM events""".stripMargin,
+    "q_enrich_cached" ->
+      """SELECT s_suppkey, s_nationkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+    "q_enrich_broadcast" ->
+      "SELECT o_orderkey, c_name FROM orders LEFT JOIN customer ON o_custkey = c_custkey")
+}
