@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, StatefulQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY §2 is exercised by one entry
@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val all: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (CoreQueries.queries, CoreQueries.oracle))
+      (CoreQueries.queries, CoreQueries.oracle),
+      (StatefulQueries.queries, StatefulQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
