@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, StatefulQueries}
+import graft.queries.{CoreQueries, StatefulQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY §2 is exercised by one entry
@@ -13,7 +13,8 @@ object SparkEntry {
   private val all: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (CoreQueries.queries, CoreQueries.oracle),
-      (StatefulQueries.queries, StatefulQueries.oracle))
+      (StatefulQueries.queries, StatefulQueries.oracle),
+      (WindowQueries.queries, WindowQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Ops
+import graft.windowing._
+
+/** Correctness-gate queries for the windowing surface (SURVEY §2.4).
+  * Window starts are emitted as epoch millis (long) — identical under
+  * Spark's µs timestamps and DuckDB's ns timestamps.
+  */
+object WindowQueries {
+
+  /** Exact-cents average for fold_window (udaf over window groups). */
+  private class CentsSum extends Aggregator[Double, (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), v: Double): (Long, Long) = (b._1 + math.round(v * 100), b._2 + 1)
+    def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) = (a._1 + b._1, a._2 + b._2)
+    def finish(r: (Long, Long)): Double = r._1 / 100.0
+    def bufferEncoder: Encoder[(Long, Long)] = Encoders.product
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private val clock = EventClock("ts")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // tumbling window: hourly count+sum per event_type
+    "q_window_tumbling" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      Windowing.aggWindow(ev, clock, TumblingWindower("1 hour"), Seq($"event_type"),
+        Seq(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(12,2)")).cast("double").as("total")))
+        .select(unix_millis($"window.start").as("win_start"), $"event_type", $"n", $"total")
+    },
+
+    // sliding window: 1h length, 30m offset — each event in 2 windows
+    "q_window_sliding" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      Windowing.countWindow(ev, clock, SlidingWindower("1 hour", "30 minutes"), Seq($"event_type"), "n")
+        .select(unix_millis($"window.start").as("win_start"), $"event_type", $"n")
+    },
+
+    // session window: 2h gap per user; emits session start + size
+    "q_window_session" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id".cast("string").as(Ops.KEY), $"ts")
+      Windowing.countWindow(ev, clock, SessionWindower("2 hours"), Seq(col(Ops.KEY)), "n")
+        .select($"key", unix_millis($"window.start").as("start_ms"), $"n")
+    },
+
+    // fold_window: custom Aggregator (udaf) per (window, key)
+    "q_fold_window" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val centsSum = udaf(new CentsSum)
+      Windowing.aggWindow(ev, clock, TumblingWindower("1 day"), Seq($"event_type"),
+        Seq(centsSum($"value").as("total"), count(lit(1)).as("n")))
+        .select(unix_millis($"window.start").as("win_start"), $"event_type",
+          $"total", ($"total" / $"n").as("avg_value"))
+    },
+
+    // reduce_window: first-value-init fold ≡ max here
+    "q_reduce_window" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      Windowing.aggWindow(ev, clock, TumblingWindower("1 day"), Seq($"event_type"),
+        Seq(max($"event_id").as("last_eid")))
+        .select(unix_millis($"window.start").as("win_start"), $"event_type", $"last_eid")
+    },
+
+    // collect_window: daily gathered event ids per user
+    "q_collect_window" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id".cast("string").as(Ops.KEY), $"ts", $"event_id")
+      Windowing.collectWindow(ev, clock, TumblingWindower("1 day"), Seq(col(Ops.KEY)), $"event_id")
+        .select($"key", unix_millis($"window.start").as("win_start"),
+          concat_ws(",", $"values").as("eids"))
+    },
+
+    // count_window
+    "q_count_window" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id".cast("string").as(Ops.KEY), $"ts")
+      Windowing.countWindow(ev, clock, TumblingWindower("1 day"), Seq(col(Ops.KEY)), "n")
+        .select($"key", unix_millis($"window.start").as("win_start"), $"n")
+    },
+
+    // max_window / min_window (min with `by` = value of earliest event)
+    "q_max_window" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      Windowing.maxWindow(ev, clock, TumblingWindower("1 day"), Seq($"event_type"), $"value", None, "mx")
+        .select(unix_millis($"window.start").as("win_start"), $"event_type", $"mx")
+    },
+    "q_min_window" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      Windowing.minWindow(ev, clock, TumblingWindower("1 day"), Seq($"event_type"), $"value",
+        by = Some($"event_id"), as = "first_value")
+        .select(unix_millis($"window.start").as("win_start"), $"event_type", $"first_value")
+    },
+
+    // window metadata stream (WindowOut.meta)
+    "q_window_meta" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val down = Windowing.countWindow(ev, clock, TumblingWindower("1 day"), Seq($"event_type"), "n")
+      Windowing.windowMeta(down)
+        .select(unix_millis($"open_time").as("open_ms"), unix_millis($"close_time").as("close_ms"))
+        .distinct()
+    },
+
+    // join_window: daily per-user first click × first purchase
+    "q_join_window" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id".cast("string").as(Ops.KEY), $"ts", $"event_id", $"event_type")
+      def side(t: String, as: String) =
+        (ev.filter($"event_type" === t), min($"event_id"), as)
+      Windowing.joinWindow(clock, TumblingWindower("1 day"), Ops.KEY,
+        Seq(side("click", "click_eid"), side("purchase", "purch_eid")))
+        .select($"key", unix_millis($"window.start").as("win_start"), $"click_eid", $"purch_eid")
+    })
+
+  private val bucketHour = "time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))"
+  private val bucketDay = "time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))"
+
+  val oracle: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      s"""SELECT epoch_ms($bucketHour) AS win_start, event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_sliding" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - k * INTERVAL '30 minutes') AS win_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_window_session" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '2 hours'
+        |           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS news
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(news) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(MIN(ts)) AS start_ms, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_fold_window" ->
+      s"""SELECT epoch_ms($bucketDay) AS win_start, event_type,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_reduce_window" ->
+      s"""SELECT epoch_ms($bucketDay) AS win_start, event_type, MAX(event_id) AS last_eid
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_collect_window" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms($bucketDay) AS win_start,
+         |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS eids
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_count_window" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms($bucketDay) AS win_start, COUNT(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_max_window" ->
+      s"""SELECT epoch_ms($bucketDay) AS win_start, event_type, MAX(value) AS mx
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_min_window" ->
+      s"""SELECT epoch_ms($bucketDay) AS win_start, event_type, arg_min(value, event_id) AS first_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_meta" ->
+      s"""SELECT DISTINCT epoch_ms($bucketDay) AS open_ms,
+         |  epoch_ms($bucketDay + INTERVAL '1 day') AS close_ms
+         |FROM events""".stripMargin,
+    "q_join_window" ->
+      s"""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, $bucketDay AS w, MIN(event_id) AS click_eid
+         |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |     p AS (SELECT CAST(user_id AS VARCHAR) AS key, $bucketDay AS w, MIN(event_id) AS purch_eid
+         |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT c.key AS key, epoch_ms(c.w) AS win_start, c.click_eid, p.purch_eid
+         |FROM c JOIN p ON c.key = p.key AND c.w = p.w""".stripMargin)
+}
