@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * groupBy), n-gram Jaccard (exact, shared-shingle join), MinHash+LSH
+  * (banded candidate generation + exact verify), SimHash (bit-sketch +
+  * Hamming). All are pure DataFrame compositions — shuffles only on
+  * shingle/band keys, no driver-side loops — so they scale to
+  * billion-document corpora.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of `text`, distinct, as array<string>. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array()).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+  }
+
+  /** Exact dedup: group identical normalized content, keep the lowest id.
+    * At scale this is one hash shuffle on the fingerprint.
+    */
+  def exact(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.groupBy(Text.fingerprint(text).as("fp"))
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("n"))
+
+  /** Exploded (id, shingle) pairs, distinct per doc. */
+  private def shingleRows(df: DataFrame, idCol: Column, text: Column, n: Int): DataFrame =
+    df.select(idCol.as("id"), explode(shingles(text, n)).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard ≥ threshold).
+    * Algorithm: inverted index on shingles → pair intersection counts →
+    * |A∪B| = |A|+|B|−|A∩B|. One shuffle on shingle, one on pair.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, text: Column, n: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(df, idCol, text, n).cache()
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("id").as("i"), col("n_sh").as("ni")), "i")
+      .join(cnt.select(col("id").as("j"), col("n_sh").as("nj")), "j")
+      .withColumn("jac", col("inter").cast("double") / (col("ni") + col("nj") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** MinHash signature: for hash function k (0..numHashes-1) the min of
+    * xxhash64(shingle, k) over the doc's shingles. Pure built-in
+    * expressions → codegen'd single pass; no UDF.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(shinglesCol, s => xxhash64(s, k))))
+
+  /** MinHash-LSH candidate pairs verified by exact Jaccard.
+    * Banding: `bands` bands of `numHashes/bands` rows; docs sharing any
+    * band bucket become candidates; candidates are verified against the
+    * exact n-gram Jaccard and filtered at `threshold`.
+    *
+    * At 100 TB scale only the band-bucket join shuffles doc ids (no
+    * all-pairs); verification joins shingle sets for candidate pairs
+    * only.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: Column, text: Column, n: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val withSig = df.select(idCol.as("id"), text.as("text"))
+      .withColumn("sh", shingles(col("text"), n))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows))).as("bh")))).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    // exact verify on candidates only
+    val sh = withSig.select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+    cands
+      .join(sh.select(col("id").as("i"), col("sh").as("sh_i"), col("n_sh").as("ni")), "i")
+      .join(sh.select(col("id").as("j"), col("sh").as("sh_j"), col("n_sh").as("nj")), "j")
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jac", col("inter").cast("double") / (col("ni") + col("nj") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen'd
+    * expression), pairs within `maxHamming` bits. The pair search here
+    * is blocked on the sketch's 4 16-bit chunks (any ≤3-bit-different
+    * pair shares at least one chunk by pigeonhole when maxHamming ≤ 3),
+    * so no full cross join.
+    */
+  def simhashPairs(df: DataFrame, idCol: Column, text: Column, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "chunk blocking assumes maxHamming <= 3 (4 chunks)")
+    val withSim = df.select(idCol.as("id"), SimHash.simhash64(Text.tokens(text)).as("sim"))
+    val chunked = withSim.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("cc"))
+      .select(col("id"), col("sim"), col("cc.c").as("c"), col("cc.chunk").as("chunk"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        SimHash.hamming(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (array<float>). Baseline: brute-force cosine top-k (expression-only,
+  * codegen'd). Scale path: random-hyperplane LSH bucketing — candidates
+  * share a sign-sketch bucket, cutting the candidate set by ~2^bits.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float>/array<double> columns,
+    * computed in double with a left-to-right fold (deterministic).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val prods = zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
+    val dot = aggregate(prods, lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force cosine top-k: for each query vector the k most similar
+    * corpus vectors (self excluded). Ties broken by corpus id for
+    * determinism. O(|Q|·|C|) — the exactness baseline; at scale use
+    * [[lshTopK]] or pre-filter by [[lshBucket]].
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String, qVec: String,
+      cId: String, cVec: String, k: Int): DataFrame = {
+    val joined = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+      .crossJoin(corpus.select(col(cId).as("nid"), col(cVec).as("nv")))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** All pairs (i<j) with cosine ≥ threshold — brute force. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("i"), col(vecCol).as("vi"))
+    val b = df.select(col(idCol).as("j"), col(vecCol).as("vj"))
+    a.crossJoin(b).filter(col("i") < col("j"))
+      .withColumn("sim", cosine(col("vi"), col("vj")))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"))
+  }
+
+  /** Random-hyperplane sign sketch: bit b = sign(dot(v, h_b)) where
+    * h_b is a deterministic pseudo-random hyperplane derived from
+    * xxhash64(dim, b) — no stored model, reproducible across runs.
+    * Returns a `bits`-bit bucket id (long).
+    */
+  def lshBucket(vec: Column, bits: Int): Column = {
+    require(bits <= 16, "bucket id packs into a long; keep bits small")
+    val dims = size(vec)
+    val bitCols = (0 until bits).map { b =>
+      // dot(v, h_b): h_b[i] in {-1,+1} from the parity of xxhash64(i, b)
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), dims - 1),
+          (v, i) => v.cast("double") * when(pmod(xxhash64(i, lit(b)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: exact cosine ranking within each bucket. Trades
+    * recall for a |C|/2^bits candidate set; bucket-local exact rank.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), bits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("qid"), col("v").as("qv"))
+    val b = bucketed.select(col("bucket"), col("id").as("nid"), col("v").as("nv"))
+    val joined = a.join(b, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+}

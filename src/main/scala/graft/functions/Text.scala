@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All are pure Column expressions (whole-stage
+  * codegen'd; no UDFs) so they survive 100 TB scans.
+  */
+object Text {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Token count (whitespace + non-empty). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of alphabetic characters. */
+  def alphaChars(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", ""))
+
+  /** Count of tokens that appear in `stopwords`. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  /** Heuristic quality score in [0,1]: blend of stopword density,
+    * alphabetic ratio, and length saturation. Deterministic double
+    * arithmetic over integer counts (oracle-reproducible).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val ntok = tokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text, stopwords).cast("double") / greatest(ntok, lit(1.0))
+    val alphaRatio = alphaChars(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    val lenSat = least(ntok, lit(100.0)) / lit(100.0)
+    lit(0.5) * stopRatio + lit(0.3) * alphaRatio + lit(0.2) * lenSat
+  }
+
+  /** Per-language stopword sets for the language-ID heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "est"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist"))
+
+  /** n-gram/stopword-vote language ID: argmax of per-language stopword
+    * hits, ties resolved by list order, 'unknown' when no hits.
+    */
+  def langId(text: Column): Column = {
+    val hits = langStopwords.map { case (lang, sw) => lang -> stopwordCount(text, sw) }
+    val decided = hits.foldRight(lit("unknown")) { case ((lang, h), els) =>
+      val others = hits.filter(_._1 != lang).map(_._2)
+      val isMax = others.foldLeft(h > 0) { (acc, o) => acc && h >= o }
+      when(isMax, lit(lang)).otherwise(els)
+    }
+    decided
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * Identical fingerprints ⇒ exact duplicates (modulo whitespace/case).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Token-length checksum — cheap deterministic content digest
+    * expressible in ANSI SQL (oracle-checkable alongside the md5
+    * fingerprint).
+    */
+  def tokenLengthChecksum(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + length(t).cast("long"))
+}

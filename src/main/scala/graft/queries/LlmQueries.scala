@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Dedup, Multimodal, Similarity, Text}
+
+/** Correctness-gate queries for the training-data-pipeline operators:
+  * text analysis, dedup (exact / n-gram Jaccard / MinHash-LSH /
+  * SimHash), embedding similarity search, multimodal plumbing.
+  *
+  * q_dedup_simhash and q_embed_lsh intentionally have no SQL oracle
+  * (their hash math isn't expressible in DuckDB SQL); the driver
+  * records a rows-only check for them. Their correctness is covered by
+  * ScalaTest specs instead.
+  */
+object LlmQueries {
+
+  private val stop = Text.langStopwords.head._2 // en stopwords
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // token counting + basic stats
+    "q_text_stats" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      docs.select($"doc_id",
+        Text.tokenCount($"text").cast("long").as("n_tokens"),
+        Text.alphaChars($"text").cast("long").as("n_alpha"),
+        Text.tokenLengthChecksum($"text").as("checksum"))
+    },
+
+    // quality scoring
+    "q_text_quality" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      docs.select($"doc_id", Text.qualityScore($"text", stop).as("quality"))
+    },
+
+    // language-ID heuristic (stopword vote)
+    "q_text_langid" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      docs.select($"doc_id", Text.langId($"text").as("lang_guess"))
+    },
+
+    // document fingerprinting
+    "q_text_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
+    },
+
+    // exact dedup via content fingerprint
+    "q_dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.exact(docs, $"doc_id", $"text")
+    },
+
+    // exact n-gram Jaccard near-dup pairs
+    "q_dedup_ngram" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", n = 3, threshold = 0.5)
+    },
+
+    // MinHash+LSH candidates, exact-verified (oracle: exact pairs)
+    "q_dedup_minhash" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minhashLshPairs(docs, $"doc_id", $"text", n = 3,
+        numHashes = 64, bands = 16, threshold = 0.5)
+    },
+
+    // SimHash near-dup pairs (custom codegen expression; rows-only check)
+    "q_dedup_simhash" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.simhashPairs(docs, $"doc_id", $"text", maxHamming = 3)
+    },
+
+    // embedding similarity: all pairs over threshold (brute force)
+    "q_embed_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.5)
+    },
+
+    // embedding similarity: top-3 neighbors for the first 100 vectors
+    "q_embed_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val queriesDf = emb.filter($"vec_id" < 100)
+      Similarity.bruteForceTopK(queriesDf, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 3)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid")
+    },
+
+    // LSH-bucketed ANN (rows-only check; recall covered in ScalaTest)
+    "q_embed_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, bits = 4)
+        .select($"qid", $"rank", $"nid")
+    },
+
+    // multimodal: binary payload → per-partition codec featurization
+    "q_multimodal" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text".cast("binary").as("blob"))
+      Multimodal.featurize(docs, "doc_id", "blob").toDF()
+    })
+
+  private val ntok = "len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))"
+  private val nalpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+  private def hits(words: Seq[String]) =
+    s"len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id, $ntok AS n_tokens, $nalpha AS n_alpha,
+         |  CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> length(t))) AS BIGINT) AS checksum
+         |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  0.5 * (CAST(${hits(stop)} AS DOUBLE) / GREATEST(CAST($ntok AS DOUBLE), 1.0))
+         |  + 0.3 * (CAST($nalpha AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+         |  + 0.2 * (LEAST(CAST($ntok AS DOUBLE), 100.0) / 100.0) AS quality
+         |FROM documents""".stripMargin,
+    "q_text_langid" -> {
+      val langs = Text.langStopwords
+      val caseArms = langs.zipWithIndex.map { case ((lang, sw), i) =>
+        val h = s"h_$lang"
+        val others = langs.filter(_._1 != lang).map(l => s"h_${l._1}")
+        s"WHEN $h > 0 AND ${others.map(o => s"$h >= $o").mkString(" AND ")} THEN '$lang'"
+      }.mkString("\n  ")
+      val hitCols = langs.map { case (lang, sw) => s"${hits(sw)} AS h_$lang" }.mkString(", ")
+      s"""SELECT doc_id, CASE
+         |  $caseArms
+         |  ELSE 'unknown' END AS lang_guess
+         |FROM (SELECT doc_id, $hitCols FROM documents)""".stripMargin
+    },
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  MIN(doc_id) AS keeper, COUNT(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_ngram" -> exactJaccardSql(0.5),
+    "q_dedup_minhash" -> exactJaccardSql(0.5),
+    "q_embed_pairs" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5""".stripMargin,
+    "q_embed_topk" ->
+      """SELECT a.vec_id AS qid,
+        |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank,
+        |  b.vec_id AS nid
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 100
+        |QUALIFY rank <= 3""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  CAST(list_sum(list_transform(range(1, length(text)+1), i -> unicode(text[i]))) AS BIGINT) AS byte_sum,
+        |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |  CAST(((16 + octet_length(encode(text)) % 64) * 3) // 4 AS INT) AS height
+        |FROM documents""".stripMargin)
+
+  /** Exact 3-gram Jaccard pairs — the shared oracle for the exact and
+    * MinHash dedup queries (MinHash params are sized so recall is 1.0
+    * on this corpus; verified locally and in ScalaTest).
+    */
+  private def exactJaccardSql(threshold: Double): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT i, j, CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) AS jac
+       |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= $threshold""".stripMargin
+}
