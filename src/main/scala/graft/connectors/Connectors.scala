@@ -1,0 +1,126 @@
+package graft.connectors
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** Source/sink surface — analogues of the reference's connector set
+  * (reference: pysrc/bytewax/connectors/ + inputs.py/outputs.py).
+  *
+  * The partitioned-source SPI (`FixedPartitionedSource.list_parts` /
+  * `build_part` / per-partition `snapshot`, reference inputs.py:143-196)
+  * maps onto Spark's DataSource V2 / file-stream machinery: partition
+  * discovery ⇔ file listing, resume offsets ⇔ the checkpoint WAL, so
+  * the built-ins below are thin, and exactly-once comes from
+  * `checkpointLocation` instead of a custom recovery store.
+  */
+object Connectors {
+
+  // ---- files (reference connectors/files.py) ------------------------
+
+  /** FileSource (files.py:136-199): one file, line-by-line. Byte-offset
+    * resume ⇔ file-stream source checkpointing.
+    */
+  def fileSource(spark: SparkSession, path: String, streaming: Boolean = false): DataFrame =
+    if (streaming) spark.readStream.text(path) else spark.read.text(path)
+
+  /** DirSource (files.py:58-133): glob a directory, one partition per
+    * file (Spark parallelizes by file split automatically).
+    */
+  def dirSource(spark: SparkSession, dir: String, glob: String = "*", streaming: Boolean = false): DataFrame = {
+    if (streaming) spark.readStream.option("pathGlobFilter", glob).text(dir)
+    else spark.read.option("pathGlobFilter", glob).text(dir)
+  }
+
+  /** CSVSource (files.py:202-323): header-aware CSV; all values read as
+    * strings to match the reference's DictReader semantics.
+    */
+  def csvSource(spark: SparkSession, path: String, streaming: Boolean = false,
+      schema: Option[StructType] = None): DataFrame = {
+    if (streaming) {
+      val s = schema.getOrElse(throw new IllegalArgumentException(
+        "streaming CSV needs an explicit all-string schema"))
+      spark.readStream.option("header", "true").schema(s).csv(path)
+    } else {
+      spark.read.option("header", "true")
+        .option("inferSchema", "false") // all strings, like DictReader
+        .csv(path)
+    }
+  }
+
+  /** FileSink / DirSink (files.py:325-462): line sink; exactly-once via
+    * batchId-idempotent `foreachBatch` writes (⇔ the reference's
+    * truncate-to-offset resume).
+    */
+  def fileSink(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+
+  def dirSinkStream(df: DataFrame, dir: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("text")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+
+  // ---- stdio (reference connectors/stdio.py) ------------------------
+
+  /** StdOutSink (stdio.py:10-37). */
+  def stdOutSink(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream.format("console").outputMode("append")
+
+  // ---- kafka (reference connectors/kafka/) --------------------------
+
+  /** KafkaSource (kafka/__init__.py:306-424): per-Kafka-partition
+    * parallelism, starting offsets, batch-size cap. Offsets ride the
+    * checkpoint (the reference stores them in its recovery store and
+    * ignores group.id commits — same model).
+    * Returns the standard kafka schema (key/value binary, topic,
+    * partition, offset, timestamp, headers).
+    */
+  def kafkaSource(spark: SparkSession, brokers: Seq[String], topics: Seq[String],
+      startingOffsets: String = "earliest", maxOffsetsPerTrigger: Option[Long] = None,
+      includeHeaders: Boolean = true): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers.mkString(","))
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", startingOffsets)
+      .option("includeHeaders", includeHeaders.toString)
+    maxOffsetsPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n))
+    r.load()
+  }
+
+  /** KafkaSink (kafka/__init__.py:473-553); per-message topic override
+    * via a `topic` column, like the reference's `KafkaSinkMessage.topic`.
+    */
+  def kafkaSink(df: DataFrame, brokers: Seq[String], defaultTopic: String,
+      checkpoint: String): DataStreamWriter[Row] = {
+    val w = df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers.mkString(","))
+      .option("checkpointLocation", checkpoint)
+    if (df.columns.contains("topic")) w else w.option("topic", defaultTopic)
+  }
+
+  // ---- demo / polling (reference connectors/demo.py, inputs.py:285-452)
+
+  /** RandomMetricSource (demo.py:15-102): rate source + deterministic
+    * metric mapping.
+    */
+  def randomMetricSource(spark: SparkSession, rowsPerSecond: Int = 10, metricName: String = "metric"): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        lit(metricName).as("metric"),
+        col("timestamp"),
+        pmod(xxhash64(col("value")), lit(100)).cast("double").as("value"))
+
+  /** SimplePollingSource (inputs.py:285-452): singleton partition
+    * polled on an interval → rate-limited rate source driving a fetch
+    * lambda per tick.
+    */
+  def pollingSource[T: Encoder](spark: SparkSession, intervalSecs: Int)(fetch: Long => Iterator[T]): Dataset[T] =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", 1L)
+      .load()
+      .filter(pmod(col("value"), lit(intervalSecs.max(1).toLong)) === 0)
+      .select(col("value")).as(Encoders.LONG)
+      .flatMap(tick => fetch(tick))(implicitly[Encoder[T]])
+}

@@ -96,18 +96,24 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen'd
-    * expression), pairs within `maxHamming` bits. The pair search here
-    * is blocked on the sketch's 4 16-bit chunks (any ≤3-bit-different
-    * pair shares at least one chunk by pigeonhole when maxHamming ≤ 3),
-    * so no full cross join.
+    * expression), pairs within `maxHamming` bits. Pair search is blocked
+    * on `maxHamming + 1` bit-chunks of the sketch: by pigeonhole, any
+    * pair within `maxHamming` bits agrees exactly on at least one chunk,
+    * so candidates come from chunk-equality joins — no full cross join.
     */
   def simhashPairs(df: DataFrame, idCol: Column, text: Column, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "chunk blocking assumes maxHamming <= 3 (4 chunks)")
+    require(maxHamming >= 0 && maxHamming < 32, "need at least 2-bit chunks")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
     val withSim = df.select(idCol.as("id"), SimHash.simhash64(Text.tokens(text)).as("sim"))
+    val chunkCols = (0 until chunks).map { c =>
+      val w = if (c == chunks - 1) 64 - c * width else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(lit(c).as("c"),
+        shiftrightunsigned(col("sim"), c * width).bitwiseAND(lit(mask)).as("chunk"))
+    }
     val chunked = withSim.select(col("id"), col("sim"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"),
-          shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("cc"))
+      explode(array(chunkCols: _*)).as("cc"))
       .select(col("id"), col("sim"), col("cc.c").as("c"), col("cc.chunk").as("chunk"))
     chunked.as("a").join(chunked.as("b"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))

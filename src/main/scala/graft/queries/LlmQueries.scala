@@ -77,7 +77,7 @@ object LlmQueries {
     "q_dedup_simhash" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      Dedup.simhashPairs(docs, $"doc_id", $"text", maxHamming = 3)
+      Dedup.simhashPairs(docs, $"doc_id", $"text", maxHamming = 7)
     },
 
     // embedding similarity: all pairs over threshold (brute force)

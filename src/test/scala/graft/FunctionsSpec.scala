@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Similarity, Text}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash-LSH finds exactly the exact-jaccard near-dup pairs (sf0.001 docs)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 64, 16, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("simhash pairs cover the high-jaccard near-dups") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val high = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashPairs(docs, col("doc_id"), col("text"), 7)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(high.nonEmpty)
+    assert(high.subsetOf(sim))
+  }
+
+  test("simhash of identical token arrays is identical; distinct texts differ") {
+    val df = Seq("a b c a b", "a b c a b", "x y z w q").toDF("text")
+      .select(graft.functions.SimHash.simhash64(Text.tokens(col("text"))).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) === hs(1))
+    assert(hs(0) !== hs(2))
+  }
+
+  test("langId votes by stopword sets with tie priority") {
+    val df = Seq(
+      "the cat of the house",  // en
+      "el gato de la casa y que", // es
+      "zzz qqq www").toDF("text")
+      .select(Text.langId(col("text")).as("l"))
+    assert(df.as[String].collect().toSeq === Seq("en", "es", "unknown"))
+  }
+
+  test("fingerprint normalizes whitespace and case") {
+    val df = Seq("Hello   World", "hello world", "other").toDF("text")
+      .select(Text.fingerprint(col("text")).as("f"))
+    val fs = df.as[String].collect()
+    assert(fs(0) === fs(1))
+    assert(fs(0) !== fs(2))
+  }
+
+  test("bruteForceTopK excludes self and ranks by cosine desc") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", "vec_id", "embedding", 3)
+    val rows = out.collect()
+    assert(rows.length === 15)
+    assert(!rows.exists(r => r.getLong(0) === r.getLong(2)))
+    // per query, sim non-increasing with rank
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK returns bucket-local neighbors consistent with cosine order") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val out = Similarity.lshTopK(emb, "vec_id", "embedding", 3, 4).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("multimodal featurize matches byte-level ground truth") {
+    val df = Seq((1L, "abc"), (2L, "")).toDF("id", "t")
+      .select(col("id"), col("t").cast("binary").as("blob"))
+    val out = graft.functions.Multimodal.featurize(df, "id", "blob")
+      .collect().map(f => (f.asset_id, f.n_bytes, f.first_byte, f.byte_sum)).toSet
+    assert(out === Set((1L, 3L, 97, 294L), (2L, 0L, -1, 0L)))
+  }
+}

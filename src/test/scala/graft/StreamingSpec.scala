@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.connectors.Testing
+import graft.streaming.StreamingOps
+import graft.windowing.{EventClock, TumblingWindower}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("statefulMapStream keeps running state across micro-batches") {
+    val src = Testing.testingSource[(String, Double)](spark)
+    src.addBatch(("a", 1.0), ("b", 2.0))
+    src.addBatch(("a", 3.0))
+    val out = StreamingOps.statefulMapStream[String, Double, Double, Double](
+      src.toDS(), _ => 0.0) { (s, v) => val s2 = s + v; (s2, s2) }
+    val got = StreamingOps.runToMemory(out, "running_sum")
+      .as[(String, Double)].collect().toSet
+    assert(got === Set(("a", 1.0), ("b", 2.0), ("a", 4.0)))
+  }
+
+  test("collectStream flushes on maxSize") {
+    // Even batch: everything flushes via maxSize; no residual buffer means
+    // no processing-time timer is registered, so the query drains cleanly.
+    // (Timer-based timeout flushes are covered by the wall-clock-dependent
+    // semantics of GroupStateTimeout and exercised in production only.)
+    val src = Testing.testingSource[(String, Int)](spark)
+    src.addBatch(("k", 1), ("k", 2), ("k", 3), ("k", 4))
+    val out = StreamingOps.collectStream(src.toDS(), maxSize = 2, timeoutMillis = 60000)
+      .map { case (k, vs) => (k, vs.mkString(",")) }
+    val got = StreamingOps.runToMemoryUntil(out, "collected", expectedRows = 2, timeoutMs = 30000)
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("k", "1,2"), ("k", "3,4")))
+  }
+
+  test("windowStream aggregates tumbling windows with a watermark") {
+    val src = Testing.testingSource[(java.sql.Timestamp, String)](spark)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    src.addBatch((ts(1), "x"), (ts(2), "x"), (ts(31), "x"), (ts(5), "y"))
+    val df = src.toDS().toDF("ts", "k")
+    val out = StreamingOps.windowStream(df, EventClock("ts", "10 minutes"),
+      TumblingWindower("30 minutes"), Seq(col("k")), Seq(count(lit(1)).as("n")))
+      .select(col("window.start").cast("long").as("w"), col("k"), col("n"))
+    // Complete mode: emit all windows each batch (append-mode emission
+    // waits for the watermark to pass window end, which a single drained
+    // batch never reaches).
+    val got = StreamingOps.runToMemory(out, "windowed", OutputMode.Complete())
+      .as[(Long, String, Long)].collect().toSet
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(got === Set((base, "x", 2L), (base + 1800, "x", 1L), (base, "y", 1L)))
+  }
+
+  test("statefulStream onBatch sees whole per-key batch and can clear state") {
+    val src = Testing.testingSource[(String, Int)](spark)
+    src.addBatch(("a", 1), ("a", 2), ("b", 7))
+    val out = StreamingOps.statefulStream[String, Int, Int, Int](
+      src.toDS(), timeoutMillis = None)(
+      onBatch = (_, vs, s) => {
+        val total = s.getOrElse(0) + vs.sum
+        (Some(total), Seq(total))
+      })
+    val got = StreamingOps.runToMemory(out, "batched")
+      .as[(String, Int)].collect().toSet
+    assert(got === Set(("a", 3), ("b", 7)))
+  }
+}
