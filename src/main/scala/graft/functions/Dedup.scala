@@ -51,12 +51,12 @@ object Dedup {
   }
 
   /** MinHash signature: for hash function k (0..numHashes-1) the min of
-    * xxhash64(shingle, k) over the doc's shingles. Pure built-in
-    * expressions → codegen'd single pass; no UDF.
+    * h_k(shingle) over the doc's shingles — fused single-pass custom
+    * expression (see [[MinHashSigExpr]] for why the built-in
+    * transform/array_min composition is ~450× slower).
     */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(shinglesCol, s => xxhash64(s, k))))
+    MinHash.minhash_sig(shinglesCol, numHashes)
 
   /** MinHash-LSH candidate pairs verified by exact Jaccard.
     * Banding: `bands` bands of `numHashes/bands` rows; docs sharing any
@@ -71,10 +71,13 @@ object Dedup {
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // cached: the band explode and both sides of the verify join re-scan
+    // this relation; recomputing shingles+signatures 4× dominates without it
     val withSig = df.select(idCol.as("id"), text.as("text"))
       .withColumn("sh", shingles(col("text"), n))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),

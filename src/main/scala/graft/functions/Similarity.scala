@@ -13,14 +13,11 @@ object Similarity {
 
   /** Cosine similarity between two array<float>/array<double> columns,
     * computed in double with a left-to-right fold (deterministic).
+    * Delegates to the fused codegen'd [[CosineSimExpr]]; the equivalent
+    * zip_with+aggregate composition is CodegenFallback and ~10× slower
+    * on brute-force scans.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val prods = zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
-    val dot = aggregate(prods, lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column = CosineSim.cosine_sim(a, b)
 
   /** Brute-force cosine top-k: for each query vector the k most similar
     * corpus vectors (self excluded). Ties broken by corpus id for

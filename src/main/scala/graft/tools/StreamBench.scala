@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.connectors.Testing
+
+/** Port of the reference's windowing micro-benchmark
+  * (reference: examples/benchmark_windowing.py:11-39): 1,000,000 items =
+  * 100,000 timestamps × 10 batches, 2 keys, 1-minute tumbling windows,
+  * fold into lists, event clock with zero wait. Prints one JSON line
+  * with batch-mode and streaming-mode wall seconds.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val items = 1000000L
+    val distinctTs = 100000L
+
+    // ---- batch path: the same fold expressed relationally ----
+    val t0 = System.nanoTime()
+    spark.range(items)
+      .select(
+        (col("id") % 2).cast("string").as("key"),
+        timestamp_seconds(lit(1704067200L) + col("id") % distinctTs).as("ts"),
+        col("id").as("v"))
+      .groupBy(window(col("ts"), "1 minute"), col("key"))
+      .agg(collect_list(col("v")).as("vs"))
+      .write.format("noop").mode("overwrite").save()
+    val batchSec = (System.nanoTime() - t0) / 1e9
+
+    // ---- streaming path: 10 micro-batches through MemoryStream ----
+    val src = Testing.testingSource[Long](spark)
+    val stream = src.toDS()
+      .select(
+        (col("value") % 2).cast("string").as("key"),
+        timestamp_seconds(lit(1704067200L) + col("value") % distinctTs).as("ts"),
+        col("value").as("v"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("key"))
+      .agg(collect_list(col("v")).as("vs"))
+    val q = stream.writeStream
+      .format("noop")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-streambench-${System.nanoTime()}")
+      .start()
+    val t1 = System.nanoTime()
+    val perBatch = (items / 10).toInt
+    (0 until 10).foreach { b =>
+      val lo = b.toLong * perBatch
+      src.addBatch((lo until lo + perBatch): _*)
+      q.processAllAvailable()
+    }
+    val streamSec = (System.nanoTime() - t1) / 1e9
+    q.stop()
+
+    println(s"""{"metric":"benchmark_windowing","items":$items,"batch_sec":$batchSec,"stream_sec":$streamSec,"items_per_sec_stream":${(items / streamSec).toLong}}""")
+    spark.stop()
+  }
+}
