@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.connectors.{Connectors, Testing}
+import graft.operators.Ops
+import graft.streaming.StreamingOps
+
+class ConnectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csvSource reads header CSV as all-string columns (DictReader semantics)") {
+    val dir = Files.createTempDirectory("graft-csv").toFile
+    val f = new java.io.File(dir, "m.csv")
+    Files.writeString(f.toPath, "name,value\ncpu,1\nmem,2\n")
+    val df = Connectors.csvSource(spark, f.getPath)
+    assert(df.schema.fields.map(_.dataType.typeName).toSet === Set("string"))
+    assert(df.as[(String, String)].collect().toSet === Set(("cpu", "1"), ("mem", "2")))
+  }
+
+  test("fileSource reads lines; dirSource globs files") {
+    val dir = Files.createTempDirectory("graft-files").toFile
+    Files.writeString(new java.io.File(dir, "a.txt").toPath, "one\ntwo\n")
+    Files.writeString(new java.io.File(dir, "b.log").toPath, "three\n")
+    val one = Connectors.fileSource(spark, s"${dir.getPath}/a.txt")
+    assert(one.as[String].collect().toSet === Set("one", "two"))
+    val globbed = Connectors.dirSource(spark, dir.getPath, "*.txt")
+    assert(globbed.as[String].collect().toSet === Set("one", "two"))
+  }
+
+  test("fileSink writes lines readable back") {
+    val out = Files.createTempDirectory("graft-sink").toFile.getPath + "/out"
+    val df = Seq("x", "y").toDF("value")
+    Connectors.fileSink(df, out)
+    assert(spark.read.text(out).as[String].collect().toSet === Set("x", "y"))
+  }
+
+  test("raises throws on first item") {
+    val ds = Seq(1, 2, 3).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Ops.raises(ds, "boom").collect()
+    }
+    assert(ex.getMessage.contains("boom") || ex.getCause.getMessage.contains("boom"))
+  }
+
+  test("inspect observes row counts without altering the stream") {
+    val df = Tables.load(spark, sf0001, "region")
+    val observed = Ops.inspect(df, "obs")
+    assert(observed.count() === df.count())
+  }
+
+  test("streaming query resumes state from checkpoint after stop/restart") {
+    val ckpt = Files.createTempDirectory("graft-ckpt").toFile.getPath
+    val outDir = Files.createTempDirectory("graft-rec-out").toFile.getPath
+    val src = Testing.testingSource[(String, Double)](spark)
+    def startQuery() = {
+      val out = StreamingOps.statefulMapStream[String, Double, Double, Double](
+        src.toDS(), _ => 0.0) { (s, v) => val s2 = s + v; (s2, s2) }
+      out.toDF("key", "running").writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    }
+    src.addBatch(("a", 1.0), ("a", 2.0))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // restart against the same checkpoint: running sum must continue at 3.0
+    src.addBatch(("a", 4.0))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir).as[(String, Double)].collect().toSet
+    assert(got === Set(("a", 1.0), ("a", 3.0), ("a", 7.0)), s"state not recovered: $got")
+  }
+}
