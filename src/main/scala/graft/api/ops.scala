@@ -1,0 +1,84 @@
+package graft.api
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions.{col, lit}
+import graft.operators.Ops
+
+/** Fluent, step-id'd operator facade mirroring the reference's
+  * `bytewax.operators` module shape (`op.map("id", up, f)` style —
+  * reference pysrc/bytewax/operators/__init__.py). Step ids land in the
+  * Flow registry for visualization; the plan itself is Catalyst lineage.
+  *
+  * A reference user's pipeline
+  * {{{
+  *   flow = Dataflow("wc")
+  *   inp  = op.input("in", flow, FileSource(path))
+  *   low  = op.map("lower", inp, str.lower)
+  *   keyed= op.key_on("k", low, lambda w: w)
+  *   cnt  = op.count_final("count", keyed, lambda w: w)
+  *   op.output("out", cnt, sink)
+  * }}}
+  * transliterates to
+  * {{{
+  *   val flow  = Flow("wc")
+  *   val inp   = ops.input("in", flow, spark, path)
+  *   val low   = ops.map("lower", inp, lower(col("value")).as("value"))
+  *   val keyed = ops.keyOn("k", low, col("value"))
+  *   val cnt   = ops.countFinal("count", keyed)
+  *   ops.output("out", cnt, sinkPath)
+  * }}}
+  */
+object ops {
+
+  private def step(flow: Flow, id: String, kind: String, ups: String*)(df: DataFrame): Stream[Row] = {
+    flow.record(id, kind, ups)
+    Stream(df, flow, id)
+  }
+
+  def input(id: String, flow: Flow, spark: SparkSession, parquetPath: String): Stream[Row] =
+    step(flow, id, "input")(Ops.input(spark, parquetPath))
+
+  def output(id: String, up: Stream[Row], path: String): Unit = {
+    up.flow.record(id, "output", Seq(up.stepId))
+    Ops.output(up.ds.toDF(), path)
+  }
+
+  def map(id: String, up: Stream[Row], cols: Column*): Stream[Row] =
+    step(up.flow, id, "map", up.stepId)(Ops.map(up.ds.toDF(), cols: _*))
+
+  def filter(id: String, up: Stream[Row], p: Column): Stream[Row] =
+    step(up.flow, id, "filter", up.stepId)(Ops.filter(up.ds.toDF(), p))
+
+  def flatMap(id: String, up: Stream[Row], arrayExpr: Column, as: String, keep: Seq[Column] = Nil): Stream[Row] =
+    step(up.flow, id, "flat_map", up.stepId)(Ops.flatMap(up.ds.toDF(), arrayExpr, as, keep))
+
+  def filterMap(id: String, up: Stream[Row], expr: Column, as: String, keep: Seq[Column] = Nil): Stream[Row] =
+    step(up.flow, id, "filter_map", up.stepId)(Ops.filterMap(up.ds.toDF(), expr, as, keep))
+
+  def keyOn(id: String, up: Stream[Row], key: Column): Stream[Row] =
+    step(up.flow, id, "key_on", up.stepId)(Ops.keyOn(up.ds.toDF(), key))
+
+  def keyRm(id: String, up: Stream[Row]): Stream[Row] =
+    step(up.flow, id, "key_rm", up.stepId)(Ops.keyRm(up.ds.toDF()))
+
+  def branch(id: String, up: Stream[Row], p: Column): BranchOut[Row] = {
+    up.flow.record(id, "branch", Seq(up.stepId))
+    val (t, f) = Ops.branch(up.ds.toDF(), p)
+    BranchOut(Stream(t, up.flow, s"$id.trues"), Stream(f, up.flow, s"$id.falses"))
+  }
+
+  def merge(id: String, ups: Stream[Row]*): Stream[Row] = {
+    ups.head.flow.record(id, "merge", ups.map(_.stepId))
+    Stream(Ops.merge(ups.map(_.ds.toDF()): _*), ups.head.flow, id)
+  }
+
+  def redistribute(id: String, up: Stream[Row], n: Int = 0): Stream[Row] =
+    step(up.flow, id, "redistribute", up.stepId)(Ops.redistribute(up.ds.toDF(), n))
+
+  def inspect(id: String, up: Stream[Row]): Stream[Row] =
+    step(up.flow, id, "inspect", up.stepId)(Ops.inspect(up.ds.toDF(), id))
+
+  def countFinal(id: String, up: Stream[Row]): Stream[Row] =
+    step(up.flow, id, "count_final", up.stepId)(
+      up.ds.toDF().groupBy(col(Ops.KEY)).agg(org.apache.spark.sql.functions.count(lit(1)).as("count")))
+}

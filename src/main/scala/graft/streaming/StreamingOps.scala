@@ -124,15 +124,19 @@ object StreamingOps {
   }
 
   /** WindowOut.late approximation (reference windowing.py:1193-1222):
-    * tee of rows older than `delay` behind the stream's max event time
-    * so far. Spark's true watermark lives in StreamingQueryProgress;
-    * this per-microbatch approximation marks rows that the windowed agg
-    * will drop.
+    * tee of rows older than `delay` behind the key's max event time so
+    * far — per-key watermarks, matching the reference's per-key clock
+    * (windowing.py:78-187) and keeping the window computation
+    * partitioned by key (a global max would serialize on one task).
+    * Spark's true watermark lives in StreamingQueryProgress; this
+    * per-microbatch approximation marks rows the windowed agg will drop.
     */
-  def lateTee(df: DataFrame, tsCol: String, delay: String): DataFrame =
-    df.withColumn("__max_ts", max(col(tsCol)).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+  def lateTee(df: DataFrame, tsCol: String, delay: String, keyCols: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
+    df.withColumn("__max_ts", max(col(tsCol)).over(w))
       .filter(col(tsCol) < col("__max_ts") - expr(s"INTERVAL $delay"))
       .drop("__max_ts")
+  }
 
   /** Run a streaming Dataset to a named in-memory table and block until
     * all available input is processed (the `run_main` testing analogue,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.connectors.Testing
+import graft.streaming.{StreamingOps, TransformWithStateOps}
+
+/** transformWithState needs the RocksDB state store provider — its own
+  * session (separate JVM-wide config from the shared suite session is
+  * not possible, so this suite sets the conf on the shared session;
+  * the provider conf is read per-query).
+  */
+class TransformWithStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("statefulTws runs the StatefulBatchLogic lifecycle on RocksDB state") {
+    withRocksDb {
+      // both addBatch calls land before the query starts, so they drain
+      // as ONE micro-batch: on_batch sees a->[1.0, 3.0] in one call and
+      // emits only the post-batch running total (reference on_batch
+      // semantics are batch-at-a-time, not per-item)
+      val src = Testing.testingSource[(String, Double)](spark)
+      src.addBatch(("a", 1.0), ("b", 2.0))
+      src.addBatch(("a", 3.0))
+      val logic = new TransformWithStateOps.GraftStatefulLogic[String, Double, Double, Double] {
+        def onBatch(key: String, vs: Seq[Double], s: Option[Double]): (Option[Double], Seq[Double]) = {
+          val total = s.getOrElse(0.0) + vs.sum
+          (Some(total), Seq(total))
+        }
+      }
+      val out = TransformWithStateOps.statefulTws(src.toDS(), logic)
+      val got = StreamingOps.runToMemory(out, "tws_out")
+        .as[(String, Double)].collect().toSet
+      assert(got === Set(("a", 4.0), ("b", 2.0)))
+    }
+  }
+
+  test("collectTws buffers in ListState and flushes at maxSize") {
+    withRocksDb {
+      val src = Testing.testingSource[(String, Int)](spark)
+      src.addBatch(("k", 1), ("k", 2), ("k", 3), ("k", 4))
+      val out = TransformWithStateOps.collectTws(src.toDS(), maxSize = 2, timeoutMs = 60000)
+        .map { case (k, vs) => (k, vs.mkString(",")) }
+      val got = StreamingOps.runToMemoryUntil(out, "tws_collect", expectedRows = 2, timeoutMs = 30000)
+        .as[(String, String)].collect().toSet
+      assert(got === Set(("k", "1,2"), ("k", "3,4")))
+    }
+  }
+}
