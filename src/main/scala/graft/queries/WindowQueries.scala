@@ -146,7 +146,7 @@ object WindowQueries {
     "q_window_session" ->
       """WITH m AS (
         |  SELECT user_id, ts,
-        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '2 hours'
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '2 hours'
         |           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |         THEN 1 ELSE 0 END AS news
         |  FROM events),

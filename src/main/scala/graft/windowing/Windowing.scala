@@ -40,8 +40,9 @@ final case class SlidingWindower(length: String, offset: String, alignTo: String
 
 /** Gap-based sessions; merging on overlap is handled by Spark's
   * session-window state store (reference `_session_find_merges`,
-  * windowing.py:688-715). Close-at-gap semantics: an item exactly `gap`
-  * after the previous one starts a NEW session ([start, end) windows).
+  * windowing.py:688-715). Boundary semantics (property-tested): an item
+  * exactly `gap` after the previous one still EXTENDS the session —
+  * Spark merges sessions whose [start, start+gap] windows touch.
   */
 final case class SessionWindower(gap: String) extends Windower {
   def expr(ts: Column): Column = session_window(ts, gap).as("window")

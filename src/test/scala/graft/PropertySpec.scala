@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.JoinOps
+
+/** Property-style model tests: random inputs checked against simple
+  * in-memory reference models (scalacheck engine driven directly; the
+  * Spark side runs once per generated case).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, tests: Int = 10): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(tests).withInitialSeed(42L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("joinRunning matches the in-memory state-machine model on random interleavings") {
+    val genEvents = for {
+      n <- Gen.choose(1, 30)
+      evs <- Gen.listOfN(n, for {
+        key <- Gen.oneOf("k1", "k2", "k3")
+        side <- Gen.oneOf(0, 1)
+        v <- Gen.choose(0, 99)
+      } yield (key, side, v))
+    } yield evs.zipWithIndex.map { case ((k, s, v), i) => (k, i.toLong, s, v.toString) }
+
+    val prop = Prop.forAll(genEvents) { evs =>
+      // in-memory model: per key in ord order, last value per side,
+      // emit snapshot at every arrival
+      val model = evs.groupBy(_._1).toSeq.flatMap { case (k, kevs) =>
+        val state = Array[String](null, null)
+        kevs.sortBy(_._2).map { case (_, ord, side, v) =>
+          state(side) = v
+          (k, ord, Option(state(0)), Option(state(1)))
+        }
+      }.toSet
+
+      val a = evs.filter(_._3 == 0).map(e => (e._1, e._2, e._4)).toDF("key", "ord", "va")
+      val b = evs.filter(_._3 == 1).map(e => (e._1, e._2, e._4)).toDF("key", "ord", "vb")
+      val got = JoinOps.joinRunning(spark, "key", "ord", JoinOps.InsertLast,
+        JoinOps.Side(a, "va"), JoinOps.Side(b, "vb"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))
+        .toSet
+      got == model
+    }
+    check(prop)
+  }
+
+  test("joinComplete matches the emit-and-clear model") {
+    val genEvents = for {
+      n <- Gen.choose(2, 24)
+      evs <- Gen.listOfN(n, for {
+        side <- Gen.oneOf(0, 1)
+        v <- Gen.choose(0, 99)
+      } yield (side, v))
+    } yield evs.zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v.toString) }
+
+    val prop = Prop.forAll(genEvents) { evs =>
+      val state = Array[String](null, null)
+      val model = scala.collection.mutable.Set.empty[(Long, String, String)]
+      evs.sortBy(_._1).foreach { case (ord, side, v) =>
+        state(side) = v
+        if (state(0) != null && state(1) != null) {
+          model += ((ord, state(0), state(1)))
+          state(0) = null; state(1) = null
+        }
+      }
+      val a = evs.filter(_._2 == 0).map(e => ("k", e._1, e._3)).toDF("key", "ord", "va")
+      val b = evs.filter(_._2 == 1).map(e => ("k", e._1, e._3)).toDF("key", "ord", "vb")
+      val got = JoinOps.joinComplete(spark, "key", "ord", JoinOps.InsertLast,
+        JoinOps.Side(a, "va"), JoinOps.Side(b, "vb"))
+        .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSet
+      got == model.toSet
+    }
+    check(prop)
+  }
+
+  test("sliding windows assign each event to exactly length/offset windows") {
+    val genTs = Gen.listOfN(40, Gen.choose(0L, 100000L))
+    val prop = Prop.forAll(genTs) { secs =>
+      val df = secs.map(s => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+        .toDF("ts")
+      val exploded = df.select(window($"ts", "1 hour", "15 minutes").as("w"), $"ts")
+      // 1h/15m = 4 windows per event, and each window truly contains the event
+      val n = exploded.count()
+      val contained = exploded
+        .filter($"ts" >= $"w.start" && $"ts" < $"w.end").count()
+      n == 4L * secs.size && contained == n
+    }
+    check(prop, tests = 5)
+  }
+
+  test("session windows per key equal the gap-count model") {
+    val gapSec = 120L
+    val genTs = Gen.listOfN(30, Gen.choose(0L, 20000L)).map(_.distinct)
+    val prop = Prop.forAll(genTs) { secs =>
+      val sorted = secs.sorted
+      // Spark merges sessions whose windows touch: an event exactly `gap`
+      // after the previous one still extends the session (inclusive end)
+      val modelSessions = if (sorted.isEmpty) 0
+        else 1 + sorted.zip(sorted.tail).count { case (a, b) => b - a > gapSec }
+      val df = secs.map(s => ("k", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))))
+        .toDF("key", "ts")
+      val got = df.groupBy(session_window($"ts", s"$gapSec seconds"), $"key")
+        .count().count()
+      got == modelSessions.toLong
+    }
+    check(prop, tests = 5)
+  }
+
+  test("flow graph renders recorded steps as mermaid") {
+    val flow = graft.api.Flow("viz")
+    val inp = graft.api.ops.input("in", flow, spark, s"$sf0001/region.parquet")
+    val m = graft.api.ops.map("proj", inp, col("r_name"))
+    assert(m.ds.count() > 0)
+    val mermaid = flow.toMermaid
+    assert(mermaid.contains("flowchart"))
+    assert(mermaid.contains("in --> proj"))
+  }
+}
