@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimExpr, MinHashSigExpr, SimHash64}
+
+/** SQL surface for graft's custom Catalyst expressions. Two ways in:
+  *
+  *  - cluster deployment: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *  - existing session: `GraftExtensions.register(spark)`
+  *
+  * Registered functions: `simhash64(array<string>)`,
+  * `minhash_sig(array<string>, numHashes)`, `cosine_sim(vec, vec)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private[graft] val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSigExpr(es.head, intArg(es(1), "numHashes"))),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimExpr(es.head, es(1))))
+
+  /** Register the functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -201,6 +201,21 @@ object Ops {
     */
   def enrichBroadcast(df: DataFrame, dim: DataFrame, keys: Seq[String], joinType: String = "left"): DataFrame =
     df.join(broadcast(dim), keys, joinType)
+
+  /** Salted two-phase aggregation for skewed keys: partial aggregation
+    * on (key, salt) spreads a hot key over `saltBuckets` tasks, then a
+    * tiny final aggregation merges the partials. Use when one key
+    * dominates a `groupBy` (AQE splits skewed *joins* but not skewed
+    * aggregations). `aggs` must be algebraic (sum/count/min/max) —
+    * `partial` and `fin` describe the two phases.
+    */
+  def saltedAgg(df: DataFrame, keyCol: String, saltBuckets: Int,
+      partial: Seq[Column], fin: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(keyCol))
+      .agg(fin.head, fin.tail: _*)
 }
 
 /** Executor-local TTL cache backing [[Ops.enrichCached]] — the analogue of

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ops
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT simhash64(array('a','b')) AS sh,
+        |       size(minhash_sig(array('a b c'), 16)) AS mh_len,
+        |       cosine_sim(array(cast(1.0 as double), cast(0.0 as double)),
+        |                  array(cast(1.0 as double), cast(0.0 as double))) AS cs
+        |""".stripMargin).head()
+    assert(row.getAs[Long]("sh") !== 0L)
+    assert(row.getAs[Int]("mh_len") === 16)
+    assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
+  }
+
+  test("SQL simhash64 equals the Column API simhash64") {
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, sf0001, "documents").limit(50)
+    val viaCol = docs.select($"doc_id",
+      graft.functions.SimHash.simhash64(graft.functions.Text.tokens($"text")).as("h"))
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash64(filter(split(text, '\\\\s+'), t -> t != '')) AS h FROM ext_docs")
+    assert(viaCol.as[(Long, Long)].collect().toSet === viaSql.as[(Long, Long)].collect().toSet)
+  }
+
+  test("saltedAgg equals plain aggregation (skew-safe two-phase)") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val plain = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(12,2)")).cast("double").as("total"))
+    val salted = Ops.saltedAgg(ev, "event_type", 8,
+      partial = Seq(count(lit(1)).as("pn"), sum($"value".cast("decimal(12,2)")).as("pt")),
+      fin = Seq(sum($"pn").as("n"), sum($"pt").cast("double").as("total")))
+    assert(plain.as[(String, Long, Double)].collect().toSet ===
+      salted.as[(String, Long, Double)].collect().toSet)
+  }
+}
