@@ -62,6 +62,33 @@ object Connectors {
       .option("path", dir)
       .option("checkpointLocation", checkpoint)
 
+  /** Exactly-once foreachBatch sink: writes each micro-batch to
+    * `dir/batch=<id>` and skips batches that already committed — the
+    * idempotent-redo analogue of the reference's truncate-to-offset
+    * resume (files.py:325-348). Safe under micro-batch replays after a
+    * crash: a replayed batchId is a no-op.
+    */
+  def idempotentDirSink(df: DataFrame, dir: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        writeBatchIdempotent(batch.toDF(), dir, batchId): Unit
+      }
+
+  /** The idempotent write used by [[idempotentDirSink]]: committed
+    * batch dirs (marked by _SUCCESS) are never rewritten.
+    */
+  def writeBatchIdempotent(batch: DataFrame, dir: String, batchId: Long): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(s"$dir/batch=$batchId")
+    val fs = target.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
+    if (fs.exists(marker)) false
+    else {
+      batch.write.mode("overwrite").parquet(target.toString)
+      true
+    }
+  }
+
   // ---- stdio (reference connectors/stdio.py) ------------------------
 
   /** StdOutSink (stdio.py:10-37). */

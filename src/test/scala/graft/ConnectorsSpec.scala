@@ -49,6 +49,24 @@ class ConnectorsSpec extends SparkSpec {
     assert(observed.count() === df.count())
   }
 
+  test("idempotentDirSink writes per-batch dirs and replayed batches are no-ops") {
+    val base = Files.createTempDirectory("graft-idem").toFile.getPath
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    val src = Testing.testingSource[String](spark)
+    src.addBatch("a", "b")
+    val q = Connectors.idempotentDirSink(src.toDS().toDF(), out, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val first = spark.read.parquet(s"$out/batch=0").as[String].collect().toSet
+    assert(first === Set("a", "b"))
+    // replay batch 0 with different data: committed marker makes it a no-op
+    val replay = Seq("SHOULD_NOT_APPEAR").toDF("value")
+    val wrote = Connectors.writeBatchIdempotent(replay, out, 0L)
+    assert(!wrote)
+    assert(spark.read.parquet(s"$out/batch=0").as[String].collect().toSet === Set("a", "b"))
+  }
+
   test("streaming query resumes state from checkpoint after stop/restart") {
     val ckpt = Files.createTempDirectory("graft-ckpt").toFile.getPath
     val outDir = Files.createTempDirectory("graft-rec-out").toFile.getPath
