@@ -36,9 +36,29 @@ object Dedup {
     * Algorithm: inverted index on shingles → pair intersection counts →
     * |A∪B| = |A|+|B|−|A∩B|. One shuffle on shingle, one on pair.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: Column, text: Column, n: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(df, idCol, text, n).cache()
-    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, text: Column, n: Int, threshold: Double): DataFrame =
+    ngramJaccardPairs(df, idCol, text, n, threshold, maxDocFreq = 0)
+
+  /** Variant with a document-frequency ceiling: shingles appearing in
+    * more than `maxDocFreq` docs are dropped from the inverted index
+    * before the pair join (maxDocFreq <= 0 disables). This bounds the
+    * worst-case pair blowup at Σ min(df, cap)² — the standard stop-
+    * shingle mitigation at corpus scale. Trade-off: intersections are
+    * undercounted for pairs whose overlap includes capped shingles, so
+    * computed jaccard is a lower bound (recall can drop, never
+    * precision above the true-jaccard filter).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, text: Column, n: Int,
+      threshold: Double, maxDocFreq: Int): DataFrame = {
+    val shAll = shingleRows(df, idCol, text, n).cache()
+    val cnt = shAll.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val sh =
+      if (maxDocFreq <= 0) shAll
+      else {
+        val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > maxDocFreq).select(col("s"))
+        shAll.join(hot, Seq("s"), "left_anti")
+      }
     val inter = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
       .agg(count(lit(1)).as("inter"))

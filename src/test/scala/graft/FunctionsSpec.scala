@@ -16,6 +16,15 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("doc-frequency cap leaves results unchanged when it does not bind") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val uncapped = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, maxDocFreq = 100000)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped)
+  }
+
   test("simhash pairs cover the high-jaccard near-dups") {
     val docs = Tables.load(spark, sf0001, "documents")
     val high = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.9)

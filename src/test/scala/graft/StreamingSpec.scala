@@ -51,6 +51,22 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((base, "x", 2L), (base + 1800, "x", 1L), (base, "y", 1L)))
   }
 
+  test("windowStream session windows merge across micro-batch boundaries") {
+    val src = Testing.testingSource[(java.sql.Timestamp, String)](spark)
+    def ts(m: Int, s: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    // one session (gap 5m): 10:00, 10:03, 10:06; separate session at 10:30
+    src.addBatch((ts(0), "u"), (ts(3), "u"))
+    src.addBatch((ts(6), "u"), (ts(30), "u"))
+    val df = src.toDS().toDF("ts", "k")
+    val out = StreamingOps.windowStream(df, graft.windowing.EventClock("ts", "0 seconds"),
+      graft.windowing.SessionWindower("5 minutes"), Seq(col("k")), Seq(count(lit(1)).as("n")))
+      .select(col("window.start").cast("long").as("w"), col("n"))
+    val got = StreamingOps.runToMemory(out, "sessioned", OutputMode.Complete())
+      .as[(Long, Long)].collect().toSet
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(got === Set((base, 3L), (base + 1800, 1L)))
+  }
+
   test("statefulStream onBatch sees whole per-key batch and can clear state") {
     val src = Testing.testingSource[(String, Int)](spark)
     src.addBatch(("a", 1), ("a", 2), ("b", 7))
