@@ -70,10 +70,8 @@ object JoinOps {
       keyCol: String,
       orderCol: String,
       insert: InsertMode,
-      sides: Side*): DataFrame = {
-    require(insert != InsertProduct, "product+complete not yet supported in batch mode")
+      sides: Side*): DataFrame =
     runStateMachine(spark, keyCol, orderCol, sides, emitRunning = false, insert)
-  }
 
   /** emit_mode="running": emit the current joined row on *every* arrival,
     * retain state forever (reference :2150-2154). No Spark builtin — this
@@ -88,10 +86,8 @@ object JoinOps {
       keyCol: String,
       orderCol: String,
       insert: InsertMode,
-      sides: Side*): DataFrame = {
-    require(insert != InsertProduct, "product+running not yet supported in batch mode")
+      sides: Side*): DataFrame =
     runStateMachine(spark, keyCol, orderCol, sides, emitRunning = true, insert)
-  }
 
   private def runStateMachine(
       spark: SparkSession,
@@ -112,26 +108,36 @@ object JoinOps {
     }
     val all = tagged.reduce(_.unionByName(_))
 
-    val out = StatefulOps.statefulBatch[Array[String], (String, Long, Array[String])](
+    // per-side value lists (⇔ the reference's `_JoinState`, one List per
+    // side); first/last keep one slot, product keeps all
+    def astuples(state: Array[Vector[String]]): Iterator[Array[String]] = {
+      // cartesian product, `null` filling empty sides (⇔ `_LONE_NONE`)
+      state.foldLeft(Iterator.single(Vector.empty[String])) { (acc, side) =>
+        val vals = if (side.isEmpty) Vector[String](null) else side
+        acc.flatMap(prefix => vals.iterator.map(v => prefix :+ v))
+      }.map(_.toArray)
+    }
+
+    val out = StatefulOps.statefulBatch[Array[Vector[String]], (String, Long, Array[String])](
       all,
       "key",
       Seq(col("ord")),
-      init = _ => Array.fill[String](n)(null),
+      init = _ => Array.fill(n)(Vector.empty[String]),
       onItem = (state, row) => {
         val side = row.getInt(row.fieldIndex("side"))
         val v = row.getString(row.fieldIndex("value"))
         val ord = row.getLong(row.fieldIndex("ord"))
-        val kept = insert match {
-          case InsertFirst => if (state(side) == null) v else state(side)
-          case _           => v
-        }
-        state(side) = kept
         val key = row.getString(row.fieldIndex("key"))
+        state(side) = insert match {
+          case InsertFirst   => if (state(side).isEmpty) Vector(v) else state(side)
+          case InsertLast    => Vector(v)
+          case InsertProduct => state(side) :+ v
+        }
         if (emitRunning) {
-          (state, Iterator.single((key, ord, state.clone())))
-        } else if (state.forall(_ != null)) {
-          val emitted = (key, ord, state.clone())
-          (Array.fill[String](n)(null), Iterator.single(emitted)) // clear after complete
+          (state, astuples(state).map(t => (key, ord, t)))
+        } else if (state.forall(_.nonEmpty)) {
+          val emitted = astuples(state).map(t => (key, ord, t)).toVector
+          (Array.fill(n)(Vector.empty[String]), emitted.iterator) // clear after complete
         } else (state, Iterator.empty)
       })
 

@@ -79,6 +79,35 @@ class PropertySpec extends SparkSpec {
     check(prop)
   }
 
+  test("joinRunning insert=product emits the full cartesian snapshot per arrival") {
+    val genEvents = for {
+      n <- Gen.choose(1, 14)
+      evs <- Gen.listOfN(n, for {
+        side <- Gen.oneOf(0, 1)
+        v <- Gen.choose(0, 9)
+      } yield (side, v))
+    } yield evs.zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v.toString) }
+
+    val prop = Prop.forAll(genEvents) { evs =>
+      val state = Array(Vector.empty[String], Vector.empty[String])
+      val model = scala.collection.mutable.Set.empty[(Long, Option[String], Option[String])]
+      evs.sortBy(_._1).foreach { case (ord, side, v) =>
+        state(side) = state(side) :+ v
+        val s0 = if (state(0).isEmpty) Vector[Option[String]](None) else state(0).map(Some(_))
+        val s1 = if (state(1).isEmpty) Vector[Option[String]](None) else state(1).map(Some(_))
+        for (a <- s0; b <- s1) model += ((ord, a, b))
+      }
+      val a = evs.filter(_._2 == 0).map(e => ("k", e._1, e._3)).toDF("key", "ord", "va")
+      val b = evs.filter(_._2 == 1).map(e => ("k", e._1, e._3)).toDF("key", "ord", "vb")
+      val got = JoinOps.joinRunning(spark, "key", "ord", JoinOps.InsertProduct,
+        JoinOps.Side(a, "va"), JoinOps.Side(b, "vb"))
+        .collect()
+        .map(r => (r.getLong(1), Option(r.getString(2)), Option(r.getString(3)))).toSet
+      got == model.toSet
+    }
+    check(prop)
+  }
+
   test("sliding windows assign each event to exactly length/offset windows") {
     val genTs = Gen.listOfN(40, Gen.choose(0L, 100000L))
     val prop = Prop.forAll(genTs) { secs =>
