@@ -54,6 +54,16 @@ object WindowQueries {
         .select($"key", unix_millis($"window.start").as("start_ms"), $"n")
     },
 
+    // tumbling with align_to: 1h windows anchored at :30 (reference
+    // align_to -> window() startTime offset)
+    "q_window_aligned" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      Windowing.countWindow(ev, clock, TumblingWindower("1 hour", "30 minutes"),
+        Seq($"event_type"), "n")
+        .select(unix_millis($"window.start").as("win_start"), $"event_type", $"n")
+    },
+
     // fold_window: custom Aggregator (udaf) per (window, key)
     "q_fold_window" -> { (s, dir) =>
       import s.implicits._
@@ -156,6 +166,10 @@ object WindowQueries {
         |  FROM m)
         |SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(MIN(ts)) AS start_ms, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_window_aligned" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP), TIMESTAMP '2000-01-01 00:30:00')) AS win_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_fold_window" ->
       s"""SELECT epoch_ms($bucketDay) AS win_start, event_type,
          |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,

@@ -29,6 +29,13 @@ object TransformWithStateOps {
     def onNotify(key: K, state: Option[S]): (Option[S], Seq[W]) = (state, Seq.empty)
     /** Processing-time delay for wake-up timers; None disables timers. */
     def notifyAfterMs: Option[Long] = None
+
+    /** Optional state TTL: entries idle longer than this are expired by
+      * the state store (no reference analogue — bytewax state lives
+      * until explicitly discarded — but free with transformWithState
+      * and essential for unbounded key spaces at 100 TB).
+      */
+    def stateTtl: Option[java.time.Duration] = None
   }
 
   private class LogicProcessor[K, V, S, W](
@@ -38,7 +45,8 @@ object TransformWithStateOps {
     @transient private var state: ValueState[S] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[S]("graft_state", sEnc, TTLConfig.NONE)
+      state = getHandle.getValueState[S]("graft_state", sEnc,
+        logic.stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: K, rows: Iterator[(K, V)], tv: TimerValues): Iterator[(K, W)] = {
       val cur = if (state.exists()) Some(state.get()) else None

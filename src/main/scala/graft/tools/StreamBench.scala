@@ -13,12 +13,18 @@ import graft.connectors.Testing
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1")) {
+      builder
+        .config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
@@ -38,6 +44,12 @@ object StreamBench {
     val batchSec = (System.nanoTime() - t0) / 1e9
 
     // ---- streaming path: 10 micro-batches through MemoryStream ----
+    // Reference-faithful: each batch repeats the same 100k timestamps, so
+    // with a zero watermark delay batches 2..10 land below the watermark
+    // and are dropped at the window op (the reference's own benchmark
+    // equally discards its output). All 1M items are still ingested,
+    // shuffled, and watermark-checked — the throughput number is a full-
+    // pipeline lower bound.
     val src = Testing.testingSource[Long](spark)
     val stream = src.toDS()
       .select(
