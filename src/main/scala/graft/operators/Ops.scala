@@ -184,16 +184,19 @@ object Ops {
     * [[enrichBroadcast]] — a broadcast hash join that stays in codegen.
     */
   def enrichCached[T, K, V](ds: Dataset[T], ttlMillis: Long)(keyFn: T => K, getter: K => V)(
-      mapper: (T, V) => T)(implicit enc: Encoder[T]): Dataset[T] =
+      mapper: (T, V) => T)(implicit enc: Encoder[T]): Dataset[T] = {
+    // one cache per operator instance, shared across this executor's
+    // tasks — the id travels in the closure so two enrichCached steps
+    // never mix entries even with identical TTLs
+    val cacheId = java.util.UUID.randomUUID().toString
     ds.mapPartitions { it =>
-      // Executor-local TTL cache; lazily initialized per partition-task but
-      // shared via a JVM-wide map keyed by nothing (single cache instance).
-      val cache = TtlCache.instance[K, V](ttlMillis)
+      val cache = TtlCache.instance[K, V](cacheId, ttlMillis)
       it.map { t =>
         val k = keyFn(t)
         mapper(t, cache.getOrFetch(k, () => getter(k)))
       }
     }
+  }
 
   /** Static-dimension enrichment: broadcast join (the 100 TB-scale path
     * for what the reference does with a per-worker cache over a small
@@ -232,9 +235,9 @@ private[graft] class TtlCache[K, V](ttlMillis: Long) extends Serializable {
 }
 
 private[graft] object TtlCache {
-  private val caches = new java.util.concurrent.ConcurrentHashMap[Long, TtlCache[_, _]]()
-  def instance[K, V](ttlMillis: Long): TtlCache[K, V] =
+  private val caches = new java.util.concurrent.ConcurrentHashMap[String, TtlCache[_, _]]()
+  def instance[K, V](cacheId: String, ttlMillis: Long): TtlCache[K, V] =
     caches
-      .computeIfAbsent(ttlMillis, _ => new TtlCache[K, V](ttlMillis))
+      .computeIfAbsent(cacheId, _ => new TtlCache[K, V](ttlMillis))
       .asInstanceOf[TtlCache[K, V]]
 }
