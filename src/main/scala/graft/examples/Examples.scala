@@ -1,0 +1,76 @@
+package graft.examples
+
+import java.sql.Timestamp
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import graft.operators.{Ops, StatefulOps}
+import graft.windowing._
+
+/** Ports of the reference's flagship examples onto the graft API —
+  * what a reference user's code becomes after switching engines.
+  */
+object Examples {
+
+  // ------------------------------------------------------------------
+  // search_session (reference examples/search_session.py): sessionize a
+  // clickstream per user with gap-based windows, then compute per-
+  // session click-through rate (searches with >=1 click / searches).
+  // ------------------------------------------------------------------
+
+  final case class ClickEvent(user: Long, ts: Timestamp, kind: String, payload: String)
+
+  /** Sessionize and score CTR per (user, session). */
+  def searchSessionCtr(events: Dataset[ClickEvent], gap: String): DataFrame = {
+    val clock = EventClock("ts")
+    Windowing.aggWindow(events.toDF(), clock, SessionWindower(gap), Seq(col("user")),
+      Seq(
+        sum(when(col("kind") === "search", 1).otherwise(0)).as("searches"),
+        sum(when(col("kind") === "click", 1).otherwise(0)).as("clicks")))
+      .select(col("user"), col("window.start").as("session_start"),
+        col("searches"), col("clicks"),
+        when(col("searches") > 0, col("clicks").cast("double") / col("searches"))
+          .otherwise(lit(0.0)).as("ctr"))
+  }
+
+  // ------------------------------------------------------------------
+  // anomaly_detector (reference examples/anomaly_detector.py): per-
+  // metric rolling mean/stddev over the last 10 readings, flag values
+  // beyond z-score threshold. Reference shape: stateful_map with a
+  // DetectorState; here the same fold runs on the secondary-sort
+  // stateful engine.
+  // ------------------------------------------------------------------
+
+  final case class Reading(metric: String, seq: Long, value: Double)
+  final case class Flagged(metric: String, seq: Long, value: Double,
+      mu: Double, sigma: Double, anomalous: Boolean)
+
+  def anomalyDetector(readings: DataFrame, thresholdZ: Double = 2.0): Dataset[Flagged] = {
+    import readings.sparkSession.implicits._
+    StatefulOps.statefulMap[Vector[Double], Flagged](
+      readings, "metric", Seq(col("seq")),
+      init = _ => Vector.empty[Double]) { (last10, row) =>
+      val v = row.getDouble(row.fieldIndex("value"))
+      val mu = if (last10.isEmpty) 0.0 else last10.sum / last10.size
+      val sigma =
+        if (last10.isEmpty) 0.0
+        else math.sqrt(last10.map(x => (x - mu) * (x - mu)).sum / last10.size)
+      val anomalous = last10.nonEmpty && sigma > 0 && math.abs(v - mu) / sigma > thresholdZ
+      val next = (v +: last10).take(10)
+      (next, Flagged(row.getString(row.fieldIndex("metric")),
+        row.getLong(row.fieldIndex("seq")), v, mu, sigma, anomalous))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // events_to_parquet (reference examples/events_to_parquet.py):
+  // ingest → parse → enrich → partitioned parquet out.
+  // ------------------------------------------------------------------
+
+  def eventsToParquet(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val enriched = Ops.map(ev,
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      to_date(col("ts")).as("day"))
+    enriched.write.mode("overwrite").partitionBy("day").parquet(outDir)
+  }
+}
