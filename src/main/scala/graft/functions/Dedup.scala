@@ -28,9 +28,15 @@ object Dedup {
     df.groupBy(Text.fingerprint(text).as("fp"))
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n"))
 
-  /** Exploded (id, shingle) pairs, distinct per doc. */
+  /** Exploded (id, shingle-hash) pairs, distinct per doc. Joining on a
+    * 64-bit xxhash of the shingle instead of the string shrinks the
+    * shuffle and the equality comparisons; a collision would need two
+    * distinct shingles of one doc pair to share an xxhash64
+    * (P ≈ |shingles|²/2⁶⁵ — immaterial).
+    */
   private def shingleRows(df: DataFrame, idCol: Column, text: Column, n: Int): DataFrame =
-    df.select(idCol.as("id"), explode(shingles(text, n)).as("s"))
+    df.select(idCol.as("id"), explode(shingles(text, n)).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard ≥ threshold).
     * Algorithm: inverted index on shingles → pair intersection counts →
