@@ -48,23 +48,12 @@ object Similarity {
   }
 
   /** Random-hyperplane sign sketch: bit b = sign(dot(v, h_b)) where
-    * h_b is a deterministic pseudo-random hyperplane derived from
-    * xxhash64(dim, b) — no stored model, reproducible across runs.
-    * Returns a `bits`-bit bucket id (long).
+    * h_b is a deterministic pseudo-random ±1 hyperplane — no stored
+    * model, reproducible across runs. Returns a `bits`-bit bucket id
+    * (long). Fused codegen'd expression ([[LshBucketExpr]]); the
+    * zip_with/aggregate composition evaluated interpreted.
     */
-  def lshBucket(vec: Column, bits: Int): Column = {
-    require(bits <= 16, "bucket id packs into a long; keep bits small")
-    val dims = size(vec)
-    val bitCols = (0 until bits).map { b =>
-      // dot(v, h_b): h_b[i] in {-1,+1} from the parity of xxhash64(i, b)
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), dims - 1),
-          (v, i) => v.cast("double") * when(pmod(xxhash64(i, lit(b)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(vec: Column, bits: Int): Column = LshBucket.lsh_bucket(vec, bits)
 
   /** LSH-bucketed ANN: exact cosine ranking within each bucket. Trades
     * recall for a |C|/2^bits candidate set; bucket-local exact rank.
