@@ -10,20 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokens, empty strings dropped. */
+  /** Whitespace tokens, empty strings dropped (array form — used where
+    * the token list itself is needed, e.g. simhash).
+    */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  /** Token count (whitespace + non-empty). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count — fused codegen'd scan (the size(filter(split))
+    * composition evaluates interpreted; see TokenExprs).
+    */
+  def tokenCount(text: Column): Column = TokenExprs.token_count(text)
 
   /** Count of alphabetic characters. */
   def alphaChars(text: Column): Column =
     length(regexp_replace(text, "[^a-zA-Z]", ""))
 
-  /** Count of tokens that appear in `stopwords`. */
+  /** Count of tokens that appear in `stopwords` (codegen'd scan). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+    TokenExprs.stopword_hits(text, stopwords)
 
   /** Heuristic quality score in [0,1]: blend of stopword density,
     * alphabetic ratio, and length saturation. Deterministic double
@@ -68,6 +72,5 @@ object Text {
     * fingerprint).
     */
   def tokenLengthChecksum(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc + length(t).cast("long"))
+    TokenExprs.token_length_sum(text)
 }

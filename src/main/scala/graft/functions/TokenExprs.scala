@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpr}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd token scans — single-pass replacements for the
+  * `filter(split(text, "\\s+"), t -> t != '')` compositions, whose
+  * higher-order lambdas evaluate interpreted (see PlanSpec/SCALE.md).
+  * Semantics match Java regex `\s` exactly: a token is a maximal run
+  * of non-[ \t\n\x0B\f\r] characters.
+  */
+private[functions] trait TextScanExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected string input, got $t")
+  }
+}
+
+/** Count of whitespace-separated non-empty tokens. */
+case class TokenCountExpr(child: Expression) extends TextScanExpr {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TokenScanImpl.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScanImpl.tokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): TokenCountExpr = copy(child = c)
+}
+
+/** Sum of token lengths in characters. */
+case class TokenLengthSumExpr(child: Expression) extends TextScanExpr {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TokenScanImpl.tokenLengthSum(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScanImpl.tokenLengthSum($c)")
+  override protected def withNewChildInternal(c: Expression): TokenLengthSumExpr = copy(child = c)
+}
+
+/** Count of tokens (duplicates included) contained in `words`. */
+case class StopwordHitsExpr(child: Expression, words: Seq[String]) extends TextScanExpr {
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenScanImpl.stopwordHits(input.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopwords", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScanImpl.stopwordHits($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): StopwordHitsExpr = copy(child = c)
+}
+
+object TokenScanImpl {
+  // Java regex \s character class (non-unicode mode)
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def tokenCount(s: UTF8String): Int = {
+    val str = s.toString
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < str.length) {
+      if (isWs(str.charAt(i))) inTok = false
+      else if (!inTok) { count += 1; inTok = true }
+      i += 1
+    }
+    count
+  }
+
+  def tokenLengthSum(s: UTF8String): Long = {
+    val str = s.toString
+    var sum = 0L
+    var i = 0
+    while (i < str.length) {
+      if (!isWs(str.charAt(i))) sum += 1
+      i += 1
+    }
+    sum
+  }
+
+  def stopwordHits(s: UTF8String, set: java.util.HashSet[String]): Int = {
+    val str = s.toString
+    var count = 0
+    var start = -1
+    var i = 0
+    while (i <= str.length) {
+      val ws = i == str.length || isWs(str.charAt(i))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        if (set.contains(str.substring(start, i))) count += 1
+        start = -1
+      }
+      i += 1
+    }
+    count
+  }
+}
+
+object TokenExprs {
+  def token_count(text: Column): Column =
+    GraftExpr.column(TokenCountExpr(GraftExpr.expression(text)))
+  def token_length_sum(text: Column): Column =
+    GraftExpr.column(TokenLengthSumExpr(GraftExpr.expression(text)))
+  def stopword_hits(text: Column, words: Seq[String]): Column =
+    GraftExpr.column(StopwordHitsExpr(GraftExpr.expression(text), words))
+}

@@ -40,12 +40,11 @@ class PlanSpec extends SparkSpec {
   // executedPlan.toString marks whole-stage-codegen stages with a "*(n)" prefix
   private def inCodegen(p: String): Boolean = p.linesIterator.next().trim.startsWith("*(")
 
-  // Note: q_text_quality/q_text_stats use higher-order lambdas
-  // (filter over token arrays) whose Project is interpreted, not
-  // codegen'd — a documented Spark limitation (SCALE.md); those
-  // queries are regex-dominated so the delta is immaterial.
   test("stateless queries stay inside whole-stage codegen") {
-    for (q <- Seq("q_map", "q_filter", "q_flat_map", "q_key_on")) {
+    // q_text_quality/q_text_stats are codegen'd via the fused token-scan
+    // expressions (TokenExprs) — the filter(split(...)) composition they
+    // replaced evaluated interpreted.
+    for (q <- Seq("q_map", "q_filter", "q_flat_map", "q_key_on", "q_text_quality", "q_text_stats")) {
       val p = plan(q)
       assert(inCodegen(p), s"$q lost codegen:\n$p")
     }
