@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimExpr, MinHashSigExpr, SimHash64}
+import graft.functions.{CosineSimExpr, LshBucketExpr, MinHashSigExpr, SimHash64, TokenCountExpr, TokenLengthSumExpr}
 
 /** SQL surface for graft's custom Catalyst expressions. Two ways in:
   *
@@ -38,7 +38,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => MinHashSigExpr(es.head, intArg(es(1), "numHashes"))),
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
-      (es: Seq[Expression]) => CosineSimExpr(es.head, es(1))))
+      (es: Seq[Expression]) => CosineSimExpr(es.head, es(1))),
+    ("lsh_bucket",
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
+      (es: Seq[Expression]) => LshBucketExpr(es.head, intArg(es(1), "bits"))),
+    ("token_count",
+      new ExpressionInfo(classOf[TokenCountExpr].getName, "token_count"),
+      (es: Seq[Expression]) => TokenCountExpr(es.head)),
+    ("token_length_sum",
+      new ExpressionInfo(classOf[TokenLengthSumExpr].getName, "token_length_sum"),
+      (es: Seq[Expression]) => TokenLengthSumExpr(es.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

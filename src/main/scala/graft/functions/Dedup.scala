@@ -124,6 +124,25 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** Training-data curation pipeline: quality-gate then near-dup-drop.
+    * Keeps documents whose quality score ≥ `minQuality` and which are
+    * not the higher-id member of any near-dup pair among the kept set
+    * (deterministic keeper rule: lowest doc id of a dup group survives
+    * transitively via pair ordering). Pair search uses MinHash+LSH with
+    * exact verification — the 100 TB path.
+    */
+  def curate(df: DataFrame, idCol: Column, text: Column,
+      stopwords: Seq[String], minQuality: Double,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val scored = df.select(idCol.as("id"), text.as("text"),
+      Text.qualityScore(text, stopwords).as("quality"))
+    val kept = scored.filter(col("quality") >= minQuality)
+    val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands, threshold)
+      .select(col("j").as("drop_id")).distinct()
+    kept.join(pairs, kept("id") === pairs("drop_id"), "left_anti")
+      .select(col("id"), col("quality"))
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen'd
     * expression), pairs within `maxHamming` bits. Pair search is blocked
     * on `maxHamming + 1` bit-chunks of the sketch: by pigeonhole, any

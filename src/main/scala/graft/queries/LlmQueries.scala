@@ -105,6 +105,14 @@ object LlmQueries {
         .select($"qid", $"rank", $"nid")
     },
 
+    // end-to-end curation: quality gate + near-dup drop (keep lowest id)
+    "q_curate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.curate(docs, $"doc_id", $"text", stop, minQuality = 0.4,
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    },
+
     // multimodal: binary payload → per-partition codec featurization
     "q_multimodal" -> { (s, dir) =>
       import s.implicits._
@@ -150,6 +158,25 @@ object LlmQueries {
         |  MIN(doc_id) AS keeper, COUNT(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_ngram" -> exactJaccardSql(0.5),
+    "q_curate" ->
+      s"""WITH q AS (SELECT doc_id, text,
+         |  0.5 * (CAST(${hits(stop)} AS DOUBLE) / GREATEST(CAST($ntok AS DOUBLE), 1.0))
+         |  + 0.3 * (CAST($nalpha AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+         |  + 0.2 * (LEAST(CAST($ntok AS DOUBLE), 100.0) / 100.0) AS quality
+         |FROM documents),
+         |kept AS (SELECT * FROM q WHERE quality >= 0.4),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |dup AS (SELECT DISTINCT j FROM pairs
+         |        JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |        WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5)
+         |SELECT doc_id AS id, quality FROM kept
+         |WHERE doc_id NOT IN (SELECT j FROM dup)""".stripMargin,
     "q_dedup_minhash" -> exactJaccardSql(0.5),
     "q_embed_pairs" ->
       """SELECT a.vec_id AS i, b.vec_id AS j
