@@ -34,6 +34,17 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(("k", "1,2"), ("k", "3,4")))
   }
 
+  test("collectStream flushes a partial buffer when the timer fires (notify_at analogue)") {
+    val src = Testing.testingSource[(String, Int)](spark)
+    src.addBatch(("t", 1), ("t", 2), ("t", 3))
+    // maxSize never reached; the 1s processing-time timer must flush
+    val out = StreamingOps.collectStream(src.toDS(), maxSize = 10, timeoutMillis = 1000)
+      .map { case (k, vs) => (k, vs.mkString(",")) }
+    val got = StreamingOps.runToMemoryUntil(out, "timer_collect", expectedRows = 1, timeoutMs = 30000)
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("t", "1,2,3")))
+  }
+
   test("windowStream aggregates tumbling windows with a watermark") {
     val src = Testing.testingSource[(java.sql.Timestamp, String)](spark)
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
