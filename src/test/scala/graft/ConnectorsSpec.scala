@@ -67,6 +67,27 @@ class ConnectorsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/batch=0").as[String].collect().toSet === Set("a", "b"))
   }
 
+  test("inspectDebug passes items through unchanged") {
+    val ds = Seq(1, 2, 3).toDS()
+    assert(Ops.inspectDebug(ds, "dbg").collect().toSet === Set(1, 2, 3))
+  }
+
+  test("randomMetricSource emits deterministic metric rows from the rate source") {
+    val src = Connectors.randomMetricSource(spark, rowsPerSecond = 20, metricName = "m1")
+    val got = StreamingOps.runToMemoryUntil(src, "rate_metrics", expectedRows = 5, timeoutMs = 30000)
+    assert(got.count() >= 5)
+    val row = got.select("metric", "value").head()
+    assert(row.getString(0) === "m1")
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) < 100.0)
+  }
+
+  test("pollingSource fetches once per interval tick") {
+    val src = Connectors.pollingSource[Long](spark, intervalSecs = 1)(tick => Iterator(tick * 10))
+    val got = StreamingOps.runToMemoryUntil(src, "polled", expectedRows = 2, timeoutMs = 30000)
+    val vals = got.as[Long].collect().toSet
+    assert(vals.nonEmpty && vals.forall(_ % 10 == 0))
+  }
+
   test("streaming query resumes state from checkpoint after stop/restart") {
     val ckpt = Files.createTempDirectory("graft-ckpt").toFile.getPath
     val outDir = Files.createTempDirectory("graft-rec-out").toFile.getPath
