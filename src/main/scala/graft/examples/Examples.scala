@@ -62,6 +62,19 @@ object Examples {
   }
 
   // ------------------------------------------------------------------
+  // 1brc (reference examples/1brc.py): min/mean/max measurement per
+  // station — fold_final over a large scan, the canonical
+  // billion-row-challenge shape.
+  // ------------------------------------------------------------------
+
+  def oneBrc(readings: DataFrame, station: String, value: String): DataFrame =
+    readings.groupBy(col(station).as("station"))
+      .agg(
+        min(col(value)).as("min_v"),
+        (sum(col(value).cast("decimal(18,2)")).cast("double") / count(lit(1))).as("mean_v"),
+        max(col(value)).as("max_v"))
+
+  // ------------------------------------------------------------------
   // events_to_parquet (reference examples/events_to_parquet.py):
   // ingest → parse → enrich → partitioned parquet out.
   // ------------------------------------------------------------------

@@ -41,6 +41,31 @@ class ExamplesSpec extends SparkSpec {
     assert(flagged.count(_.anomalous) === 1)
   }
 
+  test("orderbook maintains best bid/ask per product across deltas") {
+    val deltas = Seq(
+      ("BTC", 1L, "buy", 100.0, 2.0),
+      ("BTC", 2L, "sell", 101.0, 1.0),
+      ("BTC", 3L, "buy", 100.5, 1.5),
+      ("BTC", 4L, "buy", 100.5, 0.0), // remove best bid
+      ("ETH", 1L, "sell", 10.0, 5.0))
+      .toDF("product", "seq", "side", "price", "size")
+    val out = graft.examples.OrderBook.topOfBook(deltas).collect()
+      .map(s => (s.product, s.seq) -> s).toMap
+    assert(out(("BTC", 3L)).bidPrice === 100.5)
+    assert(out(("BTC", 4L)).bidPrice === 100.0) // fell back after removal
+    assert(out(("BTC", 4L)).askPrice === 101.0)
+    assert(math.abs(out(("BTC", 4L)).spread - 1.0) < 1e-9)
+    assert(out(("ETH", 1L)).askPrice === 10.0)
+  }
+
+  test("1brc fold computes min/mean/max per station") {
+    val got = graft.examples.Examples.oneBrc(
+      Tables.load(spark, sf0001, "events"), "event_type", "value")
+    assert(got.count() === 5)
+    val row = got.filter($"station" === "click").head()
+    assert(row.getDouble(1) <= row.getDouble(2) && row.getDouble(2) <= row.getDouble(3))
+  }
+
   test("events_to_parquet writes day-partitioned output") {
     val out = java.nio.file.Files.createTempDirectory("graft-e2p").toFile.getPath + "/out"
     Examples.eventsToParquet(spark, sf0001, out)
