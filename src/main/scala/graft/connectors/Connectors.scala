@@ -89,6 +89,15 @@ object Connectors {
     }
   }
 
+  /** JSON-lines source (schema inferred in batch; explicit for streams). */
+  def jsonSource(spark: SparkSession, path: String, streaming: Boolean = false,
+      schema: Option[StructType] = None): DataFrame =
+    if (streaming) {
+      val s = schema.getOrElse(throw new IllegalArgumentException(
+        "streaming JSON needs an explicit schema"))
+      spark.readStream.schema(s).json(path)
+    } else spark.read.json(path)
+
   // ---- stdio (reference connectors/stdio.py) ------------------------
 
   /** StdOutSink (stdio.py:10-37). */

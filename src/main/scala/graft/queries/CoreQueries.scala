@@ -177,6 +177,23 @@ object CoreQueries {
       Ops.flatMapValue(keyed, "value", array($"value", -$"value"))
     },
 
+    // typed JSON parsing of an embedded payload column
+    "q_json_parse" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      Ops.map(ev,
+        $"event_id",
+        from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k"))
+    },
+
+    // 1brc-style fold: min/mean/max per station key
+    "q_1brc" -> { (s, dir) =>
+      import s.implicits._
+      graft.examples.Examples.oneBrc(Tables.load(s, dir, "events"), "event_type", "value")
+    },
+
     // enrich_cached: per-executor TTL cache against a lookup service
     "q_enrich_cached" -> { (s, dir) =>
       import s.implicits._
@@ -256,6 +273,13 @@ object CoreQueries {
     "q_flat_map_value" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, event_id, UNNEST([value, -value]) AS value
         |FROM events""".stripMargin,
+    "q_json_parse" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+    "q_1brc" ->
+      """SELECT event_type AS station, MIN(value) AS min_v,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+        |  MAX(value) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
     "q_enrich_cached" ->
       """SELECT s_suppkey, s_nationkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
     "q_enrich_broadcast" ->

@@ -28,6 +28,14 @@ class ConnectorsSpec extends SparkSpec {
     assert(globbed.as[String].collect().toSet === Set("one", "two"))
   }
 
+  test("jsonSource reads JSON lines with inferred schema") {
+    val dir = Files.createTempDirectory("graft-json").toFile
+    val f = new java.io.File(dir, "d.json")
+    Files.writeString(f.toPath, "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}\n")
+    val df = Connectors.jsonSource(spark, f.getPath)
+    assert(df.select("a", "b").as[(Long, String)].collect().toSet === Set((1L, "x"), (2L, "y")))
+  }
+
   test("fileSink writes lines readable back") {
     val out = Files.createTempDirectory("graft-sink").toFile.getPath + "/out"
     val df = Seq("x", "y").toDF("value")
