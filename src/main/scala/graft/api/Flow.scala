@@ -17,6 +17,17 @@ final class Flow(val flowId: String) {
 
   def stepIds: Seq[String] = synchronized(steps.keys.toSeq)
 
+  /** Render the recorded step graph as JSON (reference:
+    * pysrc/bytewax/visualize.py:201 `to_json`).
+    */
+  def toJson: String = synchronized {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val nodes = steps.map { case (id, (kind, ups)) =>
+      s"{${q("id")}: ${q(id)}, ${q("kind")}: ${q(kind)}, ${q("inputs")}: [${ups.map(q).mkString(", ")}]}"
+    }
+    s"""{${q("flow")}: ${q(flowId)}, ${q("steps")}: [${nodes.mkString(", ")}]}"""
+  }
+
   /** Render the recorded step graph as mermaid (reference:
     * pysrc/bytewax/visualize.py:201-301).
     */

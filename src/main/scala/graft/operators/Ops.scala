@@ -205,6 +205,14 @@ object Ops {
   def enrichBroadcast(df: DataFrame, dim: DataFrame, keys: Seq[String], joinType: String = "left"): DataFrame =
     df.join(broadcast(dim), keys, joinType)
 
+  /** Lens update of a nested struct field — the analogue of the
+    * reference's `operators.helpers.map_dict_value`
+    * (pysrc/bytewax/operators/helpers.py:9-79): transform one field of
+    * a struct-valued column in place, leaving siblings untouched.
+    */
+  def mapField(df: DataFrame, structCol: String, field: String, f: Column => Column): DataFrame =
+    df.withColumn(structCol, col(structCol).withField(field, f(col(s"$structCol.$field"))))
+
   /** Salted two-phase aggregation for skewed keys: partial aggregation
     * on (key, salt) spreads a hot key over `saltBuckets` tasks, then a
     * tiny final aggregation merges the partials. Use when one key

@@ -141,7 +141,7 @@ class PropertySpec extends SparkSpec {
     check(prop, tests = 5)
   }
 
-  test("flow graph renders recorded steps as mermaid") {
+  test("flow graph renders recorded steps as mermaid and json") {
     val flow = graft.api.Flow("viz")
     val inp = graft.api.ops.input("in", flow, spark, s"$sf0001/region.parquet")
     val m = graft.api.ops.map("proj", inp, col("r_name"))
@@ -149,5 +149,15 @@ class PropertySpec extends SparkSpec {
     val mermaid = flow.toMermaid
     assert(mermaid.contains("flowchart"))
     assert(mermaid.contains("in --> proj"))
+    val json = flow.toJson
+    assert(json.contains("\"flow\": \"viz\""))
+    assert(json.contains("\"id\": \"proj\"") && json.contains("\"inputs\": [\"in\"]"))
+  }
+
+  test("mapField lens updates one struct field in place") {
+    val df = Seq((1, ("a", 10))).toDF("id", "s")
+    val out = graft.operators.Ops.mapField(df, "s", "_2", _ * 2)
+      .select(col("id"), col("s._1"), col("s._2")).as[(Int, String, Int)].collect()
+    assert(out.toSeq === Seq((1, "a", 20)))
   }
 }
