@@ -124,6 +124,14 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** Streaming exact dedup: drop repeats of `idCols` arriving within the
+    * watermark horizon — state for a key is reclaimed once the watermark
+    * passes its event time + delay, so memory is bounded on unbounded
+    * streams (Spark's dropDuplicatesWithinWatermark).
+    */
+  def streamingExactDedup(df: DataFrame, tsCol: String, delay: String, idCols: String*): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCols.toSeq)
+
   /** Training-data curation pipeline: quality-gate then near-dup-drop.
     * Keeps documents whose quality score ≥ `minQuality` and which are
     * not the higher-id member of any near-dup pair among the kept set

@@ -78,6 +78,18 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((base, 3L), (base + 1800, 1L)))
   }
 
+  test("streamingExactDedup drops repeats within the watermark horizon") {
+    val src = Testing.testingSource[(Long, java.sql.Timestamp)](spark)
+    def at(sec: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + sec * 1000L)
+    src.addBatch((1L, at(0)), (2L, at(1)), (1L, at(2)), (3L, at(3)), (2L, at(4)))
+    val deduped = graft.functions.Dedup.streamingExactDedup(
+      src.toDS().toDF("id", "ts"), "ts", "10 minutes", "id")
+    val got = StreamingOps.runToMemory(deduped, "stream_dedup")
+      .select("id").as[Long].collect().toSeq
+    assert(got.sorted === Seq(1L, 2L, 3L))
+  }
+
   test("statefulStream onBatch sees whole per-key batch and can clear state") {
     val src = Testing.testingSource[(String, Int)](spark)
     src.addBatch(("a", 1), ("a", 2), ("b", 7))
