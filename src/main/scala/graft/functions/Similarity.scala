@@ -55,6 +55,67 @@ object Similarity {
     */
   def lshBucket(vec: Column, bits: Int): Column = LshBucket.lsh_bucket(vec, bits)
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
+    * cells via a few Lloyd iterations (deterministic seeding: the
+    * lowest-id vectors), then for each query probe the `nprobe` nearest
+    * cells and rank exactly inside them. Pure DataFrame ops — centroid
+    * assignment is a broadcast join against `nlist` rows, so the
+    * per-query candidate set shrinks by ~|C|/nlist × nprobe. The
+    * standard coarse-quantization scale path next to [[lshTopK]].
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int, iterations: Int = 2): DataFrame = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+
+    // deterministic seeds: the nlist lowest-id vectors
+    var centroids = data.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"))
+
+    // Lloyd iterations: assign to nearest centroid (by cosine), re-mean
+    for (_ <- 0 until iterations) {
+      val assigned = data.crossJoin(broadcast(centroids))
+        .withColumn("sim", cosine(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)))
+        .filter(col("rn") === 1)
+      centroids = centroidMeans(assigned)
+    }
+
+    val cells = data.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid"))
+
+    // queries probe their nprobe nearest cells
+    val probes = data.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
+
+    val joined = probes.join(cells.select(col("cid"), col("id").as("nid"), col("v").as("nv")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Element-wise centroid means: posexplode vector positions, average
+    * per (cell, position), re-collect position-ordered — fully
+    * relational, shuffles only (cid, pos) pairs.
+    */
+  private def centroidMeans(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), s => s.getField("m")).as("cv"))
+
   /** LSH-bucketed ANN: exact cosine ranking within each bucket. Trades
     * recall for a |C|/2^bits candidate set; bucket-local exact rank.
     */

@@ -84,6 +84,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK returns correctly-ranked in-cell neighbors with useful recall") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 1, nlist = 8, nprobe = 3)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getLong(0) === r.getLong(2)))
+    // recall@1 vs brute force over all 500 queries
+    val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = bf.count { case (q, n) => got.get(q).contains(n) }
+    val recall = hits.toDouble / bf.size
+    assert(recall > 0.3, s"IVF recall@1 too low: $recall")
+  }
+
   test("multimodal featurize matches byte-level ground truth") {
     val df = Seq((1L, "abc"), (2L, "")).toDF("id", "t")
       .select(col("id"), col("t").cast("binary").as("blob"))
