@@ -35,7 +35,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing so the JSON is the final stdout line
+    // (Spark logs go to stderr, but shutdown ordering makes this robust);
+    // also persist to a file in case stdout is decorated by the launcher.
     spark.stop()
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
   }
 }
