@@ -47,6 +47,56 @@ object Similarity {
       .select(col("i"), col("j"))
   }
 
+  /** Axis-aligned sign-bit LSH bucket: bit b = (v[b] >= 0), packed into
+    * a long. For dense, roughly isotropic embedding spaces this is the
+    * degenerate-but-effective member of the random-hyperplane family
+    * (hyperplanes = coordinate axes). Two properties make it the gated
+    * scale path: it is composed purely of built-in codegen'd expressions,
+    * and it is exactly expressible in ANSI SQL — so the driver's DuckDB
+    * oracle can replicate it bit-for-bit (the random-hyperplane
+    * [[lshBucket]] hash math is not SQL-expressible and stays rows-only).
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      when(element_at(vec, b + 1) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucket-local exact top-k: rank by cosine within each bucket group.
+    * The generic engine behind [[lshTopK]] and the sign-bucket gate path:
+    * one shuffle on bucket, candidate set |C|/2^bits per query,
+    * window-ranked — no cross join anywhere in the plan.
+    */
+  def bucketTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      bucket: Column): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"), bucket.as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("qid"), col("v").as("qv"))
+    val b = bucketed.select(col("bucket"), col("id").as("nid"), col("v").as("nv"))
+    val joined = a.join(b, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Same-bucket pairs (i<j) with cosine ≥ threshold under the
+    * sign-bit bucket — the scale-safe replacement for [[cosinePairs]]:
+    * the pair join shuffles on bucket only (Σ bucket² pairs, not N²).
+    * Semantics are "similar AND bucket-colocated"; recall vs the exact
+    * all-pairs baseline is measured in FunctionsSpec.
+    */
+  def bucketedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("i"), col("v").as("vi"))
+    val b = bucketed.select(col("bucket"), col("id").as("j"), col("v").as("vj"))
+    a.join(b, Seq("bucket")).filter(col("i") < col("j"))
+      .withColumn("sim", cosine(col("vi"), col("vj")))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"))
+  }
+
   /** Random-hyperplane sign sketch: bit b = sign(dot(v, h_b)) where
     * h_b is a deterministic pseudo-random ±1 hyperplane — no stored
     * model, reproducible across runs. Returns a `bits`-bit bucket id
@@ -119,16 +169,6 @@ object Similarity {
   /** LSH-bucketed ANN: exact cosine ranking within each bucket. Trades
     * recall for a |C|/2^bits candidate set; bucket-local exact rank.
     */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), bits).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("qid"), col("v").as("qv"))
-    val b = bucketed.select(col("bucket"), col("id").as("nid"), col("v").as("nv"))
-    val joined = a.join(b, Seq("bucket")).filter(col("qid") =!= col("nid"))
-      .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
-  }
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int): DataFrame =
+    bucketTopK(df, idCol, vecCol, k, lshBucket(col(vecCol), bits))
 }

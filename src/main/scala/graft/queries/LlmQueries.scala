@@ -58,11 +58,16 @@ object LlmQueries {
       Dedup.exact(docs, $"doc_id", $"text")
     },
 
-    // exact n-gram Jaccard near-dup pairs
+    // exact n-gram Jaccard near-dup pairs, through the doc-frequency-
+    // capped path (the production stop-shingle mitigation). The cap is
+    // far above the corpus's max shingle df (25 at sf0.1, asserted in
+    // FunctionsSpec), so the oracle answer is provably unchanged while
+    // the gate exercises the skew-bounded plan.
     "q_dedup_ngram" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", n = 3, threshold = 0.5)
+      Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", n = 3, threshold = 0.5,
+        maxDocFreq = 1000)
     },
 
     // MinHash+LSH candidates, exact-verified (oracle: exact pairs)
@@ -80,20 +85,37 @@ object LlmQueries {
       Dedup.simhashPairs(docs, $"doc_id", $"text", maxHamming = 7)
     },
 
-    // embedding similarity: all pairs over threshold (brute force)
+    // embedding similarity: same-bucket pairs over threshold via the
+    // sign-bit LSH bucket — the scale path (bucket join, no cross join).
+    // The brute-force cosinePairs stays as the spec-only recall baseline.
     "q_embed_pairs" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.5)
+      Similarity.bucketedCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.5, bits = 4)
     },
 
-    // embedding similarity: top-3 neighbors for the first 100 vectors
+    // bucket-local top-3 neighbors under the sign-bit LSH bucket —
+    // candidate set |C|/2^bits per query, no cross join. Rank-only
+    // output (sims diverge from DuckDB by ~1 ulp). bruteForceTopK is
+    // the spec-only exactness baseline.
     "q_embed_topk" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      val queriesDf = emb.filter($"vec_id" < 100)
-      Similarity.bruteForceTopK(queriesDf, emb, "vec_id", "embedding",
-          "vec_id", "embedding", k = 3)
+      Similarity.bucketTopK(emb, "vec_id", "embedding", k = 3,
+          Similarity.signBucket($"embedding", 4))
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid")
+    },
+
+    // IVF ANN with deterministic seed centroids (no Lloyd iterations in
+    // the gate so the coarse quantizer is SQL-expressible): broadcast
+    // centroid assignment, nprobe-cell candidate search, exact in-cell
+    // rank. Rank-only output for oracle float parity.
+    "q_embed_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+          nlist = 16, nprobe = 2, iterations = 0)
         .select($"qid", $"rank".cast("long").as("rank"), $"nid")
     },
 
@@ -120,6 +142,14 @@ object LlmQueries {
         .select($"doc_id", $"text".cast("binary").as("blob"))
       Multimodal.featurize(docs, "doc_id", "blob").toDF()
     })
+
+  /** DuckDB rendering of [[Similarity.signBucket]] with bits=4 (lists
+    * are 1-indexed in both engines' element_at semantics; float sign is
+    * representation-exact, so the bucket ids agree bit-for-bit).
+    */
+  private val signBucketSql =
+    (0 until 4).map(b => s"(CASE WHEN embedding[${b + 1}] >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("(", " + ", ")")
 
   private val ntok = "len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))"
   private val nalpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
@@ -179,16 +209,34 @@ object LlmQueries {
          |WHERE doc_id NOT IN (SELECT j FROM dup)""".stripMargin,
     "q_dedup_minhash" -> exactJaccardSql(0.5),
     "q_embed_pairs" ->
-      """SELECT a.vec_id AS i, b.vec_id AS j
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5""".stripMargin,
+      s"""SELECT a.vec_id AS i, b.vec_id AS j
+         |FROM (SELECT vec_id, embedding, $signBucketSql AS bkt FROM embeddings) a
+         |JOIN (SELECT vec_id, embedding, $signBucketSql AS bkt FROM embeddings) b
+         |  ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5""".stripMargin,
     "q_embed_topk" ->
-      """SELECT a.vec_id AS qid,
-        |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
-        |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank,
-        |  b.vec_id AS nid
-        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |WHERE a.vec_id < 100
+      s"""SELECT a.vec_id AS qid,
+         |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank,
+         |  b.vec_id AS nid
+         |FROM (SELECT vec_id, embedding, $signBucketSql AS bkt FROM embeddings) a
+         |JOIN (SELECT vec_id, embedding, $signBucketSql AS bkt FROM embeddings) b
+         |  ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+         |QUALIFY rank <= 3""".stripMargin,
+    "q_embed_ivf" ->
+      """WITH seeds AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |               FROM embeddings ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT e.vec_id AS id, e.embedding, s.cid,
+        |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC, s.cid) AS rn
+        |  FROM embeddings e, seeds s),
+        |cells AS (SELECT id, embedding, cid FROM asgn WHERE rn = 1),
+        |probes AS (SELECT id AS qid, embedding AS qe, cid FROM asgn WHERE rn <= 2)
+        |SELECT p.qid,
+        |  ROW_NUMBER() OVER (PARTITION BY p.qid
+        |    ORDER BY list_cosine_similarity(CAST(p.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.id) AS rank,
+        |  c.id AS nid
+        |FROM probes p JOIN cells c ON p.cid = c.cid AND p.qid <> c.id
         |QUALIFY rank <= 3""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,

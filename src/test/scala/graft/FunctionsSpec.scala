@@ -25,6 +25,19 @@ class FunctionsSpec extends SparkSpec {
     assert(capped === uncapped)
   }
 
+  test("gate's ngram df-cap (1000) is far above the corpus max shingle df") {
+    // q_dedup_ngram runs the capped path with maxDocFreq=1000; this pins
+    // the invariant that makes its oracle answer provably identical to
+    // the uncapped exact-jaccard SQL: no shingle in the gate corpora
+    // comes near the cap (measured max df: 7 at sf0.01, 25 at sf0.1).
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val d = Tables.load(spark, dir, "documents")
+      val maxDf = d.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+        .groupBy("s").count().agg(max("count")).as[Long].head()
+      assert(maxDf < 1000, s"$dir max shingle df $maxDf approaches gate cap 1000")
+    }
+  }
+
   test("simhash pairs cover the high-jaccard near-dups") {
     val docs = Tables.load(spark, sf0001, "documents")
     val high = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.9)
@@ -97,6 +110,43 @@ class FunctionsSpec extends SparkSpec {
     val hits = bf.count { case (q, n) => got.get(q).contains(n) }
     val recall = hits.toDouble / bf.size
     assert(recall > 0.3, s"IVF recall@1 too low: $recall")
+  }
+
+  test("sign-bucket pairs: perfect precision vs brute force, useful recall") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    // t=0.3 so both sets are non-empty on this corpus (t=0.5 has 0 pairs
+    // at sf0.001); the gate query runs t=0.5 where the sole sf0.01+ pair
+    // is same-bucket (verified offline with DuckDB)
+    val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.bucketedCosinePairs(emb, "vec_id", "embedding", 0.3, 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty && bucketed.nonEmpty)
+    assert(bucketed.subsetOf(brute), "bucketed pair not >= threshold")
+    val recall = bucketed.size.toDouble / brute.size
+    assert(recall > 0.1, s"sign-bucket pair recall too low: $recall")
+  }
+
+  test("sign-bucket topK agrees with brute force on bucket-colocated neighbors") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sb = Similarity.bucketTopK(emb, "vec_id", "embedding", 1,
+        Similarity.signBucket(col("embedding"), 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // recall@1: fraction of true nearest neighbors that share the bucket
+    val hits = bf.count { case (q, n) => sb.get(q).contains(n) }
+    val recall = hits.toDouble / bf.size
+    assert(recall > 0.1, s"sign-bucket recall@1 too low: $recall")
+    // exactness within bucket: where they agree on candidates, ranks are
+    // cosine-ordered (inherited from bucketTopK's window rank)
+    val out = Similarity.bucketTopK(emb, "vec_id", "embedding", 3,
+      Similarity.signBucket(col("embedding"), 4)).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
   }
 
   test("multimodal featurize matches byte-level ground truth") {

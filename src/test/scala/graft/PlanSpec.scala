@@ -58,8 +58,13 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("simhash64") || ps.contains("SimHash64"), ps)
   }
 
-  test("dedup pair search has no cartesian product") {
-    for (q <- Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash")) {
+  test("dedup and ANN gate queries have no cartesian product") {
+    // The embed gates moved off bruteForce crossJoin in round 2: pairs
+    // and topK join on the sign bucket; IVF's only "cross" join is the
+    // 16-row broadcast centroid assignment (BroadcastNestedLoopJoin
+    // against a fixed nlist — constant work per row, scale-safe).
+    for (q <- Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
+        "q_embed_pairs", "q_embed_topk", "q_embed_lsh", "q_embed_ivf")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q fell back to cross join:\n$p")
     }
