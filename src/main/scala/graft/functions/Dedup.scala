@@ -94,7 +94,22 @@ object Dedup {
     * only.
     */
   def minhashLshPairs(df: DataFrame, idCol: Column, text: Column, n: Int,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    minhashLshPairs(df, idCol, text, n, numHashes, bands, threshold, maxBucketSize = 0)
+
+  /** Variant with a band-bucket size ceiling: buckets holding more than
+    * `maxBucketSize` docs are dropped before the candidate self-join
+    * (maxBucketSize <= 0 disables). A degenerate bucket — e.g. a
+    * boilerplate band signature shared by millions of docs — otherwise
+    * produces |bucket|² candidate pairs on one hot partition; this is
+    * the band-level analogue of [[ngramJaccardPairs]]'s `maxDocFreq`
+    * stop-shingle cap. Docs in a dropped bucket can still pair through
+    * any of their other `bands-1` buckets, so recall degrades gracefully
+    * (and only for pairs whose every shared band is degenerate);
+    * precision is unaffected because candidates are exact-verified.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: Column, text: Column, n: Int,
+      numHashes: Int, bands: Int, threshold: Double, maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // cached: the band explode and both sides of the verify join re-scan
@@ -104,11 +119,19 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withSig.select(
+    val bandedAll = withSig.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows))).as("bh")))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded =
+      if (maxBucketSize <= 0) bandedAll
+      else {
+        val hot = bandedAll.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("bsz_")).filter(col("bsz_") > maxBucketSize)
+          .select(col("band"), col("bh"))
+        bandedAll.join(hot, Seq("band", "bh"), "left_anti")
+      }
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))

@@ -70,12 +70,14 @@ object LlmQueries {
         maxDocFreq = 1000)
     },
 
-    // MinHash+LSH candidates, exact-verified (oracle: exact pairs)
+    // MinHash+LSH candidates, exact-verified (oracle: exact pairs).
+    // Runs the band-bucket-capped path (cap 1000 > corpus size, so no
+    // bucket can bind — answer provably unchanged, skew guard exercised).
     "q_dedup_minhash" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
       Dedup.minhashLshPairs(docs, $"doc_id", $"text", n = 3,
-        numHashes = 64, bands = 16, threshold = 0.5)
+        numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 1000)
     },
 
     // SimHash near-dup pairs (custom codegen expression; rows-only check)

@@ -38,6 +38,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("band-bucket cap: recall unchanged when above corpus size, empties when binding") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val uncapped = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 64, 16, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 64, 16, 0.5,
+        maxBucketSize = 1000)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped)
+    // cap=1 drops every bucket that could produce a candidate pair
+    val choked = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 64, 16, 0.5,
+        maxBucketSize = 1)
+      .count()
+    assert(choked === 0L)
+  }
+
   test("simhash pairs cover the high-jaccard near-dups") {
     val docs = Tables.load(spark, sf0001, "documents")
     val high = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.9)
