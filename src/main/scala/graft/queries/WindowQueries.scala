@@ -25,6 +25,28 @@ object WindowQueries {
 
   private val clock = EventClock("ts")
 
+  /** Non-aggregatable per-window logic for q_window_logic: an ordered
+    * first-3-event digest + count of ascending value steps. Both facts
+    * depend on the in-window event order (the ascending-step count needs
+    * each previous value), so no commutative Aggregator fold computes
+    * them — exactly the shape the reference's arbitrary WindowLogic
+    * (windowing.py:958-1028) exists for.
+    * V=(event_id, value); W=(first3, n_asc, n);
+    * S=(firstIds, lastValue, hasLast, nAsc, n).
+    */
+  private object FirstKDigestLogic
+    extends WindowLogicOps.WindowLogic[(Long, Double), (String, Long, Long), (Vector[Long], Double, Boolean, Long, Long)] {
+    def init: (Vector[Long], Double, Boolean, Long, Long) = (Vector.empty, 0.0, false, 0L, 0L)
+    def onValue(st: (Vector[Long], Double, Boolean, Long, Long), v: (Long, Double)) = {
+      val (first, last, has, nAsc, n) = st
+      val first2 = if (n < 3) first :+ v._1 else first
+      val nAsc2 = if (has && v._2 > last) nAsc + 1 else nAsc
+      ((first2, v._2, true, nAsc2, n + 1), Seq.empty)
+    }
+    def onClose(st: (Vector[Long], Double, Boolean, Long, Long)) =
+      Seq((st._1.mkString(","), st._4, st._5))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // tumbling window: hourly count+sum per event_type
@@ -128,6 +150,19 @@ object WindowQueries {
         .distinct()
     },
 
+    // generic WindowLogic: ordered daily digest per user — first-3 event
+    // ids + ascending-step count, via the secondary-sort window engine
+    "q_window_logic" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id".cast("string").as("key"), $"ts", $"event_id", $"value")
+      WindowLogicOps.windowLogicBatch[(Long, Double), (String, Long, Long), (Vector[Long], Double, Boolean, Long, Long)](
+          ev, "key", clock, TumblingWindower("1 day"), Seq($"event_id"),
+          r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")), FirstKDigestLogic)
+        .select($"_1".as("key"), $"_2".as("win_start"),
+          $"_4._1".as("first3"), $"_4._2".as("n_asc"), $"_4._3".as("n"))
+    },
+
     // join_window: daily per-user first click × first purchase
     "q_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -195,6 +230,22 @@ object WindowQueries {
       s"""SELECT DISTINCT epoch_ms($bucketDay) AS open_ms,
          |  epoch_ms($bucketDay + INTERVAL '1 day') AS close_ms
          |FROM events""".stripMargin,
+    "q_window_logic" ->
+      """WITH o AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS w,
+        |    CAST(ts AS TIMESTAMP) AS tsu, event_id, value
+        |  FROM events),
+        |o2 AS (
+        |  SELECT key, w, tsu, event_id, value,
+        |    LAG(value) OVER (PARTITION BY key, w ORDER BY tsu, event_id) AS pv,
+        |    ROW_NUMBER() OVER (PARTITION BY key, w ORDER BY tsu, event_id) AS rn
+        |  FROM o)
+        |SELECT key, epoch_ms(w) AS win_start,
+        |  string_agg(CASE WHEN rn <= 3 THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY tsu, event_id) AS first3,
+        |  COUNT(*) FILTER (WHERE value > pv) AS n_asc,
+        |  COUNT(*) AS n
+        |FROM o2 GROUP BY key, w""".stripMargin,
     "q_join_window" ->
       s"""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, $bucketDay AS w, MIN(event_id) AS click_eid
          |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),

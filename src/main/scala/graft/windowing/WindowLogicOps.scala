@@ -1,0 +1,291 @@
+package graft.windowing
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Generic per-(key, window) ordered logic — the port target for the
+  * reference's arbitrary `WindowLogic` (reference
+  * pysrc/bytewax/operators/windowing.py:958-1028: `on_value`/`on_merge`/
+  * `on_close`) with `ordered=True` flush semantics (windowing.py:
+  * 1095-1108: queued items are replayed into the logic in timestamp
+  * order once on time). Covers bespoke in-window state machines that are
+  * not expressible as an `Aggregator` fold — e.g. order-sensitive
+  * digests, pattern matching over an event sequence.
+  *
+  * Two engines, one logic interface:
+  *
+  *  - **Batch** ([[windowLogicBatch]]): window assignment is relational
+  *    (`window()` in a projection — Catalyst's TimeWindowing expands
+  *    sliding windows; sessions are formed inline during the ordered
+  *    pass), then the secondary-sort pattern: one hash exchange on
+  *    (key, window), Tungsten in-partition sort by timestamp, and a
+  *    single streaming fold — a key's window never has to fit in memory
+  *    beyond the logic's own state.
+  *  - **Streaming** ([[windowLogicStream]]): `transformWithState` keyed
+  *    by (key, window); rows buffer in per-window `ListState` and an
+  *    event-time timer at window end replays them in timestamp order
+  *    through the logic when the watermark passes — the Spark-native
+  *    rendering of the reference's `notify_at`/`on_notify` close path.
+  *    Emission-time divergence (documented): the reference emits
+  *    `on_value` output incrementally as the watermark passes each item;
+  *    here all output of a window surfaces at window close. The emitted
+  *    rows are identical.
+  *
+  * `on_merge` has no surface here: in both engines values reach the
+  * logic in timestamp order per window, so session merges (which the
+  * reference needs because items arrive out of order) cannot occur —
+  * sessions are formed left-to-right from sorted data, matching Spark's
+  * session_window boundary rule (touching windows merge).
+  */
+object WindowLogicOps {
+
+  /** The reference's WindowLogic ABC in state-passing form. `init` is
+    * the `builder(None)` fresh-window case; resume-from-snapshot is the
+    * state store's job in streaming.
+    */
+  trait WindowLogic[V, W, S] extends Serializable {
+    def init: S
+    /** Called per value in timestamp order; may emit incrementally. */
+    def onValue(state: S, value: V): (S, Seq[W])
+    /** Called once when the window closes; emits final output. */
+    def onClose(state: S): Seq[W]
+  }
+
+  /** Parse the interval strings used by [[SessionWindower]] ("2 hours",
+    * "30 minutes", "10 seconds", "500 milliseconds", "1 day") to millis.
+    */
+  private[windowing] def intervalMillis(s: String): Long = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    require(parts.length % 2 == 0, s"cannot parse interval '$s'")
+    parts.grouped(2).map { case Array(n, unit) =>
+      val v = n.toLong
+      unit.stripSuffix("s") match {
+        case "day"         => v * 86400000L
+        case "hour"        => v * 3600000L
+        case "minute"      => v * 60000L
+        case "second"      => v * 1000L
+        case "millisecond" => v
+        case u             => throw new IllegalArgumentException(s"unit $u in '$s'")
+      }
+    }.sum
+  }
+
+  /** Bounded-data generic window op. Values are extracted per row with
+    * `extract`, replayed into `logic` in (`tsCol`, `tiebreak`) order
+    * within each (key, window), and the logic's output rows are emitted
+    * as (key, win_start_ms, win_end_ms, value). One shuffle, one sort —
+    * the same plan shape as StatefulOps.statefulBatch with the window
+    * joined into the grouping key.
+    */
+  def windowLogicBatch[V, W, S](
+      df: DataFrame, keyCol: String, clock: EventClock, windower: Windower,
+      tiebreak: Seq[Column], extract: Row => V, logic: WindowLogic[V, W, S])(
+      implicit outEnc: Encoder[(String, Long, Long, W)]): Dataset[(String, Long, Long, W)] =
+    windower match {
+      case SessionWindower(gap) =>
+        sessionLogicBatch(df, keyCol, clock, intervalMillis(gap), tiebreak, extract, logic)
+      case w =>
+        val withWin = df.withColumn("__win", w.expr(col(clock.tsCol)))
+        val sorted = withWin
+          .repartition(col(keyCol), col("__win"))
+          .sortWithinPartitions(
+            col(keyCol) +: col("__win") +: col(clock.tsCol) +: tiebreak: _*)
+        val keyIdx = sorted.schema.fieldIndex(keyCol)
+        val winIdx = sorted.schema.fieldIndex("__win")
+
+        sorted.mapPartitions { rows =>
+          new Iterator[(String, Long, Long, W)] {
+            private var curKey: String = null
+            private var curStart: Long = -1L
+            private var curEnd: Long = -1L
+            private var state: S = _
+            private var open = false
+            private var pending: Iterator[(String, Long, Long, W)] = Iterator.empty
+
+            private def emit(ws: Seq[W], k: String, s: Long, e: Long) =
+              ws.iterator.map(w => (k, s, e, w))
+
+            @annotation.tailrec
+            private def advance(): Unit = {
+              if (pending.hasNext) ()
+              else if (rows.hasNext) {
+                val r = rows.next()
+                val k = r.getString(keyIdx)
+                val win = r.getStruct(winIdx)
+                val ws = win.getTimestamp(0).getTime
+                val we = win.getTimestamp(1).getTime
+                if (!open || k != curKey || ws != curStart || we != curEnd) {
+                  val closed =
+                    if (open) emit(logic.onClose(state), curKey, curStart, curEnd)
+                    else Iterator.empty
+                  curKey = k; curStart = ws; curEnd = we
+                  state = logic.init
+                  open = true
+                  val (s2, out) = logic.onValue(state, extract(r))
+                  state = s2
+                  pending = closed ++ emit(out, k, ws, we)
+                } else {
+                  val (s2, out) = logic.onValue(state, extract(r))
+                  state = s2
+                  pending = emit(out, k, ws, we)
+                }
+                advance()
+              } else if (open) {
+                pending = emit(logic.onClose(state), curKey, curStart, curEnd)
+                open = false
+              }
+            }
+
+            def hasNext: Boolean = { advance(); pending.hasNext }
+            def next(): (String, Long, Long, W) = { advance(); pending.next() }
+          }
+        }
+    }
+
+  /** Session variant: windows cannot be assigned relationally (they
+    * depend on neighbors), so sessions form inline during the ordered
+    * pass — a gap strictly greater than `gapMs` after the previous item
+    * closes the session (an item exactly `gap` later still extends it,
+    * matching Spark session_window's touch-merge rule, property-tested
+    * in PropertySpec). Emitted window end = last_ts + gap, as Spark's.
+    */
+  private def sessionLogicBatch[V, W, S](
+      df: DataFrame, keyCol: String, clock: EventClock, gapMs: Long,
+      tiebreak: Seq[Column], extract: Row => V, logic: WindowLogic[V, W, S])(
+      implicit outEnc: Encoder[(String, Long, Long, W)]): Dataset[(String, Long, Long, W)] = {
+    val sorted = df
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol) +: col(clock.tsCol) +: tiebreak: _*)
+    val keyIdx = sorted.schema.fieldIndex(keyCol)
+    val tsIdx = sorted.schema.fieldIndex(clock.tsCol)
+
+    sorted.mapPartitions { rows =>
+      new Iterator[(String, Long, Long, W)] {
+        private var curKey: String = null
+        private var sessStart: Long = -1L
+        private var lastTs: Long = -1L
+        private var state: S = _
+        private var open = false
+        private var pending: Iterator[(String, Long, Long, W)] = Iterator.empty
+
+        private def close(): Iterator[(String, Long, Long, W)] = {
+          // materialize with the bounds captured NOW — the iterator is
+          // consumed after curKey/sessStart/lastTs move to the next session
+          val (k, st, en) = (curKey, sessStart, lastTs + gapMs)
+          val out = logic.onClose(state).map(w => (k, st, en, w))
+          open = false
+          out.iterator
+        }
+
+        @annotation.tailrec
+        private def advance(): Unit = {
+          if (pending.hasNext) ()
+          else if (rows.hasNext) {
+            val r = rows.next()
+            val k = r.getString(keyIdx)
+            val ts = r.getTimestamp(tsIdx).getTime
+            val splits = !open || k != curKey || ts - lastTs > gapMs
+            val closed = if (open && splits) close() else Iterator.empty
+            if (splits) {
+              curKey = k; sessStart = ts
+              state = logic.init
+              open = true
+            }
+            lastTs = ts
+            val (s2, out) = logic.onValue(state, extract(r))
+            state = s2
+            pending = closed ++ out.iterator.map(w => (k, sessStart, -1L, w))
+            advance()
+          } else if (open) {
+            pending = close()
+          }
+        }
+
+        def hasNext: Boolean = { advance(); pending.hasNext }
+        def next(): (String, Long, Long, W) = {
+          advance()
+          val t = pending.next()
+          // in-flight onValue emissions carry end = -1 (end unknown until
+          // the session closes); surface them with the running bound
+          if (t._3 == -1L) (t._1, t._2, lastTs + gapMs, t._4) else t
+        }
+      }
+    }
+  }
+
+  /** Streaming processor: buffer per-(key, window) rows, close on an
+    * event-time timer at window end. Timestamps travel as epoch micros
+    * so in-window ordering survives the buffer round-trip exactly.
+    */
+  private class WindowLogicProcessor[V, W, S](
+      logic: WindowLogic[V, W, S], bufEnc: Encoder[(Long, V)])
+    extends StatefulProcessor[(String, Long, Long), ((String, Long, Long), (Long, V)), (String, Long, Long, W)] {
+
+    @transient private var buf: ListState[(Long, V)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[(Long, V)]("graft_winbuf", bufEnc, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, Long, Long),
+        rows: Iterator[((String, Long, Long), (Long, V))],
+        tv: TimerValues): Iterator[(String, Long, Long, W)] = {
+      rows.foreach { case (_, tsv) => buf.appendValue(tsv) }
+      // one timer per window at its end; registerTimer is idempotent for
+      // an already-registered timestamp but guard anyway via listTimers
+      if (!getHandle.listTimers().contains(key._3))
+        getHandle.registerTimer(key._3)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: (String, Long, Long), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(String, Long, Long, W)] = {
+      val values = buf.get().toVector.sortBy(_._1)
+      buf.clear()
+      var s = logic.init
+      val out = Vector.newBuilder[W]
+      values.foreach { case (_, v) =>
+        val (s2, ws) = logic.onValue(s, v)
+        s = s2
+        out ++= ws
+      }
+      out ++= logic.onClose(s)
+      out.result().iterator.map(w => (key._1, key._2, key._3, w))
+    }
+  }
+
+  /** Unbounded-data generic window op (tumbling/sliding; session logic
+    * needs merge-on-arrival and stays batch-only — Spark's streaming
+    * session_window is aggregation-only). The watermark comes from
+    * `clock.waitFor`; each (key, window) group closes when the watermark
+    * passes its end, replaying buffered rows in event-time order.
+    * Requires the RocksDB state store provider (transformWithState).
+    */
+  def windowLogicStream[V, W, S](
+      df: DataFrame, keyCol: String, clock: EventClock, windower: Windower,
+      extract: Row => V, logic: WindowLogic[V, W, S])(
+      implicit bufEnc: Encoder[(Long, V)],
+      keyEnc: Encoder[(String, Long, Long)],
+      rowEnc: Encoder[((String, Long, Long), (Long, V))],
+      outEnc: Encoder[(String, Long, Long, W)]): Dataset[(String, Long, Long, W)] = {
+    require(!windower.isInstanceOf[SessionWindower],
+      "session windows with generic logic are batch-only (see Scaladoc)")
+    val withWin = df
+      .withWatermark(clock.tsCol, clock.waitFor)
+      .withColumn("__win", windower.expr(col(clock.tsCol)))
+    val keyIdx = withWin.schema.fieldIndex(keyCol)
+    val winIdx = withWin.schema.fieldIndex("__win")
+    val tsIdx = withWin.schema.fieldIndex(clock.tsCol)
+    val keyed = withWin.map { r =>
+      val win = r.getStruct(winIdx)
+      val ts = r.getTimestamp(tsIdx)
+      ((r.getString(keyIdx), win.getTimestamp(0).getTime, win.getTimestamp(1).getTime),
+        (ts.getTime * 1000 + ts.getNanos / 1000 % 1000, extract(r)))
+    }
+    keyed.groupByKey(_._1)
+      .transformWithState(new WindowLogicProcessor[V, W, S](logic, bufEnc),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

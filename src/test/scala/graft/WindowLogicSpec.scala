@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.connectors.Testing
+import graft.streaming.StreamingOps
+import graft.windowing._
+
+/** Generic WindowLogic engine: ordered replay per (key, window) in both
+  * the batch (secondary-sort) and streaming (transformWithState +
+  * event-time timer) engines, and the session inline-formation path.
+  */
+class WindowLogicSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Emits "v<id>" for the first 2 values (incremental emission) and
+    * "sum:<total>" at close — output depends on in-window order.
+    */
+  private object DemoLogic extends WindowLogicOps.WindowLogic[Long, String, Vector[Long]] {
+    def init: Vector[Long] = Vector.empty
+    def onValue(st: Vector[Long], id: Long): (Vector[Long], Seq[String]) =
+      (st :+ id, if (st.size < 2) Seq(s"v$id") else Seq.empty)
+    def onClose(st: Vector[Long]): Seq[String] = Seq("sum:" + st.sum)
+  }
+
+  private val clock = EventClock("ts", "0 seconds")
+
+  private def fixture = Seq(
+    ("a", ts("2024-01-01 00:05:00"), 1L, 1.0),
+    ("a", ts("2024-01-01 00:20:00"), 2L, 5.0),
+    ("a", ts("2024-01-01 00:40:00"), 3L, 2.0),
+    ("a", ts("2024-01-01 01:10:00"), 4L, 9.0),
+    ("b", ts("2024-01-01 00:30:00"), 5L, 3.0)
+  ).toDF("key", "ts", "event_id", "value")
+
+  private val extractId = (r: Row) => r.getAs[Long]("event_id")
+
+  test("batch engine replays values in ts order per (key, tumbling window)") {
+    val out = WindowLogicOps.windowLogicBatch[Long, String, Vector[Long]](
+      fixture, "key", clock, TumblingWindower("1 hour"), Seq($"event_id"),
+      extractId, DemoLogic).collect().toSet
+    val h0 = ts("2024-01-01 00:00:00").getTime
+    val h1 = ts("2024-01-01 01:00:00").getTime
+    val h2 = ts("2024-01-01 02:00:00").getTime
+    assert(out === Set(
+      ("a", h0, h1, "v1"), ("a", h0, h1, "v2"), ("a", h0, h1, "sum:6"),
+      ("a", h1, h2, "v4"), ("a", h1, h2, "sum:4"),
+      ("b", h0, h1, "v5"), ("b", h0, h1, "sum:5")))
+  }
+
+  test("sliding windows assign each value to every overlapping window") {
+    val out = WindowLogicOps.windowLogicBatch[Long, String, Vector[Long]](
+      fixture.filter($"key" === "b"), "key", clock,
+      SlidingWindower("1 hour", "30 minutes"), Seq($"event_id"),
+      extractId, DemoLogic).collect().toSet
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    val t30 = ts("2024-01-01 00:30:00").getTime
+    val t60 = ts("2024-01-01 01:00:00").getTime
+    val t90 = ts("2024-01-01 01:30:00").getTime
+    assert(out === Set(
+      ("b", t0, t60, "v5"), ("b", t0, t60, "sum:5"),
+      ("b", t30, t90, "v5"), ("b", t30, t90, "sum:5")))
+  }
+
+  test("session engine splits on gap and merges touching windows") {
+    val df = Seq(
+      // session 1: 00:00, 00:10 (within gap), 00:20 (exactly gap after
+      // 00:10 — touch extends, matching Spark session_window semantics)
+      ("k", ts("2024-01-01 00:00:00"), 1L, 0.0),
+      ("k", ts("2024-01-01 00:10:00"), 2L, 0.0),
+      ("k", ts("2024-01-01 00:20:00"), 3L, 0.0),
+      // session 2: strictly more than 10 minutes after 00:20
+      ("k", ts("2024-01-01 00:31:00"), 4L, 0.0)
+    ).toDF("key", "ts", "event_id", "value")
+    val out = WindowLogicOps.windowLogicBatch[Long, String, Vector[Long]](
+      df, "key", clock, SessionWindower("10 minutes"), Seq($"event_id"),
+      extractId, DemoLogic).collect().toSet
+    val s1Start = ts("2024-01-01 00:00:00").getTime
+    val s1End = ts("2024-01-01 00:30:00").getTime // last ts + gap
+    val s2Start = ts("2024-01-01 00:31:00").getTime
+    val s2End = ts("2024-01-01 00:41:00").getTime
+    // onClose rows carry the final window bounds
+    assert(out.filter(_._4.startsWith("sum")) === Set(
+      ("k", s1Start, s1End, "sum:6"), ("k", s2Start, s2End, "sum:4")))
+    assert(out.map(_._4) === Set("v1", "v2", "v4", "sum:6", "sum:4"))
+  }
+
+  test("streaming engine (event-time timers) matches the batch engine") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = Testing.testingSource[(String, Timestamp, Long, Double)](spark)
+      // sentinel advances the watermark past every real window's end so
+      // their timers fire; its own window is excluded from the compare
+      src.addBatch(
+        ("a", ts("2024-01-01 00:05:00"), 1L, 1.0),
+        ("a", ts("2024-01-01 00:20:00"), 2L, 5.0),
+        ("a", ts("2024-01-01 00:40:00"), 3L, 2.0),
+        ("a", ts("2024-01-01 01:10:00"), 4L, 9.0),
+        ("b", ts("2024-01-01 00:30:00"), 5L, 3.0),
+        ("zz", ts("2024-01-02 00:00:00"), 99L, 0.0))
+      val streamDf = src.toDS().toDF("key", "ts", "event_id", "value")
+      val out = WindowLogicOps.windowLogicStream[Long, String, Vector[Long]](
+        streamDf, "key", clock, TumblingWindower("1 hour"), extractId, DemoLogic)
+      val got = StreamingOps.runToMemory(out, "winlogic_stream")
+        .as[(String, Long, Long, String)].collect().toSet
+        .filter(_._1 != "zz")
+      val batch = WindowLogicOps.windowLogicBatch[Long, String, Vector[Long]](
+        fixture, "key", clock, TumblingWindower("1 hour"), Seq($"event_id"),
+        extractId, DemoLogic).collect().toSet
+      assert(got === batch)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+}
