@@ -163,6 +163,17 @@ object WindowQueries {
           $"_4._1".as("first3"), $"_4._2".as("n_asc"), $"_4._3".as("n"))
     },
 
+    // WindowOut.late tee on bounded data: rows more than 2h behind their
+    // key's max event time — the rows a per-key event clock with
+    // waitFor=2h would have routed to the late stream
+    "q_window_late" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id".cast("string").as("key"), $"ts", $"event_id")
+      graft.streaming.StreamingOps.lateTee(ev, "ts", "'2 hours'", $"key")
+        .select($"key", $"event_id")
+    },
+
     // join_window: daily per-user first click × first purchase
     "q_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -230,6 +241,13 @@ object WindowQueries {
       s"""SELECT DISTINCT epoch_ms($bucketDay) AS open_ms,
          |  epoch_ms($bucketDay + INTERVAL '1 day') AS close_ms
          |FROM events""".stripMargin,
+    "q_window_late" ->
+      """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |             CAST(ts AS TIMESTAMP) AS tsu, event_id FROM events),
+        |m AS (SELECT key, tsu, event_id,
+        |        MAX(tsu) OVER (PARTITION BY key) AS mx FROM t)
+        |SELECT key, event_id FROM m
+        |WHERE tsu < mx - INTERVAL '2 hours'""".stripMargin,
     "q_window_logic" ->
       """WITH o AS (
         |  SELECT CAST(user_id AS VARCHAR) AS key,

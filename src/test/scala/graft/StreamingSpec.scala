@@ -45,6 +45,35 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(("t", "1,2,3")))
   }
 
+  test("lateTee marking matches the stream's numRowsDroppedByWatermark") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // Stream: batch 1 advances the watermark to 09:55 (10:00 - 5m);
+    // batch 2 carries one late row (09:00 < watermark, dropped by the
+    // windowed agg) and one on-time row (10:04).
+    val src = Testing.testingSource[(String, Timestamp)](spark)
+    val agg = src.toDS().toDF("key", "ts")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("key")).count()
+    val q = agg.writeStream.format("memory").queryName("late_agg")
+      .outputMode(OutputMode.Append.toString.toLowerCase).start()
+    src.addBatch(("k", t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    src.addBatch(("k", t("2024-01-01 09:00:00")), ("k", t("2024-01-01 10:04:00")))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    q.stop()
+    assert(dropped === 1L, "exactly the 09:00 row is beyond the watermark")
+    // The bounded tee marks the same row: per-key max = 10:04, cutoff
+    // 09:59 → only 09:00 is late (10:00 survives).
+    val all = Seq(("k", t("2024-01-01 10:00:00")), ("k", t("2024-01-01 09:00:00")),
+      ("k", t("2024-01-01 10:04:00"))).toDF("key", "ts")
+    val late = StreamingOps.lateTee(all, "ts", "'5 minutes'", col("key"))
+      .select(col("ts")).as[Timestamp].collect().toSet
+    assert(late === Set(t("2024-01-01 09:00:00")))
+  }
+
   test("windowStream aggregates tumbling windows with a watermark") {
     val src = Testing.testingSource[(java.sql.Timestamp, String)](spark)
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
