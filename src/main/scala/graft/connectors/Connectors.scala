@@ -89,6 +89,40 @@ object Connectors {
     }
   }
 
+  /** DirSink with the reference's key→file routing (outputs.py:100-127):
+    * rows go to part `adler32(key) mod parts` — the reference's default
+    * `part_fn` — inside each batchId-idempotent batch directory, so the
+    * on-disk layout is `dir/batch=<id>/part=<p>/`. A reader tailing a
+    * specific part sees exactly the keys the reference would have routed
+    * there. Routing is a codegen'd expression + partitionBy — no UDF,
+    * one shuffle on the part column per micro-batch.
+    */
+  def keyedDirSink(df: DataFrame, dir: String, checkpoint: String,
+      keyCol: String, parts: Int): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        writeKeyedBatchIdempotent(batch.toDF(), dir, batchId, keyCol, parts): Unit
+      }
+
+  /** The routed idempotent write behind [[keyedDirSink]]. Returns false
+    * (no write) when the batch directory already committed.
+    */
+  def writeKeyedBatchIdempotent(batch: DataFrame, dir: String, batchId: Long,
+      keyCol: String, parts: Int): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(s"$dir/batch=$batchId")
+    val fs = target.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
+    if (fs.exists(marker)) false
+    else {
+      batch
+        .withColumn("part", pmod(graft.functions.Adler32.adler32(col(keyCol)), lit(parts.toLong)))
+        .repartition(col("part"))
+        .write.partitionBy("part").mode("overwrite").parquet(target.toString)
+      true
+    }
+  }
+
   /** JSON-lines source (schema inferred in batch; explicit for streams). */
   def jsonSource(spark: SparkSession, path: String, streaming: Boolean = false,
       schema: Option[StructType] = None): DataFrame =

@@ -75,6 +75,32 @@ class ConnectorsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/batch=0").as[String].collect().toSet === Set("a", "b"))
   }
 
+  test("keyedDirSink routes each key to its adler32 part and replays are no-ops") {
+    val base = Files.createTempDirectory("graft-keyed").toFile.getPath
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    val src = Testing.testingSource[(String, Int)](spark)
+    src.addBatch(("alpha", 1), ("beta", 2), ("alpha", 3), ("gamma", 4))
+    val q = Connectors.keyedDirSink(src.toDS().toDF("key", "v"), out, ckpt,
+      keyCol = "key", parts = 3).start()
+    q.processAllAvailable()
+    q.stop()
+    // per-key layout: every row of a key lives in part = adler32(key) % 3
+    def expectedPart(k: String) =
+      java.lang.Math.floorMod(graft.functions.Adler32Impl.adler32(k.getBytes("UTF-8")), 3L)
+    val back = spark.read.parquet(s"$out/batch=0")
+    for (k <- Seq("alpha", "beta", "gamma")) {
+      val parts = back.filter(col("key") === k).select("part")
+        .distinct().as[Long].collect().toSet
+      assert(parts === Set(expectedPart(k)), s"key $k in wrong part file")
+    }
+    assert(back.count() === 4)
+    // replayed batchId is a committed no-op
+    val replay = Seq(("SHOULD_NOT_APPEAR", 9)).toDF("key", "v")
+    assert(!Connectors.writeKeyedBatchIdempotent(replay, out, 0L, "key", 3))
+    assert(spark.read.parquet(s"$out/batch=0").count() === 4)
+  }
+
   test("inspectDebug passes items through unchanged") {
     val ds = Seq(1, 2, 3).toDS()
     assert(Ops.inspectDebug(ds, "dbg").collect().toSet === Set(1, 2, 3))
