@@ -193,4 +193,97 @@ object Connectors {
       .filter(pmod(col("value"), lit(intervalSecs.max(1).toLong)) === 0)
       .select(col("value")).as(Encoders.LONG)
       .flatMap(tick => fetch(tick))(implicitly[Encoder[T]])
+
+  // ---- dynamic (per-worker stateless) sources -----------------------
+
+  /** DynamicSource / StatelessSourcePartition (inputs.py:199-282): every
+    * worker builds its own partition reading DISJOINT data; no resume
+    * state (at-most-once). Bounded build: exactly one `build(workerIndex,
+    * workerCount)` call per partition — `workerCount` ⇔ the reference's
+    * worker count, rendered as Spark task parallelism.
+    */
+  def dynamicSource[T: Encoder: scala.reflect.ClassTag](spark: SparkSession, workerCount: Int)(
+      build: (Int, Int) => Iterator[T]): Dataset[T] = {
+    val rdd = spark.sparkContext
+      .parallelize(0 until workerCount, workerCount)
+      .flatMap(i => build(i, workerCount))
+    spark.createDataset(rdd)
+  }
+
+  /** Streaming DynamicSource: rate ticks fan out over `workerCount`
+    * partitions; each tick calls `nextBatch(workerIndex, workerCount,
+    * tick)` on its partition — the `StatelessSourcePartition.next_batch`
+    * cooperative poll (empty iterator ⇔ "no new items yet").
+    */
+  def dynamicSourceStream[T: Encoder](spark: SparkSession, workerCount: Int,
+      rowsPerSecond: Int = 1)(nextBatch: (Int, Int, Long) => Iterator[T]): Dataset[T] =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .option("numPartitions", workerCount.toLong)
+      .load()
+      .select(col("value")).as(Encoders.LONG)
+      .mapPartitions { ticks =>
+        val wi = org.apache.spark.TaskContext.getPartitionId() % workerCount.max(1)
+        ticks.flatMap(t => nextBatch(wi, workerCount, t))
+      }(implicitly[Encoder[T]])
+
+  // ---- polling with align_to / Retry --------------------------------
+
+  /** Raise from a [[pollingSourceAligned]] fetch to be re-polled after
+    * `timeoutTicks` instead of the full interval (reference
+    * `SimplePollingSource.Retry`, inputs.py:368-376).
+    */
+  final class PollRetry(val timeoutTicks: Long)
+    extends Exception(s"poll retry in $timeoutTicks ticks")
+
+  /** SimplePollingSource with the reference's full awake semantics
+    * (inputs.py:285-452): `align_to` pins poll times to a tick grid
+    * (first poll at the next grid point, immediate when already on it —
+    * inputs.py:299-310), and a fetch raising [[PollRetry]] is re-tried
+    * after its timeout instead of waiting out the interval
+    * (inputs.py:316-323). Returning None emits nothing for that poll.
+    *
+    * The time base is the rate source's tick counter (1 tick = 1 second
+    * at the default rowsPerSecond=1; raise it in tests for fast
+    * wall-clocks). The single-key `flatMapGroupsWithState` renders the
+    * reference's singleton partition: the `next_awake` cursor is Spark
+    * state, so it survives micro-batch boundaries and restarts via the
+    * checkpoint — the snapshot/resume contract for free.
+    */
+  def pollingSourceAligned[T](spark: SparkSession, intervalTicks: Long,
+      alignToTick: Option[Long] = None, rowsPerSecond: Int = 1)(
+      fetch: Long => Option[T])(implicit tEnc: Encoder[T]): Dataset[T] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(intervalTicks > 0, "intervalTicks must be positive")
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .load()
+      .select(col("value")).as(Encoders.scalaLong)
+    ticks.groupByKey(_ => "singleton")(Encoders.STRING)
+      .flatMapGroupsWithState[Long, T](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Long], state: GroupState[Long]) =>
+          val out = Vector.newBuilder[T]
+          var nextAwake: Option[Long] = state.getOption
+          rows.toVector.sorted.foreach { tick =>
+            if (nextAwake.isEmpty) {
+              nextAwake = Some(alignToTick match {
+                case Some(a) =>
+                  val since = java.lang.Math.floorMod(tick - a, intervalTicks)
+                  if (since == 0) tick else tick + (intervalTicks - since)
+                case None => tick
+              })
+            }
+            if (tick >= nextAwake.get) {
+              try {
+                fetch(tick).foreach(out += _)
+                nextAwake = Some(nextAwake.get + intervalTicks)
+              } catch {
+                case r: PollRetry => nextAwake = Some(tick + r.timeoutTicks)
+              }
+            }
+          }
+          nextAwake.foreach(state.update)
+          out.result().iterator
+      }(Encoders.scalaLong, tEnc)
+  }
 }

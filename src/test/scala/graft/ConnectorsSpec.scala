@@ -101,6 +101,51 @@ class ConnectorsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/batch=0").count() === 4)
   }
 
+  test("dynamicSource builds one stateless partition per worker with disjoint data") {
+    val ds = Connectors.dynamicSource[String](spark, workerCount = 4) { (wi, wc) =>
+      Iterator(s"w$wi-a", s"w$wi-b", s"wc$wc-$wi")
+    }
+    val got = ds.collect().toSet
+    assert(got === (0 until 4).flatMap(i => Seq(s"w$i-a", s"w$i-b", s"wc4-$i")).toSet)
+  }
+
+  test("dynamicSourceStream polls per-worker partitions cooperatively") {
+    val out = Connectors.dynamicSourceStream[String](spark, workerCount = 2,
+      rowsPerSecond = 20) { (wi, wc, tick) =>
+      if (tick % 2 == 0) Iterator(s"w$wi-t$tick") else Iterator.empty // empty ⇔ nothing yet
+    }
+    val got = StreamingOps.runToMemoryUntil(out, "dyn_stream", expectedRows = 4, timeoutMs = 30000)
+      .as[String].collect()
+    assert(got.length >= 4)
+    assert(got.forall(s => s.startsWith("w0-") || s.startsWith("w1-")))
+    assert(got.forall(_.split("-t")(1).toLong % 2 == 0))
+  }
+
+  test("pollingSourceAligned polls only on the align_to tick grid") {
+    val out = Connectors.pollingSourceAligned[Long](spark, intervalTicks = 5,
+      alignToTick = Some(3), rowsPerSecond = 50)(tick => Some(tick))
+    val got = StreamingOps.runToMemoryUntil(out, "poll_aligned", expectedRows = 3, timeoutMs = 30000)
+      .as[Long].collect()
+    assert(got.length >= 3)
+    assert(got.forall(t => (t - 3) % 5 == 0), s"off-grid polls: ${got.mkString(",")}")
+  }
+
+  test("pollingSourceAligned Retry re-polls before the interval elapses") {
+    ConnectorsSpecState.pollAttempts.set(0)
+    // interval is far beyond the test window; only the Retry path can
+    // produce the second (successful) fetch in time
+    val out = Connectors.pollingSourceAligned[Int](spark, intervalTicks = 100000,
+      rowsPerSecond = 50) { _ =>
+      if (ConnectorsSpecState.pollAttempts.incrementAndGet() == 1)
+        throw new Connectors.PollRetry(2)
+      else Some(7)
+    }
+    val got = StreamingOps.runToMemoryUntil(out, "poll_retry", expectedRows = 1, timeoutMs = 30000)
+      .as[Int].collect()
+    assert(got.nonEmpty && got.head === 7)
+    assert(ConnectorsSpecState.pollAttempts.get() >= 2)
+  }
+
   test("inspectDebug passes items through unchanged") {
     val ds = Seq(1, 2, 3).toDS()
     assert(Ops.inspectDebug(ds, "dbg").collect().toSet === Set(1, 2, 3))
@@ -148,4 +193,9 @@ class ConnectorsSpec extends SparkSpec {
     val got = spark.read.parquet(outDir).as[(String, Double)].collect().toSet
     assert(got === Set(("a", 1.0), ("a", 3.0), ("a", 7.0)), s"state not recovered: $got")
   }
+}
+
+/** Cross-closure counters for the polling specs (same JVM in local mode). */
+object ConnectorsSpecState {
+  val pollAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
 }
