@@ -167,14 +167,18 @@ object WindowLogicOps {
         private var lastTs: Long = -1L
         private var state: S = _
         private var open = false
+        // onValue output buffers until the session closes: its final
+        // bounds aren't known earlier (a later row can extend the
+        // session), and the streaming engine emits at close too — the
+        // two engines must produce identical rows
+        private var sessOut: Vector[W] = Vector.empty
         private var pending: Iterator[(String, Long, Long, W)] = Iterator.empty
 
         private def close(): Iterator[(String, Long, Long, W)] = {
-          // materialize with the bounds captured NOW — the iterator is
-          // consumed after curKey/sessStart/lastTs move to the next session
           val (k, st, en) = (curKey, sessStart, lastTs + gapMs)
-          val out = logic.onClose(state).map(w => (k, st, en, w))
+          val out = (sessOut ++ logic.onClose(state)).map(w => (k, st, en, w))
           open = false
+          sessOut = Vector.empty
           out.iterator
         }
 
@@ -195,7 +199,8 @@ object WindowLogicOps {
             lastTs = ts
             val (s2, out) = logic.onValue(state, extract(r))
             state = s2
-            pending = closed ++ out.iterator.map(w => (k, sessStart, -1L, w))
+            sessOut ++= out
+            pending = closed
             advance()
           } else if (open) {
             pending = close()
@@ -203,13 +208,7 @@ object WindowLogicOps {
         }
 
         def hasNext: Boolean = { advance(); pending.hasNext }
-        def next(): (String, Long, Long, W) = {
-          advance()
-          val t = pending.next()
-          // in-flight onValue emissions carry end = -1 (end unknown until
-          // the session closes); surface them with the running bound
-          if (t._3 == -1L) (t._1, t._2, lastTs + gapMs, t._4) else t
-        }
+        def next(): (String, Long, Long, W) = { advance(); pending.next() }
       }
     }
   }
@@ -256,12 +255,80 @@ object WindowLogicOps {
     }
   }
 
-  /** Unbounded-data generic window op (tumbling/sliding; session logic
-    * needs merge-on-arrival and stays batch-only — Spark's streaming
-    * session_window is aggregation-only). The watermark comes from
-    * `clock.waitFor`; each (key, window) group closes when the watermark
-    * passes its end, replaying buffered rows in event-time order.
-    * Requires the RocksDB state store provider (transformWithState).
+  /** Streaming session processor: per key, ALL in-horizon values buffer
+    * in one ListState; every batch (and close timer) re-sessionizes the
+    * sorted buffer, emits sessions that the watermark has sealed
+    * (last_ts + gap < watermark — a row at exactly last_ts + gap still
+    * touches, so sealed means strictly past), and keeps the open tail.
+    * This is merge-on-arrival: an out-of-order row that lands between
+    * two open sessions bridges them on the next pass — the reference's
+    * `on_merge` path (windowing.py:1081-1088), realized by re-forming
+    * sessions from the buffer instead of merging logic instances
+    * (values replay in order at close, so the merged session's output
+    * is identical).
+    */
+  private class SessionLogicProcessor[V, W, S](
+      logic: WindowLogic[V, W, S], gapMs: Long, bufEnc: Encoder[(Long, V)])
+    extends StatefulProcessor[String, (String, (Long, V)), (String, Long, Long, W)] {
+
+    @transient private var buf: ListState[(Long, V)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[(Long, V)]("graft_sessbuf", bufEnc, TTLConfig.NONE)
+
+    /** Sessionize the buffer; emit sealed sessions, retain open ones,
+      * arm a timer at the earliest open seal bound.
+      */
+    private def closePass(key: String, watermarkMs: Long): Iterator[(String, Long, Long, W)] = {
+      val values = buf.get().toVector.sortBy(_._1)
+      if (values.isEmpty) return Iterator.empty
+      val gapUs = gapMs * 1000
+      val sessions = values.tail.foldLeft(Vector(Vector(values.head))) { (acc, v) =>
+        if (v._1 - acc.last.last._1 > gapUs) acc :+ Vector(v)
+        else acc.init :+ (acc.last :+ v)
+      }
+      val (sealed_, open) = sessions.partition(s => s.last._1 / 1000 + gapMs < watermarkMs)
+      buf.clear()
+      if (open.nonEmpty) {
+        // a real Array[Tuple2] — ListState.put casts, Array[AnyRef] fails
+        implicit val ct: scala.reflect.ClassTag[(Long, V)] =
+          scala.reflect.ClassTag(classOf[Tuple2[_, _]])
+            .asInstanceOf[scala.reflect.ClassTag[(Long, V)]]
+        buf.put(open.flatten.toArray)
+        val nextSeal = open.map(s => s.last._1 / 1000 + gapMs + 1).min
+        if (!getHandle.listTimers().contains(nextSeal))
+          getHandle.registerTimer(nextSeal)
+      }
+      sealed_.iterator.flatMap { s =>
+        var st = logic.init
+        val out = Vector.newBuilder[W]
+        s.foreach { case (_, v) =>
+          val (s2, ws) = logic.onValue(st, v)
+          st = s2
+          out ++= ws
+        }
+        out ++= logic.onClose(st)
+        out.result().iterator.map(w => (key, s.head._1 / 1000, s.last._1 / 1000 + gapMs, w))
+      }
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[(String, (Long, V))],
+        tv: TimerValues): Iterator[(String, Long, Long, W)] = {
+      rows.foreach { case (_, tsv) => buf.appendValue(tsv) }
+      closePass(key, tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(String, Long, Long, W)] =
+      closePass(key, tv.getCurrentWatermarkInMs())
+  }
+
+  /** Unbounded-data generic window op. Tumbling/sliding close on an
+    * event-time timer per (key, window); session windows run the
+    * merge-on-arrival buffer processor ([[SessionLogicProcessor]]) —
+    * state per key is bounded by the watermark horizon. The watermark
+    * comes from `clock.waitFor`. Requires the RocksDB state store
+    * provider (transformWithState).
     */
   def windowLogicStream[V, W, S](
       df: DataFrame, keyCol: String, clock: EventClock, windower: Windower,
@@ -270,8 +337,11 @@ object WindowLogicOps {
       keyEnc: Encoder[(String, Long, Long)],
       rowEnc: Encoder[((String, Long, Long), (Long, V))],
       outEnc: Encoder[(String, Long, Long, W)]): Dataset[(String, Long, Long, W)] = {
-    require(!windower.isInstanceOf[SessionWindower],
-      "session windows with generic logic are batch-only (see Scaladoc)")
+    windower match {
+      case SessionWindower(gap) =>
+        return sessionLogicStream(df, keyCol, clock, intervalMillis(gap), extract, logic)
+      case _ => ()
+    }
     val withWin = df
       .withWatermark(clock.tsCol, clock.waitFor)
       .withColumn("__win", windower.expr(col(clock.tsCol)))
@@ -286,6 +356,26 @@ object WindowLogicOps {
     }
     keyed.groupByKey(_._1)
       .transformWithState(new WindowLogicProcessor[V, W, S](logic, bufEnc),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Session window streaming path behind [[windowLogicStream]]. */
+  private def sessionLogicStream[V, W, S](
+      df: DataFrame, keyCol: String, clock: EventClock, gapMs: Long,
+      extract: Row => V, logic: WindowLogic[V, W, S])(
+      implicit bufEnc: Encoder[(Long, V)],
+      rowEnc: Encoder[((String, Long, Long), (Long, V))],
+      outEnc: Encoder[(String, Long, Long, W)]): Dataset[(String, Long, Long, W)] = {
+    val wm = df.withWatermark(clock.tsCol, clock.waitFor)
+    val keyIdx = wm.schema.fieldIndex(keyCol)
+    val tsIdx = wm.schema.fieldIndex(clock.tsCol)
+    val keyed = wm.map { r =>
+      val ts = r.getTimestamp(tsIdx)
+      (r.getString(keyIdx),
+        (ts.getTime * 1000 + ts.getNanos / 1000 % 1000, extract(r)))
+    }(org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING, bufEnc))
+    keyed.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new SessionLogicProcessor[V, W, S](logic, gapMs, bufEnc),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -88,12 +88,55 @@ class WindowLogicSpec extends SparkSpec {
     assert(out.map(_._4) === Set("v1", "v2", "v4", "sum:6", "sum:4"))
   }
 
-  test("streaming engine (event-time timers) matches the batch engine") {
+  private def withRocksDb[T](f: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val old = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming session engine merges out-of-order bridging rows (merge-on-arrival)") {
+    withRocksDb {
+      val src = Testing.testingSource[(String, Timestamp, Long, Double)](spark)
+      val streamDf = src.toDS().toDF("key", "ts", "event_id", "value")
+      // 30m watermark delay so the bridging row is in-horizon
+      val out = WindowLogicOps.windowLogicStream[Long, String, Vector[Long]](
+        streamDf, "key", EventClock("ts", "30 minutes"), SessionWindower("10 minutes"),
+        extractId, DemoLogic)
+      // batch 1: two sessions 10m+ apart → both open
+      src.addBatch(("k", ts("2024-01-01 00:00:00"), 1L, 0.0),
+        ("k", ts("2024-01-01 00:20:00"), 2L, 0.0))
+      // batch 2: out-of-order row at 00:10 bridges them into one session
+      src.addBatch(("k", ts("2024-01-01 00:10:00"), 3L, 0.0))
+      // sentinel pushes the watermark past the merged session's seal bound
+      src.addBatch(("zz", ts("2024-01-01 02:00:00"), 99L, 0.0))
+      val got = StreamingOps.runToMemory(out, "winlogic_session_stream")
+        .as[(String, Long, Long, String)].collect().toSet
+        .filter(_._1 != "zz")
+      val s0 = ts("2024-01-01 00:00:00").getTime
+      val sEnd = ts("2024-01-01 00:30:00").getTime // last ts 00:20 + 10m gap
+      // ordered replay across the merge: ids 1,3 are the first two
+      assert(got === Set(
+        ("k", s0, sEnd, "v1"), ("k", s0, sEnd, "v3"), ("k", s0, sEnd, "sum:6")))
+      // the batch engine on the same rows agrees
+      val df = Seq(
+        ("k", ts("2024-01-01 00:00:00"), 1L, 0.0),
+        ("k", ts("2024-01-01 00:20:00"), 2L, 0.0),
+        ("k", ts("2024-01-01 00:10:00"), 3L, 0.0)
+      ).toDF("key", "ts", "event_id", "value")
+      val batch = WindowLogicOps.windowLogicBatch[Long, String, Vector[Long]](
+        df, "key", clock, SessionWindower("10 minutes"), Seq($"event_id"),
+        extractId, DemoLogic).collect().toSet
+      assert(batch === got)
+    }
+  }
+
+  test("streaming engine (event-time timers) matches the batch engine") {
+    withRocksDb {
       val src = Testing.testingSource[(String, Timestamp, Long, Double)](spark)
       // sentinel advances the watermark past every real window's end so
       // their timers fire; its own window is excluded from the compare
@@ -114,9 +157,6 @@ class WindowLogicSpec extends SparkSpec {
         fixture, "key", clock, TumblingWindower("1 hour"), Seq($"event_id"),
         extractId, DemoLogic).collect().toSet
       assert(got === batch)
-    } finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
   }
 }
