@@ -70,6 +70,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed ANN topK computes partial top-k below the rank shuffle") {
+    // WindowGroupLimit(Partial) trims each partition to k rows per query
+    // BEFORE the exchange — at corpus scale this is the difference
+    // between shuffling k·|Q| rows and shuffling every candidate pair
+    for (q <- Seq("q_embed_topk", "q_embed_ivf")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost the rank pushdown:\n$p")
+    }
+  }
+
+  test("generic window logic is one exchange + in-partition sort") {
+    val p = plan("q_window_logic")
+    assert(p.contains("REPARTITION_BY_COL"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") === 1,
+      s"expected exactly one shuffle:\n$p")
+  }
+
   test("TtlCache expires entries and isolates operator instances") {
     val a = TtlCache.instance[String, Int]("op-a", ttlMillis = 50)
     val b = TtlCache.instance[String, Int]("op-b", ttlMillis = 50)
