@@ -120,8 +120,16 @@ object Ops {
   // ---------------------------------------------------------------------
 
   /** branch — split by predicate (reference: operators/__init__.py:119-176,
-    * src/operators.rs:34-100). Both sides share one upstream plan;
-    * Catalyst reuses the scan (ReusedExchange/Subquery at runtime).
+    * src/operators.rs:34-100). Both sides share one upstream *logical*
+    * plan, but when both are materialized separately Catalyst reuses
+    * exchanges, not scans — at 100 TB that is two reads of the input.
+    * Mitigations, in preference order: (a) fold the split into one pass
+    * with conditional aggregation (`when(pred, ...)` — what q_branch
+    * itself does); (b) `df.persist()` before branching when both sides
+    * feed further work; (c) write the split once with
+    * `partitionBy(pred)` and read the halves. The reference shares one
+    * in-flight stream so this cost is Spark-specific — hence documented
+    * here rather than hidden.
     */
   def branch(df: DataFrame, predicate: Column): (DataFrame, DataFrame) =
     (df.filter(predicate), df.filter(!coalesce(predicate, lit(false))))

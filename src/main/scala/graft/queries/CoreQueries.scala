@@ -200,7 +200,11 @@ object CoreQueries {
       val sup = Tables.load(s, dir, "supplier")
         .select($"s_suppkey", $"s_nationkey").as[(Long, Int)]
       // "external service": a driver-collected nation map shipped in the
-      // closure (25 rows); the TTL cache dedups lookups per executor.
+      // closure (25 rows) SIMULATES the remote lookup this operator
+      // exists for — real use calls the service from the executor (the
+      // fetch lambda) and NEVER collects a table to the driver. For
+      // data-sized enrichment the broadcast join below
+      // (q_enrich_broadcast) is the right operator.
       val nations = Tables.load(s, dir, "nation")
         .select($"n_nationkey", $"n_name").as[(Int, String)]
         .collect().toMap
