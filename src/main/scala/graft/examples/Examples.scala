@@ -86,4 +86,38 @@ object Examples {
       to_date(col("ts")).as("day"))
     enriched.write.mode("overwrite").partitionBy("day").parquet(outDir)
   }
+
+  // ------------------------------------------------------------------
+  // wordcount (reference examples/wordcount.py): lower → tokenize →
+  // count_final. The reference's regex tokenizer, expression-first.
+  // ------------------------------------------------------------------
+
+  def wordCount(lines: DataFrame, lineCol: String): DataFrame =
+    lines
+      .select(explode(split(lower(col(lineCol)), """[\s!,.?":;0-9]+""")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").count()
+
+  // ------------------------------------------------------------------
+  // apriori (reference examples/apriori.py): comma-separated baskets →
+  // per-item counts + normalized-pair counts (frequent itemsets, k≤2).
+  // The itertools.combinations lambda becomes a double posexplode with
+  // a position filter — pure expressions, one shuffle per count.
+  // ------------------------------------------------------------------
+
+  def apriori(lines: DataFrame, lineCol: String): (DataFrame, DataFrame) = {
+    val baskets = lines.select(
+      transform(split(col(lineCol), ","), w => trim(w)).as("basket"))
+    val itemCounts = baskets
+      .select(explode(col("basket")).as("item"))
+      .groupBy("item").count()
+    val pairCounts = baskets
+      .select(col("basket"), posexplode(col("basket")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), posexplode(col("basket")).as(Seq("j", "b")))
+      .filter(col("i") < col("j"))
+      // reference normalizes with sorted(pair) then joins with ","
+      .select(concat_ws(",", array_sort(array(col("a"), col("b")))).as("pair"))
+      .groupBy("pair").count()
+    (itemCounts, pairCounts)
+  }
 }

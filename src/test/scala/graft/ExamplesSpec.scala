@@ -73,4 +73,21 @@ class ExamplesSpec extends SparkSpec {
     assert(back.count() === Tables.load(spark, sf0001, "events").count())
     assert(back.columns.contains("day"))
   }
+
+  test("wordcount tokenizes with the reference regex and counts words") {
+    val lines = Seq("To be, or not to be!", "3 be?").toDF("line")
+    val got = Examples.wordCount(lines, "line")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("to" -> 2L, "be" -> 3L, "or" -> 1L, "not" -> 1L))
+  }
+
+  test("apriori counts items and normalized pairs per basket") {
+    val baskets = Seq("milk, bread", "bread,milk,eggs", "eggs").toDF("line")
+    val (items, pairs) = Examples.apriori(baskets, "line")
+    val itemMap = items.as[(String, Long)].collect().toMap
+    assert(itemMap === Map("milk" -> 2L, "bread" -> 2L, "eggs" -> 2L))
+    val pairMap = pairs.as[(String, Long)].collect().toMap
+    // ("milk","bread") and ("bread","milk") normalize to the same pair
+    assert(pairMap === Map("bread,milk" -> 2L, "bread,eggs" -> 1L, "eggs,milk" -> 1L))
+  }
 }
