@@ -2,7 +2,8 @@ package graft.api
 
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions.{col, lit}
-import graft.operators.Ops
+import graft.operators.{Ops, StatefulOps}
+import graft.windowing.{Clock, EventClock, Windower, Windowing, WindowLogicOps}
 
 /** Fluent, step-id'd operator facade mirroring the reference's
   * `bytewax.operators` module shape (`op.map("id", up, f)` style —
@@ -81,4 +82,41 @@ object ops {
   def countFinal(id: String, up: Stream[Row]): Stream[Row] =
     step(up.flow, id, "count_final", up.stepId)(
       up.ds.toDF().groupBy(col(Ops.KEY)).agg(org.apache.spark.sql.functions.count(lit(1)).as("count")))
+
+  // ---- windowing (reference op.windowing.*) --------------------------
+
+  def foldWindow(id: String, up: Stream[Row], clock: Clock, w: Windower,
+      keys: Seq[Column], aggs: Seq[Column]): Stream[Row] =
+    step(up.flow, id, "fold_window", up.stepId)(
+      Windowing.aggWindow(up.ds.toDF(), clock, w, keys, aggs))
+
+  def collectWindow(id: String, up: Stream[Row], clock: Clock, w: Windower,
+      keys: Seq[Column], value: Column): Stream[Row] =
+    step(up.flow, id, "collect_window", up.stepId)(
+      Windowing.collectWindow(up.ds.toDF(), clock, w, keys, value))
+
+  def countWindow(id: String, up: Stream[Row], clock: Clock, w: Windower,
+      keys: Seq[Column]): Stream[Row] =
+    step(up.flow, id, "count_window", up.stepId)(
+      Windowing.countWindow(up.ds.toDF(), clock, w, keys))
+
+  /** The generic `window` op (reference windowing.py:1254-1338):
+    * arbitrary ordered per-(key, window) logic. Output columns:
+    * key, win_start, win_end, value.
+    */
+  def window[V, W, S](id: String, up: Stream[Row], keyCol: String,
+      clock: EventClock, w: Windower, tiebreak: Seq[Column],
+      extract: Row => V, logic: WindowLogicOps.WindowLogic[V, W, S])(
+      implicit outEnc: Encoder[(String, Long, Long, W)]): Stream[Row] =
+    step(up.flow, id, "window", up.stepId)(
+      WindowLogicOps.windowLogicBatch(up.ds.toDF(), keyCol, clock, w, tiebreak, extract, logic)
+        .toDF("key", "win_start", "win_end", "value"))
+
+  // ---- stateful (reference op.stateful_map etc.) ---------------------
+
+  /** Expression-first running aggregate (the stateful_map fast path). */
+  def statefulMap(id: String, up: Stream[Row], keyCol: String,
+      orderBy: Seq[Column], aggs: (Column, String)*): Stream[Row] =
+    step(up.flow, id, "stateful_map", up.stepId)(
+      StatefulOps.runningAgg(up.ds.toDF(), keyCol, orderBy, aggs: _*))
 }

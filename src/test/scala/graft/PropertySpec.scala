@@ -154,6 +154,37 @@ class PropertySpec extends SparkSpec {
     assert(json.contains("\"id\": \"proj\"") && json.contains("\"inputs\": [\"in\"]"))
   }
 
+  test("facade windowing ops run end-to-end and record flow steps") {
+    import graft.windowing.{EventClock, TumblingWindower}
+    val flow = graft.api.Flow("winflow")
+    // events.parquet is TIMESTAMP(NANOS): raw reads need the legacy conf
+    // (Tables.load sets it for the query layer)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val inp = graft.api.ops.input("in", flow, spark, s"$sf0001/events.parquet")
+    // events.parquet carries nanos ts; facade users load via Tables —
+    // emulate with a map step that truncates to micros
+    val prepared = graft.api.ops.map("prep", inp,
+      col("user_id").cast("string").as("key"),
+      org.apache.spark.sql.functions.timestamp_micros(
+        (col("ts").cast("long") / 1000).cast("long")).as("ts"),
+      col("event_id"))
+    val counted = graft.api.ops.countWindow("cw", prepared,
+      EventClock("ts"), TumblingWindower("1 day"), Seq(col("key")))
+    assert(counted.ds.count() > 0)
+    object FirstId extends graft.windowing.WindowLogicOps.WindowLogic[Long, Long, Option[Long]] {
+      def init: Option[Long] = None
+      def onValue(st: Option[Long], id: Long): (Option[Long], Seq[Long]) =
+        (st.orElse(Some(id)), Seq.empty)
+      def onClose(st: Option[Long]): Seq[Long] = st.toSeq
+    }
+    val generic = graft.api.ops.window[Long, Long, Option[Long]]("gw", prepared,
+      "key", EventClock("ts"), TumblingWindower("1 day"), Seq(col("event_id")),
+      r => r.getAs[Long]("event_id"), FirstId)
+    assert(generic.ds.count() > 0)
+    assert(flow.toMermaid.contains("prep --> cw"))
+    assert(flow.toMermaid.contains("prep --> gw"))
+  }
+
   test("mapField lens updates one struct field in place") {
     val df = Seq((1, ("a", 10))).toDF("id", "s")
     val out = graft.operators.Ops.mapField(df, "s", "_2", _ * 2)
