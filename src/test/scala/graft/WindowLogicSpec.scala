@@ -135,6 +135,39 @@ class WindowLogicSpec extends SparkSpec {
     }
   }
 
+  test("streaming window logic buffer survives stop/restart (checkpoint recovery)") {
+    withRocksDb {
+      import java.nio.file.Files
+      val ckpt = Files.createTempDirectory("graft-wl-ckpt").toFile.getPath
+      val outDir = Files.createTempDirectory("graft-wl-out").toFile.getPath
+      val src = Testing.testingSource[(String, Timestamp, Long, Double)](spark)
+      val streamDf = src.toDS().toDF("key", "ts", "event_id", "value")
+      def startQuery() =
+        WindowLogicOps.windowLogicStream[Long, String, Vector[Long]](
+            streamDf, "key", clock, TumblingWindower("1 hour"), extractId, DemoLogic)
+          .toDF("key", "ws", "we", "w").writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+      // batch 1 buffers one value for the 00:00 window (no emission yet)
+      src.addBatch(("a", ts("2024-01-01 00:05:00"), 1L, 0.0))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      // restart: the buffered value must still be in ListState — without
+      // recovery the closed window would emit v2/sum:2 instead
+      src.addBatch(("a", ts("2024-01-01 00:10:00"), 2L, 0.0),
+        ("zz", ts("2024-01-02 00:00:00"), 9L, 0.0))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val h0 = ts("2024-01-01 00:00:00").getTime
+      val h1 = ts("2024-01-01 01:00:00").getTime
+      val got = spark.read.parquet(outDir).as[(String, Long, Long, String)]
+        .collect().toSet.filter(_._1 != "zz")
+      assert(got === Set(("a", h0, h1, "v1"), ("a", h0, h1, "v2"), ("a", h0, h1, "sum:3")))
+    }
+  }
+
   test("streaming engine (event-time timers) matches the batch engine") {
     withRocksDb {
       val src = Testing.testingSource[(String, Timestamp, Long, Double)](spark)
