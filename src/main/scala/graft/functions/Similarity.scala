@@ -131,19 +131,18 @@ object Similarity {
       centroids = centroidMeans(assigned)
     }
 
-    val cells = data.crossJoin(broadcast(centroids))
+    // one ranking pass serves both the cell assignment (rn=1) and the
+    // query probes (rn<=nprobe) — persisted because both sides of the
+    // candidate join consume it (|data|·nprobe rows, tiny vs the join)
+    val ranked = data.crossJoin(broadcast(centroids))
       .withColumn("sim", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cid"))
-
-    // queries probe their nprobe nearest cells
-    val probes = data.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)))
-      .filter(col("rn") <= nprobe)
+      .filter(col("rn") <= math.max(1, nprobe))
+      .select(col("id"), col("v"), col("cid"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = ranked.filter(col("rn") === 1).select(col("id"), col("v"), col("cid"))
+    val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
 
     val joined = probes.join(cells.select(col("cid"), col("id").as("nid"), col("v").as("nv")), Seq("cid"))
