@@ -97,6 +97,30 @@ class KafkaOpsSpec extends SparkSpec {
     assert(err.orig.offset === 5L)
   }
 
+  test("deserialize ok/err split works on an unbounded stream") {
+    val reg = new InMemorySchemaRegistry
+    reg.register("ev-value", valueSchemaJson)
+    val ser = new RegistryAvroSerializer(reg, "ev-value")
+    val de = new RegistryAvroDeserializer(reg)
+    val good = ser(mkRecord(valueSchemaJson, "ok", 1L))
+    val src = graft.connectors.Testing
+      .testingSource[(Array[Byte], Array[Byte], String, Int, Long)](spark)
+    src.addBatch(
+      ("k1".getBytes, good, "t", 0, 0L),
+      ("k2".getBytes, Array[Byte](9, 9), "t", 0, 1L))
+    val df = src.toDS().toDF("key", "value", "topic", "partition", "offset")
+    val out = KafkaOps.deserialize[(String, String, Long)](df,
+      keyDeser = b => new String(b, "UTF-8"),
+      valDeser = de.apply,
+      toOk = (k, v, rec) => (k.asInstanceOf[String], v.get("what").toString, rec.offset))
+    val oks = graft.streaming.StreamingOps.runToMemory(out.oks, "kafka_oks")
+      .as[(String, String, Long)].collect().toSet
+    val errs = graft.streaming.StreamingOps.runToMemory(out.errs, "kafka_errs")
+      .collect()
+    assert(oks === Set(("k1", "ok", 0L)))
+    assert(errs.length === 1)
+  }
+
   test("serializeValue emits registry-stamped wire bytes") {
     val reg = new InMemorySchemaRegistry
     val id = reg.register("ev-value", valueSchemaJson)
