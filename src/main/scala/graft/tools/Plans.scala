@@ -15,7 +15,10 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg", "q_enrich_broadcast", "q_filter", "q_window_tumbling", "q_join_product")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q1_agg", "q_enrich_broadcast", "q_filter", "q_window_tumbling",
+      "q_join_product", "q_embed_pairs", "q_embed_topk", "q_embed_ivf",
+      "q_window_logic", "q_window_late", "q_dedup_ngram", "q_dedup_minhash")
     names.foreach { n =>
       println(s"===== $n =====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
