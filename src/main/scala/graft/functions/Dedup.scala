@@ -12,14 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of `text`, distinct, as array<string>. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) < n, array()).otherwise(
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
-  }
+  /** Word n-gram shingles of `text`, distinct, as array<string> — the
+    * fused codegen'd [[ShinglesExpr]] (the equivalent split + sequence +
+    * transform + slice + concat_ws + array_distinct composition is five
+    * nested higher-order functions: interpreted per row and ~2 s of
+    * planning/codegen warmup per query shape).
+    */
+  def shingles(text: Column, n: Int): Column = Shingles.shingles(text, n)
 
   /** Exact dedup: group identical normalized content, keep the lowest id.
     * At scale this is one hash shuffle on the fingerprint.
