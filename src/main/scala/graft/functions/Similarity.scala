@@ -131,16 +131,18 @@ object Similarity {
       centroids = centroidMeans(assigned)
     }
 
-    // one ranking pass serves both the cell assignment (rn=1) and the
-    // query probes (rn<=nprobe) — persisted because both sides of the
-    // candidate join consume it (|data|·nprobe rows, tiny vs the join)
+    // one ranking relation serves both the cell assignment (rn=1) and
+    // the query probes (rn<=nprobe). Deliberately NOT persisted: the
+    // branches recompute the ranking (N·nlist cosines), which is
+    // negligible next to the N·(N/nlist)·nprobe candidate join, whereas
+    // caching N·nprobe vector rows costs real memory at corpus scale
+    // (and measured ~2 s of InMemoryRelation overhead at bench scale)
     val ranked = data.crossJoin(broadcast(centroids))
       .withColumn("sim", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)))
       .filter(col("rn") <= math.max(1, nprobe))
       .select(col("id"), col("v"), col("cid"), col("rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = ranked.filter(col("rn") === 1).select(col("id"), col("v"), col("cid"))
     val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
