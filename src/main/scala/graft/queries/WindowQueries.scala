@@ -116,6 +116,27 @@ object WindowQueries {
           concat_ws(",", $"values").as("eids"))
     },
 
+    // collect_window set mode: distinct event types per (user, day)
+    "q_collect_window_set" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id".cast("string").as(Ops.KEY), $"ts", $"event_type")
+      Windowing.collectWindowSet(ev, clock, TumblingWindower("1 day"), Seq(col(Ops.KEY)), $"event_type")
+        .select($"key", unix_millis($"window.start").as("win_start"),
+          concat_ws(",", $"values").as("types"))
+    },
+
+    // collect_window dict mode: per (user, day) the last event_id per
+    // event_type ("last" by event_id — bounded data has no arrival order)
+    "q_collect_window_map" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id".cast("string").as(Ops.KEY), $"ts", $"event_type", $"event_id")
+      Windowing.collectWindowMap(ev, clock, TumblingWindower("1 day"), Seq(Ops.KEY),
+        $"event_type", $"event_id", $"event_id")
+        .select($"key", unix_millis($"window.start").as("win_start"), $"entries")
+    },
+
     // count_window
     "q_count_window" -> { (s, dir) =>
       import s.implicits._
@@ -231,6 +252,18 @@ object WindowQueries {
     "q_count_window" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms($bucketDay) AS win_start, COUNT(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_collect_window_set" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms($bucketDay) AS win_start,
+         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_collect_window_map" ->
+      s"""WITH last_per AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key, $bucketDay AS w, event_type,
+         |    MAX(event_id) AS v
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT key, epoch_ms(w) AS win_start,
+         |  string_agg(event_type || ':' || CAST(v AS VARCHAR), ',' ORDER BY event_type || ':' || CAST(v AS VARCHAR)) AS entries
+         |FROM last_per GROUP BY 1, 2""".stripMargin,
     "q_max_window" ->
       s"""SELECT epoch_ms($bucketDay) AS win_start, event_type, MAX(value) AS mx
          |FROM events GROUP BY 1, 2""".stripMargin,

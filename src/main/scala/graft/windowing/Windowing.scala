@@ -84,6 +84,32 @@ object Windowing {
   def collectWindow(df: DataFrame, clock: Clock, w: Windower, keys: Seq[Column], value: Column, as: String = "values"): DataFrame =
     aggWindow(df, clock, w, keys, Seq(array_sort(collect_list(value)).as(as)))
 
+  /** collect_window into set (reference `_collect_get_callbacks` set
+    * mode, windowing.py:1356-1384): distinct values, sorted for
+    * deterministic output.
+    */
+  def collectWindowSet(df: DataFrame, clock: Clock, w: Windower, keys: Seq[Column], value: Column, as: String = "values"): DataFrame =
+    aggWindow(df, clock, w, keys, Seq(array_sort(collect_set(value)).as(as)))
+
+  /** collect_window into dict (reference dict mode: later write per
+    * entry key wins, windowing.py:1356-1384): entries gathered per
+    * (window, keys) with max_by(entryValue, order) per entry key —
+    * "last" is defined by `order` (an event id / timestamp) since
+    * bounded data has no arrival order. Output is a sorted
+    * "k:v,k:v" string (MapType has no deterministic comparison).
+    * Two-level aggregation: both shuffles carry map-side partials.
+    */
+  def collectWindowMap(df: DataFrame, clock: Clock, w: Windower, keyCols: Seq[String],
+      entryKey: Column, entryValue: Column, order: Column, as: String = "entries"): DataFrame = {
+    val perEntry = df
+      .groupBy(w.expr(tsExpr(clock)) +: (keyCols.map(col) :+ entryKey.as("__k")): _*)
+      .agg(max_by(entryValue, order).as("__v"))
+    perEntry
+      .groupBy(col("window") +: keyCols.map(col): _*)
+      .agg(concat_ws(",",
+        array_sort(collect_list(concat(col("__k"), lit(":"), col("__v"))))).as(as))
+  }
+
   /** count_window (reference windowing.py:1579-1689). */
   def countWindow(df: DataFrame, clock: Clock, w: Windower, keys: Seq[Column], as: String = "n"): DataFrame =
     aggWindow(df, clock, w, keys, Seq(count(lit(1)).as(as)))
