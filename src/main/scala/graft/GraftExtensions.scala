@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimExpr, LshBucketExpr, MinHashSigExpr, SimHash64, TokenCountExpr, TokenLengthSumExpr}
+import graft.functions.{Adler32Expr, CosineSimExpr, LshBucketExpr, MinHashSigExpr, ShinglesExpr, SimHash64, TokenCountExpr, TokenLengthSumExpr}
 
 /** SQL surface for graft's custom Catalyst expressions. Two ways in:
   *
@@ -11,7 +11,9 @@ import graft.functions.{CosineSimExpr, LshBucketExpr, MinHashSigExpr, SimHash64,
   *  - existing session: `GraftExtensions.register(spark)`
   *
   * Registered functions: `simhash64(array<string>)`,
-  * `minhash_sig(array<string>, numHashes)`, `cosine_sim(vec, vec)`.
+  * `minhash_sig(array<string>, numHashes)`, `cosine_sim(vec, vec)`,
+  * `lsh_bucket(vec, bits)`, `token_count(str)`, `token_length_sum(str)`,
+  * `shingles(str, n)`, `adler32(str)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -47,7 +49,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => TokenCountExpr(es.head)),
     ("token_length_sum",
       new ExpressionInfo(classOf[TokenLengthSumExpr].getName, "token_length_sum"),
-      (es: Seq[Expression]) => TokenLengthSumExpr(es.head)))
+      (es: Seq[Expression]) => TokenLengthSumExpr(es.head)),
+    ("shingles",
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
+      (es: Seq[Expression]) => ShinglesExpr(es.head, intArg(es(1), "n"))),
+    ("adler32",
+      new ExpressionInfo(classOf[Adler32Expr].getName, "adler32"),
+      (es: Seq[Expression]) => Adler32Expr(es.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

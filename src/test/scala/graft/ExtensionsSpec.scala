@@ -19,6 +19,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
   }
 
+  test("SQL shingles and adler32 match their Column/JVM counterparts") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT shingles('a b c d', 3) AS sh, adler32('alpha') AS a32""").head()
+    assert(row.getSeq[String](0) === Seq("a b c", "b c d"))
+    val expected = { val a = new java.util.zip.Adler32(); a.update("alpha".getBytes("UTF-8")); a.getValue }
+    assert(row.getAs[Long]("a32") === expected)
+  }
+
   test("SQL simhash64 equals the Column API simhash64") {
     GraftExtensions.register(spark)
     val docs = Tables.load(spark, sf0001, "documents").limit(50)
