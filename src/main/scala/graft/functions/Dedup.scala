@@ -163,11 +163,13 @@ object Dedup {
     */
   def curate(df: DataFrame, idCol: Column, text: Column,
       stopwords: Seq[String], minQuality: Double,
-      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 0): DataFrame = {
     val scored = df.select(idCol.as("id"), text.as("text"),
       Text.qualityScore(text, stopwords).as("quality"))
     val kept = scored.filter(col("quality") >= minQuality)
-    val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands, threshold)
+    val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands,
+        threshold, maxBucketSize)
       .select(col("j").as("drop_id")).distinct()
     kept.join(pairs, kept("id") === pairs("drop_id"), "left_anti")
       .select(col("id"), col("quality"))

@@ -129,12 +129,24 @@ object LlmQueries {
         .select($"qid", $"rank", $"nid")
     },
 
+    // IVF with two Lloyd refinement iterations — the full coarse
+    // quantizer. The oracle unrolls both assign+re-mean rounds as CTEs
+    // (fixed iteration count needs no recursion). Rank-only output.
+    "q_embed_ivf2" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+          nlist = 16, nprobe = 2, iterations = 2)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid")
+    },
+
     // end-to-end curation: quality gate + near-dup drop (keep lowest id)
     "q_curate" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
       Dedup.curate(docs, $"doc_id", $"text", stop, minQuality = 0.4,
-        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        maxBucketSize = 1000) // no-op cap (> corpus size), skew guard exercised
     },
 
     // multimodal: binary payload → per-partition codec featurization
@@ -240,6 +252,35 @@ object LlmQueries {
         |  c.id AS nid
         |FROM probes p JOIN cells c ON p.cid = c.cid AND p.qid <> c.id
         |QUALIFY rank <= 3""".stripMargin,
+    "q_embed_ivf2" -> {
+      def assign(srcE: String, srcC: String) =
+        s"""SELECT id, v, cid FROM (
+           |  SELECT e.id, e.v, c.cid,
+           |    ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+           |  FROM $srcE e, $srcC c) WHERE rn = 1""".stripMargin
+      def mean(srcA: String) =
+        s"""SELECT cid, list(m ORDER BY pos) AS cv FROM (
+           |  SELECT a.cid, t.i AS pos, AVG(a.v[t.i]) AS m
+           |  FROM $srcA a, UNNEST(generate_series(1, len(a.v))) t(i)
+           |  GROUP BY a.cid, t.i) GROUP BY cid""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 16),
+         |a1 AS (${assign("e", "c0")}),
+         |m1 AS (${mean("a1")}),
+         |a2 AS (${assign("e", "m1")}),
+         |m2 AS (${mean("a2")}),
+         |ranked AS (
+         |  SELECT e.id, e.v, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |  FROM e, m2 c),
+         |cells AS (SELECT id, v, cid FROM ranked WHERE rn = 1),
+         |probes AS (SELECT id AS qid, v AS qv, cid FROM ranked WHERE rn <= 2)
+         |SELECT p.qid,
+         |  ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY list_cosine_similarity(p.qv, c.v) DESC, c.id) AS rank,
+         |  c.id AS nid
+         |FROM probes p JOIN cells c ON p.cid = c.cid AND p.qid <> c.id
+         |QUALIFY rank <= 3""".stripMargin
+    },
     "q_multimodal" ->
       """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS first_byte,
