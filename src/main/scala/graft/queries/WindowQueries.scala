@@ -195,6 +195,20 @@ object WindowQueries {
         .select($"key", $"event_id")
     },
 
+    // generic WindowLogic over SESSION windows: same ordered digest per
+    // 2h-gap session — exercises the inline sessionization path of the
+    // batch engine (split strictly past gap; touch extends)
+    "q_window_logic_session" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id".cast("string").as("key"), $"ts", $"event_id", $"value")
+      WindowLogicOps.windowLogicBatch[(Long, Double), (String, Long, Long), (Vector[Long], Double, Boolean, Long, Long)](
+          ev, "key", clock, SessionWindower("2 hours"), Seq($"event_id"),
+          r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")), FirstKDigestLogic)
+        .select($"_1".as("key"), $"_2".as("win_start"),
+          $"_4._1".as("first3"), $"_4._2".as("n_asc"), $"_4._3".as("n"))
+    },
+
     // join_window: daily per-user first click × first purchase
     "q_join_window" -> { (s, dir) =>
       import s.implicits._
@@ -297,6 +311,31 @@ object WindowQueries {
         |  COUNT(*) FILTER (WHERE value > pv) AS n_asc,
         |  COUNT(*) AS n
         |FROM o2 GROUP BY key, w""".stripMargin,
+    "q_window_logic_session" ->
+      """WITH o AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(ts AS TIMESTAMP) AS tsu,
+        |    event_id, value
+        |  FROM events),
+        |m AS (
+        |  SELECT key, tsu, event_id, value,
+        |    CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY key ORDER BY tsu, event_id) > INTERVAL '2 hours'
+        |           OR LAG(tsu) OVER (PARTITION BY key ORDER BY tsu, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS news
+        |  FROM o),
+        |s AS (
+        |  SELECT key, tsu, event_id, value,
+        |    SUM(news) OVER (PARTITION BY key ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |r AS (
+        |  SELECT key, sid, tsu, event_id, value,
+        |    LAG(value) OVER (PARTITION BY key, sid ORDER BY tsu, event_id) AS pv,
+        |    ROW_NUMBER() OVER (PARTITION BY key, sid ORDER BY tsu, event_id) AS rn
+        |  FROM s)
+        |SELECT key, epoch_ms(MIN(tsu)) AS win_start,
+        |  string_agg(CASE WHEN rn <= 3 THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY tsu, event_id) AS first3,
+        |  COUNT(*) FILTER (WHERE value > pv) AS n_asc,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY key, sid""".stripMargin,
     "q_join_window" ->
       s"""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, $bucketDay AS w, MIN(event_id) AS click_eid
          |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
