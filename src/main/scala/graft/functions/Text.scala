@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Whitespace tokens, empty strings dropped (array form — used where
-    * the token list itself is needed, e.g. simhash).
+    * the token list itself is needed, e.g. simhash). Fused codegen'd
+    * scan ([[TokensExpr]]); the filter(split) composition's lambda
+    * evaluates interpreted.
     */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+  def tokens(text: Column): Column = TokenExprs.tokens(text)
 
   /** Token count — fused codegen'd scan (the size(filter(split))
     * composition evaluates interpreted; see TokenExprs).

@@ -61,6 +61,19 @@ case class StopwordHitsExpr(child: Expression, words: Seq[String]) extends TextS
   override protected def withNewChildInternal(c: Expression): StopwordHitsExpr = copy(child = c)
 }
 
+/** The token array itself (whitespace-separated, empties dropped) —
+  * feeds simhash; same semantics as `filter(split(text, "\\s+"), ...)`.
+  */
+case class TokensExpr(child: Expression) extends TextScanExpr {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TokenScanImpl.tokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScanImpl.tokens($c)")
+  override protected def withNewChildInternal(c: Expression): TokensExpr = copy(child = c)
+}
+
 object TokenScanImpl {
   // Java regex \s character class (non-unicode mode)
   private def isWs(c: Char): Boolean =
@@ -90,6 +103,23 @@ object TokenScanImpl {
     sum
   }
 
+  def tokens(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val out = new java.util.ArrayList[Any]()
+    var start = -1
+    var i = 0
+    while (i <= str.length) {
+      val ws = i == str.length || isWs(str.charAt(i))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        out.add(UTF8String.fromString(str.substring(start, i)))
+        start = -1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   def stopwordHits(s: UTF8String, set: java.util.HashSet[String]): Int = {
     val str = s.toString
     var count = 0
@@ -115,4 +145,6 @@ object TokenExprs {
     GraftExpr.column(TokenLengthSumExpr(GraftExpr.expression(text)))
   def stopword_hits(text: Column, words: Seq[String]): Column =
     GraftExpr.column(StopwordHitsExpr(GraftExpr.expression(text), words))
+  def tokens(text: Column): Column =
+    GraftExpr.column(TokensExpr(GraftExpr.expression(text)))
 }
