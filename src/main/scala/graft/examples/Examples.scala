@@ -3,6 +3,7 @@ package graft.examples
 import java.sql.Timestamp
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions._
+import graft.connectors.KafkaOps
 import graft.operators.{Ops, StatefulOps}
 import graft.windowing._
 
@@ -85,6 +86,60 @@ object Examples {
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       to_date(col("ts")).as("day"))
     enriched.write.mode("overwrite").partitionBy("day").parquet(outDir)
+  }
+
+  // ------------------------------------------------------------------
+  // confluent_serde (reference examples/confluent_serde.py): registry-
+  // driven avro in → window avg per sensor → registry-driven avro out.
+  // The reference crashes on error streams (inspect → raises); here the
+  // caller gets them back (same information, idiomatic Spark). The
+  // reference windows on SystemClock; the value's own timestamp field
+  // is the deterministic Spark-side clock.
+  // ------------------------------------------------------------------
+
+  val sensorKeySchema: String =
+    """{"type":"record","name":"sensor_key","fields":[
+      |{"name":"identifier","type":"string"},{"name":"name","type":"string"}]}""".stripMargin
+  val sensorValueSchema: String =
+    """{"type":"record","name":"sensor_sample","fields":[
+      |{"name":"timestamp","type":"long"},{"name":"identifier","type":"string"},
+      |{"name":"value","type":"long"}]}""".stripMargin
+  val aggregatedSchema: String =
+    """{"type":"record","name":"aggregated_sensor","fields":[
+      |{"name":"identifier","type":"string"},{"name":"avg","type":"double"},
+      |{"name":"window_start","type":"long"},{"name":"window_end","type":"long"}]}""".stripMargin
+
+  /** kafka-shaped rows (key/value wire bytes) → per-sensor 1s-window
+    * averages, re-serialized with the `aggregated` subject's schema.
+    * Returns (serialized aggregates, deserialization error stream).
+    */
+  def confluentSerde(raw: DataFrame, registry: KafkaOps.SchemaRegistry):
+      (Dataset[Array[Byte]], Dataset[KafkaOps.KafkaDeserError]) = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val de = new KafkaOps.RegistryAvroDeserializer(registry)
+    val msgs = KafkaOps.deserialize[(String, Long, Long)](raw,
+      keyDeser = b => de(b).get("identifier").toString,
+      valDeser = de.apply,
+      toOk = (k, v, _) => (k.asInstanceOf[String],
+        v.get("value").asInstanceOf[Long], v.get("timestamp").asInstanceOf[Long]))
+    val agged = msgs.oks.toDF("identifier", "value", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .groupBy(window(col("ts"), "1 second"), col("identifier"))
+      .agg(avg(col("value")).as("avg"))
+      .select(col("identifier"), col("avg"),
+        unix_millis(col("window.start")).as("ws"), unix_millis(col("window.end")).as("we"))
+      .as[(String, Double, Long, Long)]
+    val ser = new KafkaOps.RegistryAvroSerializer(registry, "aggregated-value")
+    val aggSchema = aggregatedSchema // local: don't ship the Examples object
+    val out = KafkaOps.serializeValue(agged, ser) { case (ident, a, ws, we) =>
+      val r = new org.apache.avro.generic.GenericData.Record(
+        new org.apache.avro.Schema.Parser().parse(aggSchema))
+      r.put("identifier", ident); r.put("avg", a)
+      r.put("window_start", ws); r.put("window_end", we)
+      r
+    }
+    (out, msgs.errs)
   }
 
   // ------------------------------------------------------------------

@@ -74,6 +74,41 @@ class ExamplesSpec extends SparkSpec {
     assert(back.columns.contains("day"))
   }
 
+  test("confluent_serde pipeline: registry avro in, window avg, registry avro out") {
+    import graft.connectors.KafkaOps
+    val reg = new KafkaOps.InMemorySchemaRegistry
+    reg.register("sensor-key", Examples.sensorKeySchema)
+    reg.register("sensor-value", Examples.sensorValueSchema)
+    reg.register("aggregated-value", Examples.aggregatedSchema)
+    val keySer = new KafkaOps.RegistryAvroSerializer(reg, "sensor-key")
+    val valSer = new KafkaOps.RegistryAvroSerializer(reg, "sensor-value")
+    def keyRec(ident: String) = {
+      val r = new org.apache.avro.generic.GenericData.Record(
+        new org.apache.avro.Schema.Parser().parse(Examples.sensorKeySchema))
+      r.put("identifier", ident); r.put("name", "topic_key"); r
+    }
+    def valRec(ts: Long, ident: String, v: Long) = {
+      val r = new org.apache.avro.generic.GenericData.Record(
+        new org.apache.avro.Schema.Parser().parse(Examples.sensorValueSchema))
+      r.put("timestamp", ts); r.put("identifier", ident); r.put("value", v); r
+    }
+    // sensor s1: values 10, 20 in the same second → avg 15; s2: 7
+    val raw = Seq(
+      (keySer(keyRec("s1")), valSer(valRec(1000L, "s1", 10L)), "t", 0, 0L),
+      (keySer(keyRec("s1")), valSer(valRec(1500L, "s1", 20L)), "t", 0, 1L),
+      (keySer(keyRec("s2")), valSer(valRec(1200L, "s2", 7L)), "t", 0, 2L)
+    ).toDF("key", "value", "topic", "partition", "offset")
+    val (out, errs) = Examples.confluentSerde(raw, reg)
+    assert(errs.isEmpty)
+    val de = new KafkaOps.RegistryAvroDeserializer(reg)
+    val got = out.collect().map { bytes =>
+      val r = de(bytes)
+      (r.get("identifier").toString, r.get("avg").asInstanceOf[Double],
+        r.get("window_start").asInstanceOf[Long])
+    }.toSet
+    assert(got === Set(("s1", 15.0, 1000L), ("s2", 7.0, 1000L)))
+  }
+
   test("wordcount tokenizes with the reference regex and counts words") {
     val lines = Seq("To be, or not to be!", "3 be?").toDF("line")
     val got = Examples.wordCount(lines, "line")
