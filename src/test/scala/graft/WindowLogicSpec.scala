@@ -135,6 +135,26 @@ class WindowLogicSpec extends SparkSpec {
     }
   }
 
+  test("streaming sliding windows match the batch engine (each value in 2 windows)") {
+    withRocksDb {
+      val src = Testing.testingSource[(String, Timestamp, Long, Double)](spark)
+      val streamDf = src.toDS().toDF("key", "ts", "event_id", "value")
+      val out = WindowLogicOps.windowLogicStream[Long, String, Vector[Long]](
+        streamDf, "key", clock, SlidingWindower("1 hour", "30 minutes"),
+        extractId, DemoLogic)
+      src.addBatch(("b", ts("2024-01-01 00:30:00"), 5L, 3.0),
+        ("zz", ts("2024-01-02 00:00:00"), 99L, 0.0))
+      val got = StreamingOps.runToMemory(out, "winlogic_sliding_stream")
+        .as[(String, Long, Long, String)].collect().toSet
+        .filter(_._1 != "zz")
+      val batch = WindowLogicOps.windowLogicBatch[Long, String, Vector[Long]](
+        fixture.filter($"key" === "b"), "key", clock,
+        SlidingWindower("1 hour", "30 minutes"), Seq($"event_id"),
+        extractId, DemoLogic).collect().toSet
+      assert(got === batch)
+    }
+  }
+
   test("streaming window logic buffer survives stop/restart (checkpoint recovery)") {
     withRocksDb {
       import java.nio.file.Files
