@@ -194,6 +194,23 @@ object Connectors {
       .select(col("value")).as(Encoders.LONG)
       .flatMap(tick => fetch(tick))(implicitly[Encoder[T]])
 
+  // ---- bucketed tables (co-located joins) ---------------------------
+
+  /** Write a table bucketed (and sorted) by the join key. Two tables
+    * bucketed the same way join WITHOUT a shuffle — the exchange that
+    * dominates large fact-fact joins at 100 TB disappears from the plan
+    * (PlanSpec asserts this). Spark bucketing requires the catalog
+    * (`saveAsTable`); `path` keeps the data external to the warehouse.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
   // ---- dynamic (per-worker stateless) sources -----------------------
 
   /** DynamicSource / StatelessSourcePartition (inputs.py:199-282): every

@@ -88,6 +88,37 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one shuffle:\n$p")
   }
 
+  test("same-bucketed tables join without a shuffle") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bucket").toFile.getPath
+    val orders = Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_totalprice")
+    val items = Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
+    graft.connectors.Connectors.writeBucketed(orders, "b_orders", s"$base/o", "o_orderkey", 4)
+    graft.connectors.Connectors.writeBucketed(items, "b_lineitem", s"$base/l", "l_orderkey", 4)
+    // disable broadcast so the planner takes the bucketed SMJ path (at
+    // real fact-fact scale neither side broadcasts; sf0.001 dims do)
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldBc = spark.conf.getOption(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() === items.count())
+    } finally {
+      oldBc match {
+        case Some(v) => spark.conf.set(bcKey, v)
+        case None    => spark.conf.unset(bcKey)
+      }
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("TtlCache expires entries and isolates operator instances") {
     val a = TtlCache.instance[String, Int]("op-a", ttlMillis = 50)
     val b = TtlCache.instance[String, Int]("op-b", ttlMillis = 50)
