@@ -195,6 +195,19 @@ object WindowQueries {
         .select($"key", $"event_id")
     },
 
+    // generic WindowLogic over SLIDING windows (1h length, 30m offset —
+    // each event digested in 2 overlapping windows)
+    "q_window_logic_sliding" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id".cast("string").as("key"), $"ts", $"event_id", $"value")
+      WindowLogicOps.windowLogicBatch[(Long, Double), (String, Long, Long), (Vector[Long], Double, Boolean, Long, Long)](
+          ev, "key", clock, SlidingWindower("1 hour", "30 minutes"), Seq($"event_id"),
+          r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")), FirstKDigestLogic)
+        .select($"_1".as("key"), $"_2".as("win_start"),
+          $"_4._1".as("first3"), $"_4._2".as("n_asc"), $"_4._3".as("n"))
+    },
+
     // generic WindowLogic over SESSION windows: same ordered digest per
     // 2h-gap session — exercises the inline sessionization path of the
     // batch engine (split strictly past gap; touch extends)
@@ -301,6 +314,22 @@ object WindowQueries {
         |    time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS w,
         |    CAST(ts AS TIMESTAMP) AS tsu, event_id, value
         |  FROM events),
+        |o2 AS (
+        |  SELECT key, w, tsu, event_id, value,
+        |    LAG(value) OVER (PARTITION BY key, w ORDER BY tsu, event_id) AS pv,
+        |    ROW_NUMBER() OVER (PARTITION BY key, w ORDER BY tsu, event_id) AS rn
+        |  FROM o)
+        |SELECT key, epoch_ms(w) AS win_start,
+        |  string_agg(CASE WHEN rn <= 3 THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY tsu, event_id) AS first3,
+        |  COUNT(*) FILTER (WHERE value > pv) AS n_asc,
+        |  COUNT(*) AS n
+        |FROM o2 GROUP BY key, w""".stripMargin,
+    "q_window_logic_sliding" ->
+      """WITH o AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - k * INTERVAL '30 minutes' AS w,
+        |    CAST(ts AS TIMESTAMP) AS tsu, event_id, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) t(k)),
         |o2 AS (
         |  SELECT key, w, tsu, event_id, value,
         |    LAG(value) OVER (PARTITION BY key, w ORDER BY tsu, event_id) AS pv,
