@@ -14,6 +14,11 @@ run / fork := true
 // Pass the forked process's stdout through verbatim (no "[info] " sbt
 // decoration) so Bench's one-line JSON is machine-parseable from stdout.
 run / outputStrategy := Some(StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" line so Bench's
+// compact JSON summary is the true last line of stdout (the driver
+// tail-captures a bounded buffer and parses the end).
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

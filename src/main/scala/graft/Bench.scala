@@ -43,5 +43,11 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
+    // Compact summary as the FINAL stdout line (<120 bytes): the full
+    // line above is ~3.6 KB and a bounded tail-capture can start
+    // mid-line; this one always survives whole. build.sbt sets
+    // showSuccess/showTiming := false so sbt appends nothing after it.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}"""
+    println(compact)
   }
 }
