@@ -9,10 +9,11 @@ import graft.functions.{Dedup, Multimodal, Similarity, Text}
   * text analysis, dedup (exact / n-gram Jaccard / MinHash-LSH /
   * SimHash), embedding similarity search, multimodal plumbing.
   *
-  * q_dedup_simhash and q_embed_lsh intentionally have no SQL oracle
-  * (their hash math isn't expressible in DuckDB SQL); the driver
-  * records a rows-only check for them. Their correctness is covered by
-  * ScalaTest specs instead.
+  * Every query is DuckDB-oracled, including the wrapping-arithmetic
+  * hash families: FNV-1a/splitmix64 are rendered in UBIGINT (xor,
+  * shift) with 128-bit HUGEINT multiplies mod 2^64, and order-sensitive
+  * double folds (simhash votes, LSH dot products) use ordered
+  * list_reduce so float addition order matches the Scala loops.
   */
 object LlmQueries {
 
@@ -80,11 +81,14 @@ object LlmQueries {
         numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 1000)
     },
 
-    // SimHash near-dup pairs (custom codegen expression; rows-only check)
+    // SimHash near-dup pairs (custom codegen expression). Oracled via
+    // DuckDB UBIGINT/HUGEINT: FNV-1a's wrapping multiply is rendered as
+    // a 128-bit multiply mod 2^64 inside an ordered list_reduce fold.
     "q_dedup_simhash" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
       Dedup.simhashPairs(docs, $"doc_id", $"text", maxHamming = 7)
+        .select($"i", $"j", $"hamming".cast("long").as("hamming"))
     },
 
     // embedding similarity: same-bucket pairs over threshold via the
@@ -121,12 +125,15 @@ object LlmQueries {
         .select($"qid", $"rank".cast("long").as("rank"), $"nid")
     },
 
-    // LSH-bucketed ANN (rows-only check; recall covered in ScalaTest)
+    // Random-hyperplane LSH-bucketed ANN. Oracled via DuckDB
+    // UBIGINT/HUGEINT splitmix64 (split 64×64 multiply mod 2^64) and an
+    // ordered list_reduce dot-product fold that reproduces the Scala
+    // loop's double-addition order bit-for-bit.
     "q_embed_lsh" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, bits = 4)
-        .select($"qid", $"rank", $"nid")
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid")
     },
 
     // IVF with two Lloyd refinement iterations — the full coarse
@@ -170,7 +177,103 @@ object LlmQueries {
   private def hits(words: Seq[String]) =
     s"len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  /** 2^64 as a DuckDB literal (HUGEINT context). */
+  private val M64 = "18446744073709551616"
+
+  /** DuckDB rendering of a wrapping 64×64→64-bit multiply `z * c mod
+    * 2^64`. A direct HUGEINT multiply can overflow 128 bits, so split:
+    * z·c ≡ (z_lo·c + ((z_hi·c mod 2^32) << 32)) mod 2^64, every term
+    * < 2^97. `z` must be a UBIGINT-valued SQL expression, `c` an
+    * unsigned 64-bit constant.
+    */
+  private def mul64(z: String, c: BigInt): String =
+    s"CAST(((CAST($z % 4294967296 AS HUGEINT) * $c) + " +
+      s"((((CAST($z AS HUGEINT) // 4294967296) * $c) % 4294967296) * 4294967296)) " +
+      s"% $M64 AS UBIGINT)"
+
+  /** DuckDB rendering of [[graft.functions.SimHashImpl]]: FNV-1a 64 per
+    * token as an ordered `list_reduce` fold in UBIGINT (xor/shift) with
+    * the wrapping multiply in HUGEINT, then per-bit majority votes.
+    * Text is ASCII (proven by q_multimodal's byte oracle), so
+    * `unicode(t[i])` is the UTF-8 byte.
+    */
+  private val simhashPairsSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+       |  FROM documents),
+       |tk AS (SELECT doc_id, UNNEST(ts) AS t FROM tok),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(14695981039346656037::UBIGINT,
+       |        list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS UBIGINT))),
+       |      (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % $M64 AS UBIGINT)
+       |    ) AS h
+       |  FROM tk),
+       |votes AS (
+       |  SELECT doc_id, bb.b AS b,
+       |    SUM(CAST((h >> bb.b) & 1 AS BIGINT)) AS nset, COUNT(*) AS n
+       |  FROM th, (SELECT UNNEST(range(0, 64)) AS b) bb
+       |  GROUP BY doc_id, bb.b),
+       |sims0 AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN 2*nset > n THEN (1::UBIGINT << CAST(b AS INT)) ELSE 0::UBIGINT END) AS UBIGINT) AS sim
+       |  FROM votes GROUP BY doc_id),
+       |sims AS (
+       |  SELECT t.doc_id, COALESCE(s.sim, 0::UBIGINT) AS sim
+       |  FROM tok t LEFT JOIN sims0 s ON t.doc_id = s.doc_id)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 7""".stripMargin
+
+  /** DuckDB rendering of [[graft.functions.LshBucketImpl]]: splitmix64
+    * per (dim, bit) seed via [[mul64]], ±1 hyperplanes from the parity,
+    * and the per-bit dot product as an ordered `list_reduce` fold —
+    * double additions happen in exactly the Scala loop's order, so the
+    * sign (= the bucket bit) is bit-for-bit reproducible. Ranking
+    * mirrors the sign-bucket gate's rank-only oracle.
+    */
+  private val lshTopKSql = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16) // splitmix64 golden-gamma add
+    val c2 = BigInt("bf58476d1ce4e5b9", 16) // mix multiplier 1
+    val c3 = BigInt("94d049bb133111eb", 16) // mix multiplier 2
+    s"""WITH dims AS (SELECT MAX(len(embedding)) AS nd FROM embeddings),
+       |seeds AS (
+       |  SELECT bb.b AS b, ii.i AS i,
+       |    CAST((CAST(ii.i*31 + bb.b AS HUGEINT) + $c1) % $M64 AS UBIGINT) AS z
+       |  FROM (SELECT UNNEST(range(0, 4)) AS b) bb,
+       |       (SELECT UNNEST(range(0, (SELECT nd FROM dims))) AS i) ii),
+       |p1 AS (SELECT b, i, ${mul64("xor(z, z >> 30)", c2)} AS z FROM seeds),
+       |p2 AS (SELECT b, i, ${mul64("xor(z, z >> 27)", c3)} AS z FROM p1),
+       |pf AS (SELECT b, i, xor(z, z >> 31) AS z FROM p2),
+       |planes AS (
+       |  SELECT b, list(CASE WHEN z % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS sgn
+       |  FROM pf GROUP BY b),
+       |dots AS (
+       |  SELECT e.vec_id, p.b,
+       |    list_reduce(
+       |      list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * p.sgn[i])),
+       |      (a, x) -> a + x) AS dot
+       |  FROM embeddings e, planes p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS bkt
+       |  FROM dots GROUP BY vec_id)
+       |SELECT a.vec_id AS qid,
+       |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank,
+       |  b.vec_id AS nid
+       |FROM (SELECT e.vec_id, e.embedding, k.bkt FROM embeddings e JOIN buckets k USING (vec_id)) a
+       |JOIN (SELECT e.vec_id, e.embedding, k.bkt FROM embeddings e JOIN buckets k USING (vec_id)) b
+       |  ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+       |QUALIFY rank <= 3""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_simhash" -> simhashPairsSql,
+    "q_embed_lsh" -> lshTopKSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $ntok AS n_tokens, $nalpha AS n_alpha,
          |  CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> length(t))) AS BIGINT) AS checksum
