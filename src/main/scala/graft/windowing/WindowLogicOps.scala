@@ -255,9 +255,44 @@ object WindowLogicOps {
     }
   }
 
+  /** Counts elements sorted by [[SessionLogicProcessor]] arrival passes.
+    * local-mode executors share the JVM, so specs can assert the
+    * perf shape: each element is sorted exactly once (on arrival, batch-
+    * local) — never re-sorted with the whole buffer on later batches.
+    */
+  private[graft] object SessionSortStats {
+    val sortedElements = new java.util.concurrent.atomic.AtomicLong(0)
+    def reset(): Unit = sortedElements.set(0)
+  }
+
+  /** Linear stable merge of two ts-sorted runs; existing elements win
+    * ties (they were appended first — identical emit order to a stable
+    * sort of existing ++ fresh).
+    */
+  private[windowing] def mergeSorted[V](a: IndexedSeq[(Long, V)],
+      b: IndexedSeq[(Long, V)]): Vector[(Long, V)] = {
+    if (a.isEmpty) return b.toVector
+    if (b.isEmpty) return a.toVector
+    val out = Vector.newBuilder[(Long, V)]
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i)._1 <= b(j)._1) { out += a(i); i += 1 }
+      else { out += b(j); j += 1 }
+    }
+    while (i < a.length) { out += a(i); i += 1 }
+    while (j < b.length) { out += b(j); j += 1 }
+    out.result()
+  }
+
   /** Streaming session processor: per key, ALL in-horizon values buffer
-    * in one ListState; every batch (and close timer) re-sessionizes the
-    * sorted buffer, emits sessions that the watermark has sealed
+    * in one ListState kept in timestamp order — arrivals are sorted
+    * batch-locally (m log m) and linearly merged into the sorted buffer
+    * (O(n + m)), never re-sorting the whole buffer (a hot key with a
+    * long horizon would otherwise pay O(n log n) every micro-batch).
+    * The order invariant holds across passes because open sessions are
+    * written back in the order they were formed. Every batch (and close
+    * timer) re-sessionizes, emits sessions that the watermark has sealed
     * (last_ts + gap < watermark — a row at exactly last_ts + gap still
     * touches, so sealed means strictly past), and keeps the open tail.
     * This is merge-on-arrival: an out-of-order row that lands between
@@ -276,11 +311,13 @@ object WindowLogicOps {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       buf = getHandle.getListState[(Long, V)]("graft_sessbuf", bufEnc, TTLConfig.NONE)
 
-    /** Sessionize the buffer; emit sealed sessions, retain open ones,
-      * arm a timer at the earliest open seal bound.
+    /** Merge fresh (sorted) arrivals into the sorted buffer, sessionize;
+      * emit sealed sessions, retain open ones, arm a timer at the
+      * earliest open seal bound.
       */
-    private def closePass(key: String, watermarkMs: Long): Iterator[(String, Long, Long, W)] = {
-      val values = buf.get().toVector.sortBy(_._1)
+    private def closePass(key: String, watermarkMs: Long,
+        fresh: Vector[(Long, V)]): Iterator[(String, Long, Long, W)] = {
+      val values = mergeSorted(buf.get().toVector, fresh)
       if (values.isEmpty) return Iterator.empty
       val gapUs = gapMs * 1000
       val sessions = values.tail.foldLeft(Vector(Vector(values.head))) { (acc, v) =>
@@ -314,13 +351,14 @@ object WindowLogicOps {
 
     override def handleInputRows(key: String, rows: Iterator[(String, (Long, V))],
         tv: TimerValues): Iterator[(String, Long, Long, W)] = {
-      rows.foreach { case (_, tsv) => buf.appendValue(tsv) }
-      closePass(key, tv.getCurrentWatermarkInMs())
+      val fresh = rows.map(_._2).toVector.sortBy(_._1)
+      SessionSortStats.sortedElements.addAndGet(fresh.length)
+      closePass(key, tv.getCurrentWatermarkInMs(), fresh)
     }
 
     override def handleExpiredTimer(key: String, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[(String, Long, Long, W)] =
-      closePass(key, tv.getCurrentWatermarkInMs())
+      closePass(key, tv.getCurrentWatermarkInMs(), Vector.empty)
   }
 
   /** Unbounded-data generic window op. Tumbling/sliding close on an

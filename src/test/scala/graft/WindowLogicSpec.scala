@@ -135,6 +135,37 @@ class WindowLogicSpec extends SparkSpec {
     }
   }
 
+  test("session buffer sorts each arrival once, never the whole buffer (perf shape)") {
+    withRocksDb {
+      WindowLogicOps.SessionSortStats.reset()
+      val src = Testing.testingSource[(String, Timestamp, Long, Double)](spark)
+      val streamDf = src.toDS().toDF("key", "ts", "event_id", "value")
+      val out = WindowLogicOps.windowLogicStream[Long, String, Vector[Long]](
+        streamDf, "key", EventClock("ts", "30 minutes"), SessionWindower("10 minutes"),
+        extractId, DemoLogic)
+      // one hot key, arrivals out of order within and across batches —
+      // the buffer grows every batch but must never be re-sorted whole
+      src.addBatch(("k", ts("2024-01-01 00:04:00"), 4L, 0.0),
+        ("k", ts("2024-01-01 00:00:00"), 1L, 0.0))
+      src.addBatch(("k", ts("2024-01-01 00:02:00"), 2L, 0.0),
+        ("k", ts("2024-01-01 00:06:00"), 5L, 0.0))
+      src.addBatch(("k", ts("2024-01-01 00:03:00"), 3L, 0.0))
+      src.addBatch(("zz", ts("2024-01-01 02:00:00"), 99L, 0.0))
+      val got = StreamingOps.runToMemory(out, "winlogic_session_sortonce")
+        .as[(String, Long, Long, String)].collect().toSet
+        .filter(_._1 != "zz")
+      val s0 = ts("2024-01-01 00:00:00").getTime
+      val sEnd = ts("2024-01-01 00:16:00").getTime // last ts 00:06 + 10m gap
+      // ordered replay across all three batches: ids 1,2 are first two
+      assert(got === Set(
+        ("k", s0, sEnd, "v1"), ("k", s0, sEnd, "v2"), ("k", s0, sEnd, "sum:15")))
+      // perf shape: 6 input rows (incl. sentinel) → exactly 6 elements
+      // sorted, i.e. each arrival batch sorted once. The old whole-buffer
+      // re-sort would have touched 2+4+5(+1) = 12 elements.
+      assert(WindowLogicOps.SessionSortStats.sortedElements.get() === 6L)
+    }
+  }
+
   test("streaming sliding windows match the batch engine (each value in 2 windows)") {
     withRocksDb {
       val src = Testing.testingSource[(String, Timestamp, Long, Double)](spark)
