@@ -71,6 +71,21 @@ object LlmQueries {
         maxDocFreq = 1000)
     },
 
+    // Skew stress: every doc gets a shared boilerplate tail, so the
+    // boilerplate shingles' document frequency equals the corpus size —
+    // far over the df cap, which genuinely BINDS here (unlike
+    // q_dedup_ngram where it is provably a no-op). The oracle applies
+    // the identical cap in SQL: both engines drop the same hot shingles
+    // and undercount the same intersections, so the capped *semantics*
+    // (not just the plan shape) are hash-verified.
+    "q_dedup_ngram_skew" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", concat($"text", lit(" " + boilerplate)).as("text"))
+      Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", n = 3, threshold = 0.3,
+        maxDocFreq = 50)
+    },
+
     // MinHash+LSH candidates, exact-verified (oracle: exact pairs).
     // Runs the band-bucket-capped path (cap 1000 > corpus size, so no
     // bucket can bind — answer provably unchanged, skew guard exercised).
@@ -176,6 +191,12 @@ object LlmQueries {
   private val nalpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
   private def hits(words: Seq[String]) =
     s"len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  /** Shared tail for the skew gate: ~10 words → 8 shingles with
+    * df = corpus size, guaranteed over any reasonable cap.
+    */
+  private val boilerplate =
+    "terms of service apply to every document in this corpus"
 
   /** 2^64 as a DuckDB literal (HUGEINT context). */
   private val M64 = "18446744073709551616"
@@ -305,6 +326,7 @@ object LlmQueries {
         |  MIN(doc_id) AS keeper, COUNT(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_ngram" -> exactJaccardSql(0.5),
+    "q_dedup_ngram_skew" -> cappedJaccardSql(0.3, 50),
     "q_curate" ->
       s"""WITH q AS (SELECT doc_id, text,
          |  0.5 * (CAST(${hits(stop)} AS DOUBLE) / GREATEST(CAST($ntok AS DOUBLE), 1.0))
@@ -396,6 +418,27 @@ object LlmQueries {
     * MinHash dedup queries (MinHash params are sized so recall is 1.0
     * on this corpus; verified locally and in ScalaTest).
     */
+  /** df-capped Jaccard over the boilerplate-tailed corpus — mirrors
+    * [[graft.functions.Dedup.ngramJaccardPairs]]'s cap semantics: per-doc
+    * shingle counts stay uncapped, shingles with df > cap vanish from
+    * the inverted index only (intersections undercount; jaccard is a
+    * lower bound).
+    */
+  private def cappedJaccardSql(threshold: Double, maxDocFreq: Int): String =
+    s"""WITH docs AS (SELECT doc_id, text || ' $boilerplate' AS text FROM documents),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |kept AS (SELECT * FROM sh WHERE s IN (
+       |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $maxDocFreq)),
+       |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+       |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT i, j, CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) AS jac
+       |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= $threshold""".stripMargin
+
   private def exactJaccardSql(threshold: Double): String =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, s FROM (

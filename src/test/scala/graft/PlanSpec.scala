@@ -63,7 +63,8 @@ class PlanSpec extends SparkSpec {
     // and topK join on the sign bucket; IVF's only "cross" join is the
     // 16-row broadcast centroid assignment (BroadcastNestedLoopJoin
     // against a fixed nlist — constant work per row, scale-safe).
-    for (q <- Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
+    for (q <- Seq("q_dedup_ngram", "q_dedup_ngram_skew", "q_dedup_minhash",
+        "q_dedup_simhash",
         "q_embed_pairs", "q_embed_topk", "q_embed_lsh", "q_embed_ivf", "q_embed_ivf2")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q fell back to cross join:\n$p")
