@@ -26,16 +26,24 @@ object Bench {
       q(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
 
+    // Each query runs `reps` times and reports the median, so a one-off
+    // GC pause or compilation stall can't masquerade as a regression
+    // (single-run numbers bounced ±45% between rounds with no code
+    // change). SPARK_GRAFT_REPS=1 keeps long large-SF runs affordable.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so the JSON is the final stdout line
     // (Spark logs go to stderr, but shutdown ordering makes this robust);
     // also persist to a file in case stdout is decorated by the launcher.

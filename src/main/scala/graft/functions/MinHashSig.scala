@@ -50,6 +50,13 @@ object MinHashImpl {
   private val as: Array[Long] = Array.tabulate(maxHashes)(k => splitmix64(2L * k) | 1L)
   private val bs: Array[Long] = Array.tabulate(maxHashes)(k => splitmix64(2L * k + 1))
 
+  /** The (a_k, b_k) affine constants for hashes 0..numHashes-1 — public
+    * so the DuckDB oracle can inline the exact same permutation family
+    * as literals instead of re-deriving splitmix64 in SQL.
+    */
+  def constants(numHashes: Int): IndexedSeq[(Long, Long)] =
+    (0 until numHashes).map(k => (as(k), bs(k)))
+
   def signature(shingles: ArrayData, numHashes: Int): GenericArrayData = {
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)

@@ -96,6 +96,27 @@ object LlmQueries {
         numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 1000)
     },
 
+    // Skew stress for the band-bucket cap, symmetric with
+    // q_dedup_ngram_skew: the 60 lowest-id docs are rewritten to one
+    // identical boilerplate text, so each of their 16 band buckets holds
+    // 60 docs — over the cap of 50, which genuinely BINDS here (the cap
+    // in q_dedup_minhash is sized above the corpus and provably no-op).
+    // Every skew-group bucket is dropped, so the 60-clique's 1770 pairs
+    // must NOT appear; base-corpus pairs keep their small buckets. The
+    // oracle re-renders the full MinHash pipeline in DuckDB (FNV-1a
+    // base, the same inlined a_k·x+b_k constants, signed-min
+    // signatures) and applies the identical cap rule — buckets are
+    // grouped by the band's raw 4-value slice, which partitions exactly
+    // as the implementation's xxhash64(slice) key does.
+    "q_dedup_minhash_skew" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          when($"doc_id" < 60, lit(skewText)).otherwise($"text").as("text"))
+      Dedup.minhashLshPairs(docs, $"doc_id", $"text", n = 3,
+        numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 50)
+    },
+
     // SimHash near-dup pairs (custom codegen expression). Oracled via
     // DuckDB UBIGINT/HUGEINT: FNV-1a's wrapping multiply is rendered as
     // a 128-bit multiply mod 2^64 inside an ordered list_reduce fold.
@@ -197,6 +218,13 @@ object LlmQueries {
     */
   private val boilerplate =
     "terms of service apply to every document in this corpus"
+
+  /** Replacement text for the MinHash skew gate's degenerate group: the
+    * 60 docs carrying it are bit-identical, so they share every band
+    * bucket.
+    */
+  private val skewText =
+    "all rights reserved unauthorized reproduction of this archive is strictly prohibited"
 
   /** 2^64 as a DuckDB literal (HUGEINT context). */
   private val M64 = "18446744073709551616"
@@ -347,6 +375,7 @@ object LlmQueries {
          |SELECT doc_id AS id, quality FROM kept
          |WHERE doc_id NOT IN (SELECT j FROM dup)""".stripMargin,
     "q_dedup_minhash" -> exactJaccardSql(0.5),
+    "q_dedup_minhash_skew" -> cappedMinhashSql(0.5, 50),
     "q_embed_pairs" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j
          |FROM (SELECT vec_id, embedding, $signBucketSql AS bkt FROM embeddings) a
@@ -438,6 +467,67 @@ object LlmQueries {
        |SELECT i, j, CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) AS jac
        |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
        |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= $threshold""".stripMargin
+
+  /** Full DuckDB rendering of [[graft.functions.Dedup.minhashLshPairs]]
+    * with a binding band-bucket cap, over the skew corpus (docs 0..59
+    * rewritten to [[skewText]]). Per distinct (doc, shingle): FNV-1a 64
+    * base hash (ordered byte fold, as in [[simhashPairsSql]]); per hash
+    * k: h_k = a_k·base + b_k mod 2^64 with the implementation's exact
+    * constants inlined as UBIGINT literals ([[graft.functions.MinHashImpl.constants]])
+    * and the wrapping multiply split HUGEINT-safe; the signature is the
+    * per-k MIN under SIGNED 64-bit order (Java `<`), rendered by
+    * recentering UBIGINT into HUGEINT two's-complement range. Band
+    * buckets group by the raw 4-value signature slice — the same
+    * partition the implementation's xxhash64(slice) key induces — and
+    * buckets over the cap are dropped before the candidate self-join;
+    * survivors are exact-Jaccard-verified as usual.
+    */
+  private def cappedMinhashSql(threshold: Double, cap: Int): String = {
+    val ks = graft.functions.MinHashImpl.constants(64).zipWithIndex.map {
+      case ((a, b), k) =>
+        s"($k, ${java.lang.Long.toUnsignedString(a)}::UBIGINT, " +
+          s"${java.lang.Long.toUnsignedString(b)}::UBIGINT)"
+    }.mkString(", ")
+    // a_k·base mod 2^64 with base, a both column-valued (cf. mul64,
+    // whose multiplier is a compile-time constant).
+    val me = "CAST(((CAST(bh % 4294967296 AS HUGEINT) * CAST(ks.a AS HUGEINT)) + " +
+      "((((CAST(bh AS HUGEINT) // 4294967296) * CAST(ks.a AS HUGEINT)) % 4294967296) * 4294967296)) " +
+      s"% $M64 AS UBIGINT)"
+    val h = s"CAST((CAST($me AS HUGEINT) + CAST(ks.b AS HUGEINT)) % $M64 AS UBIGINT)"
+    s"""WITH docs AS (SELECT doc_id,
+       |  CASE WHEN doc_id < 60 THEN '$skewText' ELSE text END AS text FROM documents),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |base AS (SELECT doc_id, s,
+       |  list_reduce(
+       |    list_prepend(14695981039346656037::UBIGINT,
+       |      list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS UBIGINT))),
+       |    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % $M64 AS UBIGINT)) AS bh
+       |  FROM sh),
+       |hk AS (SELECT doc_id, ks.k AS k,
+       |  CASE WHEN $h >= 9223372036854775808::UBIGINT
+       |       THEN CAST($h AS HUGEINT) - $M64 ELSE CAST($h AS HUGEINT) END AS hv
+       |  FROM base, (VALUES $ks) ks(k, a, b)),
+       |mins AS (SELECT doc_id, k, MIN(hv) AS m FROM hk GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, CAST(k // 4 AS INT) AS band,
+       |        list(m ORDER BY k) AS bsig FROM mins GROUP BY 1, 2),
+       |bsz AS (SELECT band, bsig, COUNT(*) AS c FROM sig GROUP BY 1, 2),
+       |kept AS (SELECT s.doc_id, s.band, s.bsig FROM sig s
+       |         JOIN bsz z ON s.band = z.band AND s.bsig = z.bsig WHERE z.c <= $cap),
+       |cands AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |          FROM kept a JOIN kept b
+       |          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT c.i, c.j, COUNT(*) AS inter
+       |          FROM cands c JOIN sh a ON a.doc_id = c.i
+       |          JOIN sh b ON b.doc_id = c.j AND b.s = a.s
+       |          GROUP BY 1, 2)
+       |SELECT i, j, CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) AS jac
+       |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= $threshold""".stripMargin
+  }
 
   private def exactJaccardSql(threshold: Double): String =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
