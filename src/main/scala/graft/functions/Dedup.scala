@@ -176,27 +176,63 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen'd
-    * expression), pairs within `maxHamming` bits. Pair search is blocked
-    * on `maxHamming + 1` bit-chunks of the sketch: by pigeonhole, any
-    * pair within `maxHamming` bits agrees exactly on at least one chunk,
-    * so candidates come from chunk-equality joins — no full cross join.
+    * expression), pairs within `maxHamming` bits. Pair search uses
+    * generalized pigeonhole blocking (Manku et al., WWW'07): the sketch
+    * splits into `m` blocks; a pair within `maxHamming` bits agrees
+    * exactly on at least `r = m - maxHamming` blocks, so candidates are
+    * pairs matching on all blocks of some r-subset — one equality join
+    * on a hashed (combo, block-values) key per C(m, r) combination, no
+    * cross join, exact Hamming verify after.
+    *
+    * Block-count trade-off, with measurements at a 50k-doc corpus of
+    * ~8 true pairs/doc: expected random-collision candidates scale as
+    * C(m,r)·N²/2^(r·64/m) — each extra block widens the effective key
+    * (dividing random candidates by ~2^(64/m)) but multiplies key rows
+    * per doc by C(m,r) AND multiplies every *true* pair's pre-distinct
+    * join rows by its agreeing-combo count (up to C(m,r) for identical
+    * docs). On a dup-dense corpus the second term wins: m=8/r=1 ran
+    * 4.8 s, m=9/r=2 5.4 s, m=10/r=3 ~3× worse. The default therefore
+    * stays at the minimal m = maxHamming+1, which measured sub-linear
+    * (3.8× wall at a 10× corpus step). The knob matters when buckets
+    * saturate — N approaching k·2^(64/m) random docs per key — i.e.
+    * corpora past ~10⁶ docs per partition-disjoint dedup domain: there,
+    * raise `blocks` (m=9 → ~14-bit keys, m=10 → ~19-bit) and run exact
+    * dedup first so identical docs collapse before pairing (a 64-bit
+    * sketch caps blocking selectivity at 2^(r·64/m) regardless).
+    *
+    * Key hashing: the join key is xxhash64(combo, v_1..v_r); a hash
+    * collision only admits an extra candidate, which the exact Hamming
+    * filter then rejects — correctness is collision-proof, and the
+    * result is identical for every valid `blocks` (pigeonhole keeps
+    * candidate recall at 1.0; the Hamming filter fixes precision).
     */
-  def simhashPairs(df: DataFrame, idCol: Column, text: Column, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, "need at least 2-bit chunks")
-    val chunks = maxHamming + 1
-    val width = 64 / chunks
+  def simhashPairs(df: DataFrame, idCol: Column, text: Column, maxHamming: Int): DataFrame =
+    simhashPairs(df, idCol, text, maxHamming, blocks = 0)
+
+  /** Variant with explicit block count `blocks` (> maxHamming; <= 0
+    * selects the default m = maxHamming+1).
+    */
+  def simhashPairs(df: DataFrame, idCol: Column, text: Column, maxHamming: Int,
+      blocks: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63, "maxHamming must be in [0, 62]")
+    val m = if (blocks > 0) blocks else maxHamming + 1
+    require(m > maxHamming && m <= 64, s"blocks must be in (maxHamming, 64], got $m")
+    val r = m - maxHamming
+    // Distribute 64 bits over m blocks as evenly as possible.
+    val widths = Array.tabulate(m)(c => 64 / m + (if (c < 64 % m) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val withSim = df.select(idCol.as("id"), SimHash.simhash64(Text.tokens(text)).as("sim"))
-    val chunkCols = (0 until chunks).map { c =>
-      val w = if (c == chunks - 1) 64 - c * width else width
-      val mask = if (w >= 64) -1L else (1L << w) - 1
-      struct(lit(c).as("c"),
-        shiftrightunsigned(col("sim"), c * width).bitwiseAND(lit(mask)).as("chunk"))
+    val blockCols = (0 until m).map { c =>
+      val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
+      shiftrightunsigned(col("sim"), offsets(c)).bitwiseAND(lit(mask))
     }
-    val chunked = withSim.select(col("id"), col("sim"),
-      explode(array(chunkCols: _*)).as("cc"))
-      .select(col("id"), col("sim"), col("cc.c").as("c"), col("cc.chunk").as("chunk"))
-    chunked.as("a").join(chunked.as("b"),
-        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+    val keyCols = (0 until m).combinations(r).zipWithIndex.map { case (sel, ci) =>
+      xxhash64((lit(ci) +: sel.map(blockCols)): _*)
+    }.toSeq
+    val keyed = withSim.select(col("id"), col("sim"),
+      explode(array(keyCols: _*)).as("k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         SimHash.hamming(col("a.sim"), col("b.sim")).as("hamming"))
       .distinct()

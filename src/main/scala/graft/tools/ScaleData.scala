@@ -80,11 +80,20 @@ object ScaleData {
 
     val docs = replicate(read("documents"))
       .withColumn("doc_id", col("doc_id") + col("rep") * Offset)
+      // Suffix every token with 4 hex chars of md5(word, replica): the
+      // suffix varies per WORD, not just per replica, so cross-replica
+      // token hashes fully decorrelate (a constant per-replica suffix
+      // like "~r3" leaves FNV-1a values differing by small multiples of
+      // the prime — measured: it manufactured 1.3M cross-replica
+      // simhash pairs at 10× that the real corpus doesn't have). Within
+      // a replica the mapping is deterministic per word, so shingle/
+      // near-dup structure is preserved exactly.
       .withColumn("text",
         when(col("rep") === 0, col("text")).otherwise(
           array_join(
             transform(split(col("text"), " "),
-              w => concat(w, lit("~r"), col("rep").cast("string"))),
+              w => concat(w, lit("~"),
+                substring(md5(concat(w, lit("#"), col("rep").cast("string"))), 1, 4))),
             " ")))
       .withColumn("n_chars", length(col("text")))
       .drop("rep")

@@ -63,6 +63,17 @@ class FunctionsSpec extends SparkSpec {
     assert(high.subsetOf(sim))
   }
 
+  test("simhash pairs are invariant across block counts (pigeonhole recall)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    def pairs(blocks: Int) =
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), 7, blocks)
+        .select("i", "j", "hamming").as[(Long, Long, Int)].collect().toSet
+    val base = pairs(8)
+    assert(base.nonEmpty)
+    assert(pairs(9) === base)
+    assert(pairs(10) === base)
+  }
+
   test("simhash of identical token arrays is identical; distinct texts differ") {
     val df = Seq("a b c a b", "a b c a b", "x y z w q").toDF("text")
       .select(graft.functions.SimHash.simhash64(Text.tokens(col("text"))).as("h"))
