@@ -27,10 +27,11 @@ import org.apache.spark.sql.streaming._
   *    event-time timer at window end replays them in timestamp order
   *    through the logic when the watermark passes — the Spark-native
   *    rendering of the reference's `notify_at`/`on_notify` close path.
-  *    Emission-time divergence (documented): the reference emits
-  *    `on_value` output incrementally as the watermark passes each item;
-  *    here all output of a window surfaces at window close. The emitted
-  *    rows are identical.
+  *    By default all output of a window surfaces at window close;
+  *    `eager = true` restores the reference's emission timing
+  *    (windowing.py:1116-1151) for tumbling/sliding windows via
+  *    [[EagerWindowLogicProcessor]] — `on_value` rows surface as the
+  *    watermark passes each item. Emitted rows are identical either way.
   *
   * `on_merge` has no surface here: in both engines values reach the
   * logic in timestamp order per window, so session merges (which the
@@ -255,6 +256,84 @@ object WindowLogicOps {
     }
   }
 
+  /** Eager (update-style) variant of [[WindowLogicProcessor]]: emits a
+    * window's `onValue` output incrementally as the watermark passes
+    * each buffered item — the reference's in-window emission timing
+    * (windowing.py:1116-1151) — instead of holding everything to the
+    * close timer. Emitted rows are identical to the deferred processor's;
+    * only latency differs.
+    *
+    * Mechanics: rows buffer as usual; each trigger with arrivals replays
+    * the full buffer in timestamp order from `logic.init` (deterministic,
+    * so no `Encoder[S]` is demanded of user state) and emits only the
+    * outputs of the newly *sealed* prefix — items strictly below the
+    * current watermark, which Spark guarantees no later arrival can
+    * precede (late rows below the watermark are dropped upstream). A
+    * `ValueState[Long]` high-water count marks what was already emitted.
+    * The close timer emits the unemitted remainder plus `onClose`.
+    * Replay is O(buffer) per trigger with arrivals for that window —
+    * the price of eagerness; the deferred processor replays once.
+    *
+    * Two sealed-prefix caveats mirror the reference's own semantics:
+    * emission advances only on triggers that deliver rows for the
+    * window (or at close — a quiet window's pending output waits for
+    * its timer), and ties at the watermark stay unsealed until close
+    * (strict `<`, so an arrival tying a sealed timestamp — which Spark
+    * admits — cannot reorder an already-emitted prefix).
+    */
+  private class EagerWindowLogicProcessor[V, W, S](
+      logic: WindowLogic[V, W, S], bufEnc: Encoder[(Long, V)])
+    extends StatefulProcessor[(String, Long, Long), ((String, Long, Long), (Long, V)), (String, Long, Long, W)] {
+
+    @transient private var buf: ListState[(Long, V)] = _
+    @transient private var emitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, V)]("graft_winbuf", bufEnc, TTLConfig.NONE)
+      emitted = getHandle.getValueState[Long]("graft_winemit",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def replay(key: (String, Long, Long), sealBelowUs: Long,
+        close: Boolean): Iterator[(String, Long, Long, W)] = {
+      val values = buf.get().toVector.sortBy(_._1)
+      val already = if (emitted.exists()) emitted.get() else 0L
+      val sealedCount =
+        if (close) values.length.toLong else values.count(_._1 < sealBelowUs).toLong
+      if (sealedCount <= already && !close) return Iterator.empty
+      var s = logic.init
+      val out = Vector.newBuilder[W]
+      var i = 0L
+      values.foreach { case (_, v) =>
+        val (s2, ws) = logic.onValue(s, v)
+        s = s2
+        if (i >= already && i < sealedCount) out ++= ws
+        i += 1
+      }
+      if (close) {
+        out ++= logic.onClose(s)
+        buf.clear()
+        emitted.clear()
+      } else emitted.update(sealedCount)
+      out.result().iterator.map(w => (key._1, key._2, key._3, w))
+    }
+
+    override def handleInputRows(
+        key: (String, Long, Long),
+        rows: Iterator[((String, Long, Long), (Long, V))],
+        tv: TimerValues): Iterator[(String, Long, Long, W)] = {
+      rows.foreach { case (_, tsv) => buf.appendValue(tsv) }
+      if (!getHandle.listTimers().contains(key._3))
+        getHandle.registerTimer(key._3)
+      replay(key, tv.getCurrentWatermarkInMs() * 1000, close = false)
+    }
+
+    override def handleExpiredTimer(
+        key: (String, Long, Long), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(String, Long, Long, W)] =
+      replay(key, 0L, close = true)
+  }
+
   /** Counts elements sorted by [[SessionLogicProcessor]] arrival passes.
     * local-mode executors share the JVM, so specs can assert the
     * perf shape: each element is sorted exactly once (on arrival, batch-
@@ -370,13 +449,17 @@ object WindowLogicOps {
     */
   def windowLogicStream[V, W, S](
       df: DataFrame, keyCol: String, clock: EventClock, windower: Windower,
-      extract: Row => V, logic: WindowLogic[V, W, S])(
+      extract: Row => V, logic: WindowLogic[V, W, S], eager: Boolean = false)(
       implicit bufEnc: Encoder[(Long, V)],
       keyEnc: Encoder[(String, Long, Long)],
       rowEnc: Encoder[((String, Long, Long), (Long, V))],
       outEnc: Encoder[(String, Long, Long, W)]): Dataset[(String, Long, Long, W)] = {
     windower match {
       case SessionWindower(gap) =>
+        require(!eager,
+          "eager emission is unavailable for session windows: a session's " +
+            "final bounds (attached to every output row) are unknown until " +
+            "the watermark seals it")
         return sessionLogicStream(df, keyCol, clock, intervalMillis(gap), extract, logic)
       case _ => ()
     }
@@ -392,9 +475,11 @@ object WindowLogicOps {
       ((r.getString(keyIdx), win.getTimestamp(0).getTime, win.getTimestamp(1).getTime),
         (ts.getTime * 1000 + ts.getNanos / 1000 % 1000, extract(r)))
     }
+    val processor =
+      if (eager) new EagerWindowLogicProcessor[V, W, S](logic, bufEnc)
+      else new WindowLogicProcessor[V, W, S](logic, bufEnc)
     keyed.groupByKey(_._1)
-      .transformWithState(new WindowLogicProcessor[V, W, S](logic, bufEnc),
-        TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Session window streaming path behind [[windowLogicStream]]. */
