@@ -175,4 +175,45 @@ object Examples {
       .groupBy("pair").count()
     (itemCounts, pairCounts)
   }
+
+  // ------------------------------------------------------------------
+  // join (reference examples/join.py): three sources keyed on user_id
+  // fan out to four value streams (name, email, color, sound) joined
+  // with the defaults insert_mode="last", emit_mode="complete"
+  // (operators/__init__.py:2327-2330) — one row per key the moment
+  // every side has a value. `arrival` stands in for stream arrival
+  // order (the example's sources emit one item each, in program order).
+  // ------------------------------------------------------------------
+
+  def joinCascade(spark: SparkSession, users: DataFrame, emails: DataFrame,
+      attrs: DataFrame): DataFrame = {
+    import graft.operators.JoinOps
+    def side(df: DataFrame, valueCol: String, ord: Int) = JoinOps.Side(
+      df.select(col("user_id"), lit(ord).as("arrival"), col(valueCol)), valueCol)
+    JoinOps.joinComplete(spark, "user_id", "arrival", JoinOps.InsertLast,
+        side(users, "name", 0), side(emails, "email", 1),
+        side(attrs, "color", 2), side(attrs, "sound", 3))
+      .select(col("key").as("user_id"), col("side0").as("name"),
+        col("side1").as("email"), col("side2").as("color"), col("side3").as("sound"))
+  }
+
+  // ------------------------------------------------------------------
+  // basic (reference examples/basic.py): the branch/route/merge shape —
+  // split evens/odds, halve the evens, double the odds, merge, subtract
+  // one, wrap in a string. Written on the graft.api.ops facade so the
+  // step-id'd program reads like the reference flow.
+  // ------------------------------------------------------------------
+
+  def basicRouter(nums: DataFrame): DataFrame = {
+    import graft.api.{ops, Flow, Stream}
+    val flow = Flow("basic")
+    val inp = Stream[Row](nums, flow, "inp")
+    val branch = ops.branch("e_o", inp, col("x") % 2 === 0)
+    val evens = ops.map("halve", branch.trues, (col("x") / 2).cast("int").as("x"))
+    val odds = ops.map("double", branch.falses, (col("x") * 2).as("x"))
+    val combo = ops.merge("merge", evens, odds)
+    val minusOne = ops.map("minus_one", combo, (col("x") - 1).as("x"))
+    ops.map("stringy", minusOne,
+      concat(lit("<dance>"), col("x"), lit("</dance>")).as("out")).ds.toDF()
+  }
 }

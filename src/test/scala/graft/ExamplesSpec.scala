@@ -125,4 +125,30 @@ class ExamplesSpec extends SparkSpec {
     // ("milk","bread") and ("bread","milk") normalize to the same pair
     assert(pairMap === Map("bread,milk" -> 2L, "bread,eggs" -> 1L, "eggs,milk" -> 1L))
   }
+
+  test("join cascade gathers four sides per key (reference examples/join.py)") {
+    // the example's three TestingSources, one item each
+    val users = Seq((123L, "Bumble")).toDF("user_id", "name")
+    val emails = Seq((123L, "bee@bytewax.com")).toDF("user_id", "email")
+    val attrs = Seq((123L, "yellow", "buzz")).toDF("user_id", "color", "sound")
+    val got = Examples.joinCascade(spark, users, emails, attrs)
+      .as[(String, String, String, String, String)].collect().toSet
+    // documented output: ('123', ('Bumble', 'bee@bytewax.com', 'yellow', 'buzz'))
+    assert(got === Set(("123", "Bumble", "bee@bytewax.com", "yellow", "buzz")))
+    // a key missing one side never completes
+    val partial = Examples.joinCascade(spark,
+      users.union(Seq((456L, "Stinger")).toDF("user_id", "name")), emails, attrs)
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(partial === Set(("123", "Bumble", "bee@bytewax.com", "yellow", "buzz")))
+  }
+
+  test("basic branch router halves evens, doubles odds (reference examples/basic.py)") {
+    val got = Examples.basicRouter((0 until 10).toDF("x"))
+      .as[String].collect().toSet
+    // evens 0,2,4,6,8 → halve → −1 → {-1,0,1,2,3}
+    // odds 1,3,5,7,9 → double → −1 → {1,5,9,13,17}
+    val want = (Seq(-1, 0, 1, 2, 3) ++ Seq(1, 5, 9, 13, 17))
+      .map(x => s"<dance>$x</dance>").toSet
+    assert(got === want)
+  }
 }
