@@ -116,6 +116,7 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int, nprobe: Int, iterations: Int = 2): DataFrame = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    require(nlist > 0, "nlist must be positive (use ivfTopKAuto to derive it)")
 
     // deterministic seeds: the nlist lowest-id vectors
     var centroids = data.orderBy(col("id")).limit(nlist)
@@ -172,4 +173,35 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int): DataFrame =
     bucketTopK(df, idCol, vecCol, k, lshBucket(col(vecCol), bits))
+
+  /** Candidate work for every bucketed/cell-based ANN here is
+    * ~N·(N/cells)·probes cosines — LINEAR only while `cells` grows with
+    * the corpus. Fixed small parameters (fine at gate scale, pinned
+    * there so the DuckDB oracle stays tractable) degrade quadratically:
+    * at a 10× corpus step the nlist=16 IVF gate measured ~15× wall.
+    * These variants derive the partition count from the corpus the
+    * standard way — one cheap count() against cost quadratic in its
+    * absence:
+    *   - IVF: nlist ≈ √N (the classic IVF sizing rule — balances
+    *     N·nlist assignment cosines against N·(N/nlist)·nprobe
+    *     candidate cosines, both √N·N at the optimum), nlist ≥ 16.
+    *   - LSH: bits ≈ log2(N / targetBucket) so expected bucket
+    *     occupancy stays ≈ targetBucket regardless of N, bits in
+    *     [4, 24] (a 64-entry bucket keeps the in-bucket exact rank
+    *     cheap while bounding recall loss for near neighbors).
+    */
+  def ivfTopKAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 2, iterations: Int = 2): DataFrame = {
+    val nlist = math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+    ivfTopK(df, idCol, vecCol, k, nlist, nprobe, iterations)
+  }
+
+  /** See [[ivfTopKAuto]]. */
+  def lshTopKAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      targetBucket: Int = 64): DataFrame = {
+    val n = df.count().toDouble
+    val bits = math.min(24, math.max(4,
+      math.ceil(math.log(n / targetBucket) / math.log(2)).toInt))
+    lshTopK(df, idCol, vecCol, k, bits)
+  }
 }

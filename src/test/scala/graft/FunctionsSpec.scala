@@ -63,6 +63,24 @@ class FunctionsSpec extends SparkSpec {
     assert(high.subsetOf(sim))
   }
 
+  test("ANN auto params derive cells from corpus size; ranks stay well-formed") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val n = emb.count()
+    // nlist = max(16, ceil(sqrt(N))) and bits = clamp(log2(N/64), 4, 24):
+    // both paths must return a dense 1..k rank per query
+    for (df <- Seq(
+        graft.functions.Similarity.ivfTopKAuto(emb, "vec_id", "embedding", 3),
+        graft.functions.Similarity.lshTopKAuto(emb, "vec_id", "embedding", 3))) {
+      val ranks = df.groupBy(col("qid"))
+        .agg(collect_list(col("rank")).as("rs"))
+        .select(col("rs")).as[Seq[Int]].collect()
+      assert(ranks.nonEmpty)
+      assert(ranks.forall(rs => rs.sorted == (1 to rs.length)))
+      assert(ranks.forall(_.length <= 3))
+    }
+    assert(n > 0)
+  }
+
   test("simhash pairs are invariant across block counts (pigeonhole recall)") {
     val docs = Tables.load(spark, sf0001, "documents")
     def pairs(blocks: Int) =
