@@ -204,6 +204,86 @@ object Examples {
   // step-id'd program reads like the reference flow.
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // poll_and_split (reference examples/poll_and_split.py): poll an
+  // external max-item-id counter, stateful_map the id range since the
+  // last poll (first poll backfills the latest 10), flat_map the range
+  // open, redistribute so per-id fetches parallelize across workers,
+  // filter_map the metadata fetch (None ⇔ failed download, skipped),
+  // branch stories from comments. `polls` stands for the reference's
+  // HNSource SimplePollingSource ticks (arrival-ordered by poll_seq);
+  // `fetch` is the external API call — injected so specs mock it, the
+  // same boundary the reference's `download_metadata` sits on.
+  // ------------------------------------------------------------------
+
+  final case class HnItem(id: Long, kind: String, by: String)
+
+  def hnScraper(polls: DataFrame, fetch: Long => Option[HnItem]):
+      (Dataset[HnItem], Dataset[HnItem]) = {
+    val spark = polls.sparkSession
+    import spark.implicits._
+    // stateful_map "range": previous max → ids since (reference mapper;
+    // the first poll's old_max backfills new_max - 10)
+    val ranges = StatefulOps.statefulMap[Long, Seq[Long]](
+      polls.select(lit("GLOBAL_ID").as("k"), col("poll_seq"), col("max_id")),
+      "k", Seq(col("poll_seq")), init = _ => -1L) { (oldMax, row) =>
+      val newMax = row.getLong(row.fieldIndex("max_id"))
+      val start = if (oldMax < 0) newMax - 10 else oldMax
+      (newMax, Vector.range(start, newMax))
+    }
+    val ids = Ops.flatten(ranges.toDF("ids"), "ids", "id")
+    // redistribute: downstream fetch parallelism no longer bound to the
+    // single-key stateful partition (the reference's stated reason)
+    val redist = Ops.redistribute(ids, 0)
+    val items = Ops.filterMapTyped(redist.as[Long])(fetch)
+    val (stories, comments) = Ops.branch(items.toDF(), col("kind") === "story")
+    (stories.as[HnItem], comments.as[HnItem])
+  }
+
+  // ------------------------------------------------------------------
+  // batch_operator (reference examples/batch_operator.py): collect into
+  // size-limited batches, average each batch, then re-batch the
+  // averages and format. Streaming keeps the reference's size+timeout
+  // semantics (StreamingOps.collectStream); bounded input has no
+  // timeouts, so the batch rendering chunks each key's arrival-ordered
+  // stream at the size limit — relational throughout (row_number →
+  // chunk id → ordered collect), no lambdas.
+  // ------------------------------------------------------------------
+
+  /** `collect(max_size)` on bounded input: each key's values in
+    * `orderBy` order, chunked into arrays of ≤ `maxSize`.
+    * Output: key, chunk (0-based), values.
+    */
+  def collectChunks(df: DataFrame, keyCol: String, orderBy: Column,
+      valueExpr: Column, maxSize: Int): DataFrame = {
+    require(maxSize > 0, "maxSize must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderBy)
+    df.select(col(keyCol).as("key"), valueExpr.as("v"),
+        (row_number().over(w) - 1).as("rn"))
+      .withColumn("chunk", (col("rn") / maxSize).cast("long"))
+      .groupBy(col("key"), col("chunk"))
+      .agg(transform(array_sort(collect_list(struct(col("rn"), col("v")))),
+        s => s.getField("v")).as("values"))
+  }
+
+  /** The example's full flow: numbers arrive in `seq` order under one
+    * key; batch by `batchSize`, average each batch, batch the averages
+    * by `avgBatchSize`, render the reference's output string.
+    */
+  def batchAvgs(nums: DataFrame, seqCol: String, valueCol: String,
+      batchSize: Int = 3, avgBatchSize: Int = 10): DataFrame = {
+    val keyed = nums.select(lit("ALL").as("k"),
+      col(seqCol).as("seq"), col(valueCol).cast("double").as("x"))
+    val avgs = collectChunks(keyed, "k", col("seq"), col("x"), batchSize)
+      .select(col("key"), col("chunk"),
+        (aggregate(col("values"), lit(0.0), (a, x) => a + x) / size(col("values"))).as("avg"))
+    collectChunks(avgs.select(col("key"), col("chunk"), col("avg")),
+        "key", col("chunk"), col("avg"), avgBatchSize)
+      .select(col("chunk"), concat(lit("Avg batch:\t"),
+        col("values").cast("string")).as("out"))
+  }
+
   def basicRouter(nums: DataFrame): DataFrame = {
     import graft.api.{ops, Flow, Stream}
     val flow = Flow("basic")

@@ -98,6 +98,19 @@ object StatefulQueries {
         .select($"key", concat_ws(",", $"values").as("types"))
     },
 
+    // collect with the reference's max_size limit, batch rendering
+    // (reference operators/__init__.py:1106-1218 `collect(max_size=…)`,
+    // exercised by examples/batch_operator.py): each key's event types
+    // in event_id arrival order, chunked into arrays of ≤5. Streaming
+    // carries the size+timeout semantics (StreamingOps.collectStream);
+    // this gate oracles the bounded chunking.
+    "q_collect_chunks" -> { (s, dir) =>
+      import s.implicits._
+      val ev = keyedEvents(s, dir)
+      graft.examples.Examples.collectChunks(ev, Ops.KEY, $"event_id", $"event_type", 5)
+        .select($"key", $"chunk", concat_ws(",", $"values").as("types"))
+    },
+
     // fold_final: custom Aggregator (builder/folder/merger)
     "q_fold_final" -> { (s, dir) =>
       import s.implicits._
@@ -216,6 +229,14 @@ object StatefulQueries {
       """SELECT CAST(user_id AS VARCHAR) AS key,
         |  string_agg(event_type, ',' ORDER BY event_type) AS types
         |FROM events GROUP BY 1""".stripMargin,
+    "q_collect_chunks" ->
+      """SELECT key, chunk,
+        |  string_agg(event_type, ',' ORDER BY event_id) AS types
+        |FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_id, event_type,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 5 AS chunk
+        |  FROM events)
+        |GROUP BY key, chunk""".stripMargin,
     "q_fold_final" ->
       """SELECT event_type AS key, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,

@@ -151,4 +151,43 @@ class ExamplesSpec extends SparkSpec {
       .map(x => s"<dance>$x</dance>").toSet
     assert(got === want)
   }
+
+  test("hn scraper backfills, ranges polls, splits stories (reference examples/poll_and_split.py)") {
+    import Examples.HnItem
+    // fetch mock at the reference's download_metadata boundary:
+    // ids divisible by 7 fail to download; even ids are stories
+    def fetch(id: Long): Option[HnItem] =
+      if (id % 7 == 0) None
+      else Some(HnItem(id, if (id % 2 == 0) "story" else "comment", s"u$id"))
+    // polls: first sees max 100 (backfill 90..99), then 103 (100..102),
+    // then no progress (nothing), then 105 (103..104)
+    val polls = Seq((0L, 100L), (1L, 103L), (2L, 103L), (3L, 105L))
+      .toDF("poll_seq", "max_id")
+    val (stories, comments) = Examples.hnScraper(polls, fetch)
+    val wantIds = ((90L until 100L) ++ (100L until 103L) ++ (103L until 105L))
+      .filter(_ % 7 != 0)
+    assert(stories.collect().map(_.id).toSet === wantIds.filter(_ % 2 == 0).toSet)
+    assert(comments.collect().map(_.id).toSet === wantIds.filter(_ % 2 != 0).toSet)
+    assert(stories.collect().forall(_.kind == "story"))
+  }
+
+  test("batch operator chunks at size limit and re-batches averages (reference examples/batch_operator.py)") {
+    // the example's CounterSource: 0..19 in arrival order, batch size 3
+    val nums = (0 until 20).map(i => (i.toLong, i)).toDF("seq", "x")
+    val avgs = Examples.collectChunks(
+        nums.selectExpr("'ALL' as k", "seq", "cast(x as double) as x"),
+        "k", $"seq", $"x", 3)
+      .orderBy("chunk")
+      .collect().map(r => r.getSeq[Double](r.fieldIndex("values")))
+    // 20 items → 6 full batches of 3 + trailing 2
+    assert(avgs.map(_.size).toSeq === Seq(3, 3, 3, 3, 3, 3, 2))
+    assert(avgs.head === Seq(0.0, 1.0, 2.0))
+    val out = Examples.batchAvgs(nums, "seq", "x", batchSize = 3, avgBatchSize = 10)
+      .orderBy("chunk").as[(Long, String)].collect()
+    // 7 batch averages → one re-batch of ≤10, reference string format
+    assert(out.length === 1)
+    assert(out.head._2.startsWith("Avg batch:\t"))
+    assert(out.head._2.contains("1.0")) // avg of (0,1,2)
+    assert(out.head._2.contains("18.5")) // avg of trailing (18,19)
+  }
 }
