@@ -131,6 +131,59 @@ object StreamingOps {
     * Spark's true watermark lives in StreamingQueryProgress; this
     * per-microbatch approximation marks rows the windowed agg will drop.
     */
+  /** EventClock idle watermark advance (reference windowing.py:263-298,
+    * `wait_for_system_duration`): the reference's clock keeps advancing
+    * the watermark on SYSTEM time while the source is idle, so open
+    * windows close without further data. Spark's watermark is
+    * data-driven — an idle stream never closes its windows (the one
+    * EventClock divergence OPERATORS.md carried since round 1).
+    *
+    * Rendering: union a rate-source heartbeat whose event time IS
+    * processing time, watermarked with the same `delay`, marked with a
+    * sentinel column and filtered back out immediately after the union.
+    * Heartbeat rows never reach downstream state, but their scan-level
+    * watermark does: under `spark.sql.streaming.multipleWatermarkPolicy
+    * = max` the query's global watermark follows max(data, wall-clock)
+    * — so idle periods advance it at wall speed, exactly the
+    * reference's semantics, including the consequence that events
+    * arriving after an idle advance are late/dropped just as they would
+    * be under the reference's system-advanced watermark.
+    *
+    * Use INSTEAD of `withWatermark` (both branches are watermarked
+    * here). The policy is session-wide and defaults to `min` (which
+    * would pin the watermark to the stalled data stream and make the
+    * heartbeat a no-op), so this fails fast if it isn't set.
+    */
+  def withIdleWatermark(df: DataFrame, tsCol: String, delay: String,
+      heartbeatsPerSecond: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    require(spark.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
+        .contains("max"),
+      "idle watermark advance needs spark.sql.streaming.multipleWatermarkPolicy=max " +
+        "(default 'min' pins the global watermark to the idle data stream)")
+    val tsType = df.schema(tsCol).dataType
+    val hb = spark.readStream.format("rate")
+      .option("rowsPerSecond", heartbeatsPerSecond.toLong).load()
+      .select(df.schema.fields.map { f =>
+        if (f.name == tsCol) col("timestamp").cast(tsType).as(tsCol)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq :+ lit(true).as("__hb"): _*)
+      .withWatermark(tsCol, delay)
+    // The always-false nondeterministic disjunct stops Catalyst pushing
+    // the predicate through the union: pushed, it constant-folds to
+    // `filter(false)` below the heartbeat branch's EventTimeWatermark
+    // node, so heartbeat rows are dropped before the watermark collector
+    // ever sees them (observed: watermark pinned at data-max − delay,
+    // windows never closing). A nondeterministic predicate cannot be
+    // pushed through a Union or below a watermark node.
+    val never = udf(() => false).asNondeterministic()
+    df.withColumn("__hb", lit(false))
+      .withWatermark(tsCol, delay)
+      .unionByName(hb)
+      .filter(!col("__hb") || never())
+      .drop("__hb")
+  }
+
   def lateTee(df: DataFrame, tsCol: String, delay: String, keyCols: Column*): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
     df.withColumn("__max_ts", max(col(tsCol)).over(w))

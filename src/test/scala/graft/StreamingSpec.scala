@@ -132,4 +132,37 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Int)].collect().toSet
     assert(got === Set(("a", 3), ("b", 7)))
   }
+
+  test("withIdleWatermark closes windows on wall clock with no further data (EventClock idle advance)") {
+    // Data-driven watermark alone would stall at 10:00:05 and the
+    // [10:00:00,10:00:10) window would NEVER emit in append mode; the
+    // wall-clock heartbeat (event time = now ≫ 2024) must close it.
+    val src = Testing.testingSource[(String, java.sql.Timestamp)](spark)
+    def at(sec: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + sec * 1000L)
+    src.addBatch(("k", at(0)), ("k", at(3)), ("k", at(5)))
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    try {
+      val ticked = StreamingOps.withIdleWatermark(
+        src.toDS().toDF("k", "ts"), "ts", "1 second")
+      val agged = ticked
+        .groupBy(window(col("ts"), "10 seconds"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("k"), col("n"))
+      val got = StreamingOps.runToMemoryUntil(agged, "idle_wm",
+        expectedRows = 1, timeoutMs = 60000)
+        .as[(String, Long)].collect().toSet
+      assert(got === Set(("k", 3L)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+    }
+  }
+
+  test("withIdleWatermark refuses to run under the default min watermark policy") {
+    val src = Testing.testingSource[(String, java.sql.Timestamp)](spark)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.withIdleWatermark(src.toDS().toDF("k", "ts"), "ts", "1 second")
+    }
+    assert(e.getMessage.contains("multipleWatermarkPolicy"))
+  }
 }

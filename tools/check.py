@@ -9,7 +9,23 @@ out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # driver testdata is one file per table; Spark-written data (e.g.
+    # the sf1 scale-up) is a directory of part files
+    src = f'{sf}/{t}.parquet'
+    if os.path.isdir(src):
+        src = f'{src}/*.parquet'
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    # Driver testdata stores events.ts as TIMESTAMP(NANOS); Spark-written
+    # scale-ups (data/sf1) store it as BIGINT nanos because Spark reads
+    # nanos as long and cannot write the nanos logical type back.
+    # Normalize to the same microsecond-truncated TIMESTAMP DuckDB gets
+    # from the nanos type, so the oracle SQL works against both.
+    if t == 'events':
+        cols = con.sql('DESCRIBE events').df()
+        tstype = cols.loc[cols['column_name'] == 'ts', 'column_type']
+        if len(tstype) and str(tstype.iloc[0]) == 'BIGINT':
+            con.sql("CREATE OR REPLACE VIEW events AS "
+                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{src}'")
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 ok, bad = [], []
