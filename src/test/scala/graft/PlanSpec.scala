@@ -89,6 +89,15 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one shuffle:\n$p")
   }
 
+  test("size-limited collect chunks in one exchange (agg reuses the window's partitioning)") {
+    // groupBy(key, chunk) must NOT re-shuffle: HashPartitioning(key)
+    // from the row_number window satisfies clustering on (key, chunk)
+    val p = plan("q_collect_chunks")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") === 1,
+      s"expected exactly one shuffle:\n$p")
+  }
+
   test("same-bucketed tables join without a shuffle") {
     val base = java.nio.file.Files.createTempDirectory("graft-bucket").toFile.getPath
     val orders = Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_totalprice")
