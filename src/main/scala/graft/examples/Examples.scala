@@ -284,6 +284,123 @@ object Examples {
         col("values").cast("string")).as("out"))
   }
 
+  // ------------------------------------------------------------------
+  // split_demo (reference examples/split_demo.py): one polled source of
+  // Msg(key, val, headers, num) fanned into three keyed value streams,
+  // re-joined under the defaults (insert last, emit complete) — one row
+  // per message the moment all three projections arrived. The polling
+  // tick order is `arrival`; each projection gets a distinct sub-order
+  // (3·arrival + side) because the three sides of one message reach the
+  // join as three separate items, in program order, like the
+  // reference's three `op.map` streams.
+  // ------------------------------------------------------------------
+
+  def splitDemo(msgs: DataFrame): DataFrame = {
+    import graft.operators.JoinOps
+    val spark = msgs.sparkSession
+    def side(i: Int, valueExpr: Column, as: String) = JoinOps.Side(
+      msgs.select(col("key"), (col("arrival") * 3 + i).as("arrival"),
+        valueExpr.as(as)), as)
+    JoinOps.joinComplete(spark, "key", "arrival", JoinOps.InsertLast,
+        side(0, col("value"), "value"),
+        side(1, to_json(col("headers")), "headers"),
+        side(2, col("num"), "num"))
+      .select(col("key"), col("side0").as("value"),
+        col("side1").as("headers"), col("side2").as("num"))
+  }
+
+  // ------------------------------------------------------------------
+  // wikistream (reference examples/wikistream.py): SSE recent-changes
+  // feed → 2s tumbling count per server_name → running max-per-window
+  // per server (stateful_map keep_max) → "server, max" lines. The
+  // aiohttp SSE generator is the external boundary: `changes` carries
+  // the already-arrived event JSON with its arrival timestamp
+  // (batch_async's 0.25s/1000-item batching ⇔ micro-batch framing; the
+  // reference's SystemClock ⇔ the arrival ts column).
+  // ------------------------------------------------------------------
+
+  def wikistream(changes: DataFrame, tsCol: String, jsonCol: String): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val parsed = changes.select(col(tsCol).as("ts"),
+      get_json_object(col(jsonCol), "$.server_name").as("server_name"))
+    val counts = Windowing.countWindow(parsed, EventClock("ts"),
+      TumblingWindower("2 seconds"), Seq(col("server_name")))
+    val maxed = StatefulOps.statefulMap[Long, (String, Long)](
+      counts.select(col("server_name"), col("window.start").as("ws"), col("n")),
+      "server_name", Seq(col("ws")), init = _ => Long.MinValue) { (mx, row) =>
+      val n = row.getLong(row.fieldIndex("n"))
+      val newMax = math.max(mx, n)
+      (newMax, (row.getString(row.fieldIndex("server_name")), newMax))
+    }
+    maxed.toDF("server_name", "max_per_window")
+      .select(concat_ws(", ", col("server_name"), col("max_per_window")).as("out"))
+  }
+
+  // ------------------------------------------------------------------
+  // event_time_processing (reference examples/event_time_processing.py):
+  // kafka sensor JSON → key on reading type → EventClock(10s wait)
+  // 5s tumbling collect_window → per-window average + span, formatted.
+  // The broker is the external boundary (`raw` carries the value
+  // strings); the collect-then-fold becomes one relational aggregate —
+  // same output rows, no per-window list materialization.
+  // ------------------------------------------------------------------
+
+  def sensorWindowAvg(raw: DataFrame, valueCol: String): DataFrame = {
+    val parsed = raw
+      .select(from_json(col(valueCol),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "type STRING, value DOUBLE, time STRING")).as("e"))
+      .select(col("e.type").as("k"), col("e.value").as("v"),
+        to_timestamp(col("e.time")).as("ts"))
+    Windowing.aggWindow(parsed, EventClock("ts", waitFor = "10 seconds"),
+        TumblingWindower("5 seconds"), Seq(col("k")),
+        Seq(avg(col("v")).as("avg_v"), count(lit(1)).as("n"),
+          min(col("ts")).as("from_ts"), max(col("ts")).as("to_ts")))
+      .select(format_string("Average %s: %.2f\tNum events: %d\tFrom %s\tto %s",
+        col("k"), col("avg_v"), col("n"),
+        col("from_ts").cast("string"), col("to_ts").cast("string")).as("out"))
+  }
+
+  // ------------------------------------------------------------------
+  // periodic_input + custom_metrics (reference examples/): a periodic
+  // partition awoken every `frequency`, emitting its call counter and
+  // the scheduled-vs-actual delay, stopping after `n` emissions. The
+  // PeriodicPartition's (_counter, _next_awake) instance fields become
+  // flatMapGroupsWithState state on the singleton partition (surviving
+  // micro-batches + restarts); the prometheus Gauge becomes an observed
+  // metric on the stream (read per-batch from StreamingQueryProgress,
+  // like the reference scrapes the gauge).
+  // ------------------------------------------------------------------
+
+  def periodicCounter(spark: SparkSession, frequencyTicks: Long, n: Long,
+      rowsPerSecond: Int = 50): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    require(frequencyTicks > 0 && n > 0)
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong).load()
+      .select(col("value")).as[Long]
+    ticks.groupByKey(_ => "singleton")
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Long], state: GroupState[(Long, Long)]) =>
+          val out = Vector.newBuilder[(Long, Long)]
+          var (counter, nextAwake) = state.getOption.getOrElse((0L, -1L))
+          rows.toVector.sorted.foreach { tick =>
+            if (nextAwake < 0) nextAwake = tick
+            if (tick >= nextAwake && counter < n) {
+              counter += 1
+              out += ((counter, tick - nextAwake)) // the reference's delay gauge
+              nextAwake += frequencyTicks
+            }
+          }
+          state.update((counter, nextAwake))
+          out.result().iterator
+      }.toDF("counter", "delay_ticks")
+      .observe("periodic", avg(col("delay_ticks")).as("next_batch_delay"))
+  }
+
   def basicRouter(nums: DataFrame): DataFrame = {
     import graft.api.{ops, Flow, Stream}
     val flow = Flow("basic")

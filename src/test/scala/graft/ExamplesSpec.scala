@@ -190,4 +190,85 @@ class ExamplesSpec extends SparkSpec {
     assert(out.head._2.contains("1.0")) // avg of (0,1,2)
     assert(out.head._2.contains("18.5")) // avg of trailing (18,19)
   }
+
+  test("split demo re-joins the three projections of each message (reference examples/split_demo.py)") {
+    val msgs = Seq(
+      ("a", "a_value", Map("key" -> 1), 2, 0L),
+      ("b", "b_value", Map("key" -> 1), 3, 1L),
+      ("a", "a_value", Map("key" -> 1), 1, 2L)) // key a polled again
+      .toDF("key", "value", "headers", "num", "arrival")
+    val got = Examples.splitDemo(msgs)
+      .as[(String, String, String, String)].collect().toSeq
+    // emit complete: one row per message, the moment its third side lands
+    assert(got.count(_._1 == "a") === 2)
+    assert(got.count(_._1 == "b") === 1)
+    assert(got.contains(("b", "b_value", """{"key":1}""", "3")))
+    assert(got.map(_._4).toSet === Set("1", "2", "3"))
+  }
+
+  test("wikistream counts per server per 2s window, keeps running max (reference examples/wikistream.py)") {
+    def at(ms: Long) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 10:00:00").getTime + ms)
+    // window 1: en×3, de×1; window 2: en×1, de×2
+    val changes = (Seq.fill(3)(0L) ++ Seq(500L)).map(m => (at(m), "en.wikipedia.org")) ++
+      Seq((at(100L), "de.wikipedia.org")) ++
+      Seq((at(2500L), "en.wikipedia.org"), (at(2600L), "de.wikipedia.org"), (at(2700L), "de.wikipedia.org"))
+    val df = changes.map { case (t, srv) => (t, s"""{"server_name":"$srv"}""") }
+      .toDF("ts", "json")
+    val got = Examples.wikistream(df, "ts", "json").as[String].collect().toSet
+    // one update per (server, window), like the reference's prints:
+    // en: 4 then 1 → max stays 4 (emitted twice, same string);
+    // de: 1 then 2 → max rises
+    assert(got === Set("en.wikipedia.org, 4",
+      "de.wikipedia.org, 1", "de.wikipedia.org, 2"))
+  }
+
+  test("sensor event-time windows average per type (reference examples/event_time_processing.py)") {
+    def iso(s: Int) = f"2023-01-01T00:00:$s%02d+00:00"
+    val raw = Seq(
+      s"""{"type":"temp","value":10.0,"time":"${iso(1)}"}""",
+      s"""{"type":"temp","value":20.0,"time":"${iso(3)}"}""",
+      s"""{"type":"temp","value":30.0,"time":"${iso(7)}"}""",
+      s"""{"type":"hum","value":50.0,"time":"${iso(2)}"}""").toDF("value")
+    val got = Examples.sensorWindowAvg(raw, "value").as[String].collect().toSet
+    assert(got.exists(s => s.startsWith("Average temp: 15.00\tNum events: 2")))
+    assert(got.exists(s => s.startsWith("Average temp: 30.00\tNum events: 1")))
+    assert(got.exists(s => s.startsWith("Average hum: 50.00\tNum events: 1")))
+    assert(got.forall(s => s.contains("From 2023-01-01") && s.contains("to 2023-01-01")))
+  }
+
+  test("periodic source emits counters on the frequency grid and stops at n (reference examples/periodic_input.py + custom_metrics.py)") {
+    val out = Examples.periodicCounter(spark, frequencyTicks = 2, n = 9)
+    val got = graft.streaming.StreamingOps
+      .runToMemoryUntil(out, "periodic", expectedRows = 9, timeoutMs = 30000)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // exactly n emissions even though the rate source keeps ticking
+    assert(got.map(_._1).toSeq === (1L to 9L))
+    assert(got.forall(_._2 >= 0L)) // the delay gauge is well-defined
+  }
+
+  test("partials: every way to attach a map step yields the same stream (reference examples/partials.py)") {
+    import graft.api.{ops, Flow, Stream}
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.functions.col
+    val flow = Flow("basic")
+    val inp = Stream[Row]((0 until 10).toDF("x"), flow, "inp")
+    val addOne = col("x") + 1
+    // v0: the facade op; v1: a reusable step function; v2: thenDo with a
+    // lambda; v3: thenDo with partial application
+    val v0 = ops.map("v0", inp, addOne.as("x"))
+    val step = (id: String, up: Stream[Row]) => ops.map(id, up, addOne.as("x"))
+    val v1 = step("v1", inp)
+    val v2 = inp.thenDo("v2", (d: org.apache.spark.sql.Dataset[Row]) =>
+      d.select(addOne.as("x")))
+    def mapWith(c: org.apache.spark.sql.Column)(id: String, up: Stream[Row]) =
+      ops.map(id, up, c.as("x"))
+    val v3 = mapWith(addOne)("v3", inp)
+    val want = (1 to 10).toSet
+    for (v <- Seq(v0, v1, v2, v3))
+      assert(v.ds.toDF().as[Int].collect().toSet === want)
+    // the input handle was constructed directly (no op), so only the
+    // four map steps land in the registry
+    assert(flow.stepIds.toSet === Set("v0", "v1", "v2", "v3"))
+  }
 }

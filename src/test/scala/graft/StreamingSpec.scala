@@ -158,6 +158,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("tracing captures micro-batch spans with observed step metrics (setup_tracing analogue)") {
+    import graft.streaming.Tracing
+    val collector = new Tracing.Collector
+    val guard = Tracing.setup(spark)(collector.export)
+    try {
+      val src = Testing.testingSource[(String, Long)](spark)
+      src.addBatch(("a", 1L), ("b", 2L))
+      src.addBatch(("a", 3L))
+      val observed = src.toDS().toDF("k", "v")
+        .observe("step_in", count(lit(1)).as("rows"))
+      StreamingOps.runToMemory(observed, "traced_q")
+      val spans = collector.spans
+      val micro = spans.filter(s => s.kind == "microbatch" && s.flow == "traced_q")
+      assert(micro.nonEmpty, s"no microbatch spans in: $spans")
+      assert(micro.map(_.inputRows).sum === 3)
+      val withMetrics = micro.filter(_.observed.contains("step_in"))
+      assert(withMetrics.nonEmpty, "observed step metric never surfaced in a span")
+      // per-batch observed counts sum to the 3 input rows however the
+      // source frames the batches
+      val counted = withMetrics.flatMap(_.observed.get("step_in"))
+        .flatMap("""\d+""".r.findFirstIn).map(_.toLong).sum
+      assert(counted === 3L, s"observed counts: $withMetrics")
+      assert(spans.exists(_.kind == "query-start"))
+    } finally guard.close()
+    // after close() the listener is detached: new queries produce no spans
+    val before = collector.spans.count(_.kind == "microbatch")
+    val src2 = Testing.testingSource[Int](spark)
+    src2.addBatch(1, 2, 3)
+    StreamingOps.runToMemory(src2.toDS().toDF("v"), "untraced_q")
+    assert(collector.spans.count(_.kind == "microbatch") === before)
+  }
+
   test("withIdleWatermark refuses to run under the default min watermark policy") {
     val src = Testing.testingSource[(String, java.sql.Timestamp)](spark)
     val e = intercept[IllegalArgumentException] {
