@@ -28,7 +28,7 @@ object AnalyticQueries {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy($"l_orderkey", $"o_orderdate")
-        .agg(sum(d12($"l_extendedprice") * d6(lit(1) - $"l_discount")).cast("double").as("revenue"))
+        .agg(CoreQueries.decDouble(sum(d12($"l_extendedprice") * d6(lit(1) - $"l_discount"))).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey".asc)
         .limit(10)
         .select($"l_orderkey",
@@ -46,7 +46,7 @@ object AnalyticQueries {
         .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy($"n_name")
-        .agg(sum(d12($"l_extendedprice") * d6(lit(1) - $"l_discount")).cast("double").as("revenue"))
+        .agg(CoreQueries.decDouble(sum(d12($"l_extendedprice") * d6(lit(1) - $"l_discount"))).as("revenue"))
     },
 
     // composite pipeline: branch + window + join in one flow — orders
@@ -67,7 +67,7 @@ object AnalyticQueries {
   val oracle: Map[String, String] = Map(
     "q3_topn" ->
       """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(6,2))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(6,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -79,7 +79,7 @@ object AnalyticQueries {
         |LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(6,2))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(6,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey

@@ -20,6 +20,17 @@ object CoreQueries {
   private def d12(c: Column) = c.cast("decimal(12,2)")
   private def d6(c: Column) = c.cast("decimal(6,2)")
 
+  /** Decimal → double via a string round-trip, which is correctly
+    * rounded on both engines. The direct cast is NOT once the decimal's
+    * unscaled value exceeds 2^53: both engines fast-path it as
+    * `(double) unscaled / 10^scale` — two roundings — and their
+    * intermediate paths differ, so a scale-6 money sum above ~9e9
+    * (hit at the 10× scale-up) can disagree in the last ulp. String
+    * parsing is a single correctly-rounded conversion everywhere.
+    * Oracle-side mirror: `CAST(CAST(x AS VARCHAR) AS DOUBLE)`.
+    */
+  private[queries] def decDouble(c: Column) = c.cast("string").cast("double")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // flagship: TPC-H Q1-style pricing summary — input + filter + agg
     "q1_agg" -> { (s, dir) =>
@@ -28,12 +39,12 @@ object CoreQueries {
       Ops.filter(li, $"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(d12($"l_quantity")).cast("double").as("sum_qty"),
-          sum(d12($"l_extendedprice")).cast("double").as("sum_base_price"),
-          sum(d12($"l_extendedprice") * d6(lit(1) - $"l_discount")).cast("double").as("sum_disc_price"),
-          sum(d12($"l_extendedprice") * d6(lit(1) - $"l_discount") * d6(lit(1) + $"l_tax")).cast("double").as("sum_charge"),
-          (sum(d12($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
-          (sum(d12($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+          decDouble(sum(d12($"l_quantity"))).as("sum_qty"),
+          decDouble(sum(d12($"l_extendedprice"))).as("sum_base_price"),
+          decDouble(sum(d12($"l_extendedprice") * d6(lit(1) - $"l_discount"))).as("sum_disc_price"),
+          decDouble(sum(d12($"l_extendedprice") * d6(lit(1) - $"l_discount") * d6(lit(1) + $"l_tax"))).as("sum_charge"),
+          (decDouble(sum(d12($"l_quantity"))) / count(lit(1))).as("avg_qty"),
+          (decDouble(sum(d12($"l_extendedprice"))) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
     },
 
@@ -228,12 +239,12 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(6,2))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(6,2)) * CAST(1+l_tax AS DECIMAL(6,2))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(6,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(6,2)) * CAST(1+l_tax AS DECIMAL(6,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_price,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2""".stripMargin,
     "q_input" ->
