@@ -175,6 +175,120 @@ object Dedup {
       .select(col("id"), col("quality"))
   }
 
+  /** Connected components over a near-dup pair list — the clustering
+    * stage a dedup pipeline needs after pair generation: pairs →
+    * duplicate clusters → one canonical keeper per cluster. Pair-local
+    * keeper rules ("drop the larger id of every pair") are not
+    * transitively closed — in a chain a~b~c they can drop b yet keep c
+    * whose only kept near-dup was b — so cluster-then-keep-min is the
+    * principled rule at corpus scale.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each
+    * round is two edge-local DataFrame transforms plus a per-node min
+    * aggregation — no driver-side graph state, every step a hash
+    * shuffle on node id — and the edge set provably converges to
+    * per-component stars centered on the component minimum in
+    * O(log² n) rounds (2-3 rounds on the clique-like graphs dedup
+    * produces). Compare GraphX's Pregel connectedComponents: that is
+    * plain min-label propagation, O(diameter) rounds — this converges
+    * exponentially faster on long chains and needs no RDD conversion.
+    *
+    * Per round the plan is `localCheckpoint`ed: it truncates lineage
+    * (iterated self-joins otherwise nest the logical plan
+    * exponentially) and materializes the edge set for the convergence
+    * check. On a real cluster prefer `spark.sparkContext
+    * .setCheckpointDir` + `checkpoint()` for fault tolerance; local
+    * checkpoint blocks die with an executor.
+    *
+    * @param pairs DataFrame whose first two columns are the pair
+    *              endpoints (any orderable type; self-pairs ignored)
+    * @return (id, rep): every node appearing in a pair, mapped to the
+    *         minimum id of its connected component
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val Array(ci, cj) = pairs.columns.take(2)
+    // canonical undirected form: (u = max, v = min), self-loops dropped
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    // large-star: every node u attaches its strictly-larger neighbors
+    // to m(u) = min(neighborhood(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    // small-star: every node u attaches itself and its smaller
+    // neighbors to the minimum of those neighbors
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      e.join(m, "u")
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+    }
+
+    // convergence signature: (edge count, order-insensitive hash sum).
+    // A signature tie between two *different* consecutive edge sets
+    // needs a 64-bit hash-sum collision (P ≈ 2⁻⁶⁴ per round) — and the
+    // alternating algorithm never revisits a state, so a stable
+    // signature means a stable set.
+    def sig(e: DataFrame): (Long, BigDecimal) = {
+      // decimal sum: Long would overflow (ANSI) once edge counts × 2⁶³
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    var cur = canon(pairs.select(col(ci).as("u"), col(cj).as("v"))).localCheckpoint(true)
+    var curSig = sig(cur)
+    var converged = curSig._1 == 0L
+    var round = 0
+    while (!converged && round < maxIter) {
+      val next = canon(smallStar(canon(largeStar(cur)))).localCheckpoint(true)
+      val nextSig = sig(next)
+      converged = nextSig == curSig
+      cur = next
+      curSig = nextSig
+      round += 1
+    }
+    require(converged, s"connectedComponents: no convergence in $maxIter rounds")
+    // converged edges are stars (member, component-min); minima map to
+    // themselves
+    cur.select(col("u").as("id"), col("v").as("rep"))
+      .union(cur.select(col("v").as("id"), col("v").as("rep")))
+      .distinct()
+  }
+
+  /** [[curate]] with the transitively-closed keeper rule: near-dup
+    * pairs among quality-kept docs are clustered by
+    * [[connectedComponents]] and only each cluster's minimum id
+    * survives. Differs from [[curate]] exactly where transitivity
+    * matters: docs a < b that never pair directly but share a dup c
+    * form one cluster here (b dropped), two independent pairs there
+    * (b kept).
+    */
+  def curateClustered(df: DataFrame, idCol: Column, text: Column,
+      stopwords: Seq[String], minQuality: Double,
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 0): DataFrame = {
+    val scored = df.select(idCol.as("id"), text.as("text"),
+      Text.qualityScore(text, stopwords).as("quality"))
+    val kept = scored.filter(col("quality") >= minQuality)
+    val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands,
+      threshold, maxBucketSize)
+    val drops = connectedComponents(pairs.select(col("i"), col("j")))
+      .filter(col("id") =!= col("rep")).select(col("id").as("drop_id"))
+    kept.join(drops, kept("id") === drops("drop_id"), "left_anti")
+      .select(col("id"), col("quality"))
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen'd
     * expression), pairs within `maxHamming` bits. Pair search uses
     * generalized pigeonhole blocking (Manku et al., WWW'07): the sketch

@@ -192,6 +192,32 @@ object LlmQueries {
         maxBucketSize = 1000) // no-op cap (> corpus size), skew guard exercised
     },
 
+    // duplicate-cluster assignment: near-dup pairs → connected
+    // components (alternating large-star/small-star) → (id, rep =
+    // component min). The oracle closes the same pair set transitively
+    // with a recursive CTE — a genuinely different algorithm computing
+    // the same fixpoint, so the distributed convergence loop itself is
+    // hash-verified.
+    "q_dedup_cluster" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", n = 3,
+        threshold = 0.5, maxDocFreq = 1000)
+      Dedup.connectedComponents(pairs.select($"i", $"j"))
+    },
+
+    // curation with the transitively-closed keeper rule: quality gate →
+    // near-dup pairs → connected components → keep each cluster's min.
+    // Differs from q_curate exactly where transitivity matters (docs
+    // that only share a dup partner still collapse into one cluster).
+    "q_curate_cluster" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.curateClustered(docs, $"doc_id", $"text", stop, minQuality = 0.4,
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        maxBucketSize = 1000)
+    },
+
     // multimodal: binary payload → per-partition codec featurization
     "q_multimodal" -> { (s, dir) =>
       import s.implicits._
@@ -225,6 +251,20 @@ object LlmQueries {
     */
   private val skewText =
     "all rights reserved unauthorized reproduction of this archive is strictly prohibited"
+
+  /** Recursive-CTE transitive closure over a preceding `good(i, j)`
+    * pair CTE: `reach` enumerates every (node, reachable node), so
+    * `MIN(r) GROUP BY id` is the component representative — the oracle
+    * for [[graft.functions.Dedup.connectedComponents]], computed by a
+    * genuinely different algorithm (BFS closure vs alternating
+    * star-contraction) reaching the same fixpoint.
+    */
+  private val componentsSql =
+    """edges AS (SELECT i AS u, j AS v FROM good UNION SELECT j AS u, i AS v FROM good),
+      |reach(id, r) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT x.id, e.v FROM reach x JOIN edges e ON e.u = x.r)""".stripMargin
 
   /** 2^64 as a DuckDB literal (HUGEINT context). */
   private val M64 = "18446744073709551616"
@@ -375,6 +415,41 @@ object LlmQueries {
          |SELECT doc_id AS id, quality FROM kept
          |WHERE doc_id NOT IN (SELECT j FROM dup)""".stripMargin,
     "q_dedup_minhash" -> exactJaccardSql(0.5),
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (SELECT i, j FROM pairs
+         |         JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |         WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
+         |$componentsSql
+         |SELECT id, MIN(r) AS rep FROM reach GROUP BY id""".stripMargin,
+    "q_curate_cluster" ->
+      s"""WITH RECURSIVE q AS (SELECT doc_id, text,
+         |  0.5 * (CAST(${hits(stop)} AS DOUBLE) / GREATEST(CAST($ntok AS DOUBLE), 1.0))
+         |  + 0.3 * (CAST($nalpha AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+         |  + 0.2 * (LEAST(CAST($ntok AS DOUBLE), 100.0) / 100.0) AS quality
+         |FROM documents),
+         |kept AS (SELECT * FROM q WHERE quality >= 0.4),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (SELECT i, j FROM pairs
+         |         JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |         WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
+         |$componentsSql
+         |SELECT doc_id AS id, quality FROM kept
+         |WHERE doc_id NOT IN (
+         |  SELECT id FROM (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+         |  WHERE id <> rep)""".stripMargin,
     "q_dedup_minhash_skew" -> cappedMinhashSql(0.5, 50),
     "q_embed_pairs" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j

@@ -200,4 +200,80 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(f => (f.asset_id, f.n_bytes, f.first_byte, f.byte_sum)).toSet
     assert(out === Set((1L, 3L, 97, 294L), (2L, 0L, -1, 0L)))
   }
+
+  /** Driver-side union-find ground truth for connectedComponents. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents: path graph collapses to its minimum (log rounds)") {
+    // a 64-node path is the worst case for plain label propagation
+    // (diameter rounds); the alternating algorithm must finish far
+    // inside maxIter=50 or the require trips
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val got = ccOf(path)
+    assert(got === (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents: disjoint cliques, bridges, self-pairs, duplicates") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),            // clique {1,2,3}
+      (10L, 11L), (11L, 10L), (10L, 10L),      // dup + self-pair noise
+      (20L, 21L), (21L, 22L), (5L, 3L))        // chain + bridge into clique
+    val got = ccOf(edges)
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: random graphs match union-find ground truth") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 120
+      val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val want = unionFind(edges)
+      assert(ccOf(edges) === want, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents: empty pair set yields empty mapping") {
+    assert(ccOf(Seq.empty[(Long, Long)]).isEmpty)
+    // self-pairs only: no genuine edges
+    assert(ccOf(Seq((4L, 4L))).isEmpty)
+  }
+
+  test("curateClustered drops transitively: shared-dup chains keep only the min") {
+    // direct check of keeper-rule semantics on the sf0.001 corpus:
+    // every cluster keeps exactly its min surviving-quality id
+    val docs = Tables.load(spark, sf0001, "documents")
+    val keptIds = Dedup.curateClustered(docs, col("doc_id"), col("text"),
+        Text.langStopwords.head._2, 0.4, 3, 64, 16, 0.5)
+      .select("id").as[Long].collect().toSet
+    val scored = docs.select(col("doc_id").as("id"),
+      Text.qualityScore(col("text"), Text.langStopwords.head._2).as("q"))
+    val qualityIds = scored.filter(col("q") >= 0.4).select("id").as[Long].collect().toSet
+    val pairs = Dedup.ngramJaccardPairs(
+        docs.filter(col("doc_id").isin(qualityIds.toSeq: _*)),
+        col("doc_id"), col("text"), 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect()
+    val comp = unionFind(pairs)
+    val expected = qualityIds.filter(id => comp.getOrElse(id, id) == id)
+    assert(keptIds === expected)
+    assert(keptIds.nonEmpty && keptIds.size < qualityIds.size)
+  }
 }

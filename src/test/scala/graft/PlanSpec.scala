@@ -71,6 +71,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_cluster converges to a checkpoint-backed star mapping") {
+    // the alternating-star loop localCheckpoints each round: the final
+    // plan must read materialized RDD blocks (lineage truncated — an
+    // un-truncated loop nests self-joins exponentially) and contain no
+    // cartesian product anywhere
+    val p = plan("q_dedup_cluster")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("bucketed ANN topK computes partial top-k below the rank shuffle") {
     // WindowGroupLimit(Partial) trims each partition to k rows per query
     // BEFORE the exchange — at corpus scale this is the difference
