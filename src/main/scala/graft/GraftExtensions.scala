@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{Adler32Expr, CosineSimExpr, LshBucketExpr, MinHashSigExpr, ShinglesExpr, SimHash64, TokenCountExpr, TokenLengthSumExpr}
+import graft.functions.{Adler32Expr, CosineSimExpr, LshBucketExpr, MinHashSigExpr, NgramStatsExpr, ShinglesExpr, SimHash64, TokenCountExpr, TokenLengthSumExpr}
 
 /** SQL surface for graft's custom Catalyst expressions. Two ways in:
   *
@@ -13,7 +13,7 @@ import graft.functions.{Adler32Expr, CosineSimExpr, LshBucketExpr, MinHashSigExp
   * Registered functions: `simhash64(array<string>)`,
   * `minhash_sig(array<string>, numHashes)`, `cosine_sim(vec, vec)`,
   * `lsh_bucket(vec, bits)`, `token_count(str)`, `token_length_sum(str)`,
-  * `shingles(str, n)`, `adler32(str)`.
+  * `shingles(str, n)`, `adler32(str)`, `ngram_stats(str, n)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -55,7 +55,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => ShinglesExpr(es.head, intArg(es(1), "n"))),
     ("adler32",
       new ExpressionInfo(classOf[Adler32Expr].getName, "adler32"),
-      (es: Seq[Expression]) => Adler32Expr(es.head)))
+      (es: Seq[Expression]) => Adler32Expr(es.head)),
+    ("ngram_stats",
+      new ExpressionInfo(classOf[NgramStatsExpr].getName, "ngram_stats"),
+      (es: Seq[Expression]) => NgramStatsExpr(es.head, intArg(es(1), "n"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

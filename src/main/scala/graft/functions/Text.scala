@@ -62,6 +62,35 @@ object Text {
     decided
   }
 
+  /** Word n-gram repetition stats — struct(n_grams, n_distinct,
+    * top_count) in one fused codegen'd pass ([[NgramStatsExpr]]). The
+    * raw inputs to Gopher-style repetition quality filters.
+    */
+  def ngramStats(text: Column, n: Int): Column = TokenExprs.ngram_stats(text, n)
+
+  /** Fraction of n-gram occurrences that repeat an earlier gram:
+    * (n_grams − n_distinct) / n_grams, 0.0 for gram-less docs — the
+    * duplicate-n-gram repetition signal used to drop loops/boilerplate
+    * from training corpora.
+    */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val st = ngramStats(text, n)
+    val total = st.getField("n_grams")
+    when(total === 0, lit(0.0))
+      .otherwise((total - st.getField("n_distinct")).cast("double") / total.cast("double"))
+  }
+
+  /** Occurrence share of the single most frequent n-gram:
+    * top_count / n_grams, 0.0 for gram-less docs — the top-n-gram
+    * repetition signal (catches "the the the …"-style degeneration).
+    */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val st = ngramStats(text, n)
+    val total = st.getField("n_grams")
+    when(total === 0, lit(0.0))
+      .otherwise(st.getField("top_count").cast("double") / total.cast("double"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical fingerprints ⇒ exact duplicates (modulo whitespace/case).
     */

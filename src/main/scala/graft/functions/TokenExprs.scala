@@ -74,6 +74,28 @@ case class TokensExpr(child: Expression) extends TextScanExpr {
   override protected def withNewChildInternal(c: Expression): TokensExpr = copy(child = c)
 }
 
+/** Word n-gram repetition stats in one fused pass:
+  * struct(n_grams, n_distinct, top_count) — the inputs to Gopher-style
+  * duplicate-n-gram quality filters (Rae et al. 2021, "Scaling Language
+  * Models: ... Gopher", appendix A1: fraction-of-duplicate-n-grams and
+  * top-n-gram-fraction repetition signals). One tokenizer scan + one
+  * open-hash count per row; the equivalent
+  * size/array_distinct/array_max-of-filter composition re-walks the
+  * gram array O(distinct · grams) times through interpreted lambdas.
+  */
+case class NgramStatsExpr(child: Expression, n: Int) extends TextScanExpr {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_grams", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_count", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TokenScanImpl.ngramStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScanImpl.ngramStats($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramStatsExpr = copy(child = c)
+}
+
 object TokenScanImpl {
   // Java regex \s character class (non-unicode mode)
   private def isWs(c: Char): Boolean =
@@ -120,6 +142,41 @@ object TokenScanImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  def ngramStats(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val toks = new java.util.ArrayList[String]()
+    var start = -1
+    var i = 0
+    while (i <= str.length) {
+      val ws = i == str.length || isWs(str.charAt(i))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) { toks.add(str.substring(start, i)); start = -1 }
+      i += 1
+    }
+    val total = toks.size - n + 1
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0, 0))
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    var top = 0
+    var g = 0
+    val sb = new java.lang.StringBuilder()
+    while (g < total) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(g + k))
+        k += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > top) top = c
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, counts.size, top))
+  }
+
   def stopwordHits(s: UTF8String, set: java.util.HashSet[String]): Int = {
     val str = s.toString
     var count = 0
@@ -147,4 +204,6 @@ object TokenExprs {
     GraftExpr.column(StopwordHitsExpr(GraftExpr.expression(text), words))
   def tokens(text: Column): Column =
     GraftExpr.column(TokensExpr(GraftExpr.expression(text)))
+  def ngram_stats(text: Column, n: Int): Column =
+    GraftExpr.column(NgramStatsExpr(GraftExpr.expression(text), n))
 }

@@ -45,6 +45,21 @@ object LlmQueries {
       docs.select($"doc_id", Text.langId($"text").as("lang_guess"))
     },
 
+    // repetition quality signals (Gopher-style duplicate-n-gram and
+    // top-n-gram fractions) — one fused scan per n, no shuffle
+    "q_text_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val g2 = Text.ngramStats($"text", 2)
+      docs.select($"doc_id",
+        g2.getField("n_grams").cast("long").as("n_2grams"),
+        g2.getField("n_distinct").cast("long").as("d_2grams"),
+        g2.getField("top_count").cast("long").as("top_2gram"),
+        Text.dupNgramRatio($"text", 2).as("dup_2gram_ratio"),
+        Text.dupNgramRatio($"text", 3).as("dup_3gram_ratio"),
+        Text.topNgramFraction($"text", 2).as("top_2gram_frac"))
+    },
+
     // document fingerprinting
     "q_text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -386,6 +401,33 @@ object LlmQueries {
          |  ELSE 'unknown' END AS lang_guess
          |FROM (SELECT doc_id, $hitCols FROM documents)""".stripMargin
     },
+    "q_text_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 2
+        |       THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |       ELSE [] END AS g2,
+        |  CASE WHEN len(w) >= 3
+        |       THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |       ELSE [] END AS g3
+        |FROM tok)
+        |SELECT doc_id,
+        |  CAST(len(g2) AS BIGINT) AS n_2grams,
+        |  CAST(len(list_distinct(g2)) AS BIGINT) AS d_2grams,
+        |  CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+        |    x -> len(list_filter(g2, y -> y = x)))), 0) AS BIGINT) AS top_2gram,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+        |       END AS dup_2gram_ratio,
+        |  CASE WHEN len(g3) = 0 THEN 0.0
+        |       ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+        |       END AS dup_3gram_ratio,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+        |         x -> len(list_filter(g2, y -> y = x)))), 0) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+        |       END AS top_2gram_frac
+        |FROM g""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,

@@ -201,6 +201,32 @@ class FunctionsSpec extends SparkSpec {
     assert(out === Set((1L, 3L, 97, 294L), (2L, 0L, -1, 0L)))
   }
 
+  test("ngramStats: one-pass totals, distincts, and top frequency") {
+    val df = Seq(
+      "a b a b a",   // 2-grams: "a b","b a","a b","b a" → (4, 2, 2)
+      "x",           // fewer tokens than n → all zero
+      "",
+      "w w w w",     // "w w" ×3 → (3, 1, 3)
+      "p q r"        // all distinct → (2, 2, 1)
+    ).toDF("text")
+    val got = df.select(
+        Text.ngramStats(col("text"), 2).getField("n_grams"),
+        Text.ngramStats(col("text"), 2).getField("n_distinct"),
+        Text.ngramStats(col("text"), 2).getField("top_count"))
+      .as[(Int, Int, Int)].collect().toSeq
+    assert(got === Seq((4, 2, 2), (0, 0, 0), (0, 0, 0), (3, 1, 3), (2, 2, 1)))
+  }
+
+  test("repetition ratios: degenerate text scores high, varied text low") {
+    val df = Seq(("loop", "spam spam spam spam spam"), ("ok", "the quick brown fox jumps"))
+      .toDF("id", "text")
+    val m = df.select(col("id"), Text.dupNgramRatio(col("text"), 2).as("dup"),
+        Text.topNgramFraction(col("text"), 2).as("top"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m("loop") === ((0.75, 1.0)))  // 4 grams, 1 distinct
+    assert(m("ok") === ((0.0, 0.25)))    // 4 grams, all distinct
+  }
+
   /** Driver-side union-find ground truth for connectedComponents. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()

@@ -44,7 +44,8 @@ class PlanSpec extends SparkSpec {
     // q_text_quality/q_text_stats are codegen'd via the fused token-scan
     // expressions (TokenExprs) — the filter(split(...)) composition they
     // replaced evaluated interpreted.
-    for (q <- Seq("q_map", "q_filter", "q_flat_map", "q_key_on", "q_text_quality", "q_text_stats")) {
+    for (q <- Seq("q_map", "q_filter", "q_flat_map", "q_key_on", "q_text_quality",
+        "q_text_stats", "q_text_repetition")) {
       val p = plan(q)
       assert(inCodegen(p), s"$q lost codegen:\n$p")
     }
