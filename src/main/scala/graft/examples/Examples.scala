@@ -401,6 +401,42 @@ object Examples {
       .observe("periodic", avg(col("delay_ticks")).as("next_batch_delay"))
   }
 
+  // ------------------------------------------------------------------
+  // benchmark_windowing (reference examples/benchmark_windowing.py):
+  // BATCH_SIZE second-spaced timestamps from an aligned origin, keyed
+  // pseudo-randomly over `keys` keys, folded into 1-minute tumbling
+  // windows by list-append (fold_window(list, append, concat) ≡
+  // collect_window), flattened, then filtered away — the reference
+  // discards all output; the flow exists to measure windowing
+  // throughput. Two fidelity notes: the random key becomes a
+  // deterministic hash (same key distribution, reproducible), and the
+  // reference's minute windows aligned to 2022-01-01 coincide with
+  // Spark's epoch-aligned windows because the origin is minute-aligned.
+  // ------------------------------------------------------------------
+
+  def windowingBench(spark: SparkSession, batchSize: Long, keys: Int = 2): DataFrame =
+    windowingBenchFlat(spark, batchSize, keys)
+      .filter(lit(false)) // op.filter filter_all
+  // NOTE: Catalyst's PruneFilters folds filter(false) into an empty
+  // relation and deletes the whole upstream flow — running the port
+  // verbatim measures the optimizer, not the window engine. Time
+  // [[windowingBenchFlat]] (everything the reference times, minus the
+  // discarded sink); see tools.WindowBench.
+
+  /** The measured portion: input → key_on → fold_window(list append)
+    * → flatten.
+    */
+  def windowingBenchFlat(spark: SparkSession, batchSize: Long, keys: Int = 2): DataFrame = {
+    val origin = 1640995200L // 2022-01-01T00:00:00Z, the reference's align_to
+    val inp = spark.range(batchSize)
+      .select(timestamp_seconds(lit(origin) + col("id")).as("ts"))
+      .select(pmod(xxhash64(col("ts")), lit(keys)).cast("string").as("key"), col("ts"))
+    val wo = Windowing.collectWindow(inp,
+      EventClock("ts", waitFor = "0 seconds"), TumblingWindower("1 minute"),
+      Seq(col("key")), col("ts"), as = "values")
+    wo.select(explode(col("values")).as("x")) // op.flat_map flatten-window
+  }
+
   def basicRouter(nums: DataFrame): DataFrame = {
     import graft.api.{ops, Flow, Stream}
     val flow = Flow("basic")

@@ -271,4 +271,28 @@ class ExamplesSpec extends SparkSpec {
     // four map steps land in the registry
     assert(flow.stepIds.toSet === Set("v0", "v1", "v2", "v3"))
   }
+
+  test("benchmark_windowing port: window structure correct, output discarded") {
+    import org.apache.spark.sql.functions._
+    // 600 second-spaced events = 10 full 1-minute tumbling windows; the
+    // final filter_all discards everything (the reference measures
+    // throughput, not output)
+    assert(Examples.windowingBench(spark, 600).count() === 0L)
+    // reconstruct the pre-filter stages: every event lands in exactly
+    // one (key, minute) window and the flatten returns all of them
+    val inp = spark.range(600)
+      .select(timestamp_seconds(lit(1640995200L) + col("id")).as("ts"))
+      .select(pmod(xxhash64(col("ts")), lit(2)).cast("string").as("key"), col("ts"))
+    val wo = graft.windowing.Windowing.collectWindow(inp,
+      graft.windowing.EventClock("ts", waitFor = "0 seconds"),
+      graft.windowing.TumblingWindower("1 minute"),
+      Seq(col("key")), col("ts"), as = "values")
+    val sizes = wo.select(col("window.start").cast("long").as("w"), col("key"),
+      size(col("values")).as("n"))
+    assert(sizes.agg(sum(col("n"))).as[Long].head() === 600L)
+    // 10 minutes × up to 2 keys, windows aligned on exact minute bounds
+    val wins = sizes.select((col("w") - 1640995200L) % 60).as[Long].collect()
+    assert(wins.forall(_ === 0L))
+    assert(sizes.select(countDistinct(col("w"))).as[Long].head() === 10L)
+  }
 }
