@@ -13,7 +13,8 @@ import graft.functions.{Adler32Expr, CosineSimExpr, LshBucketExpr, MinHashSigExp
   * Registered functions: `simhash64(array<string>)`,
   * `minhash_sig(array<string>, numHashes)`, `cosine_sim(vec, vec)`,
   * `lsh_bucket(vec, bits)`, `token_count(str)`, `token_length_sum(str)`,
-  * `shingles(str, n)`, `adler32(str)`, `ngram_stats(str, n)`.
+  * `shingles(str, n)`, `adler32(str)`, `ngram_stats(str, n)`,
+  * `winnow(str, k, w)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -58,7 +59,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => Adler32Expr(es.head)),
     ("ngram_stats",
       new ExpressionInfo(classOf[NgramStatsExpr].getName, "ngram_stats"),
-      (es: Seq[Expression]) => NgramStatsExpr(es.head, intArg(es(1), "n"))))
+      (es: Seq[Expression]) => NgramStatsExpr(es.head, intArg(es(1), "n"))),
+    ("winnow",
+      new ExpressionInfo(classOf[graft.functions.WinnowExpr].getName, "winnow"),
+      (es: Seq[Expression]) => graft.functions.WinnowExpr(es.head,
+        intArg(es(1), "k"), intArg(es(2), "w"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

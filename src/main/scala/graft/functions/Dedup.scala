@@ -175,6 +175,41 @@ object Dedup {
       .select(col("id"), col("quality"))
   }
 
+  /** Winnowing-fingerprint near-dup pairs: docs whose shared distinct
+    * winnowing fingerprints ([[Winnow]]; k-gram rolling hash,
+    * window-min selection) cover at least `minOverlap` of the smaller
+    * doc's fingerprint set (the overlap coefficient — raw shared
+    * counts are noise-dominated on a common-vocabulary corpus, where
+    * the median unrelated pair already shares several common-phrase
+    * grams). The inverted index holds only ~2/(w+1) of the k-gram
+    * hashes per doc — the winnowing guarantee bounds the index at a
+    * fraction of the shingle index while still catching every shared
+    * run of ≥ k+w−1 chars — and the same `maxDocFreq` stop-fingerprint
+    * cap as [[ngramJaccardPairs]] bounds hot-key pair blowup (cap <= 0
+    * disables; capped overlap is a lower bound, as there).
+    */
+  def winnowPairs(df: DataFrame, idCol: Column, text: Column, k: Int, w: Int,
+      minOverlap: Double, maxDocFreq: Int = 0): DataFrame = {
+    val fpAll = df.select(idCol.as("id"), explode(Winnow.winnow(text, k, w)).as("fp"))
+      .cache() // three consumers: per-doc counts + both sides of the pair join
+    val cnt = fpAll.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+    val fp =
+      if (maxDocFreq <= 0) fpAll
+      else {
+        val hot = fpAll.groupBy(col("fp")).agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > maxDocFreq).select(col("fp"))
+        fpAll.join(hot, Seq("fp"), "left_anti")
+      }
+    fp.as("a").join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .join(cnt.select(col("id").as("i"), col("n_fp").as("ni")), "i")
+      .join(cnt.select(col("id").as("j"), col("n_fp").as("nj")), "j")
+      .withColumn("overlap", col("shared").cast("double") / least(col("ni"), col("nj")))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("i"), col("j"), col("shared"), col("overlap"))
+  }
+
   /** Connected components over a near-dup pair list — the clustering
     * stage a dedup pipeline needs after pair generation: pairs →
     * duplicate clusters → one canonical keeper per cluster. Pair-local

@@ -91,6 +91,26 @@ object Text {
       .otherwise(st.getField("top_count").cast("double") / total.cast("double"))
   }
 
+  /** BPE-ish pre-tokenizer pattern (the GPT-2 `pat` with the
+    * RE2-unsupported trailing-space lookahead and unicode classes
+    * dropped, so Java regex and DuckDB RE2 match identically):
+    * contraction suffixes, optional-space letter runs, digit runs, and
+    * punctuation runs. Whitespace between tokens is skipped by the
+    * scan, not emitted.
+    */
+  val bpePattern = "'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** BPE-ish token list via the codegen'd native regexp_extract_all —
+    * the pre-tokenization a byte-pair encoder would train on; its
+    * length is the standard "token count" proxy where whitespace
+    * counting is too crude (punctuation-dense or digit-dense text).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  /** Count of BPE-ish tokens. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical fingerprints ⇒ exact duplicates (modulo whitespace/case).
     */

@@ -67,6 +67,40 @@ object LlmQueries {
       docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
     },
 
+    // BPE-ish regex token counting: the GPT-2-style pre-tokenizer
+    // (contractions / letter runs / digit runs / punctuation runs)
+    // through the codegen'd native regexp_extract_all; digest pins the
+    // full token sequence, not just the count
+    "q_text_bpe" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      docs.select($"doc_id",
+        Text.bpeTokenCount($"text").cast("long").as("n_bpe"),
+        md5(concat_ws("\u0001", Text.bpeTokens($"text"))).as("digest"))
+    },
+
+    // winnowing fingerprints (rolling k-gram hash, window-min
+    // selection — SIGMOD'03): the bounded content-addressed signature
+    // set per doc. Oracle re-renders the wrapping Rabin-Karp fold in
+    // UBIGINT/HUGEINT and the window minima via a ROWS frame.
+    "q_text_winnow" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      docs.select($"doc_id",
+        explode(graft.functions.Winnow.winnow($"text", 8, 4)).as("fp"))
+    },
+
+    // winnowing near-dup pairs: shared-fingerprint inverted index,
+    // thresholded on the overlap coefficient (shared / smaller set),
+    // with the stop-fingerprint cap exercised (sized above corpus df —
+    // provably no-op, skew guard in the plan)
+    "q_dedup_winnow" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.winnowPairs(docs, $"doc_id", $"text", k = 8, w = 4,
+        minOverlap = 0.5, maxDocFreq = 1000)
+    },
+
     // exact dedup via content fingerprint
     "q_dedup_exact" -> { (s, dir) =>
       import s.implicits._
@@ -267,6 +301,42 @@ object LlmQueries {
   private val skewText =
     "all rights reserved unauthorized reproduction of this archive is strictly prohibited"
 
+  /** [[Text.bpePattern]] as a DuckDB string literal (RE2 and Java
+    * regex agree on this lookahead-free ASCII pattern; leftmost-first
+    * alternation order is identical).
+    */
+  private val bpePatternSql = "'" + Text.bpePattern.replace("'", "''") + "'"
+
+  /** DuckDB rendering of [[graft.functions.WinnowImpl]]: per k-gram a
+    * wrapping base-257 fold in UBIGINT (the 128-bit intermediate fits
+    * HUGEINT because the base is small), window minima via a ROWS
+    * frame under native UBIGINT (= unsigned) order — matching the
+    * implementation's compareUnsigned deque — then recentered to the
+    * signed 64-bit output. Docs with fewer grams than a window keep
+    * row 1, whose truncated frame spans the whole doc (the
+    * implementation's whole-doc-window branch).
+    */
+  private def winnowFpSql(k: Int, w: Int): String =
+    s"""tok0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= $k),
+       |grams AS (
+       |  SELECT doc_id, t.i AS i,
+       |    list_reduce(
+       |      list_prepend(0::UBIGINT, list_transform(range(t.i, t.i + $k),
+       |        j -> CAST(unicode(text[j]) AS UBIGINT))),
+       |      (h, c) -> CAST((CAST(h AS HUGEINT) * ${graft.functions.WinnowImpl.Base} + c) % $M64 AS UBIGINT)) AS h
+       |  FROM tok0, UNNEST(generate_series(1, length(text) - $k + 1)) t(i)),
+       |wins AS (
+       |  SELECT doc_id, i,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wm,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM grams),
+       |fps AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(CASE WHEN wm >= 9223372036854775808::UBIGINT
+       |         THEN CAST(wm AS HUGEINT) - $M64 ELSE CAST(wm AS HUGEINT) END AS BIGINT) AS fp
+       |  FROM wins WHERE i <= GREATEST(m - $w + 1, 1))""".stripMargin
+
   /** Recursive-CTE transitive closure over a preceding `good(i, j)`
     * pair CTE: `reach` enumerates every (node, reachable node), so
     * `MIN(r) GROUP BY id` is the component representative — the oracle
@@ -431,6 +501,26 @@ object LlmQueries {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
+    "q_text_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, $bpePatternSql)) AS BIGINT) AS n_bpe,
+         |  md5(array_to_string(regexp_extract_all(text, $bpePatternSql), chr(1))) AS digest
+         |FROM documents""".stripMargin,
+    "q_text_winnow" ->
+      s"""WITH ${winnowFpSql(8, 4)}
+         |SELECT doc_id, fp FROM fps""".stripMargin,
+    "q_dedup_winnow" ->
+      s"""WITH ${winnowFpSql(8, 4)},
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY 1),
+         |kept AS (SELECT * FROM fps WHERE fp IN (
+         |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000)),
+         |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+         |          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i, j, shared,
+         |  CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) AS overlap
+         |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |WHERE CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.5""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  MIN(doc_id) AS keeper, COUNT(*) AS n

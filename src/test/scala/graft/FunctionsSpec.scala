@@ -227,6 +227,47 @@ class FunctionsSpec extends SparkSpec {
     assert(m("ok") === ((0.0, 0.25)))    // 4 grams, all distinct
   }
 
+  test("winnow matches a naive rolling-hash + sliding-min reference") {
+    import graft.functions.WinnowImpl
+    def naive(s: String, k: Int, w: Int): Set[Long] = {
+      if (s.length < k) return Set.empty
+      val hs = (0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((h, c) => h * WinnowImpl.Base + c)
+      }
+      def minU(xs: Seq[Long]): Long = xs.minBy(_ ^ Long.MinValue) // unsigned order
+      if (hs.length <= w) Set(minU(hs))
+      else hs.sliding(w).map(minU).toSet
+    }
+    def got(s: String, k: Int, w: Int): Set[Long] =
+      WinnowImpl.winnow(org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+        .toLongArray().toSet
+    val rnd = new scala.util.Random(11)
+    val samples = Seq("", "ab", "abcdefgh", "aaaaaaaaaaaaaaa", "abababababab") ++
+      Seq.fill(40)(Seq.fill(rnd.nextInt(60))("abcd".charAt(rnd.nextInt(4))).mkString)
+    for (s <- samples; (k, w) <- Seq((3, 4), (8, 4), (5, 1)))
+      assert(got(s, k, w) === naive(s, k, w), s"k=$k w=$w text='$s'")
+  }
+
+  test("winnowing guarantee: shared run of k+w-1 chars shares a fingerprint") {
+    val shared = "qwertyuiopa" // k + w - 1 = 11 chars
+    val df = Seq((1L, s"zzz ${shared} mmmm"), (2L, s"foo bar ${shared} baz"))
+      .toDF("id", "text")
+    val fps = df.select(col("id"),
+        explode(graft.functions.Winnow.winnow(col("text"), 8, 4)).as("fp"))
+    val both = fps.groupBy("fp").agg(countDistinct(col("id")).as("n"))
+      .filter(col("n") === 2).count()
+    assert(both >= 1)
+  }
+
+  test("bpe tokens follow the pattern's alternation order") {
+    val got = Seq("it's 42 well-known!").toDF("text")
+      .select(Text.bpeTokens(col("text"))).as[Seq[String]].head()
+    assert(got === Seq("it", "'s", " 42", " well", "-", "known", "!"))
+    val empty = Seq("   ").toDF("text")
+      .select(Text.bpeTokenCount(col("text"))).as[Int].head()
+    assert(empty === 0)
+  }
+
   /** Driver-side union-find ground truth for connectedComponents. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()

@@ -45,7 +45,7 @@ class PlanSpec extends SparkSpec {
     // expressions (TokenExprs) — the filter(split(...)) composition they
     // replaced evaluated interpreted.
     for (q <- Seq("q_map", "q_filter", "q_flat_map", "q_key_on", "q_text_quality",
-        "q_text_stats", "q_text_repetition")) {
+        "q_text_stats", "q_text_repetition", "q_text_bpe")) {
       val p = plan(q)
       assert(inCodegen(p), s"$q lost codegen:\n$p")
     }
@@ -65,7 +65,7 @@ class PlanSpec extends SparkSpec {
     // 16-row broadcast centroid assignment (BroadcastNestedLoopJoin
     // against a fixed nlist — constant work per row, scale-safe).
     for (q <- Seq("q_dedup_ngram", "q_dedup_ngram_skew", "q_dedup_minhash",
-        "q_dedup_simhash",
+        "q_dedup_simhash", "q_dedup_winnow",
         "q_embed_pairs", "q_embed_topk", "q_embed_lsh", "q_embed_ivf", "q_embed_ivf2")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q fell back to cross join:\n$p")
