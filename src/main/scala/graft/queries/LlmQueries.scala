@@ -101,6 +101,28 @@ object LlmQueries {
         minOverlap = 0.5, maxDocFreq = 1000)
     },
 
+    // Skew stress for the winnow stop-fingerprint cap, symmetric with
+    // q_dedup_ngram_skew: every doc gets the shared boilerplate tail,
+    // so the tail's fingerprints reach df = corpus size — over the cap
+    // of 50, which genuinely BINDS (q_dedup_winnow's 1000 provably
+    // cannot). The oracle applies the identical cap in SQL; shared
+    // counts undercount identically on both sides while the overlap
+    // denominators stay uncapped (lower-bound semantics, as in the
+    // ngram gate). Threshold drops to 0.4 because the tail inflates
+    // every denominator by the same ~dozen fingerprints. k is 16 here
+    // (vs the base gate's 8): a 16-char gram spans ~3 vocabulary words,
+    // so organic fingerprint df stays O(1) in corpus size and only the
+    // boilerplate is hot — with k=8 on this small-vocab corpus every
+    // junction gram's df grows with the corpus and the cap would
+    // (correctly but uselessly) empty the index at 10× scale.
+    "q_dedup_winnow_skew" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", concat($"text", lit(" " + boilerplate)).as("text"))
+      Dedup.winnowPairs(docs, $"doc_id", $"text", k = 16, w = 4,
+        minOverlap = 0.4, maxDocFreq = 50)
+    },
+
     // exact dedup via content fingerprint
     "q_dedup_exact" -> { (s, dir) =>
       import s.implicits._
@@ -316,8 +338,8 @@ object LlmQueries {
     * row 1, whose truncated frame spans the whole doc (the
     * implementation's whole-doc-window branch).
     */
-  private def winnowFpSql(k: Int, w: Int): String =
-    s"""tok0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= $k),
+  private def winnowFpSql(k: Int, w: Int, src: String = "documents"): String =
+    s"""tok0 AS (SELECT doc_id, text FROM $src WHERE length(text) >= $k),
        |grams AS (
        |  SELECT doc_id, t.i AS i,
        |    list_reduce(
@@ -521,6 +543,19 @@ object LlmQueries {
          |  CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) AS overlap
          |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
          |WHERE CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.5""".stripMargin,
+    "q_dedup_winnow_skew" ->
+      s"""WITH skewdocs AS (SELECT doc_id, text || ' $boilerplate' AS text FROM documents),
+         |${winnowFpSql(16, 4, "skewdocs")},
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY 1),
+         |kept AS (SELECT * FROM fps WHERE fp IN (
+         |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50)),
+         |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+         |          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i, j, shared,
+         |  CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) AS overlap
+         |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |WHERE CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.4""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  MIN(doc_id) AS keeper, COUNT(*) AS n
