@@ -93,11 +93,17 @@ object LlmQueries {
     // winnowing near-dup pairs: shared-fingerprint inverted index,
     // thresholded on the overlap coefficient (shared / smaller set),
     // with the stop-fingerprint cap exercised (sized above corpus df —
-    // provably no-op, skew guard in the plan)
+    // provably no-op, skew guard in the plan). k=16 so a gram spans ~3
+    // vocabulary words: this corpus's ~30-word vocabulary makes every
+    // 8-char junction gram corpus-hot (df grows linearly with corpus
+    // size → the index self-join degenerates toward all-pairs, measured
+    // 38 s at sf0.1), while 16-char grams keep organic df O(1). On
+    // natural text the vocabulary does this job and k=8 is fine; the
+    // general protection is the df cap, which the skew gate proves.
     "q_dedup_winnow" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      Dedup.winnowPairs(docs, $"doc_id", $"text", k = 8, w = 4,
+      Dedup.winnowPairs(docs, $"doc_id", $"text", k = 16, w = 4,
         minOverlap = 0.5, maxDocFreq = 1000)
     },
 
@@ -532,7 +538,7 @@ object LlmQueries {
       s"""WITH ${winnowFpSql(8, 4)}
          |SELECT doc_id, fp FROM fps""".stripMargin,
     "q_dedup_winnow" ->
-      s"""WITH ${winnowFpSql(8, 4)},
+      s"""WITH ${winnowFpSql(16, 4)},
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY 1),
          |kept AS (SELECT * FROM fps WHERE fp IN (
          |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000)),
