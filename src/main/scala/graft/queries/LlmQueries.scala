@@ -260,6 +260,19 @@ object LlmQueries {
         .select($"qid", $"rank".cast("long").as("rank"), $"nid")
     },
 
+    // embedding-space semantic dedup (SemDeDup-style, Abbas et al.
+    // 2023): bucketed cosine near-dup pairs → connected components →
+    // one canonical representative per semantic cluster. Pure
+    // composition of the scale paths: sign-bucket join (no cross
+    // join) + alternating-star contraction.
+    "q_embed_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val pairs = Similarity.bucketedCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.3, bits = 4)
+      Dedup.connectedComponents(pairs.select($"i", $"j"))
+    },
+
     // end-to-end curation: quality gate + near-dup drop (keep lowest id)
     "q_curate" -> { (s, dir) =>
       import s.implicits._
@@ -624,6 +637,15 @@ object LlmQueries {
          |  SELECT id FROM (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
          |  WHERE id <> rep)""".stripMargin,
     "q_dedup_minhash_skew" -> cappedMinhashSql(0.5, 50),
+    "q_embed_dedup" ->
+      s"""WITH RECURSIVE good AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j
+         |  FROM (SELECT vec_id, embedding, $signBucketSql AS bkt FROM embeddings) a
+         |  JOIN (SELECT vec_id, embedding, $signBucketSql AS bkt FROM embeddings) b
+         |    ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3),
+         |$componentsSql
+         |SELECT id, MIN(r) AS rep FROM reach GROUP BY id""".stripMargin,
     "q_embed_pairs" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j
          |FROM (SELECT vec_id, embedding, $signBucketSql AS bkt FROM embeddings) a
