@@ -186,13 +186,23 @@ object Dedup {
     * fraction of the shingle index while still catching every shared
     * run of ≥ k+w−1 chars — and the same `maxDocFreq` stop-fingerprint
     * cap as [[ngramJaccardPairs]] bounds hot-key pair blowup (cap <= 0
-    * disables; capped overlap is a lower bound, as there).
+    * disables).
+    *
+    * Unlike the ngram gate's lower-bound choice, the overlap here is
+    * computed in the CAPPED fingerprint space — hot fingerprints leave
+    * the numerator and the denominator together. A binding cap then
+    * removes corpus-wide boilerplate from the similarity definition
+    * instead of diluting it: true near-dups keep their doc-specific
+    * (low-df) fingerprints and their overlap survives, while the
+    * lower-bound form loses them once common fingerprints dominate the
+    * uncapped denominator (measured on the sf1 scale-up: cap 100 kept
+    * 10% of true pairs under uncapped denominators, full recall under
+    * capped ones — see ROUND5.md §9).
     */
   def winnowPairs(df: DataFrame, idCol: Column, text: Column, k: Int, w: Int,
       minOverlap: Double, maxDocFreq: Int = 0): DataFrame = {
     val fpAll = df.select(idCol.as("id"), explode(Winnow.winnow(text, k, w)).as("fp"))
-      .cache() // three consumers: per-doc counts + both sides of the pair join
-    val cnt = fpAll.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+      .cache() // consumers: the hot-fp aggregation, per-doc counts, both join sides
     val fp =
       if (maxDocFreq <= 0) fpAll
       else {
@@ -200,6 +210,7 @@ object Dedup {
           .filter(col("df_") > maxDocFreq).select(col("fp"))
         fpAll.join(hot, Seq("fp"), "left_anti")
       }
+    val cnt = fp.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
     fp.as("a").join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
       .agg(count(lit(1)).as("shared"))

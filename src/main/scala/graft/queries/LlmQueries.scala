@@ -111,11 +111,12 @@ object LlmQueries {
     // q_dedup_ngram_skew: every doc gets the shared boilerplate tail,
     // so the tail's fingerprints reach df = corpus size — over the cap
     // of 50, which genuinely BINDS (q_dedup_winnow's 1000 provably
-    // cannot). The oracle applies the identical cap in SQL; shared
-    // counts undercount identically on both sides while the overlap
-    // denominators stay uncapped (lower-bound semantics, as in the
-    // ngram gate). Threshold drops to 0.4 because the tail inflates
-    // every denominator by the same ~dozen fingerprints. k is 16 here
+    // cannot). The oracle applies the identical cap in SQL; overlap is
+    // computed in the capped fingerprint space on both sides (hot
+    // boilerplate leaves numerator and denominator together — see the
+    // winnowPairs scaladoc for why that beats the lower-bound form
+    // under a binding cap). Threshold 0.4 keeps margin against the
+    // tail-inflated fingerprint sets. k is 16 here
     // (vs the base gate's 8): a 16-char gram spans ~3 vocabulary words,
     // so organic fingerprint df stays O(1) in corpus size and only the
     // boilerplate is hot — with k=8 on this small-vocab corpus every
@@ -552,9 +553,9 @@ object LlmQueries {
          |SELECT doc_id, fp FROM fps""".stripMargin,
     "q_dedup_winnow" ->
       s"""WITH ${winnowFpSql(16, 4)},
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY 1),
          |kept AS (SELECT * FROM fps WHERE fp IN (
          |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
          |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
          |          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
@@ -565,9 +566,9 @@ object LlmQueries {
     "q_dedup_winnow_skew" ->
       s"""WITH skewdocs AS (SELECT doc_id, text || ' $boilerplate' AS text FROM documents),
          |${winnowFpSql(16, 4, "skewdocs")},
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY 1),
          |kept AS (SELECT * FROM fps WHERE fp IN (
          |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
          |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
          |          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
