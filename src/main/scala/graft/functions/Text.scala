@@ -117,6 +117,26 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** TF-IDF term weights per (doc, term): tf = in-doc term count,
+    * df = number of docs containing the term, idf smoothed
+    * sklearn-style (ln((N+1)/(df+1)) + 1). Two hash shuffles — one on
+    * (doc, term) for tf, one on term for df — both with map-side
+    * partial aggregation; the df relation joins back on term (AQE
+    * picks SMJ or broadcast by vocabulary size). The corpus size N is
+    * one count() aggregate, as in ivfTopKAuto.
+    */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column): org.apache.spark.sql.DataFrame = {
+    val docs = df.select(idCol.as("id"), text.as("text"))
+    val n = docs.count()
+    val tf = docs.select(col("id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        col("tf") * (log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0))) + lit(1.0)))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Token-length checksum — cheap deterministic content digest
     * expressible in ANSI SQL (oracle-checkable alongside the md5
     * fingerprint).

@@ -67,6 +67,24 @@ object LlmQueries {
       docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
     },
 
+    // TF-IDF top terms per doc. The gate ranks by tf/(df+1) — order-
+    // equivalent to the smoothed tf-idf for a fixed corpus (idf is
+    // monotone decreasing in df) but free of ln(), whose last-ulp
+    // behavior is libm-specific and NOT identical between JVM and
+    // DuckDB (unlike +,*,/ which IEEE 754 specifies exactly). Ties
+    // break by term; integer tf/df columns pin the exact counts.
+    "q_text_tfidf" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val w = Text.tfidf(docs, $"doc_id", $"text")
+      val score = $"tf".cast("double") / ($"df" + lit(1)).cast("double")
+      w.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"id").orderBy(score.desc, $"term".asc)).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"id".as("doc_id"), $"term", $"tf", $"df", $"rank")
+    },
+
     // BPE-ish regex token counting: the GPT-2-style pre-tokenizer
     // (contractions / letter runs / digit runs / punctuation runs)
     // through the codegen'd native regexp_extract_all; digest pins the
@@ -543,6 +561,18 @@ object LlmQueries {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |  UNNEST(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, tf, df, rank FROM (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df + 1 AS DOUBLE) DESC, t.term) AS rank
+        |  FROM tf t JOIN dfq d USING (term))
+        |WHERE rank <= 3""".stripMargin,
     "q_text_bpe" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, $bpePatternSql)) AS BIGINT) AS n_bpe,

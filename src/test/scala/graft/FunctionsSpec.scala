@@ -268,6 +268,22 @@ class FunctionsSpec extends SparkSpec {
     assert(empty === 0)
   }
 
+  test("tfidf computes exact tf/df and the smoothed idf weighting") {
+    val df = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "cat")).toDF("id", "text")
+    val got = Text.tfidf(df, col("id"), col("text"))
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, "cat"))._1 === 2L) // tf
+    assert(got((1L, "cat"))._2 === 2L) // df: docs 1 and 3
+    assert(got((2L, "fish"))._2 === 1L)
+    // smoothed idf: ln((3+1)/(df+1)) + 1
+    val idfCat = math.log(4.0 / 3.0) + 1.0
+    assert(got((1L, "cat"))._3 === 2.0 * idfCat)
+    val idfFish = math.log(4.0 / 2.0) + 1.0
+    assert(got((2L, "fish"))._3 === 1.0 * idfFish)
+    assert(got.keySet.map(_._2) === Set("cat", "dog", "fish"))
+  }
+
   /** Driver-side union-find ground truth for connectedComponents. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
