@@ -224,6 +224,28 @@ object Dedup {
       .select(col("i"), col("j"), col("shared"), col("overlap"))
   }
 
+  /** Benchmark decontamination: flag training docs sharing at least
+    * `minShared` distinct word n-grams with ANY doc of the evaluation
+    * set — the standard guard against test-set leakage into training
+    * corpora. The eval side collapses to a distinct shingle-hash set
+    * (its size is benchmark-scale, far smaller than the corpus), the
+    * train side streams through one inverted join against it; at 100
+    * TB this is one shuffle of the train shingles against a
+    * benchmark-sized relation (broadcast when it fits). Returns
+    * (id, n_shared) per contaminated train doc; anti-join it to drop.
+    * Shingle identity is the same 64-bit xxhash used by
+    * [[ngramJaccardPairs]] (collision argument in [[shingleRows]]).
+    */
+  def decontaminate(train: DataFrame, trainId: Column, trainText: Column,
+      eval: DataFrame, evalText: Column, n: Int, minShared: Int): DataFrame = {
+    val tsh = shingleRows(train, trainId, trainText, n)
+    val esh = eval.select(explode(shingles(evalText, n)).as("s0"))
+      .select(xxhash64(col("s0")).as("s")).distinct()
+    tsh.join(esh, Seq("s"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over a near-dup pair list — the clustering
     * stage a dedup pipeline needs after pair generation: pairs →
     * duplicate clusters → one canonical keeper per cluster. Pair-local

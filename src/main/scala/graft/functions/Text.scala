@@ -111,6 +111,28 @@ object Text {
   /** Count of BPE-ish tokens. */
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** PII patterns, deliberately restricted to the regex subset Java
+    * and RE2 interpret identically (no lookaround, ASCII classes,
+    * bounded quantifiers, `\b` word boundaries).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val longDigitsPattern = "[0-9]{7,}"
+
+  /** Redact common PII shapes with typed placeholders — the standard
+    * pre-training scrub pass. Email first (it contains digits and
+    * dots that the later patterns would shred), then IPv4, then long
+    * digit runs (phone/account-number-ish). Pure codegen'd
+    * regexp_replace chain; Spark's replace is global, matching
+    * DuckDB's 'g' flag.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      longDigitsPattern, "<NUM>")
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Identical fingerprints ⇒ exact duplicates (modulo whitespace/case).
     */

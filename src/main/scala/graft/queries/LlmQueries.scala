@@ -301,6 +301,42 @@ object LlmQueries {
         maxBucketSize = 1000) // no-op cap (> corpus size), skew guard exercised
     },
 
+    // PII redaction (pre-training scrub): synthetic email/IP/number
+    // PII is injected deterministically per doc (the corpus itself has
+    // none), then redacted with typed placeholders; the md5 digest
+    // pins the full redacted text, the counts pin extraction parity.
+    "q_text_pii" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val injected = concat($"text",
+        lit(" reach user"), $"doc_id".cast("string"),
+        lit("@mail.example.com or 10.0."), pmod($"doc_id", lit(256)).cast("string"),
+        lit(".7 ref 99887766"), $"doc_id".cast("string"))
+      docs.select($"doc_id",
+        md5(Text.redactPii(injected)).as("digest"),
+        size(regexp_extract_all(injected, lit(Text.emailPattern), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(injected, lit(Text.ipv4Pattern), lit(0))).cast("long").as("n_ip"),
+        size(regexp_extract_all(injected, lit(Text.longDigitsPattern), lit(0))).cast("long").as("n_num"))
+    },
+
+    // benchmark decontamination: docs with doc_id % 50 == 0 play the
+    // held-out eval set; train docs sharing >= 3 distinct 5-grams with
+    // ANY eval doc are flagged — exactly the planted near-dups that
+    // cross the split (1 at sf0.01, 10 at sf0.1). n=5 because 3-gram
+    // overlap is unspecific on this ~30-word vocabulary (it flagged
+    // 77% of train docs at sf0.1); 5-gram space is ~30^5 so organic
+    // collisions vanish. One inverted join against the benchmark-sized
+    // distinct shingle set — the test-set-leakage guard at corpus
+    // scale.
+    "q_curate_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val evalSet = docs.filter($"doc_id" % 50 === 0)
+      val train = docs.filter($"doc_id" % 50 =!= 0)
+      Dedup.decontaminate(train, $"doc_id", $"text", evalSet, $"text",
+        n = 5, minShared = 3)
+    },
+
     // duplicate-cluster assignment: near-dup pairs → connected
     // components (alternating large-star/small-star) → (id, rep =
     // component min). The oracle closes the same pair set transitively
@@ -561,6 +597,32 @@ object LlmQueries {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
+    "q_text_pii" -> {
+      val email = Text.emailPattern.replace("'", "''")
+      val ip = Text.ipv4Pattern
+      val num = Text.longDigitsPattern
+      s"""WITH inj AS (SELECT doc_id,
+         |  text || ' reach user' || doc_id || '@mail.example.com or 10.0.' ||
+         |  (doc_id % 256) || '.7 ref 99887766' || doc_id AS injected
+         |FROM documents)
+         |SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(injected,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$num', '<NUM>', 'g')) AS digest,
+         |  CAST(len(regexp_extract_all(injected, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(injected, '$ip')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(injected, '$num')) AS BIGINT) AS n_num
+         |FROM inj""".stripMargin
+    },
+    "q_curate_decontam" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |  FROM tok, UNNEST(generate_series(1, len(w)-4)) t(i))),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS id, COUNT(*) AS n_shared
+        |FROM tr JOIN ev USING (s)
+        |GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin,
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |  UNNEST(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term

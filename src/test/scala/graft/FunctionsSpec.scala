@@ -284,6 +284,36 @@ class FunctionsSpec extends SparkSpec {
     assert(got.keySet.map(_._2) === Set("cat", "dog", "fish"))
   }
 
+  test("redactPii replaces emails, IPv4s, and long digit runs with placeholders") {
+    val got = Seq(
+      "mail a.b+c@ex-1.co now",
+      "host 10.0.255.7 up",
+      "acct 12345678 ok but 123456 stays",
+      "x@y.io at 1.2.3.4 ref 99887766").toDF("text")
+      .select(Text.redactPii(col("text"))).as[String].collect().toSeq
+    assert(got === Seq(
+      "mail <EMAIL> now",
+      "host <IP> up",
+      "acct <NUM> ok but 123456 stays",
+      "<EMAIL> at <IP> ref <NUM>"))
+  }
+
+  test("decontaminate flags only train docs overlapping the eval set") {
+    val evalSet = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // shares 2 distinct 5-grams + own
+      (2L, "totally different words here entirely now"),
+      (3L, "alpha beta gamma delta epsilon other tail")).toDF("id", "text")
+    val flagged = Dedup.decontaminate(train, col("id"), col("text"),
+        evalSet, col("text"), n = 5, minShared = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged === Map(1L -> 2L, 3L -> 1L))
+    val strict = Dedup.decontaminate(train, col("id"), col("text"),
+        evalSet, col("text"), n = 5, minShared = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(strict === Map(1L -> 2L))
+  }
+
   /** Driver-side union-find ground truth for connectedComponents. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
