@@ -317,12 +317,17 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
 
-    var cur = canon(pairs.select(col(ci).as("u"), col(cj).as("v"))).localCheckpoint(true)
+    // lazy checkpoint: materialization happens inside the signature
+    // aggregation — one Spark job per round instead of two (modest:
+    // the eager form's second job only aggregated already-materialized
+    // blocks; measured within noise at gate scale, but one fewer
+    // scheduling round-trip per iteration matters on a busy cluster)
+    var cur = canon(pairs.select(col(ci).as("u"), col(cj).as("v"))).localCheckpoint(false)
     var curSig = sig(cur)
     var converged = curSig._1 == 0L
     var round = 0
     while (!converged && round < maxIter) {
-      val next = canon(smallStar(canon(largeStar(cur)))).localCheckpoint(true)
+      val next = canon(smallStar(canon(largeStar(cur)))).localCheckpoint(false)
       val nextSig = sig(next)
       converged = nextSig == curSig
       cur = next
