@@ -72,6 +72,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tfidf ranks with partial top-k pushdown; decontam joins without cartesian") {
+    val p = plan("q_text_tfidf")
+    assert(p.contains("WindowGroupLimit"), p) // partial rank limit below the shuffle
+    assert(!p.contains("CartesianProduct"), p)
+    val d = plan("q_curate_decontam")
+    assert(!d.contains("CartesianProduct"), d)
+  }
+
   test("q_dedup_cluster converges to a checkpoint-backed star mapping") {
     // the alternating-star loop localCheckpoints each round: the final
     // plan must read materialized RDD blocks (lineage truncated — an
