@@ -363,6 +363,41 @@ object LlmQueries {
         maxBucketSize = 1000)
     },
 
+    // The capstone: a complete curation pipeline in one query —
+    // PII scrub → held-out benchmark split → quality gate → exact
+    // dedup (keep lowest id; provably no-op on this dup-free corpus
+    // but in-plan) → MinHash near-dup clusters keep-rep → benchmark
+    // decontamination. Every stage's semantics are individually
+    // hash-proven by its own gate; this one proves the COMPOSITION
+    // end-to-end against a single composed DuckDB oracle. The
+    // injected PII tail is fixed (not doc-unique) so identical docs
+    // stay identical through the scrub.
+    "q_curate_full" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val injected = docs.select($"doc_id",
+        concat($"text", lit(" contact user@mail.example.com for removal")).as("text"))
+      val redacted = injected.select($"doc_id", Text.redactPii($"text").as("text"))
+      val evalSet = redacted.filter($"doc_id" % 50 === 0)
+      val train = redacted.filter($"doc_id" % 50 =!= 0)
+      val scored = train.select($"doc_id", $"text",
+        Text.qualityScore($"text", stop).as("quality"))
+      val kept = scored.filter($"quality" >= 0.4)
+      val keepers = kept.groupBy(Text.fingerprint($"text").as("fp"))
+        .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+      val uniq = kept.join(keepers, "doc_id")
+      val pairs = Dedup.minhashLshPairs(uniq, $"doc_id", $"text", n = 3,
+        numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 1000)
+      val drops = Dedup.connectedComponents(pairs.select($"i", $"j"))
+        .filter($"id" =!= $"rep").select($"id".as("drop_id"))
+      val deduped = uniq.join(drops, uniq("doc_id") === drops("drop_id"), "left_anti")
+      val contaminated = Dedup.decontaminate(deduped, $"doc_id", $"text",
+          evalSet, $"text", n = 5, minShared = 3)
+        .select($"id".as("c_id"))
+      deduped.join(contaminated, deduped("doc_id") === contaminated("c_id"), "left_anti")
+        .select($"doc_id".as("id"), $"quality")
+    },
+
     // multimodal: binary payload → per-partition codec featurization
     "q_multimodal" -> { (s, dir) =>
       import s.implicits._
@@ -694,6 +729,54 @@ object LlmQueries {
          |SELECT doc_id AS id, quality FROM kept
          |WHERE doc_id NOT IN (SELECT j FROM dup)""".stripMargin,
     "q_dedup_minhash" -> exactJaccardSql(0.5),
+    "q_curate_full" -> {
+      val email = Text.emailPattern.replace("'", "''")
+      val ip = Text.ipv4Pattern
+      val num = Text.longDigitsPattern
+      s"""WITH RECURSIVE inj AS (SELECT doc_id,
+         |  text || ' contact user@mail.example.com for removal' AS text FROM documents),
+         |red AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$num', '<NUM>', 'g') AS text
+         |  FROM inj),
+         |ev AS (SELECT doc_id, text FROM red WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, text FROM red WHERE doc_id % 50 <> 0),
+         |q AS (SELECT doc_id, text,
+         |  0.5 * (CAST(${hits(stop)} AS DOUBLE) / GREATEST(CAST($ntok AS DOUBLE), 1.0))
+         |  + 0.3 * (CAST($nalpha AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+         |  + 0.2 * (LEAST(CAST($ntok AS DOUBLE), 100.0) / 100.0) AS quality
+         |FROM tr),
+         |kept AS (SELECT * FROM q WHERE quality >= 0.4),
+         |keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept
+         |            GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+         |uniq AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id)),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM uniq),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (SELECT i, j FROM pairs
+         |         JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |         WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
+         |$componentsSql,
+         |drops AS (SELECT id FROM (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+         |          WHERE id <> rep),
+         |dd AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT id FROM drops)),
+         |tok5t AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+         |sh5t AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+         |  FROM tok5t, UNNEST(generate_series(1, len(w)-4)) t(i))),
+         |tok5e AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+         |sh5e AS (SELECT DISTINCT s FROM (
+         |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+         |  FROM tok5e, UNNEST(generate_series(1, len(w)-4)) t(i))),
+         |cont AS (SELECT doc_id FROM sh5t JOIN sh5e USING (s)
+         |         GROUP BY doc_id HAVING COUNT(*) >= 3)
+         |SELECT doc_id AS id, quality FROM dd
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
+    },
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, s FROM (
