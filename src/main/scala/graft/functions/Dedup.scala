@@ -365,6 +365,39 @@ object Dedup {
       .select(col("id"), col("quality"))
   }
 
+  /** The full curation pipeline in one call: PII scrub → quality gate
+    * → exact dedup (keep lowest id per fingerprint) → MinHash near-dup
+    * clustering keeping each cluster's minimum → decontamination
+    * against a held-out eval set. Returns the surviving (id, quality)
+    * rows. Each stage is the corresponding public operator; the
+    * composition is hash-verified end-to-end by the `q_curate_full`
+    * gate against a single composed DuckDB oracle.
+    */
+  def curateFull(df: DataFrame, idCol: Column, text: Column,
+      evalDf: DataFrame, evalText: Column,
+      stopwords: Seq[String], minQuality: Double,
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      decontamN: Int, decontamMinShared: Int,
+      maxBucketSize: Int = 0): DataFrame = {
+    val scored = df.select(idCol.as("id"), Text.redactPii(text).as("text"))
+      .withColumn("quality", Text.qualityScore(col("text"), stopwords))
+    val kept = scored.filter(col("quality") >= minQuality)
+    val keepers = kept.groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("id")).as("id")).select(col("id"))
+    val uniq = kept.join(keepers, "id")
+    val pairs = minhashLshPairs(uniq, col("id"), col("text"), n, numHashes, bands,
+      threshold, maxBucketSize)
+    val drops = connectedComponents(pairs.select(col("i"), col("j")))
+      .filter(col("id") =!= col("rep")).select(col("id").as("drop_id"))
+    val deduped = uniq.join(drops, uniq("id") === drops("drop_id"), "left_anti")
+    val contaminated = decontaminate(deduped, col("id"), col("text"),
+        evalDf.select(Text.redactPii(evalText).as("text")), col("text"),
+        decontamN, decontamMinShared)
+      .select(col("id").as("c_id"))
+    deduped.join(contaminated, deduped("id") === contaminated("c_id"), "left_anti")
+      .select(col("id"), col("quality"))
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen'd
     * expression), pairs within `maxHamming` bits. Pair search uses
     * generalized pigeonhole blocking (Manku et al., WWW'07): the sketch

@@ -377,25 +377,12 @@ object LlmQueries {
       val docs = Tables.load(s, dir, "documents")
       val injected = docs.select($"doc_id",
         concat($"text", lit(" contact user@mail.example.com for removal")).as("text"))
-      val redacted = injected.select($"doc_id", Text.redactPii($"text").as("text"))
-      val evalSet = redacted.filter($"doc_id" % 50 === 0)
-      val train = redacted.filter($"doc_id" % 50 =!= 0)
-      val scored = train.select($"doc_id", $"text",
-        Text.qualityScore($"text", stop).as("quality"))
-      val kept = scored.filter($"quality" >= 0.4)
-      val keepers = kept.groupBy(Text.fingerprint($"text").as("fp"))
-        .agg(min($"doc_id").as("doc_id")).select($"doc_id")
-      val uniq = kept.join(keepers, "doc_id")
-      val pairs = Dedup.minhashLshPairs(uniq, $"doc_id", $"text", n = 3,
-        numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 1000)
-      val drops = Dedup.connectedComponents(pairs.select($"i", $"j"))
-        .filter($"id" =!= $"rep").select($"id".as("drop_id"))
-      val deduped = uniq.join(drops, uniq("doc_id") === drops("drop_id"), "left_anti")
-      val contaminated = Dedup.decontaminate(deduped, $"doc_id", $"text",
-          evalSet, $"text", n = 5, minShared = 3)
-        .select($"id".as("c_id"))
-      deduped.join(contaminated, deduped("doc_id") === contaminated("c_id"), "left_anti")
-        .select($"doc_id".as("id"), $"quality")
+      val evalSet = injected.filter($"doc_id" % 50 === 0)
+      val train = injected.filter($"doc_id" % 50 =!= 0)
+      Dedup.curateFull(train, $"doc_id", $"text", evalSet, $"text",
+        stop, minQuality = 0.4, n = 3, numHashes = 64, bands = 16,
+        threshold = 0.5, decontamN = 5, decontamMinShared = 3,
+        maxBucketSize = 1000)
     },
 
     // multimodal: binary payload → per-partition codec featurization
