@@ -51,4 +51,75 @@ object Multimodal {
       rows.map { r => FakeCodec.decode(r.getLong(0), r.getAs[Array[Byte]](1)) }
     }(Encoders.product[AssetFeatures])
   }
+
+  /** Resized-asset record: the stub "resampler" strides through the
+    * source bytes; a real resizer emits pixel data with the same call
+    * shape (bytes → smaller bytes + dims).
+    */
+  case class ResizedAsset(
+      asset_id: Long,
+      in_bytes: Long,
+      out_bytes: Long,
+      byte_sum: Long,
+      first_byte: Int,
+      last_byte: Int)
+
+  /** Downsample each blob to at most `target` bytes by striding
+    * (stride = max(1, n/target)) — the resize step of an image
+    * pipeline, per-partition like [[featurize]]. Deterministic byte
+    * statistics stand in for pixel output so the DuckDB oracle can
+    * verify the exact sampled positions.
+    */
+  def resize(df: DataFrame, idCol: String, blobCol: String, target: Int): Dataset[ResizedAsset] = {
+    require(target >= 1)
+    val pruned = df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    pruned.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val n = b.length
+        if (n == 0) ResizedAsset(id, 0L, 0L, 0L, -1, -1)
+        else {
+          val stride = math.max(1, n / target)
+          val outLen = math.min(target, (n + stride - 1) / stride)
+          var sum = 0L
+          var i = 0
+          while (i < outLen) { sum += b(i * stride) & 0xff; i += 1 }
+          ResizedAsset(id, n.toLong, outLen.toLong, sum,
+            b(0) & 0xff, b((outLen - 1) * stride) & 0xff)
+        }
+      }
+    }(Encoders.product[ResizedAsset])
+  }
+
+  /** One sampled frame of a "video" blob. */
+  case class Frame(asset_id: Long, frame_idx: Long, frame_bytes: Long, byte_sum: Long)
+
+  /** Split each blob into fixed-size frames and keep every `everyNth`
+    * one — the frame-sampling step of a video pipeline. flatMap shape:
+    * one input row fans out to its sampled frames, so downstream
+    * per-frame work (decode, embed) parallelizes across the corpus,
+    * not per video.
+    */
+  def frameSample(df: DataFrame, idCol: String, blobCol: String,
+      frameSize: Int, everyNth: Int): Dataset[Frame] = {
+    require(frameSize >= 1 && everyNth >= 1)
+    val pruned = df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val n = b.length
+        val nFrames = (n + frameSize - 1) / frameSize
+        (0 until nFrames by everyNth).iterator.map { f =>
+          val off = f * frameSize
+          val len = math.min(frameSize, n - off)
+          var sum = 0L
+          var i = off
+          while (i < off + len) { sum += b(i) & 0xff; i += 1 }
+          Frame(id, f.toLong, len.toLong, sum)
+        }
+      }
+    }(Encoders.product[Frame])
+  }
 }

@@ -391,6 +391,25 @@ object LlmQueries {
       val docs = Tables.load(s, dir, "documents")
         .select($"doc_id", $"text".cast("binary").as("blob"))
       Multimodal.featurize(docs, "doc_id", "blob").toDF()
+    },
+
+    // multimodal resize: stride-downsample each blob to <= 48 bytes;
+    // the oracle recomputes the exact sampled byte positions
+    "q_multimodal_resize" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text".cast("binary").as("blob"))
+      Multimodal.resize(docs, "doc_id", "blob", target = 48).toDF()
+    },
+
+    // multimodal frame sampling: 64-byte frames, keep every 3rd —
+    // flatMap fan-out so per-frame work parallelizes corpus-wide
+    "q_multimodal_frames" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text".cast("binary").as("blob"))
+      Multimodal.frameSample(docs, "doc_id", "blob",
+        frameSize = 64, everyNth = 3).toDF()
     })
 
   /** DuckDB rendering of [[Similarity.signBucket]] with bits=4 (lists
@@ -868,6 +887,29 @@ object LlmQueries {
          |FROM probes p JOIN cells c ON p.cid = c.cid AND p.qid <> c.id
          |QUALIFY rank <= 3""".stripMargin
     },
+    "q_multimodal_resize" ->
+      """WITH src AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, text, n, GREATEST(1, n // 48) AS stride FROM src),
+        |q2 AS (SELECT doc_id, text, n, stride,
+        |  CASE WHEN n = 0 THEN 0 ELSE LEAST(48, (n + stride - 1) // stride) END AS out_len
+        |FROM p)
+        |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS in_bytes,
+        |  CAST(out_len AS BIGINT) AS out_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(range(0, out_len),
+        |    i -> unicode(text[1 + i*stride]))), 0) AS BIGINT) AS byte_sum,
+        |  CASE WHEN n = 0 THEN -1 ELSE unicode(text[1]) END AS first_byte,
+        |  CASE WHEN n = 0 THEN -1 ELSE unicode(text[1 + (out_len-1)*stride]) END AS last_byte
+        |FROM q2""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH src AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |fr AS (SELECT doc_id, text, n, UNNEST(range(0, (n + 63) // 64)) AS f FROM src),
+        |sel AS (SELECT * FROM fr WHERE f % 3 = 0)
+        |SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(LEAST(64, n - f*64) AS BIGINT) AS frame_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    range(f*64 + 1, f*64 + LEAST(64, n - f*64) + 1),
+        |    j -> unicode(text[j]))), 0) AS BIGINT) AS byte_sum
+        |FROM sel""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS first_byte,

@@ -201,6 +201,23 @@ class FunctionsSpec extends SparkSpec {
     assert(out === Set((1L, 3L, 97, 294L), (2L, 0L, -1, 0L)))
   }
 
+  test("multimodal resize strides to the target; frameSample fans out frames") {
+    import graft.functions.Multimodal
+    // 10 bytes 'a'..'j', target 4 → stride 2, picks offsets 0,2,4,6
+    val df = Seq((1L, "abcdefghij".getBytes), (2L, Array.empty[Byte]))
+      .toDF("id", "blob")
+    val rz = Multimodal.resize(df, "id", "blob", target = 4)
+      .collect().map(r => r.asset_id -> ((r.in_bytes, r.out_bytes, r.byte_sum, r.first_byte, r.last_byte))).toMap
+    assert(rz(1L) === ((10L, 4L, ('a' + 'c' + 'e' + 'g').toLong, 'a'.toInt, 'g'.toInt)))
+    assert(rz(2L) === ((0L, 0L, 0L, -1, -1)))
+    // 10 bytes, frame size 3 → frames 0..3 (3,3,3,1 bytes), keep every 2nd: 0 and 2
+    val fr = Multimodal.frameSample(df, "id", "blob", frameSize = 3, everyNth = 2)
+      .collect().map(f => (f.asset_id, f.frame_idx) -> ((f.frame_bytes, f.byte_sum))).toMap
+    assert(fr((1L, 0L)) === ((3L, ('a' + 'b' + 'c').toLong)))
+    assert(fr((1L, 2L)) === ((3L, ('g' + 'h' + 'i').toLong)))
+    assert(fr.size === 2) // empty blob fans out to nothing
+  }
+
   test("ngramStats: one-pass totals, distincts, and top frequency") {
     val df = Seq(
       "a b a b a",   // 2-grams: "a b","b a","a b","b a" → (4, 2, 2)
