@@ -119,6 +119,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted === Seq(1L, 2L, 3L))
   }
 
+  test("curation text ops run unchanged inside a streaming query") {
+    // the scrub/quality/repetition expressions are pure Columns, so the
+    // same code drives readStream pipelines — prove it end-to-end:
+    // PII redact → quality score → exact dedup within the watermark
+    import graft.functions.{Dedup, Text}
+    val src = Testing.testingSource[(Long, String, java.sql.Timestamp)](spark)
+    def at(sec: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + sec * 1000L)
+    val good = "the quick brown fox is a fast animal and the dog is in the yard now ok"
+    src.addBatch(
+      (1L, s"$good mail me a.b@ex.co", at(0)),
+      (2L, "zz", at(1)),                            // fails the quality gate
+      (3L, s"$good mail me a.b@ex.co", at(2)))      // exact dup of 1 post-redaction
+    val cleaned = src.toDS().toDF("id", "text", "ts")
+      .withColumn("text", Text.redactPii(col("text")))
+      .withColumn("quality", Text.qualityScore(col("text"), Text.langStopwords.head._2))
+      .filter(col("quality") >= 0.4)
+      .withColumn("fp", Text.fingerprint(col("text")))
+    val deduped = Dedup.streamingExactDedup(cleaned, "ts", "10 minutes", "fp")
+    val got = StreamingOps.runToMemory(deduped, "stream_curate")
+      .select("id", "text").as[(Long, String)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L))
+    assert(got.head._2.endsWith("mail me <EMAIL>"))
+  }
+
   test("statefulStream onBatch sees whole per-key batch and can clear state") {
     val src = Testing.testingSource[(String, Int)](spark)
     src.addBatch(("a", 1), ("a", 2), ("b", 7))
