@@ -28,6 +28,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Long]("a32") === expected)
   }
 
+  test("SQL ngram_stats and winnow match their Column counterparts") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT ngram_stats('a b a b a', 2) AS st, winnow('abcdefghijklmno', 8, 4) AS fp"""
+    ).head()
+    val st = row.getStruct(0)
+    assert((st.getInt(0), st.getInt(1), st.getInt(2)) === ((4, 2, 2)))
+    val viaColumn = Seq("abcdefghijklmno").toDF("t")
+      .select(graft.functions.Winnow.winnow(col("t"), 8, 4)).as[Seq[Long]].head()
+    assert(row.getSeq[Long](1) === viaColumn)
+  }
+
   test("SQL simhash64 equals the Column API simhash64") {
     GraftExtensions.register(spark)
     val docs = Tables.load(spark, sf0001, "documents").limit(50)
