@@ -265,12 +265,14 @@ object Dedup {
     * plain min-label propagation, O(diameter) rounds — this converges
     * exponentially faster on long chains and needs no RDD conversion.
     *
-    * Per round the plan is `localCheckpoint`ed: it truncates lineage
+    * Per round the plan is checkpointed: it truncates lineage
     * (iterated self-joins otherwise nest the logical plan
     * exponentially) and materializes the edge set for the convergence
-    * check. On a real cluster prefer `spark.sparkContext
-    * .setCheckpointDir` + `checkpoint()` for fault tolerance; local
-    * checkpoint blocks die with an executor.
+    * check. When the session has a checkpoint dir
+    * (`spark.sparkContext.setCheckpointDir`), rounds use RELIABLE
+    * checkpoints — an executor loss mid-contraction recovers from
+    * storage; otherwise local checkpoint blocks (which die with their
+    * executor — fine on local[*], risky on a 1000-executor cluster).
     *
     * @param pairs DataFrame whose first two columns are the pair
     *              endpoints (any orderable type; self-pairs ignored)
@@ -322,12 +324,15 @@ object Dedup {
     // the eager form's second job only aggregated already-materialized
     // blocks; measured within noise at gate scale, but one fewer
     // scheduling round-trip per iteration matters on a busy cluster)
-    var cur = canon(pairs.select(col(ci).as("u"), col(cj).as("v"))).localCheckpoint(false)
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def mark(e: DataFrame): DataFrame =
+      if (reliable) e.checkpoint(false) else e.localCheckpoint(false)
+    var cur = mark(canon(pairs.select(col(ci).as("u"), col(cj).as("v"))))
     var curSig = sig(cur)
     var converged = curSig._1 == 0L
     var round = 0
     while (!converged && round < maxIter) {
-      val next = canon(smallStar(canon(largeStar(cur)))).localCheckpoint(false)
+      val next = mark(canon(smallStar(canon(largeStar(cur)))))
       val nextSig = sig(next)
       converged = nextSig == curSig
       cur = next

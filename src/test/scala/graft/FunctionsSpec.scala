@@ -381,6 +381,19 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents uses reliable checkpoints when a dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val got = ccOf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // reliable checkpoint data actually landed on storage
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("connectedComponents: empty pair set yields empty mapping") {
     assert(ccOf(Seq.empty[(Long, Long)]).isEmpty)
     // self-pairs only: no genuine edges
