@@ -48,22 +48,41 @@ object Dedup {
     * more than `maxDocFreq` docs are dropped from the inverted index
     * before the pair join (maxDocFreq <= 0 disables). This bounds the
     * worst-case pair blowup at Σ min(df, cap)² — the standard stop-
-    * shingle mitigation at corpus scale. Trade-off: intersections are
-    * undercounted for pairs whose overlap includes capped shingles, so
-    * computed jaccard is a lower bound (recall can drop, never
-    * precision above the true-jaccard filter).
+    * shingle mitigation at corpus scale.
+    *
+    * Jaccard is computed entirely in the CAPPED shingle space — per-doc
+    * set sizes count only sub-cap shingles, so a hot shingle leaves the
+    * numerator and the denominator together, exactly as in
+    * [[winnowPairs]]. A binding cap then removes corpus-wide
+    * boilerplate from the similarity definition instead of diluting
+    * it. The alternative (sizes from the uncapped relation, making
+    * computed jaccard a lower bound) measured 10% recall vs ~full
+    * under a binding cap on the sf1 boilerplate corpus — see
+    * ROUND5.md §9 for the winnow experiment that settled this and
+    * ROUND6.md for the ngram backport measurement.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, text: Column, n: Int,
-      threshold: Double, maxDocFreq: Int): DataFrame = {
-    val shAll = shingleRows(df, idCol, text, n).cache()
-    val cnt = shAll.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      threshold: Double, maxDocFreq: Int): DataFrame =
+    ngramJaccardPairs(df, idCol, text, n, threshold, maxDocFreq, CacheScope.unmanaged)
+
+  /** Variant registering its pinned relations in `scope` — see
+    * [[CacheScope]] for the ownership contract.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, text: Column, n: Int,
+      threshold: Double, maxDocFreq: Int, scope: CacheScope): DataFrame = {
     val sh =
-      if (maxDocFreq <= 0) shAll
+      if (maxDocFreq <= 0) scope.track(shingleRows(df, idCol, text, n).cache())
       else {
+        // cached: consumers are the hot-shingle aggregation + the
+        // anti-join probe side
+        val shAll = scope.track(shingleRows(df, idCol, text, n).cache())
         val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df_"))
           .filter(col("df_") > maxDocFreq).select(col("s"))
-        shAll.join(hot, Seq("s"), "left_anti")
+        // cached separately: the capped relation feeds per-doc counts
+        // and both pair-join sides (same shape as winnowPairs)
+        scope.track(shAll.join(hot, Seq("s"), "left_anti").cache())
       }
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
       .agg(count(lit(1)).as("inter"))
@@ -108,16 +127,25 @@ object Dedup {
     * precision is unaffected because candidates are exact-verified.
     */
   def minhashLshPairs(df: DataFrame, idCol: Column, text: Column, n: Int,
-      numHashes: Int, bands: Int, threshold: Double, maxBucketSize: Int): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double, maxBucketSize: Int): DataFrame =
+    minhashLshPairs(df, idCol, text, n, numHashes, bands, threshold, maxBucketSize,
+      CacheScope.unmanaged)
+
+  /** Variant registering its pinned relations in `scope` — see
+    * [[CacheScope]] for the ownership contract.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: Column, text: Column, n: Int,
+      numHashes: Int, bands: Int, threshold: Double, maxBucketSize: Int,
+      scope: CacheScope): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // cached: the band explode and both sides of the verify join re-scan
     // this relation; recomputing shingles+signatures 4× dominates without it
-    val withSig = df.select(idCol.as("id"), text.as("text"))
+    val withSig = scope.track(df.select(idCol.as("id"), text.as("text"))
       .withColumn("sh", shingles(col("text"), n))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bandedAll = withSig.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -200,9 +228,11 @@ object Dedup {
     * capped ones — see ROUND5.md §9).
     */
   def winnowPairs(df: DataFrame, idCol: Column, text: Column, k: Int, w: Int,
-      minOverlap: Double, maxDocFreq: Int = 0): DataFrame = {
-    val fpAll = df.select(idCol.as("id"), explode(Winnow.winnow(text, k, w)).as("fp"))
-      .cache() // consumers: the hot-fp aggregation + the anti-join probe side
+      minOverlap: Double, maxDocFreq: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val fpAll = scope.track(
+      df.select(idCol.as("id"), explode(Winnow.winnow(text, k, w)).as("fp"))
+        .cache()) // consumers: the hot-fp aggregation + the anti-join probe side
     val fp =
       if (maxDocFreq <= 0) fpAll
       else {
@@ -211,7 +241,7 @@ object Dedup {
         // cached separately: the capped relation feeds per-doc counts
         // and both pair-join sides — uncached, each re-runs the
         // anti-join (measured 3× wall on the sf1 skew corpus)
-        fpAll.join(hot, Seq("fp"), "left_anti").cache()
+        scope.track(fpAll.join(hot, Seq("fp"), "left_anti").cache())
       }
     val cnt = fp.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
     fp.as("a").join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
@@ -319,22 +349,55 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
 
-    // lazy checkpoint: materialization happens inside the signature
-    // aggregation — one Spark job per round instead of two (modest:
-    // the eager form's second job only aggregated already-materialized
-    // blocks; measured within noise at gate scale, but one fewer
-    // scheduling round-trip per iteration matters on a busy cluster)
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def mark(e: DataFrame): DataFrame =
-      if (reliable) e.checkpoint(false) else e.localCheckpoint(false)
+    // Checkpoint lifecycle. Local mode: lazy localCheckpoint —
+    // materialization happens inside the signature aggregation, one
+    // Spark job per round. Reliable mode (a checkpoint dir is set):
+    // persist the round FIRST — the reliable checkpoint-write job that
+    // follows the signature job re-reads the cached blocks instead of
+    // recomputing the whole contraction (without the persist, every
+    // round ran twice); the persist is dropped as soon as the files
+    // are written. Each round's checkpoint data (local blocks /
+    // reliable files) is released once the NEXT round is materialized
+    // — only the final star edge set stays, because the returned
+    // DataFrame reads through it (its storage follows the result's
+    // lifetime: ContextCleaner reclaims local blocks when the RDD is
+    // GC'd; reliable files need spark.cleaner.referenceTracking
+    // .cleanCheckpoints or session teardown).
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    case class Marked(df: DataFrame, cached: Option[DataFrame])
+    def checkpointRddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    def mark(e: DataFrame): Marked =
+      if (reliable) {
+        val p = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Marked(p.checkpoint(false), Some(p))
+      } else Marked(e.localCheckpoint(false), None)
+    // called after the round's signature job has run (checkpoint data
+    // is written by then): the cached pre-checkpoint relation is
+    // always droppable; the checkpoint data itself only when the
+    // round is superseded
+    def dropCache(m: Marked): Unit = m.cached.foreach(_.unpersist(false))
+    def releaseCheckpoint(m: Marked): Unit = checkpointRddOf(m.df).foreach { rdd =>
+      if (reliable) rdd.getCheckpointFile.foreach { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
+      }
+      else rdd.unpersist(false)
+    }
     var cur = mark(canon(pairs.select(col(ci).as("u"), col(cj).as("v"))))
-    var curSig = sig(cur)
+    var curSig = sig(cur.df)
+    dropCache(cur)
     var converged = curSig._1 == 0L
     var round = 0
     while (!converged && round < maxIter) {
-      val next = mark(canon(smallStar(canon(largeStar(cur)))))
-      val nextSig = sig(next)
+      val next = mark(canon(smallStar(canon(largeStar(cur.df)))))
+      val nextSig = sig(next.df)
+      dropCache(next)
       converged = nextSig == curSig
+      releaseCheckpoint(cur) // superseded round's blocks/files
       cur = next
       curSig = nextSig
       round += 1
@@ -342,8 +405,8 @@ object Dedup {
     require(converged, s"connectedComponents: no convergence in $maxIter rounds")
     // converged edges are stars (member, component-min); minima map to
     // themselves
-    cur.select(col("u").as("id"), col("v").as("rep"))
-      .union(cur.select(col("v").as("id"), col("v").as("rep")))
+    cur.df.select(col("u").as("id"), col("v").as("rep"))
+      .union(cur.df.select(col("v").as("id"), col("v").as("rep")))
       .distinct()
   }
 
@@ -362,10 +425,16 @@ object Dedup {
     val scored = df.select(idCol.as("id"), text.as("text"),
       Text.qualityScore(text, stopwords).as("quality"))
     val kept = scored.filter(col("quality") >= minQuality)
+    // the pipeline owns its pair-generation caches: connectedComponents
+    // materializes the pairs into its round checkpoints (it runs Spark
+    // actions), so nothing downstream references them — release before
+    // returning (see CacheScope)
+    val scope = new CacheScope
     val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, scope)
     val drops = connectedComponents(pairs.select(col("i"), col("j")))
       .filter(col("id") =!= col("rep")).select(col("id").as("drop_id"))
+    scope.close()
     kept.join(drops, kept("id") === drops("drop_id"), "left_anti")
       .select(col("id"), col("quality"))
   }
@@ -390,10 +459,14 @@ object Dedup {
     val keepers = kept.groupBy(Text.fingerprint(col("text")).as("fp"))
       .agg(min(col("id")).as("id")).select(col("id"))
     val uniq = kept.join(keepers, "id")
+    // pipeline-owned caches: released once connectedComponents has
+    // materialized the pairs into its round checkpoints (see CacheScope)
+    val scope = new CacheScope
     val pairs = minhashLshPairs(uniq, col("id"), col("text"), n, numHashes, bands,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, scope)
     val drops = connectedComponents(pairs.select(col("i"), col("j")))
       .filter(col("id") =!= col("rep")).select(col("id").as("drop_id"))
+    scope.close()
     val deduped = uniq.join(drops, uniq("id") === drops("drop_id"), "left_anti")
     val contaminated = decontaminate(deduped, col("id"), col("text"),
         evalDf.select(Text.redactPii(evalText).as("text")), col("text"),
@@ -401,6 +474,26 @@ object Dedup {
       .select(col("id").as("c_id"))
     deduped.join(contaminated, deduped("id") === contaminated("c_id"), "left_anti")
       .select(col("id"), col("quality"))
+  }
+
+  /** Embedding-space semantic dedup (SemDeDup-style, Abbas et al.
+    * 2023), the production path: corpus-sized OR-amplified
+    * random-hyperplane buckets ([[Similarity.bucketedCosinePairsAuto]]
+    * — bits grow with log2 N so candidate work stays
+    * ≈ tables·N·targetBucket, never N²/2^bits; amplification keeps
+    * recall for high-similarity pairs) → cosine-verified pairs →
+    * [[connectedComponents]] → (id, rep) with one canonical
+    * representative (the cluster minimum) per semantic cluster. The
+    * `q_embed_dedup` gate runs the same composition with fixed bits=4
+    * sign buckets so the DuckDB oracle stays SQL-expressible; recall
+    * of the auto path vs brute force is measured in FunctionsSpec and
+    * tools/AnnScale.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetBucket: Int = 64): DataFrame = {
+    val pairs = Similarity.bucketedCosinePairsAuto(df, idCol, vecCol,
+      threshold, targetBucket)
+    connectedComponents(pairs.select(col("i"), col("j")))
   }
 
   /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen'd

@@ -37,14 +37,16 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
-  /** All pairs (i<j) with cosine ≥ threshold — brute force. */
+  /** All pairs (i<j) with cosine ≥ threshold — brute force. Keeps the
+    * similarity column (spec-only exactness/recall baseline).
+    */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("i"), col(vecCol).as("vi"))
     val b = df.select(col(idCol).as("j"), col(vecCol).as("vj"))
     a.crossJoin(b).filter(col("i") < col("j"))
       .withColumn("sim", cosine(col("vi"), col("vj")))
       .filter(col("sim") >= threshold)
-      .select(col("i"), col("j"))
+      .select(col("i"), col("j"), col("sim"))
   }
 
   /** Axis-aligned sign-bit LSH bucket: bit b = (v[b] >= 0), packed into
@@ -86,9 +88,16 @@ object Similarity {
     * all-pairs baseline is measured in FunctionsSpec.
     */
   def bucketedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int): DataFrame = {
+      threshold: Double, bits: Int): DataFrame =
+    bucketedCosinePairs(df, idCol, vecCol, threshold, signBucket(col(vecCol), bits))
+
+  /** Generic bucketed pair engine: same-bucket pairs under any bucket
+    * expression ([[signBucket]], [[lshBucket]], an IVF cell id…).
+    */
+  def bucketedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucket: Column): DataFrame = {
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      bucket.as("bucket"))
     val a = bucketed.select(col("bucket"), col("id").as("i"), col("v").as("vi"))
     val b = bucketed.select(col("bucket"), col("id").as("j"), col("v").as("vj"))
     a.join(b, Seq("bucket")).filter(col("i") < col("j"))
@@ -104,6 +113,42 @@ object Similarity {
     * zip_with/aggregate composition evaluated interpreted.
     */
   def lshBucket(vec: Column, bits: Int): Column = LshBucket.lsh_bucket(vec, bits)
+
+  /** `tables` independent random-hyperplane sketches in one fused pass
+    * — array<long> of bucket ids. See [[LshSketchExpr]].
+    */
+  def lshSketch(vec: Column, bits: Int, tables: Int): Column =
+    LshBucket.lsh_sketch(vec, bits, tables)
+
+  /** OR-amplified LSH pairs: a pair is a candidate when it colocates in
+    * ANY of `tables` independent `bits`-bit random-hyperplane tables,
+    * then candidates are exact-cosine-verified at `threshold` (so
+    * precision is 1.0 by construction — amplification only buys
+    * recall: 1−(1−p^bits)^tables vs p^bits single-table, for
+    * colocation probability p = 1−θ/π per hyperplane). The same
+    * AND-then-OR construction as MinHash banding, on the cosine
+    * sketch family. Candidate work is tables · Σ bucket², and the
+    * per-table expected bucket is N/2^bits — size bits with
+    * [[autoBits]] so it stays ≈ tables · N · targetBucket, linear
+    * in N.
+    */
+  def bucketedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int, tables: Int): DataFrame = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val keyed = data.select(col("id"),
+      posexplode(lshSketch(col("v"), bits, tables)).as(Seq("t", "bucket")))
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    cands
+      .join(data.select(col("id").as("i"), col("v").as("vi")), "i")
+      .join(data.select(col("id").as("j"), col("v").as("vj")), "j")
+      .withColumn("sim", cosine(col("vi"), col("vj")))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"))
+  }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
     * cells via a few Lloyd iterations (deterministic seeding: the
@@ -198,10 +243,33 @@ object Similarity {
 
   /** See [[ivfTopKAuto]]. */
   def lshTopKAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      targetBucket: Int = 64): DataFrame = {
-    val n = df.count().toDouble
-    val bits = math.min(24, math.max(4,
-      math.ceil(math.log(n / targetBucket) / math.log(2)).toInt))
-    lshTopK(df, idCol, vecCol, k, bits)
-  }
+      targetBucket: Int = 64): DataFrame =
+    lshTopK(df, idCol, vecCol, k, autoBits(df.count(), targetBucket))
+
+  /** bits ≈ log2(N / targetBucket), clamped to [4, 24] — expected
+    * bucket occupancy stays ≈ targetBucket regardless of N.
+    */
+  def autoBits(n: Long, targetBucket: Int): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt))
+
+  /** The pair-path analogue of [[lshTopKAuto]] — closes the last
+    * pinned-parameter quadratic: with fixed `bits`, candidate work is
+    * Σ bucket² ≈ N²/2^bits; with bits = log2(N/targetBucket) it is
+    * ≈ tables·N·targetBucket, linear in N. Buckets come from the
+    * random-hyperplane sketch family (not [[signBucket]]) because auto
+    * bits routinely exceed the leading-coordinate count a sign sketch
+    * can use, and random hyperplanes decorrelate from axis-aligned
+    * structure in the embedding space. OR-amplification over `tables`
+    * tables buys back the recall a single log2(N)-bit table gives up
+    * (sf1 measured: 1 table = 0.011 overall recall at threshold 0.3;
+    * see tools/AnnScale for the amplified + similarity-stratified
+    * numbers). The `q_embed_dedup` gate keeps fixed bits=4 through
+    * [[signBucket]] so the DuckDB oracle stays exactly
+    * SQL-expressible; this is the production path.
+    */
+  def bucketedCosinePairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetBucket: Int = 64, tables: Int = 8): DataFrame =
+    bucketedCosinePairs(df, idCol, vecCol, threshold,
+      autoBits(df.count(), targetBucket), tables)
 }

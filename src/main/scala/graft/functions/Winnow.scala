@@ -23,6 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * monotonic-deque sliding minimum. Hash order is UNSIGNED 64-bit so
   * the DuckDB oracle's UBIGINT MIN agrees bit-for-bit; the emitted
   * values are the raw 64-bit patterns as signed longs.
+  *
+  * Unit of hashing is the UTF-16 code unit (`charAt`), while the
+  * DuckDB oracle hashes codepoints (`unicode(text[j])`) — the
+  * bit-for-bit parity claim therefore holds for BMP text (all gate
+  * corpora are ASCII); a supplementary-plane character is two code
+  * units here vs one codepoint there. Within this engine the
+  * fingerprints are self-consistent for any input — near-dup pairing
+  * over non-BMP corpora is unaffected, only cross-engine hash parity
+  * narrows. (Same caveat applies to the TokenScan tokenizers.)
   */
 case class WinnowExpr(child: Expression, k: Int, w: Int) extends TextScanExpr {
   require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")

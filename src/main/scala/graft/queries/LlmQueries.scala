@@ -170,10 +170,13 @@ object LlmQueries {
     // Skew stress: every doc gets a shared boilerplate tail, so the
     // boilerplate shingles' document frequency equals the corpus size —
     // far over the df cap, which genuinely BINDS here (unlike
-    // q_dedup_ngram where it is provably a no-op). The oracle applies
-    // the identical cap in SQL: both engines drop the same hot shingles
-    // and undercount the same intersections, so the capped *semantics*
-    // (not just the plan shape) are hash-verified.
+    // q_dedup_ngram where it is provably a no-op). Jaccard is computed
+    // in the CAPPED shingle space on both engines (hot boilerplate
+    // leaves numerator and denominator together — the winnow-settled
+    // form; the lower-bound alternative measured 10% recall under a
+    // binding cap, see ngramJaccardPairs scaladoc). The oracle applies
+    // the identical cap rule in SQL, so the capped *semantics* (not
+    // just the plan shape) are hash-verified.
     "q_dedup_ngram_skew" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
@@ -923,10 +926,11 @@ object LlmQueries {
     * on this corpus; verified locally and in ScalaTest).
     */
   /** df-capped Jaccard over the boilerplate-tailed corpus — mirrors
-    * [[graft.functions.Dedup.ngramJaccardPairs]]'s cap semantics: per-doc
-    * shingle counts stay uncapped, shingles with df > cap vanish from
-    * the inverted index only (intersections undercount; jaccard is a
-    * lower bound).
+    * [[graft.functions.Dedup.ngramJaccardPairs]]'s capped-space
+    * semantics: shingles with df > cap vanish from the inverted index
+    * AND the per-doc set sizes, so jaccard is computed entirely in the
+    * capped shingle space (hot boilerplate leaves numerator and
+    * denominator together — same form as the winnow oracle).
     */
   private def cappedJaccardSql(threshold: Double, maxDocFreq: Int): String =
     s"""WITH docs AS (SELECT doc_id, text || ' $boilerplate' AS text FROM documents),
@@ -934,9 +938,9 @@ object LlmQueries {
        |sh AS (SELECT DISTINCT doc_id, s FROM (
        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
-       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |kept AS (SELECT * FROM sh WHERE s IN (
        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $maxDocFreq)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
        |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
        |SELECT i, j, CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) AS jac

@@ -25,6 +25,27 @@ class FunctionsSpec extends SparkSpec {
     assert(capped === uncapped)
   }
 
+  test("binding df-cap preserves near-dup recall (capped-space jaccard)") {
+    // Every doc gets a boilerplate tail whose shingles reach df = corpus
+    // size — far over cap 10, which BINDS. With jaccard computed in the
+    // capped shingle space (hot shingles leave numerator and denominator
+    // together), the true pair set of the clean corpus survives; under
+    // the pre-round-6 lower-bound form (uncapped denominators) the tail
+    // inflates |A|+|B| and dilutes every true pair's jaccard instead.
+    val docs = Tables.load(spark, sf0001, "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val tail = "terms of service apply to every document in this corpus"
+    val tailed = docs.select(col("doc_id"),
+      concat(col("text"), lit(" " + tail)).as("text"))
+    val capped = Dedup.ngramJaccardPairs(tailed, col("doc_id"), col("text"), 3, 0.45,
+        maxDocFreq = 10)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = truth.intersect(capped).size.toDouble / truth.size
+    assert(recall >= 0.95, s"capped-space recall $recall; missing ${truth.diff(capped)}")
+  }
+
   test("gate's ngram df-cap (1000) is far above the corpus max shingle df") {
     // q_dedup_ngram runs the capped path with maxDocFreq=1000; this pins
     // the invariant that makes its oracle answer provably identical to
@@ -169,6 +190,30 @@ class FunctionsSpec extends SparkSpec {
     assert(bucketed.subsetOf(brute), "bucketed pair not >= threshold")
     val recall = bucketed.size.toDouble / brute.size
     assert(recall > 0.1, s"sign-bucket pair recall too low: $recall")
+  }
+
+  test("bucketedCosinePairsAuto: corpus-derived bits, perfect precision, useful recall") {
+    // the auto sizing rule itself: bits = clamp(ceil(log2(N/target)), 4, 24)
+    assert(Similarity.autoBits(500, 64) === 4)
+    assert(Similarity.autoBits(1L << 20, 64) === 14)
+    assert(Similarity.autoBits(10, 64) === 4)
+    assert(Similarity.autoBits(Long.MaxValue, 64) === 24)
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val auto = Similarity.bucketedCosinePairsAuto(emb, "vec_id", "embedding", 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty && auto.nonEmpty)
+    assert(auto.subsetOf(brute), "auto-bucketed pair below threshold")
+    val recall = auto.size.toDouble / brute.size
+    assert(recall > 0.1, s"auto-bucketed pair recall too low: $recall")
+    // the production SemDeDup composition resolves every pair endpoint
+    // to a canonical representative <= itself
+    val reps = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.3)
+      .as[(Long, Long)].collect()
+    assert(reps.nonEmpty)
+    assert(reps.forall { case (id, rep) => rep <= id })
+    assert(reps.map(_._1).distinct.length === reps.length)
   }
 
   test("sign-bucket topK agrees with brute force on bucket-colocated neighbors") {
@@ -398,6 +443,31 @@ class FunctionsSpec extends SparkSpec {
     assert(ccOf(Seq.empty[(Long, Long)]).isEmpty)
     // self-pairs only: no genuine edges
     assert(ccOf(Seq((4L, 4L))).isEmpty)
+  }
+
+  test("pipelines own their caches: nothing stays pinned across consecutive curateFull runs") {
+    // the CacheScope contract: curateFull/curateClustered release their
+    // pair-generation caches before returning (connectedComponents has
+    // already materialized everything downstream), and superseded CC
+    // rounds release their local-checkpoint blocks — so a user
+    // composing pipelines repeatedly in one session accumulates
+    // nothing but the final star edge set per call
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Tables.load(spark, sf0001, "documents")
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    for (_ <- 1 to 2) {
+      val out = Dedup.curateFull(train, col("doc_id"), col("text"),
+        evalSet, col("text"), Text.langStopwords.head._2, minQuality = 0.4,
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        decontamN = 5, decontamMinShared = 3)
+      assert(out.count() > 0)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pipeline leaked cached relations into the cache manager")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 2, s"leaked ${leaked.size} checkpoint RDDs (expected <= 1 final star set per call)")
   }
 
   test("curateClustered drops transitively: shared-dup chains keep only the min") {

@@ -185,6 +185,53 @@ class PropertySpec extends SparkSpec {
     assert(flow.toMermaid.contains("prep --> gw"))
   }
 
+  test("winnowing guarantee: any shared substring of length >= k+w-1 shares a fingerprint") {
+    // SIGMOD'03 correctness property, checked over random (k, w,
+    // docs): a shared run of k+w-1 chars contains one full window of w
+    // identical k-gram hashes, whose minimum both documents select.
+    // Runs against WinnowImpl (the exact code the codegen'd expression
+    // calls; FunctionsSpec covers the Column/codegen path).
+    import org.apache.spark.unsafe.types.UTF8String
+    def fps(s: String, k: Int, w: Int): Set[Long] =
+      graft.functions.WinnowImpl.winnow(UTF8String.fromString(s), k, w)
+        .toLongArray().toSet
+    def genStr(n: Int): Gen[String] =
+      Gen.listOfN(n, Gen.choose('a', 'f')).map(_.mkString)
+    val genCase = for {
+      k <- Gen.choose(3, 10)
+      w <- Gen.choose(2, 8)
+      extra <- Gen.choose(0, 15)
+      shared <- genStr(k + w - 1 + extra)
+      pre1 <- Gen.choose(0, 50).flatMap(genStr)
+      suf1 <- Gen.choose(0, 50).flatMap(genStr)
+      pre2 <- Gen.choose(0, 50).flatMap(genStr)
+      suf2 <- Gen.choose(0, 50).flatMap(genStr)
+    } yield (k, w, pre1 + shared + suf1, pre2 + shared + suf2)
+    val prop = Prop.forAll(genCase) { case (k, w, d1, d2) =>
+      fps(d1, k, w).intersect(fps(d2, k, w)).nonEmpty
+    }
+    check(prop, tests = 200)
+  }
+
+  test("winnowing density stays near the paper's 2/(w+1) bound on random text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val genCase = for {
+      w <- Gen.choose(2, 12)
+      doc <- Gen.listOfN(800, Gen.choose('a', 'z')).map(_.mkString)
+    } yield (w, doc)
+    val prop = Prop.forAll(genCase) { case (w, doc) =>
+      val k = 8
+      val m = doc.length - k + 1
+      val d = graft.functions.WinnowImpl.winnow(UTF8String.fromString(doc), k, w)
+        .numElements().toDouble / m
+      // expected density 2/(w+1) for uniformly distributed hashes;
+      // generous concentration margins for 793-gram docs (distinctness
+      // can only lower the count)
+      d >= 1.0 / (w + 1) && d <= 3.5 / (w + 1)
+    }
+    check(prop, tests = 50)
+  }
+
   test("mapField lens updates one struct field in place") {
     val df = Seq((1, ("a", 10))).toDF("id", "s")
     val out = graft.operators.Ops.mapField(df, "s", "_2", _ * 2)
