@@ -45,6 +45,40 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("engine parity: statefulTws and statefulStream emit identical output for one logic") {
+    // the promotion contract (OPERATORS.md): transformWithState is the
+    // documented streaming default, flatMapGroupsWithState the
+    // compatibility engine — a user switching engines must see the
+    // same rows. One shared batch-at-a-time running-sum-with-clear
+    // logic, fed the same two micro-batches through both engines.
+    def run(name: String, viaTws: Boolean): Set[(String, Double)] = {
+      val src = Testing.testingSource[(String, Double)](spark)
+      src.addBatch(("a", 1.0), ("b", 2.0), ("a", 3.0))
+      // a function val, not a def: a def lifts to a method on the
+      // (non-serializable) suite and drags it into the task closure
+      val step: (Seq[Double], Option[Double]) => (Option[Double], Seq[Double]) = (vs, s) => {
+        val total = s.getOrElse(0.0) + vs.sum
+        if (total >= 10.0) (None, Seq(total)) else (Some(total), Seq(total))
+      }
+      val out =
+        if (viaTws) {
+          val logic = new TransformWithStateOps.GraftStatefulLogic[String, Double, Double, Double] {
+            def onBatch(key: String, vs: Seq[Double], s: Option[Double]) = step(vs, s)
+          }
+          TransformWithStateOps.statefulTws(src.toDS(), logic)
+        } else {
+          StreamingOps.statefulStream[String, Double, Double, Double](
+            src.toDS(), timeoutMillis = None)(
+            (_: String, vs: Seq[Double], s: Option[Double]) => step(vs, s))
+        }
+      StreamingOps.runToMemory(out, name).as[(String, Double)].collect().toSet
+    }
+    val tws = withRocksDb { run("parity_tws", viaTws = true) }
+    val fmgws = run("parity_fmgws", viaTws = false)
+    assert(tws === fmgws)
+    assert(tws === Set(("a", 4.0), ("b", 2.0)))
+  }
+
   test("collectTws buffers in ListState and flushes at maxSize") {
     withRocksDb {
       val src = Testing.testingSource[(String, Int)](spark)
