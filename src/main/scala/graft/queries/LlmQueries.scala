@@ -286,7 +286,11 @@ object LlmQueries {
     // 2023): bucketed cosine near-dup pairs → connected components →
     // one canonical representative per semantic cluster. Pure
     // composition of the scale paths: sign-bucket join (no cross
-    // join) + alternating-star contraction.
+    // join) + alternating-star contraction. Fixed bits=4 here keeps
+    // the DuckDB oracle SQL-expressible; the production entry point
+    // is Dedup.semanticDedup (corpus-sized OR-amplified buckets via
+    // bucketedCosinePairsAuto — sf1-measured in SCALE.md, planted
+    // near-dup recall 1.0).
     "q_embed_dedup" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")

@@ -65,6 +65,35 @@ object AnnScale {
     pr("pairs auto 8 tables") {
       Similarity.bucketedCosinePairsAuto(emb, "vec_id", "embedding", th) }
     truth.unpersist(false)
+
+    // The corpus is near-random (0 organic pairs at sim >= 0.9 at sf1),
+    // so the recall numbers above are dominated by barely-over-threshold
+    // pairs LSH is not meant to colocate. Semantic dedup acts on
+    // HIGH-similarity pairs: plant 500 perturbed clones (sim ~ 0.9999)
+    // and measure how many planted pairs each path recovers at the
+    // dedup-realistic threshold 0.9.
+    import org.apache.spark.sql.functions.{lit, transform => atransform}
+    val nPlant = 500
+    val baseIds = emb.orderBy(col("vec_id")).limit(nPlant)
+      .select(col("vec_id"), col("embedding"))
+    val clones = baseIds.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      atransform(col("embedding"), x => x + lit(0.01f)).as("embedding"))
+    val planted = emb.select(col("vec_id"), col("embedding")).union(clones)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    planted.count()
+    def plantRecall(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val t1 = System.nanoTime()
+      val found = f.filter(col("j") === col("i") + lit(10000000L)).count()
+      val sec = (System.nanoTime() - t1) / 1e9
+      println(f"ANN $name%-28s $sec%7.2f s  (planted recall ${found.toDouble / nPlant}%.3f)")
+    }
+    plantRecall("planted gate bits=4 (sign)") {
+      Similarity.bucketedCosinePairs(planted, "vec_id", "embedding", 0.9, 4) }
+    plantRecall("planted auto 1 table") {
+      Similarity.bucketedCosinePairsAuto(planted, "vec_id", "embedding", 0.9, tables = 1) }
+    plantRecall("planted auto 8 tables") {
+      Similarity.bucketedCosinePairsAuto(planted, "vec_id", "embedding", 0.9) }
+    planted.unpersist(false)
     spark.stop()
   }
 }

@@ -32,6 +32,9 @@ import org.apache.spark.sql.functions._
   *
   * Usage: SPARK_GRAFT_SCALE_SRC / _DST / _FACTOR env vars, defaults
   * /root/testdata/sf0.1 -> /root/repo/data/sf1 at 10x.
+  * SPARK_GRAFT_SCALE_TABLES (comma list) restricts output to named
+  * tables — e.g. "documents,embeddings" for the sf10 heavy-tail point,
+  * where scaling 100× of lineitem would only burn disk.
   */
 object ScaleData {
   private val Offset = 100000000L
@@ -40,6 +43,9 @@ object ScaleData {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DST", "/root/repo/data/sf1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -53,7 +59,8 @@ object ScaleData {
 
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      if (wanted(name))
+        df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
     // Cross-join each table with rep=0..factor-1, then re-key.
     def replicate(df: DataFrame): DataFrame =
@@ -97,18 +104,26 @@ object ScaleData {
             " ")))
       .withColumn("n_chars", length(col("text")))
       .drop("rep")
-    write(docs, "documents", 4)
+    write(docs, "documents", if (factor >= 100) 32 else 4)
 
+    // Circular shift repeats once rep reaches the dimension count (64):
+    // rep 64 would clone rep 0 verbatim and manufacture exact-dup
+    // artifacts at factor > 64. Shift by rep mod dim and flip the sign
+    // on every wrap — shift+negation yields 2·dim distinct transforms,
+    // all essentially uncorrelated directions for random embeddings.
     val emb = replicate(read("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("rep") * Offset)
       .withColumn("embedding", {
         val e = col("embedding")
-        val r = col("rep").cast("int")
-        when(col("rep") === 0, e).otherwise(
-          concat(slice(e, r + 1, size(e) - r), slice(e, lit(1), r)))
+        val dim = size(e)
+        val r = (col("rep").cast("int") % dim)
+        val shifted = when(r === 0, e).otherwise(
+          concat(slice(e, r + 1, dim - r), slice(e, lit(1), r)))
+        when((col("rep").cast("int") / dim) % 2 === 1,
+          transform(shifted, x => -x)).otherwise(shifted)
       })
       .drop("rep")
-    write(emb, "embeddings", 2)
+    write(emb, "embeddings", if (factor >= 100) 8 else 2)
 
     println(s"scaled $src -> $dst x$factor")
     spark.stop()
