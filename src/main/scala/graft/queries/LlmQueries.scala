@@ -236,6 +236,21 @@ object LlmQueries {
         threshold = 0.5, bits = 4)
     },
 
+    // OR-amplified LSH pairs — the round-6 production pair path
+    // (LshSketchExpr): 2 tables × 4 bits here so the full splitmix64
+    // sketch, the any-table candidate union, and the exact cosine
+    // verify are all oracle-rendered in DuckDB; production auto-sizes
+    // via bucketedCosinePairsAuto (bits = log2(N/64), tables = 8). A
+    // row appears iff the pair colocates in at least one table AND
+    // passes the threshold, so the oracle pins every per-table bucket
+    // assignment pair-wise.
+    "q_embed_pairs_amp" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bucketedCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.3, bits = 4, tables = 2)
+    },
+
     // bucket-local top-3 neighbors under the sign-bit LSH bucket —
     // candidate set |C|/2^bits per query, no cross join. Rank-only
     // output (sims diverge from DuckDB by ~1 ulp). bruteForceTopK is
@@ -589,9 +604,56 @@ object LlmQueries {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** [[lshTopKSql]]'s splitmix64 machinery generalized to the
+    * multi-table sketch ([[graft.functions.LshBucketImpl]] `signT`):
+    * plane index (t<<32)|(i<<8)|b (= t·2³² + i·256 + b — the fields
+    * never overlap), 2 tables × 4 bits; candidates are DISTINCT
+    * same-(table, bucket) pairs, exact-cosine-verified at the
+    * threshold. Every per-table bucket assignment is pinned pair-wise:
+    * a colocation disagreement in either engine changes the row set.
+    */
+  private val amplifiedPairsSql = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16) // splitmix64 golden-gamma add
+    val c2 = BigInt("bf58476d1ce4e5b9", 16) // mix multiplier 1
+    val c3 = BigInt("94d049bb133111eb", 16) // mix multiplier 2
+    s"""WITH dims AS (SELECT MAX(len(embedding)) AS nd FROM embeddings),
+       |seeds AS (
+       |  SELECT tt.t AS t, bb.b AS b, ii.i AS i,
+       |    CAST((CAST(tt.t AS HUGEINT) * 4294967296 + ii.i * 256 + bb.b + $c1) % $M64 AS UBIGINT) AS z
+       |  FROM (SELECT UNNEST(range(0, 2)) AS t) tt,
+       |       (SELECT UNNEST(range(0, 4)) AS b) bb,
+       |       (SELECT UNNEST(range(0, (SELECT nd FROM dims))) AS i) ii),
+       |p1 AS (SELECT t, b, i, ${mul64("xor(z, z >> 30)", c2)} AS z FROM seeds),
+       |p2 AS (SELECT t, b, i, ${mul64("xor(z, z >> 27)", c3)} AS z FROM p1),
+       |pf AS (SELECT t, b, i, xor(z, z >> 31) AS z FROM p2),
+       |planes AS (
+       |  SELECT t, b, list(CASE WHEN z % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS sgn
+       |  FROM pf GROUP BY t, b),
+       |dots AS (
+       |  SELECT e.vec_id, p.t, p.b,
+       |    list_reduce(
+       |      list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * p.sgn[i])),
+       |      (a, x) -> a + x) AS dot
+       |  FROM embeddings e, planes p),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS bkt
+       |  FROM dots GROUP BY vec_id, t),
+       |cands AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |  FROM buckets a JOIN buckets b
+       |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+       |SELECT c.i, c.j
+       |FROM cands c
+       |JOIN embeddings ea ON ea.vec_id = c.i
+       |JOIN embeddings eb ON eb.vec_id = c.j
+       |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.3""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashPairsSql,
     "q_embed_lsh" -> lshTopKSql,
+    "q_embed_pairs_amp" -> amplifiedPairsSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $ntok AS n_tokens, $nalpha AS n_alpha,
          |  CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> length(t))) AS BIGINT) AS checksum

@@ -66,10 +66,18 @@ class PlanSpec extends SparkSpec {
     // against a fixed nlist — constant work per row, scale-safe).
     for (q <- Seq("q_dedup_ngram", "q_dedup_ngram_skew", "q_dedup_minhash",
         "q_dedup_simhash", "q_dedup_winnow",
-        "q_embed_pairs", "q_embed_topk", "q_embed_lsh", "q_embed_ivf", "q_embed_ivf2")) {
+        "q_embed_pairs", "q_embed_pairs_amp", "q_embed_topk", "q_embed_lsh",
+        "q_embed_ivf", "q_embed_ivf2")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q fell back to cross join:\n$p")
     }
+    // the amplified path's production variant too: candidates join on
+    // (table, bucket) equality, never a cross join
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val amp = graft.functions.Similarity
+      .bucketedCosinePairsAuto(emb, "vec_id", "embedding", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!amp.contains("CartesianProduct"), amp)
   }
 
   test("tfidf ranks with partial top-k pushdown; decontam joins without cartesian") {
