@@ -11,6 +11,13 @@ trait GraftFlow {
     * execution and (optional) output.
     */
   def build(spark: SparkSession, args: Seq[String]): DataFrame
+
+  /** The step graph the build recorded, if the flow uses the
+    * [[graft.api.Flow]] facade — [[Run]] serves it at `/dataflow` when
+    * the API server is enabled. Populate it in [[build]] and return it
+    * here.
+    */
+  def graph: Option[graft.api.Flow] = None
 }
 
 /** CLI runner: `graft.run.Run <FlowClass> [args...]` — instantiates the
@@ -39,10 +46,19 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
     val flow = Class.forName(clsName).getDeclaredConstructor().newInstance().asInstanceOf[GraftFlow]
     val result = flow.build(spark, args)
-    outPath match {
+    // Dataflow API server, enabled exactly like the reference runner
+    // (pysrc/bytewax/run.py: BYTEWAX_DATAFLOW_API_ENABLED /
+    // BYTEWAX_DATAFLOW_API_PORT, default 3030): serves /dataflow and
+    // Prometheus /metrics for the duration of the execution.
+    val api = sys.env.get("GRAFT_DATAFLOW_API_ENABLED").filter(_.nonEmpty).map { _ =>
+      val port = sys.env.get("GRAFT_DATAFLOW_API_PORT").map(_.toInt).getOrElse(3030)
+      graft.streaming.MetricsServer.start(spark,
+        flow.graph.map(_.toJson).getOrElse("{}"), port)
+    }
+    try outPath match {
       case Some(p) => result.write.mode("overwrite").parquet(p)
       case None    => result.show(50, truncate = false)
-    }
+    } finally api.foreach(_.close())
     spark.stop()
   }
 }
@@ -54,9 +70,13 @@ class WordCountFlow extends GraftFlow {
   import org.apache.spark.sql.functions._
   import graft.api.{Flow, ops}
 
+  private var recorded: Option[Flow] = None
+  override def graph: Option[Flow] = recorded
+
   def build(spark: SparkSession, args: Seq[String]): DataFrame = {
     val path = args.headOption.getOrElse("/root/testdata/sf0.001/documents.parquet")
     val flow = Flow("wordcount")
+    recorded = Some(flow)
     val inp = ops.input("in", flow, spark, path)
     val words = ops.flatMap("split", inp, split(lower(col("text")), "\\s+"), "word")
     val nonEmpty = ops.filter("non_empty", words, col("word") =!= "")

@@ -1,0 +1,71 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import org.apache.spark.sql.functions._
+import graft.connectors.Testing
+import graft.streaming.{MetricsServer, StreamingOps}
+
+/** The dataflow API webserver: /dataflow serves the flow graph JSON,
+  * /metrics serves the span-fed registry in Prometheus text format —
+  * the reference's webserver surface (src/webserver/mod.rs) over the
+  * JDK HTTP server.
+  */
+class MetricsServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def get(url: String): (Int, String, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val status = conn.getResponseCode
+    val body = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+    val ct = conn.getHeaderField("content-type")
+    conn.disconnect()
+    (status, ct, body)
+  }
+
+  test("serves /dataflow JSON and span-fed Prometheus /metrics") {
+    val flow = graft.api.Flow("metrics_flow")
+    graft.api.ops.input("in", flow, spark, s"$sf0001/region.parquet")
+    val guard = MetricsServer.start(spark, flow.toJson, port = 0)
+    try {
+      val base = s"http://127.0.0.1:${guard.port}"
+
+      val (ds, dct, dbody) = get(s"$base/dataflow")
+      assert(ds === 200)
+      assert(dct.startsWith("application/json"))
+      assert(dbody.contains("\"flow\": \"metrics_flow\"") && dbody.contains("\"id\": \"in\""))
+
+      // drive a traced streaming query so spans feed the registry
+      val src = Testing.testingSource[(String, Long)](spark)
+      src.addBatch(("a", 1L), ("b", 2L), ("a", 3L))
+      StreamingOps.runToMemory(src.toDS().toDF("k", "v"), "metrics_q")
+
+      // listener bus delivery is async: poll until the microbatch
+      // counter surfaces (bounded)
+      val deadline = System.currentTimeMillis() + 20000
+      var body = ""
+      while (System.currentTimeMillis() < deadline &&
+          !body.contains("""graft_input_rows_total{flow="metrics_q"} 3""")) {
+        Thread.sleep(200)
+        body = get(s"$base/metrics")._3
+      }
+      val (ms, mct, _) = get(s"$base/metrics")
+      assert(ms === 200)
+      assert(mct.startsWith("text/plain"))
+      assert(body.contains("# TYPE graft_spans_total counter"), body)
+      assert(body.contains("""graft_input_rows_total{flow="metrics_q"} 3"""), body)
+      assert(body.contains("""kind="microbatch""""), body)
+      assert(body.contains("# TYPE graft_state_rows gauge"), body)
+    } finally guard.close()
+    // guard.close() stops the server: the port no longer accepts
+    intercept[Exception] { get(s"http://127.0.0.1:${guard.port}/metrics") }
+  }
+
+  test("GraftFlow exposes its recorded graph for the runner's /dataflow") {
+    val wf = new graft.run.WordCountFlow
+    assert(wf.graph.isEmpty)
+    val out = wf.build(spark, Seq(s"$sf0001/documents.parquet"))
+    assert(out.count() > 0)
+    assert(wf.graph.exists(_.toJson.contains("\"flow\": \"wordcount\"")))
+  }
+}
