@@ -61,6 +61,23 @@ class MetricsServerSpec extends SparkSpec {
     intercept[Exception] { get(s"http://127.0.0.1:${guard.port}/metrics") }
   }
 
+  test("custom metrics: a user-set gauge surfaces in /metrics (custom_metrics.py)") {
+    // the reference example registers a prometheus Gauge from inside a
+    // source partition (examples/custom_metrics.py NEXT_BATCH_DELAY_GAUGE);
+    // the analogue is setting a labeled gauge on the server's registry —
+    // the observe-based delay computation itself is ported as
+    // Examples.periodicCounter
+    val guard = MetricsServer.start(spark, "{}", port = 0)
+    try {
+      guard.registry.set("graft_next_batch_delay_seconds",
+        Seq("step_id" -> "periodic", "worker_index" -> "0"), 2L)
+      val (_, _, body) = get(s"http://127.0.0.1:${guard.port}/metrics")
+      assert(body.contains(
+        """graft_next_batch_delay_seconds{step_id="periodic",worker_index="0"} 2"""), body)
+      assert(body.contains("# TYPE graft_next_batch_delay_seconds gauge"), body)
+    } finally guard.close()
+  }
+
   test("GraftFlow exposes its recorded graph for the runner's /dataflow") {
     val wf = new graft.run.WordCountFlow
     assert(wf.graph.isEmpty)
