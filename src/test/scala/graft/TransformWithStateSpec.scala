@@ -79,6 +79,72 @@ class TransformWithStateSpec extends SparkSpec {
     assert(tws === Set(("a", 4.0), ("b", 2.0)))
   }
 
+  test("streaming near-dup pairs: LSH buckets + exact verify, cross-micro-batch, batch parity") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Dedup
+    import graft.streaming.StreamingDedup
+    withRocksDb {
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      val aDup = a + " extra words"
+      val other = "completely different content with unrelated words entirely distinct here"
+      val src = Testing.testingSource[(Long, String)](spark)
+      src.addBatch((1L, a), (2L, other))
+      src.addBatch((3L, aDup)) // near-dup of doc 1, arriving a micro-batch later
+      val out = StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val got = StreamingOps.runToMemory(out, "ndp_out")
+        .as[(Long, Long, Double)].collect()
+      // at-least-once: a pair may arrive once per shared band bucket
+      val pairs = got.map(p => (p._1, p._2)).toSet
+      assert(pairs === Set((1L, 3L)), s"got $got")
+      assert(got.forall(_._3 >= 0.5))
+      // parity with the batch operator on the same corpus
+      val docs = Seq((1L, a), (2L, other), (3L, aDup)).toDF("doc_id", "text")
+      val batch = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(pairs === batch)
+    }
+  }
+
+  test("streaming near-dup pairs: maxBucketSize FIFO-evicts old residents") {
+    import graft.streaming.StreamingDedup
+    withRocksDb {
+      val t = "one single repeated document body that matches itself exactly every time"
+      val src = Testing.testingSource[(Long, String)](spark)
+      src.addBatch((1L, t))
+      src.addBatch((2L, t))
+      src.addBatch((3L, t))
+      // cap 1: each arrival evicts the previous resident, so only
+      // consecutive pairs can form
+      val out = StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        maxBucketSize = 1)
+      val pairs = StreamingOps.runToMemory(out, "ndp_cap")
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      assert(pairs === Set((1L, 2L), (2L, 3L)), pairs.toString)
+    }
+  }
+
+  test("streaming vector near-dups: amplified buckets + cosine verify across batches") {
+    import graft.streaming.StreamingDedup
+    withRocksDb {
+      val base = Array(1.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.6, -0.4)
+      val nearDup = base.map(_ + 0.01) // cosine ~ 0.9999
+      val opposite = base.map(-_)      // cosine -1: never a pair
+      val src = Testing.testingSource[(Long, Array[Double])](spark)
+      src.addBatch((1L, base), (2L, opposite))
+      src.addBatch((3L, nearDup)) // cross-micro-batch near-dup of 1
+      val out = StreamingDedup.nearDupVectors(src.toDS().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9, bits = 4, tables = 8)
+      val got = StreamingOps.runToMemory(out, "ndv_out")
+        .as[(Long, Long, Double)].collect()
+      val pairs = got.map(p => (p._1, p._2)).toSet
+      assert(pairs === Set((1L, 3L)), s"got ${got.toSeq}")
+      assert(got.forall(_._3 >= 0.9))
+    }
+  }
+
   test("collectTws buffers in ListState and flushes at maxSize") {
     withRocksDb {
       val src = Testing.testingSource[(String, Int)](spark)
