@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.connectors.Testing
+import graft.streaming.StreamingDedup
+
+/** Throughput for the on-ingest near-dup operator
+  * ([[StreamingDedup.nearDupPairs]]): feed the documents table through
+  * MemoryStream in fixed-size micro-batches, measure docs/s and the
+  * emitted pair count, and run the batch operator on the same corpus
+  * for the wall-clock reference. (The driver-side collect exists only
+  * to feed MemoryStream — the operator itself never collects.)
+  *
+  * args: [sfDir] [batchSize] [maxBucketSize]
+  */
+object DedupStreamBench {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val batchSize = if (args.length > 1) args(1).toInt else 500
+    val cap = if (args.length > 2) args(2).toInt else 128
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+
+    val src = Testing.testingSource[(Long, String)](spark)
+    val out = StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      maxBucketSize = cap)
+    val q = out.toDF("i", "j", "jac").writeStream
+      .format("memory").queryName("dedup_stream_bench").outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-dedupstream-${System.nanoTime()}")
+      .start()
+    val t0 = System.nanoTime()
+    docs.grouped(batchSize).foreach { g =>
+      src.addBatch(g.toSeq: _*)
+      q.processAllAvailable()
+    }
+    val streamSec = (System.nanoTime() - t0) / 1e9
+    val streamPairs = spark.table("dedup_stream_bench")
+      .select(col("i"), col("j")).distinct().count()
+    q.stop()
+
+    val t1 = System.nanoTime()
+    val batchPairs = graft.functions.Dedup.minhashLshPairs(
+        graft.Tables.load(spark, dir, "documents"),
+        col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16,
+        threshold = 0.5, maxBucketSize = cap)
+      .count()
+    val batchSec = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"metric":"streaming_dedup","docs":${docs.length},"batch_size":$batchSize,"stream_sec":$streamSec,"docs_per_sec":${(docs.length / streamSec).toLong},"stream_pairs":$streamPairs,"batch_sec":$batchSec,"batch_pairs":$batchPairs}""")
+    spark.stop()
+  }
+}
