@@ -182,7 +182,12 @@ object Similarity {
     // branches recompute the ranking (N·nlist cosines), which is
     // negligible next to the N·(N/nlist)·nprobe candidate join, whereas
     // caching N·nprobe vector rows costs real memory at corpus scale
-    // (and measured ~2 s of InMemoryRelation overhead at bench scale)
+    // (and measured ~2 s of InMemoryRelation overhead at bench scale).
+    // Re-tested at corpus-derived nlist where the assignment is N^1.5
+    // cosines: persisting measured NO better there either (sf10,
+    // nlist=448: 72.0 s persisted vs 70.5 s not — the per-id window
+    // rank, not the cosine recompute, dominates), so the non-persist
+    // form stands at every scale.
     val ranked = data.crossJoin(broadcast(centroids))
       .withColumn("sim", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(
