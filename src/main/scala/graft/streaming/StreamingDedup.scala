@@ -195,7 +195,7 @@ object StreamingDedup {
     prepared
       .groupByKey(_._1)
       .transformWithState(new VecBucketProcessor(threshold, maxBucketSize, ttl),
-        TimeMode.None(), OutputMode.Append())
+        timeModeFor(ttl), OutputMode.Append())
   }
 
   /** Emit near-dup pairs (i, j, jac) for documents arriving on a
@@ -226,6 +226,13 @@ object StreamingDedup {
     prepared
       .groupByKey(_._1)
       .transformWithState(new BucketProcessor(threshold, maxBucketSize, ttl),
-        TimeMode.None(), OutputMode.Append())
+        timeModeFor(ttl), OutputMode.Append())
   }
+
+  /** Spark supports state TTL only under processing-time semantics;
+    * without a TTL the operator runs in TimeMode.None so bounded
+    * drains settle (see [[TransformWithStateOps.statefulTws]]).
+    */
+  private def timeModeFor(ttl: Option[java.time.Duration]): TimeMode =
+    if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
 }

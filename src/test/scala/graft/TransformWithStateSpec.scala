@@ -126,6 +126,44 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup pairs: state TTL forgets residents past the horizon") {
+    import graft.streaming.StreamingDedup
+    withRocksDb {
+      val t = "one single repeated document body that matches itself exactly every time"
+      // ProcessingTime time mode keeps scheduling micro-batches, so
+      // processAllAvailable never settles (same reason
+      // runToMemoryUntil exists) — fixed drains + explicit stop; each
+      // run gets its OWN source so offsets never replay across runs
+      def run(name: String, ttl: java.time.Duration, gapMs: Long): Set[(Long, Long)] = {
+        val src = Testing.testingSource[(Long, String)](spark)
+        val ds = StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+          ttl = Some(ttl))
+        val q = ds.toDF("i", "j", "jac").writeStream
+          .format("memory").queryName(name).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+          .start()
+        src.addBatch((1L, t))
+        Thread.sleep(gapMs)
+        src.addBatch((2L, t))
+        val deadline = System.currentTimeMillis() + 20000
+        while (System.currentTimeMillis() < deadline &&
+            spark.table(name).count() == 0) Thread.sleep(200)
+        Thread.sleep(1000) // settle in case the pair never comes
+        q.stop()
+        spark.table(name).as[(Long, Long, Double)].collect()
+          .map(p => (p._1, p._2)).toSet
+      }
+      // control: generous TTL — the dup IS found through the
+      // ProcessingTime path (the expiry case below is not vacuous)
+      assert(run("ndp_ttl_ctl", java.time.Duration.ofHours(1), gapMs = 200) === Set((1L, 2L)))
+      // doc 1 expired before doc 2 arrived: the dup goes undetected —
+      // the documented event-horizon semantics of the TTL bound
+      val expired = run("ndp_ttl", java.time.Duration.ofMillis(500), gapMs = 2500)
+      assert(expired.isEmpty, s"expired resident still paired: $expired")
+    }
+  }
+
   test("streaming vector near-dups: amplified buckets + cosine verify across batches") {
     import graft.streaming.StreamingDedup
     withRocksDb {
