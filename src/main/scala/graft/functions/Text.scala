@@ -26,6 +26,39 @@ object Text {
   def alphaChars(text: Column): Column =
     length(regexp_replace(text, "[^a-zA-Z]", ""))
 
+  /** Sequence packing for training-data assembly: assign each document
+    * to a fixed-token-budget pack — the standard step between a
+    * curated corpus and a trainer consuming fixed-length sequences.
+    * Returns (id, bucket, pack, n_tokens): documents are salted into
+    * `buckets` independent packing streams (id mod buckets), ordered
+    * by id within a stream, and a document joins the pack that is
+    * open when it starts (`pack = floor(cum_tokens_before / budget)`
+    * within its bucket).
+    *
+    * Semantics (deterministic and fully relational — one window over
+    * each salt partition, no driver loop): a pack overflows by at
+    * most its last document's tokens, the streaming-packer behavior;
+    * a document with ≥ budget tokens closes its pack by itself. At
+    * cluster scale the bucket count is the parallelism knob: each
+    * bucket's running sum is an independent in-partition sort-window
+    * (PARTITION BY bucket), so no global ordering bottleneck exists —
+    * size buckets ≈ cores × a small factor, exactly like
+    * shuffle-partition sizing.
+    */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      budget: Int, buckets: Int): org.apache.spark.sql.DataFrame = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(idCol.as("id"), tokenCount(text).as("n_tokens"))
+      .withColumn("bucket", pmod(col("id"), lit(buckets.toLong)))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("id"), col("bucket"),
+        floor(col("cum_before") / budget.toLong).as("pack"),
+        col("n_tokens").cast("long").as("n_tokens"))
+  }
+
   /** Count of tokens that appear in `stopwords` (codegen'd scan). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     TokenExprs.stopword_hits(text, stopwords)

@@ -38,6 +38,19 @@ object LlmQueries {
       docs.select($"doc_id", Text.qualityScore($"text", stop).as("quality"))
     },
 
+    // sequence packing (training assembly): fixed-token-budget packs,
+    // salted into 8 independent packing streams (id mod 8); a doc
+    // joins the pack open when it starts, so packs overflow by at
+    // most one document — the streaming-packer semantics. Fully
+    // relational: one in-partition sort window per salt bucket, no
+    // global ordering bottleneck; the oracle renders the identical
+    // SUM OVER.
+    "q_text_pack" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Text.packSequences(docs, $"doc_id", $"text", budget = 512, buckets = 8)
+    },
+
     // language-ID heuristic (stopword vote)
     "q_text_langid" -> { (s, dir) =>
       import s.implicits._
@@ -664,6 +677,14 @@ object LlmQueries {
          |  + 0.3 * (CAST($nalpha AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
          |  + 0.2 * (LEAST(CAST($ntok AS DOUBLE), 100.0) / 100.0) AS quality
          |FROM documents""".stripMargin,
+    "q_text_pack" ->
+      s"""SELECT doc_id AS id, doc_id % 8 AS bucket,
+         |  CAST(floor(CAST(cum_before AS DOUBLE) / 512) AS BIGINT) AS pack,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM (SELECT doc_id, $ntok AS n_tokens FROM documents))""".stripMargin,
     "q_text_langid" -> {
       val langs = Text.langStopwords
       val caseArms = langs.zipWithIndex.map { case ((lang, sw), i) =>

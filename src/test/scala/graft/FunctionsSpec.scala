@@ -330,6 +330,29 @@ class FunctionsSpec extends SparkSpec {
     assert(empty === 0)
   }
 
+  test("packSequences: streaming-pack invariants hold on the documents corpus") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val budget = 512
+    val out = Text.packSequences(docs, col("doc_id"), col("text"), budget, buckets = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === docs.count())
+    val byPack = out.groupBy(r => (r._2, r._3))
+    byPack.foreach { case ((bucket, pack), members) =>
+      // a doc joins the pack open when it starts: every member's
+      // cumulative start lies inside the pack's budget window, so the
+      // pack total minus its LAST member stays under budget
+      val sorted = members.sortBy(_._1)
+      val total = sorted.map(_._4).sum
+      assert(total - sorted.last._4 < budget,
+        s"pack ($bucket,$pack) pre-overflow total ${total - sorted.last._4} >= $budget")
+    }
+    // packs are dense per bucket: 0..max with none skipped
+    byPack.keys.groupBy(_._1).foreach { case (_, packs) =>
+      val ids = packs.map(_._2).toSeq.sorted
+      assert(ids === (0L until ids.length.toLong))
+    }
+  }
+
   test("tfidf computes exact tf/df and the smoothed idf weighting") {
     val df = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "cat")).toDF("id", "text")
     val got = Text.tfidf(df, col("id"), col("text"))
