@@ -13,13 +13,23 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 object Testing {
 
-  final class TestingSource[T: Encoder](spark: SparkSession) {
+  /** `numPartitions` spreads each fed batch over that many source
+    * partitions — a 1-partition source (the MemoryStream default)
+    * serializes the scan-side stage of the query onto one core, which
+    * no production source (Kafka, files) does; benches feeding heavy
+    * per-row pipelines should set it to the core count.
+    */
+  final class TestingSource[T: Encoder](spark: SparkSession, numPartitions: Option[Int]) {
     implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    private val stream = MemoryStream[T]
+    private val stream = numPartitions match {
+      case Some(n) => MemoryStream[T](spark, n)
+      case None    => MemoryStream[T]
+    }
     def addBatch(items: T*): Unit = stream.addData(items)
     def toDS(): Dataset[T] = stream.toDS()
   }
 
-  def testingSource[T: Encoder](spark: SparkSession): TestingSource[T] =
-    new TestingSource[T](spark)
+  def testingSource[T: Encoder](spark: SparkSession,
+      numPartitions: Option[Int] = None): TestingSource[T] =
+    new TestingSource[T](spark, numPartitions)
 }

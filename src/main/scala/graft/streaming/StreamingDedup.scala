@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 import graft.functions.{Dedup, MinHash}
 
 /** Streaming near-duplicate detection — the on-ingest counterpart of
@@ -27,33 +27,40 @@ import graft.functions.{Dedup, MinHash}
   * [[graft.functions.Dedup.connectedComponents]] canonicalizes and
   * `distinct()` on a bounded sink does the rest.
   *
-  * State bounds (the 100 TB story): `ttl` expires idle buckets —
-  * near-dup detection only looks back `ttl` of event arrival, exactly
-  * like [[Dedup.streamingExactDedup]]'s watermark horizon — and
-  * `maxBucketSize` caps per-bucket membership FIFO (a degenerate
-  * boilerplate bucket otherwise grows without bound AND would make
-  * every arrival O(bucket); with the cap it is O(maxBucketSize) work
-  * per (doc, band)). Requires the RocksDB state store provider, the
-  * same requirement as every transformWithState operator here.
+  * State layout (the throughput story): residents live in a
+  * `ListState` — one list entry per resident — so an arrival is a
+  * RocksDB append (merge), never a read-modify-rewrite of the
+  * resident set. The FIFO cap is LOGICAL: the single read pass that
+  * verification needs anyway also counts the physical length, and
+  * entries older than the last `maxBucketSize` are excluded from
+  * pairing; the list is physically compacted (one `put` of the kept
+  * tail) only when it exceeds 2× the cap, so eviction cost is
+  * amortized O(1) per arrival instead of O(cap) rewrites per visit.
+  *
+  * State bounds (the 100 TB story): `ttl` expires IDLE buckets on a
+  * processing-time clock — a bucket with no arrivals for `ttl` drops
+  * all residents at once at its next visit; a continually-hot bucket
+  * never expires and is bounded by `maxBucketSize` instead (physical
+  * bound 2×cap between compactions). `maxBucketSize` caps logical
+  * membership FIFO (a degenerate boilerplate bucket otherwise grows
+  * without bound AND would make every arrival O(bucket); with the cap
+  * it is O(maxBucketSize) verify work per (doc, band)). Requires the
+  * RocksDB state store provider, the same requirement as every
+  * transformWithState operator here.
   */
 object StreamingDedup {
 
-  /** Per-bucket state: parallel arrays (ids, flattened sorted shingle
-    * hash sets, per-doc offsets) — a flat product encodes efficiently
-    * in the state store. (Not `private`: the product encoder reflects
-    * over the constructor.)
+  /** One resident of a band bucket: doc id + its sorted distinct
+    * shingle hashes (the exact-verify set). One ListState entry per
+    * resident. (Not `private`: the product encoder reflects over the
+    * constructor.)
     */
-  final case class Bucket(ids: Array[Long], offsets: Array[Int], hashes: Array[Long])
-
-  object Bucket {
-    val empty: Bucket = Bucket(Array.empty, Array.empty, Array.empty)
-  }
+  final case class Resident(id: Long, hashes: Array[Long])
 
   /** Sorted-merge intersection count of two ascending Long arrays. */
-  private def intersect(a: Array[Long], aFrom: Int, aTo: Int,
-      b: Array[Long], bFrom: Int, bTo: Int): Int = {
-    var i = aFrom; var j = bFrom; var n = 0
-    while (i < aTo && j < bTo) {
+  private def intersect(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
       val c = java.lang.Long.compare(a(i), b(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
@@ -62,76 +69,125 @@ object StreamingDedup {
     n
   }
 
+  /** Shared FIFO-window bookkeeping for the ListState bucket
+    * processors. Residents are appended to `list` — one merge record
+    * per arrival, residents are never rewritten on the hot path. The
+    * logical bucket is the last `cap` entries of (list ++ arrivals);
+    * `verify` is called for exactly the (resident, arrival) and
+    * (arrival, arrival) pairs that strict per-arrival FIFO eviction
+    * would have allowed — entry at combined index c is visible to the
+    * arrival at combined index c' > c iff c' - c <= cap.
+    *
+    * No separate length state: the list can only be read front-to-back
+    * anyway, so one pass both counts the physical length and collects
+    * the last `cap` entries in a ring (memory O(cap)); visibility is
+    * then resolved exactly. The list is physically compacted (one
+    * `put` of the kept tail) only when it exceeds 2×cap, so eviction
+    * costs amortized O(1) merges per arrival instead of O(cap)
+    * rewrites per visit.
+    */
+  private def fifoVisit[R](list: ListState[R], cap: Int, arrivals: Array[R])(
+      verify: (R, R) => Unit)(implicit ct: scala.reflect.ClassTag[R]): Unit = {
+    val m = arrivals.length
+    // one pass: count physical length, keep the last `cap` entries
+    // (every entry when uncapped — then the "ring" is just the list)
+    var len = 0
+    val ring = if (cap > 0) new Array[AnyRef](cap) else null
+    var all: scala.collection.mutable.ArrayBuffer[R] = null
+    if (cap == 0) all = scala.collection.mutable.ArrayBuffer.empty[R]
+    val it = list.get()
+    while (it.hasNext) {
+      val r = it.next()
+      if (cap > 0) ring(len % cap) = r.asInstanceOf[AnyRef] else all += r
+      len += 1
+    }
+    // list entry idx is visible to arrival k iff cap == 0 or
+    // idx >= len + k - cap (the FIFO window when arrival k landed);
+    // only the last cap entries can be visible to anyone — those are
+    // in the ring
+    var k = 0
+    while (k < m) {
+      val a = arrivals(k)
+      if (cap > 0) {
+        var idx = math.max(0, len + k - cap)
+        while (idx < len) { verify(ring(idx % cap).asInstanceOf[R], a); idx += 1 }
+      } else {
+        var idx = 0
+        while (idx < len) { verify(all(idx), a); idx += 1 }
+      }
+      // in-batch predecessors: arrival e visible iff k - e <= cap
+      var e = if (cap > 0) math.max(0, k - cap) else 0
+      while (e < k) { verify(arrivals(e), a); e += 1 }
+      k += 1
+    }
+    val newLen = len + m
+    if (cap > 0 && newLen > 2 * cap) {
+      // compact to the LAST cap combined entries: ring tail ++ the
+      // arrivals' tail (arrival k survives iff len + k >= newLen - cap)
+      val keepFrom = newLen - cap
+      val keptOld = math.max(0, len - keepFrom)
+      val tail = new Array[R](cap)
+      var i = 0
+      while (i < keptOld) { tail(i) = ring((keepFrom + i) % cap).asInstanceOf[R]; i += 1 }
+      var j = math.max(0, keepFrom - len)
+      while (j < m) { tail(i) = arrivals(j); i += 1; j += 1 }
+      list.put(if (i == cap) tail else tail.take(i))
+    } else {
+      list.appendList(arrivals)
+    }
+  }
+
   private final class BucketProcessor(threshold: Double, maxBucketSize: Int,
       ttl: Option[java.time.Duration])
     extends StatefulProcessor[Long, (Long, Long, Array[Long]), (Long, Long, Double)] {
 
-    @transient private var state: ValueState[Bucket] = _
+    @transient private var residents: ListState[Resident] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[Bucket]("graft_lsh_bucket",
-        Encoders.product[Bucket], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+      residents = getHandle.getListState[Resident]("graft_lsh_bucket",
+        Encoders.product[Resident], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Array[Long])],
         tv: TimerValues): Iterator[(Long, Long, Double)] = {
-      var bucket = if (state.exists()) state.get() else Bucket.empty
+      val arrivals = rows.map { case (_, id, sh) => Resident(id, sh) }.toArray
       val out = Vector.newBuilder[(Long, Long, Double)]
-      rows.foreach { case (_, id, sh) =>
-        // verify the arrival against every resident of the bucket
-        val nDoc = sh.length
-        var d = 0
-        while (d < bucket.ids.length) {
-          val from = bucket.offsets(d)
-          val to = if (d + 1 < bucket.offsets.length) bucket.offsets(d + 1) else bucket.hashes.length
-          if (bucket.ids(d) != id) {
-            val inter = intersect(bucket.hashes, from, to, sh, 0, nDoc)
-            val union = (to - from) + nDoc - inter
-            val jac = if (union == 0) 0.0 else inter.toDouble / union
-            if (jac >= threshold) {
-              val (i, j) = if (bucket.ids(d) < id) (bucket.ids(d), id) else (id, bucket.ids(d))
-              out += ((i, j, jac))
-            }
+      fifoVisit(residents, maxBucketSize, arrivals) { (r, a) =>
+        if (r.id != a.id) {
+          val inter = intersect(r.hashes, a.hashes)
+          val union = r.hashes.length + a.hashes.length - inter
+          val jac = if (union == 0) 0.0 else inter.toDouble / union
+          if (jac >= threshold) {
+            val (i, j) = if (r.id < a.id) (r.id, a.id) else (a.id, r.id)
+            out += ((i, j, jac))
           }
-          d += 1
         }
-        // append the arrival; FIFO-evict past the cap
-        val ids = bucket.ids :+ id
-        val offsets = bucket.offsets :+ bucket.hashes.length
-        val hashes = bucket.hashes ++ sh
-        bucket =
-          if (maxBucketSize > 0 && ids.length > maxBucketSize) {
-            val cut = offsets(1)
-            Bucket(ids.drop(1), offsets.drop(1).map(_ - cut), hashes.drop(cut))
-          } else Bucket(ids, offsets, hashes)
       }
-      state.update(bucket)
       out.result().iterator
     }
   }
 
-  /** Per-bucket state for the embedding variant: resident ids and
-    * flattened vectors (fixed dimension per stream).
+  /** One resident of an embedding bucket: vec id + its own vector
+    * (one ListState entry per resident — vectors are never flattened
+    * into a shared array, so a stray row of a different dimension
+    * cannot corrupt any other resident's layout; mismatched-dim pairs
+    * are simply skipped at verify time).
     */
-  final case class VecBucket(ids: Array[Long], dim: Int, vecs: Array[Double])
-
-  object VecBucket {
-    val empty: VecBucket = VecBucket(Array.empty, 0, Array.empty)
-  }
+  final case class VecResident(id: Long, vec: Array[Double])
 
   private final class VecBucketProcessor(threshold: Double, maxBucketSize: Int,
       ttl: Option[java.time.Duration])
     extends StatefulProcessor[Long, (Long, Long, Array[Double]), (Long, Long, Double)] {
 
-    @transient private var state: ValueState[VecBucket] = _
+    @transient private var residents: ListState[VecResident] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[VecBucket]("graft_vec_bucket",
-        Encoders.product[VecBucket], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+      residents = getHandle.getListState[VecResident]("graft_vec_bucket",
+        Encoders.product[VecResident], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
-    private def cosine(a: Array[Double], aFrom: Int, b: Array[Double], dim: Int): Double = {
+    private def cosine(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < dim) {
-        val x = a(aFrom + i); val y = b(i)
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
@@ -140,29 +196,17 @@ object StreamingDedup {
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Array[Double])],
         tv: TimerValues): Iterator[(Long, Long, Double)] = {
-      var bucket = if (state.exists()) state.get() else VecBucket.empty
+      val arrivals = rows.map { case (_, id, v) => VecResident(id, v) }.toArray
       val out = Vector.newBuilder[(Long, Long, Double)]
-      rows.foreach { case (_, id, v) =>
-        val dim = v.length
-        var d = 0
-        while (d < bucket.ids.length) {
-          if (bucket.ids(d) != id && bucket.dim == dim) {
-            val sim = cosine(bucket.vecs, d * dim, v, dim)
-            if (sim >= threshold) {
-              val (i, j) = if (bucket.ids(d) < id) (bucket.ids(d), id) else (id, bucket.ids(d))
-              out += ((i, j, sim))
-            }
+      fifoVisit(residents, maxBucketSize, arrivals) { (r, a) =>
+        if (r.id != a.id && r.vec.length == a.vec.length) {
+          val sim = cosine(r.vec, a.vec)
+          if (sim >= threshold) {
+            val (i, j) = if (r.id < a.id) (r.id, a.id) else (a.id, r.id)
+            out += ((i, j, sim))
           }
-          d += 1
         }
-        val ids = bucket.ids :+ id
-        val vecs = bucket.vecs ++ v
-        bucket =
-          if (maxBucketSize > 0 && ids.length > maxBucketSize)
-            VecBucket(ids.drop(1), dim, vecs.drop(dim))
-          else VecBucket(ids, dim, vecs)
       }
-      state.update(bucket)
       out.result().iterator
     }
   }
@@ -173,7 +217,9 @@ object StreamingDedup {
     * sketch as the batch `bucketedCosinePairsAuto`), per-bucket state
     * holds recent residents' vectors, exact cosine verifies on
     * arrival. Same at-least-once emission and TTL/FIFO state bounds
-    * as [[nearDupPairs]]. Feed the emitted pairs to
+    * as [[nearDupPairs]]. Vectors of mismatched dimension never pair
+    * (skipped at verify; each resident keeps its own vector, so mixed
+    * dimensions cannot corrupt state). Feed the emitted pairs to
     * [[graft.functions.Dedup.connectedComponents]] on the bounded
     * sink for cluster-canonical dedup.
     */

@@ -27,6 +27,12 @@ object DedupStreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: commit uploads the batch's delta, not
+      // a full RocksDB snapshot — the production setting for any
+      // high-frequency trigger (pairs with the ListState append path:
+      // an arrival is one merge record in the changelog)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_CHANGELOG", "true"))
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -36,7 +42,8 @@ object DedupStreamBench {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
 
-    val src = Testing.testingSource[(Long, String)](spark)
+    val src = Testing.testingSource[(Long, String)](spark,
+      numPartitions = Some(cpus.toInt))
     val out = StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
       "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5,
       maxBucketSize = cap)

@@ -126,6 +126,63 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup pairs: logical FIFO window is exact across compaction") {
+    import graft.streaming.StreamingDedup
+    withRocksDb {
+      val t = "one single repeated document body that matches itself exactly every time"
+      val src = Testing.testingSource[(Long, String)](spark)
+      // 6 identical docs, cap 2: arrival k pairs with exactly the 2
+      // previous arrivals. Physical list compacts at len > 2*cap = 4
+      // (batch 3), so the assertion covers append-only, in-batch, and
+      // post-compaction visibility in one run.
+      src.addBatch((1L, t), (2L, t))
+      src.addBatch((3L, t), (4L, t))
+      src.addBatch((5L, t), (6L, t))
+      val out = StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        maxBucketSize = 2)
+      val pairs = StreamingOps.runToMemory(out, "ndp_compact")
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      val want = Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L))
+      assert(pairs === want, pairs.toString)
+    }
+  }
+
+  test("streaming near-dup pairs: bucket state survives stop/restart (checkpoint recovery)") {
+    import graft.streaming.StreamingDedup
+    withRocksDb {
+      import java.nio.file.Files
+      val ckpt = Files.createTempDirectory("graft-ndp-ckpt").toFile.getPath
+      val outDir = Files.createTempDirectory("graft-ndp-out").toFile.getPath
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      val aDup = a + " extra words"
+      val other = "completely different content with unrelated words entirely distinct here"
+      val src = Testing.testingSource[(Long, String)](spark)
+      def startQuery() =
+        StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
+            "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+          .toDF("i", "j", "jac").writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+      // run 1: doc 1 becomes a bucket resident (no pairs yet)
+      src.addBatch((1L, a), (2L, other))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      // run 2: the near-dup arrives AFTER restart — the pair can only
+      // form if doc 1's residency (ListState + length counter) was
+      // recovered from the checkpoint
+      src.addBatch((3L, aDup))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val pairs = spark.read.parquet(outDir)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      assert(pairs === Set((1L, 3L)), pairs.toString)
+    }
+  }
+
   test("streaming near-dup pairs: state TTL forgets residents past the horizon") {
     import graft.streaming.StreamingDedup
     withRocksDb {
