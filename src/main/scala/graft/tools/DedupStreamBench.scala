@@ -12,13 +12,21 @@ import graft.streaming.StreamingDedup
   * for the wall-clock reference. (The driver-side collect exists only
   * to feed MemoryStream — the operator itself never collects.)
   *
-  * args: [sfDir] [batchSize] [maxBucketSize]
+  * args: [sfDir] [batchSize] [maxBucketSize] [mode]
+  *
+  * mode `hot` replaces the corpus with a saturated-bucket synthetic
+  * (25 groups of identical docs → every band bucket fills to the cap)
+  * and raises the threshold above 1 so no pairs emit: it isolates the
+  * per-arrival STATE cost when buckets are at cap — the scenario
+  * where a whole-bucket rewrite is O(cap) per visit but a ListState
+  * append is O(1).
   */
 object DedupStreamBench {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val batchSize = if (args.length > 1) args(1).toInt else 500
     val cap = if (args.length > 2) args(2).toInt else 128
+    val mode = if (args.length > 3) args(3) else "corpus"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,13 +47,20 @@ object DedupStreamBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val docs = graft.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val docs =
+      if (mode == "hot") {
+        val base = graft.Tables.load(spark, dir, "documents")
+          .select(col("text")).as[String].take(25)
+        (0 until 5000).map(i => (i.toLong, base(i % 25))).toArray
+      } else
+        graft.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val threshold = if (mode == "hot") 1.01 else 0.5
 
     val src = Testing.testingSource[(Long, String)](spark,
       numPartitions = Some(cpus.toInt))
     val out = StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
-      "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = threshold,
       maxBucketSize = cap)
     val q = out.toDF("i", "j", "jac").writeStream
       .format("memory").queryName("dedup_stream_bench").outputMode("append")
@@ -63,13 +78,13 @@ object DedupStreamBench {
 
     val t1 = System.nanoTime()
     val batchPairs = graft.functions.Dedup.minhashLshPairs(
-        graft.Tables.load(spark, dir, "documents"),
+        docs.toSeq.toDF("doc_id", "text"),
         col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16,
-        threshold = 0.5, maxBucketSize = cap)
+        threshold = threshold, maxBucketSize = cap)
       .count()
     val batchSec = (System.nanoTime() - t1) / 1e9
 
-    println(s"""{"metric":"streaming_dedup","docs":${docs.length},"batch_size":$batchSize,"stream_sec":$streamSec,"docs_per_sec":${(docs.length / streamSec).toLong},"stream_pairs":$streamPairs,"batch_sec":$batchSec,"batch_pairs":$batchPairs}""")
+    println(s"""{"metric":"streaming_dedup","mode":"$mode","docs":${docs.length},"batch_size":$batchSize,"stream_sec":$streamSec,"docs_per_sec":${(docs.length / streamSec).toLong},"stream_pairs":$streamPairs,"batch_sec":$batchSec,"batch_pairs":$batchPairs}""")
     spark.stop()
   }
 }
