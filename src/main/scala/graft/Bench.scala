@@ -33,6 +33,18 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // Optional comma-separated query filter for iterating on one gate.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
+    // Machine-load context: a polluted run (another JVM hogging cores)
+    // is self-diagnosing when the JSON carries the host's loadavg
+    // alongside per-rep raw times (round 6 recorded 15x on three
+    // text gates that a clean rerun couldn't reproduce).
+    def loadavg: Seq[Double] =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")))
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty }
+    val loadStart = loadavg
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -49,13 +61,25 @@ object Bench {
         // (q_redistribute measured 1.76 s mid-run vs 0.57 s isolated).
         spark.catalog.clearCache()
         dt
-      }.sorted
-      name -> times(times.length / 2)
+      }
+      (name, times.sorted.apply(times.length / 2), times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadEnd = loadavg
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-rep raw times in run order (unsorted): the evidence trail
+    // behind each median.
+    val raw = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // Any query whose rep spread (max/min) exceeds 3x was measured
+    // under interference — its median is suspect.
+    val unstable = results.collect {
+      case (k, _, ts) if ts.min > 0 && ts.max / ts.min > 3.0 => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val loadJson = (l: Seq[Double]) => l.map(v => f"$v%.2f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"reps_raw":$raw,"unstable":$unstable,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so the JSON is the final stdout line
     // (Spark logs go to stderr, but shutdown ordering makes this robust);
     // also persist to a file in case stdout is decorated by the launcher.
