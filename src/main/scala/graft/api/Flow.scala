@@ -8,12 +8,30 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * registry of step ids for diagnostics/visualization (the analogue of
   * `visualize.to_mermaid`, reference pysrc/bytewax/visualize.py:301).
   */
-final class Flow(val flowId: String) {
+final class Flow(val flowId: String, val meter: Boolean = false) {
   private val steps =
     scala.collection.mutable.LinkedHashMap.empty[String, (String, Seq[String])]
 
   private[graft] def record(stepId: String, kind: String, ups: Seq[String]): Unit =
     synchronized { steps += (stepId -> ((kind, ups))) }
+
+  /** Per-step row metering (the reference labels its `item_inp_count`
+    * /`item_out_count` prometheus counters by step id — reference
+    * src/operators.rs:599-631). When the flow is built with
+    * `meter = true`, every recorded step taps its output with a
+    * `Dataset.observe` row count named `graft_step_<stepId>`; the
+    * observation rides the engine's event bus into [[graft.streaming
+    * .Tracing]] spans, and [[graft.streaming.MetricsServer]] renders
+    * it as `graft_step_rows_total{flow,step}`. Opt-in because the
+    * `CollectMetrics` node, while shuffle-free, is visible to
+    * plan-shape inspection.
+    */
+  private[graft] def tap[T](ds: Dataset[T], stepId: String): Dataset[T] =
+    if (meter)
+      ds.observe("graft_step_" + stepId,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+    else ds
 
   def stepIds: Seq[String] = synchronized(steps.keys.toSeq)
 
@@ -43,6 +61,7 @@ final class Flow(val flowId: String) {
 
 object Flow {
   def apply(id: String): Flow = new Flow(id)
+  def apply(id: String, meter: Boolean): Flow = new Flow(id, meter)
 }
 
 /** Typed stream handle — the analogue of the reference's `Stream[X]`
@@ -56,7 +75,7 @@ final case class Stream[T](ds: Dataset[T], flow: Flow, stepId: String) {
 
   def thenDo[U](id: String, f: Dataset[T] => Dataset[U]): Stream[U] = {
     flow.record(id, "then", Seq(stepId))
-    Stream(f(ds), flow, id)
+    Stream(flow.tap(f(ds), id), flow, id)
   }
 }
 

@@ -33,7 +33,7 @@ object ops {
 
   private def step(flow: Flow, id: String, kind: String, ups: String*)(df: DataFrame): Stream[Row] = {
     flow.record(id, kind, ups)
-    Stream(df, flow, id)
+    Stream(flow.tap(df, id), flow, id)
   }
 
   def input(id: String, flow: Flow, spark: SparkSession, parquetPath: String): Stream[Row] =

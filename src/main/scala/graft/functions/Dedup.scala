@@ -12,6 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** House auto-sizing rule for the dedup family's skew caps — the
+    * document-frequency ceilings of [[ngramJaccardPairs]] /
+    * [[winnowPairs]] and the band-bucket ceiling of
+    * [[minhashLshPairs]]: `cap = max(floor, alpha·nDocs)`.
+    *
+    * Rationale: the caps exist to bound inverted-index pair work
+    * (Σ min(df, cap)²) against corpus-wide boilerplate keys, but a
+    * cap below the largest LEGITIMATE duplicate-group size destroys
+    * recall — an exact-dup group of g docs makes every one of its
+    * shingles/fingerprints/band-buckets hit df = g, so `cap < g`
+    * erases the whole group from the index. The rule therefore grows
+    * the cap linearly with the corpus (any group above `alpha` of
+    * the corpus is treated as boilerplate, default 0.2%) and never
+    * drops below `floor` (small corpora stay effectively uncapped —
+    * their dfs can't produce a blowup worth trading recall for).
+    * alpha = 0.002 puts sf1 (50k docs) exactly at the cap-100 point
+    * measured at recall 1.000 against uncapped truth on both the
+    * clean and boilerplate corpora (SCALE.md, `tools/NgramScale`).
+    */
+  def autoCap(nDocs: Long, alpha: Double = 0.002, floor: Int = 100): Int =
+    math.min(math.max(floor.toLong, (alpha * nDocs).toLong), Int.MaxValue.toLong).toInt
+
+  /** Cap-parameter convention for the curation pipelines: negative →
+    * [[autoCap]] sized from `corpus` (one count() action), 0 →
+    * explicitly uncapped, positive → the caller's cap.
+    */
+  private def resolveCap(cap: Int, corpus: DataFrame): Int =
+    if (cap < 0) autoCap(corpus.count()) else cap
+
   /** Word n-gram shingles of `text`, distinct, as array<string> — the
     * fused codegen'd [[ShinglesExpr]] (the equivalent split + sequence +
     * transform + slice + concat_ws + array_distinct composition is five
@@ -94,6 +123,14 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** [[ngramJaccardPairs]] with the df cap auto-sized from the corpus
+    * ([[autoCap]]; one count() action) — the production default when
+    * the caller has no corpus-specific cap.
+    */
+  def ngramJaccardPairsAuto(df: DataFrame, idCol: Column, text: Column, n: Int,
+      threshold: Double, scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    ngramJaccardPairs(df, idCol, text, n, threshold, autoCap(df.count()), scope)
+
   /** MinHash signature: for hash function k (0..numHashes-1) the min of
     * h_k(shingle) over the doc's shingles — fused single-pass custom
     * expression (see [[MinHashSigExpr]] for why the built-in
@@ -174,6 +211,16 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** [[minhashLshPairs]] with the band-bucket cap auto-sized from the
+    * corpus ([[autoCap]]; one count() action) — the production default
+    * when the caller has no corpus-specific cap.
+    */
+  def minhashLshPairsAuto(df: DataFrame, idCol: Column, text: Column, n: Int,
+      numHashes: Int, bands: Int, threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    minhashLshPairs(df, idCol, text, n, numHashes, bands, threshold,
+      autoCap(df.count()), scope)
+
   /** Streaming exact dedup: drop repeats of `idCols` arriving within the
     * watermark horizon — state for a key is reclaimed once the watermark
     * passes its event time + delay, so memory is bounded on unbounded
@@ -187,17 +234,19 @@ object Dedup {
     * not the higher-id member of any near-dup pair among the kept set
     * (deterministic keeper rule: lowest doc id of a dup group survives
     * transitively via pair ordering). Pair search uses MinHash+LSH with
-    * exact verification — the 100 TB path.
+    * exact verification — the 100 TB path. `maxBucketSize` follows the
+    * pipeline cap convention: negative (the default) auto-sizes via
+    * [[autoCap]], 0 disables, positive is explicit.
     */
   def curate(df: DataFrame, idCol: Column, text: Column,
       stopwords: Seq[String], minQuality: Double,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = -1): DataFrame = {
     val scored = df.select(idCol.as("id"), text.as("text"),
       Text.qualityScore(text, stopwords).as("quality"))
     val kept = scored.filter(col("quality") >= minQuality)
     val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands,
-        threshold, maxBucketSize)
+        threshold, resolveCap(maxBucketSize, kept))
       .select(col("j").as("drop_id")).distinct()
     kept.join(pairs, kept("id") === pairs("drop_id"), "left_anti")
       .select(col("id"), col("quality"))
@@ -253,6 +302,24 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
       .select(col("i"), col("j"), col("shared"), col("overlap"))
   }
+
+  /** [[winnowPairs]] with the fingerprint df cap auto-sized from the
+    * corpus ([[autoCap]]; one count() action) — the production default
+    * when the caller has no corpus-specific cap.
+    *
+    * Winnow uses a 10× higher (alpha, floor) than the shingle index:
+    * window-min selection biases popular k-grams INTO the fingerprint
+    * set (a hash that is minimal in one window is minimal in many),
+    * so fingerprint dfs concentrate and a shingle-sized cap bites
+    * real overlap. Measured at sf1 (50k docs) against uncapped truth:
+    * cap 1000 → recall 1.000, 500 → 0.998, 300 → 0.981, 100 → 0.944
+    * (`tools/WinnowScale` with cap 0 truth; SCALE.md). Callers
+    * trading recall for cost pass an explicit cap to [[winnowPairs]].
+    */
+  def winnowPairsAuto(df: DataFrame, idCol: Column, text: Column, k: Int, w: Int,
+      minOverlap: Double, scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    winnowPairs(df, idCol, text, k, w, minOverlap,
+      autoCap(df.count(), alpha = 0.02, floor = 1000), scope)
 
   /** Benchmark decontamination: flag training docs sharing at least
     * `minShared` distinct word n-grams with ANY doc of the evaluation
@@ -421,7 +488,7 @@ object Dedup {
   def curateClustered(df: DataFrame, idCol: Column, text: Column,
       stopwords: Seq[String], minQuality: Double,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = -1): DataFrame = {
     val scored = df.select(idCol.as("id"), text.as("text"),
       Text.qualityScore(text, stopwords).as("quality"))
     val kept = scored.filter(col("quality") >= minQuality)
@@ -431,7 +498,7 @@ object Dedup {
     // returning (see CacheScope)
     val scope = new CacheScope
     val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands,
-      threshold, maxBucketSize, scope)
+      threshold, resolveCap(maxBucketSize, kept), scope)
     val drops = connectedComponents(pairs.select(col("i"), col("j")))
       .filter(col("id") =!= col("rep")).select(col("id").as("drop_id"))
     scope.close()
@@ -452,7 +519,7 @@ object Dedup {
       stopwords: Seq[String], minQuality: Double,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
       decontamN: Int, decontamMinShared: Int,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = -1): DataFrame = {
     val scored = df.select(idCol.as("id"), Text.redactPii(text).as("text"))
       .withColumn("quality", Text.qualityScore(col("text"), stopwords))
     val kept = scored.filter(col("quality") >= minQuality)
@@ -463,7 +530,7 @@ object Dedup {
     // materialized the pairs into its round checkpoints (see CacheScope)
     val scope = new CacheScope
     val pairs = minhashLshPairs(uniq, col("id"), col("text"), n, numHashes, bands,
-      threshold, maxBucketSize, scope)
+      threshold, resolveCap(maxBucketSize, uniq), scope)
     val drops = connectedComponents(pairs.select(col("i"), col("j")))
       .filter(col("id") =!= col("rep")).select(col("id").as("drop_id"))
     scope.close()

@@ -45,6 +45,18 @@ object Text {
     * size buckets ≈ cores × a small factor, exactly like
     * shuffle-partition sizing.
     */
+  /** [[packSequences]] with the bucket count auto-sized to the
+    * session's scheduling parallelism (`defaultParallelism × 2` — the
+    * same small-multiple rule as shuffle-partition sizing, so every
+    * core keeps an in-partition sort-window busy and a straggler
+    * bucket can rebalance). The gate pins `buckets = 8` for oracle
+    * determinism; production callers use this.
+    */
+  def packSequencesAuto(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      budget: Int): org.apache.spark.sql.DataFrame =
+    packSequences(df, idCol, text, budget,
+      math.max(1, df.sparkSession.sparkContext.defaultParallelism * 2))
+
   def packSequences(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
       budget: Int, buckets: Int): org.apache.spark.sql.DataFrame = {
     require(budget > 0 && buckets > 0, "budget and buckets must be positive")

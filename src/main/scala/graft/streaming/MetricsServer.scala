@@ -25,7 +25,12 @@ import org.apache.spark.sql.SparkSession
   *       `graft_spans_total{flow,kind}` — span count by kind,
   *       `graft_input_rows_total{flow}` — micro-batch input rows,
   *       `graft_duration_ms_total{flow,kind}` — summed span wall,
-  *       `graft_state_rows{flow}` — last observed state-store rows.
+  *       `graft_state_rows{flow}` — last observed state-store rows,
+  *       `graft_step_rows_total{flow,step}` — per-step row counts
+  *         from metered flows (`Flow(id, meter = true)`), the
+  *         analogue of the reference's step-labeled
+  *         `item_inp_count`/`item_out_count` counters
+  *         (src/operators.rs:599-631).
   *
   * Spark's own UI/metrics system remains the cluster-scale surface;
   * this endpoint exists for parity with reference deployments that
@@ -104,6 +109,12 @@ object MetricsServer {
     * is 3030 via its port env var — pass `sys.env.get("GRAFT_DATAFLOW_API_PORT")`
     * semantics at the call site if env-driven configuration is wanted.
     */
+  /** A metered step's observation renders its single count column as
+    * `[n]` (Row.toString) — anything else means the observation is
+    * not a step tap and is skipped.
+    */
+  private val StepRows = """\[(\d+)\]""".r
+
   def start(spark: SparkSession, dataflowJson: => String, port: Int = 3030): Guard = {
     val registry = new Registry
     val tracing = Tracing.setup(spark) { span =>
@@ -113,6 +124,13 @@ object MetricsServer {
       if (span.kind == "microbatch") {
         registry.inc("graft_input_rows_total", flow, span.inputRows)
         registry.set("graft_state_rows", flow, span.stateRows)
+      }
+      // step taps from metered flows (batch and streaming spans alike)
+      span.observed.foreach {
+        case (name, StepRows(n)) if name.startsWith("graft_step_") =>
+          registry.inc("graft_step_rows_total",
+            flow :+ ("step" -> name.stripPrefix("graft_step_")), n.toLong)
+        case _ => ()
       }
     }
     val server = HttpServer.create(new InetSocketAddress(port), 0)

@@ -346,11 +346,34 @@ class FunctionsSpec extends SparkSpec {
       assert(total - sorted.last._4 < budget,
         s"pack ($bucket,$pack) pre-overflow total ${total - sorted.last._4} >= $budget")
     }
-    // packs are dense per bucket: 0..max with none skipped
-    byPack.keys.groupBy(_._1).foreach { case (_, packs) =>
-      val ids = packs.map(_._2).toSeq.sorted
-      assert(ids === (0L until ids.length.toLong))
+    // pack ids are monotone non-decreasing in doc order within a
+    // bucket (the always-true invariant). Density — no skipped pack
+    // index — additionally requires every doc to fit under the
+    // budget: a doc with >= budget tokens legally jumps
+    // floor(cum_before/budget) by more than 1. Assert density only
+    // when the corpus satisfies that precondition.
+    out.groupBy(_._2).foreach { case (_, members) =>
+      val packsInOrder = members.sortBy(_._1).map(_._3)
+      assert(packsInOrder.zip(packsInOrder.drop(1)).forall { case (a, b) => a <= b })
     }
+    if (out.map(_._4).max < budget)
+      byPack.keys.groupBy(_._1).foreach { case (_, packs) =>
+        val ids = packs.map(_._2).toSeq.sorted
+        assert(ids === (0L until ids.length.toLong))
+      }
+  }
+
+  test("packSequencesAuto sizes buckets from the session parallelism") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val out = Text.packSequencesAuto(docs, col("doc_id"), col("text"), 512)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === docs.count())
+    val expected = math.max(1, spark.sparkContext.defaultParallelism * 2)
+    val buckets = out.map(_._2).distinct
+    // pmod(id, buckets): every bucket index is in range, and (on a
+    // corpus much larger than the bucket count) all are populated
+    assert(buckets.forall(b => b >= 0 && b < expected))
+    assert(buckets.length === math.min(expected.toLong, docs.count()).toInt)
   }
 
   test("tfidf computes exact tf/df and the smoothed idf weighting") {

@@ -78,6 +78,34 @@ class MetricsServerSpec extends SparkSpec {
     } finally guard.close()
   }
 
+  test("metered flow surfaces per-step row counters (item_inp_count analogue)") {
+    // the reference labels its per-step counters by step id
+    // (src/operators.rs:599-631); a Flow built with meter = true taps
+    // every step with an observe row count that MetricsServer renders
+    // as graft_step_rows_total{flow,step}
+    val flow = graft.api.Flow("step_metrics", meter = true)
+    val guard = MetricsServer.start(spark, flow.toJson, port = 0)
+    try {
+      val inp = graft.api.ops.input("in", flow, spark, s"$sf0001/region.parquet")
+      val filt = graft.api.ops.filter("filt", inp, col("r_regionkey") < 3)
+      // a batch action routes observed metrics through the
+      // QueryExecutionListener span path
+      assert(filt.ds.count() === 3)
+      // listener bus delivery is async: poll (bounded)
+      val base = s"http://127.0.0.1:${guard.port}"
+      val deadline = System.currentTimeMillis() + 20000
+      var body = ""
+      while (System.currentTimeMillis() < deadline &&
+          !body.contains("""step="filt"""")) {
+        Thread.sleep(200)
+        body = get(s"$base/metrics")._3
+      }
+      assert(body.contains("# TYPE graft_step_rows_total counter"), body)
+      assert(body.matches("(?s).*graft_step_rows_total\\{[^}]*step=\"in\"[^}]*\\} 5\n.*"), body)
+      assert(body.matches("(?s).*graft_step_rows_total\\{[^}]*step=\"filt\"[^}]*\\} 3\n.*"), body)
+    } finally guard.close()
+  }
+
   test("GraftFlow exposes its recorded graph for the runner's /dataflow") {
     val wf = new graft.run.WordCountFlow
     assert(wf.graph.isEmpty)
