@@ -572,21 +572,37 @@ object Dedup {
     * on a hashed (combo, block-values) key per C(m, r) combination, no
     * cross join, exact Hamming verify after.
     *
-    * Block-count trade-off, with measurements at a 50k-doc corpus of
-    * ~8 true pairs/doc: expected random-collision candidates scale as
-    * C(m,r)·N²/2^(r·64/m) — each extra block widens the effective key
-    * (dividing random candidates by ~2^(64/m)) but multiplies key rows
-    * per doc by C(m,r) AND multiplies every *true* pair's pre-distinct
-    * join rows by its agreeing-combo count (up to C(m,r) for identical
-    * docs). On a dup-dense corpus the second term wins: m=8/r=1 ran
-    * 4.8 s, m=9/r=2 5.4 s, m=10/r=3 ~3× worse. The default therefore
-    * stays at the minimal m = maxHamming+1, which measured sub-linear
-    * (3.8× wall at a 10× corpus step). The knob matters when buckets
-    * saturate — N approaching k·2^(64/m) random docs per key — i.e.
-    * corpora past ~10⁶ docs per partition-disjoint dedup domain: there,
-    * raise `blocks` (m=9 → ~14-bit keys, m=10 → ~19-bit) and run exact
-    * dedup first so identical docs collapse before pairing (a 64-bit
-    * sketch caps blocking selectivity at 2^(r·64/m) regardless).
+    * Block-count trade-off — MEASURED at three decades (50k docs /
+    * round 4; 500k / round 6 sf10; 5,000,000 / round 7 sf100 with
+    * per-m candidate counts from `tools/SimhashProbe`):
+    *
+    *   - 50k docs: m=8 4.8 s < m=9 5.4 s < m=10 (~3× worse)
+    *   - 500k docs: m=8 sub-linear (2.2×/decade), still the winner
+    *   - 5M docs: m=9 148 s < m=8 431.6 s < m=10 996.4 s
+    *
+    * Two pricing facts decide the curve (both verified at the 5M
+    * point). (1) Candidates are cheap: Catalyst pushes the Hamming
+    * verify below the pair `distinct()`, so candidate pairs are
+    * popcount-filtered inside the whole-stage-codegen'd join scan —
+    * never materialized or shuffled. m=8's 4.17e11 candidates cost
+    * 431 s (~30M rows/s/core); candidate count alone does NOT price
+    * the plan. (2) Keyed rows are expensive: each of the C(m,r)
+    * combo keys per doc is an exploded, hashed, sorted and shuffled
+    * row — m=10's 120 keys/doc (600M rows at 5M docs, 7.5e9
+    * candidates) measured 6.7× slower than m=9's 36 keys/doc
+    * (3.2e10 candidates).
+    *
+    * Guidance: keep the default m = maxHamming+1 below ~1M docs per
+    * partition-disjoint dedup domain; switch to m = maxHamming+2
+    * around the million-doc decade (the m=8 → m=9 crossover is
+    * measured-bracketed between 500k and 5M docs at 32 cores);
+    * m = maxHamming+3 is counterproductive through at least 5M docs.
+    * Run exact dedup first so identical docs collapse before pairing
+    * (a 64-bit sketch caps blocking selectivity at 2^(r·64/m)
+    * regardless); the quadratic term that eventually overtakes m=9
+    * is its own in-codegen candidate scan (Σ C(bucket,2) over
+    * ~14-bit keys), ×100 per 10× docs against the ~linear keyed
+    * shuffle.
     *
     * Key hashing: the join key is xxhash64(combo, v_1..v_r); a hash
     * collision only admits an extra candidate, which the exact Hamming

@@ -71,6 +71,30 @@ object Text {
         col("n_tokens").cast("long").as("n_tokens"))
   }
 
+  /** Training-sequence assembly — the step after [[packSequences]]:
+    * concatenate each pack's documents (id-ordered, space-joined)
+    * into one sequence row (bucket, pack, seq_text, n_docs,
+    * n_tokens). One aggregation keyed by (bucket, pack); state per
+    * group is bounded by the token budget (a pack overflows by at
+    * most its last document), so the concat never degenerates — the
+    * standard corpus → fixed-length-sequence materialization for a
+    * trainer. Ordering inside the group uses
+    * `array_sort(collect_list(struct(id, text)))`: deterministic,
+    * no global sort.
+    */
+  def assemblePacks(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      budget: Int, buckets: Int): org.apache.spark.sql.DataFrame = {
+    val assign = packSequences(df, idCol, text, budget, buckets)
+    assign.join(df.select(idCol.as("id"), text.as("text")), "id")
+      .groupBy(col("bucket"), col("pack"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("id"), col("text")))),
+            s => s.getField("text"))).as("seq_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Count of tokens that appear in `stopwords` (codegen'd scan). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     TokenExprs.stopword_hits(text, stopwords)

@@ -51,6 +51,14 @@ object LlmQueries {
       Text.packSequences(docs, $"doc_id", $"text", budget = 512, buckets = 8)
     },
 
+    // training-sequence assembly: each pack's docs concatenated in id
+    // order — the materialization step after q_text_pack's assignment
+    "q_text_pack_asm" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Text.assemblePacks(docs, $"doc_id", $"text", budget = 512, buckets = 8)
+    },
+
     // language-ID heuristic (stopword vote)
     "q_text_langid" -> { (s, dir) =>
       import s.implicits._
@@ -685,6 +693,17 @@ object LlmQueries {
          |  COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM (SELECT doc_id, $ntok AS n_tokens FROM documents))""".stripMargin,
+    "q_text_pack_asm" ->
+      s"""SELECT bucket, pack,
+         |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, text, doc_id % 8 AS bucket,
+         |  CAST(floor(CAST(cum_before AS DOUBLE) / 512) AS BIGINT) AS pack, n_tokens
+         |  FROM (SELECT doc_id, text, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |    FROM (SELECT doc_id, text, $ntok AS n_tokens FROM documents)))
+         |GROUP BY bucket, pack""".stripMargin,
     "q_text_langid" -> {
       val langs = Text.langStopwords
       val caseArms = langs.zipWithIndex.map { case ((lang, sw), i) =>

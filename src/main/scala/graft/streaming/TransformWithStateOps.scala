@@ -75,6 +75,15 @@ object TransformWithStateOps {
     * to the logic's needs: ProcessingTime only when timers are in play —
     * a timer-capable operator keeps scheduling micro-batches, so
     * timerless logic must run in TimeMode.None for queries to drain.
+    *
+    * Engine-choice throughput (measured, `tools/TwsBench`, 1M items /
+    * 10k keys / RocksDB both sides): TWS pays ~60 µs/key-visit of
+    * engine machinery over `StreamingOps.statefulStream` on the
+    * simplest ValueState shape (~1.8× wall on a pure running sum) and
+    * reaches parity on ListState shapes (bounded collect 1.0–1.1×).
+    * Default remains TWS for the capability surface (timers, TTL,
+    * typed ListState/MapState); the FMGWS engine stays the documented
+    * compat path for simple high-rate shapes.
     */
   def statefulTws[K: Encoder, V, S, W](
       ds: Dataset[(K, V)], logic: GraftStatefulLogic[K, V, S, W],

@@ -363,6 +363,26 @@ class FunctionsSpec extends SparkSpec {
       }
   }
 
+  test("assemblePacks concatenates each pack id-ordered and agrees with the assignment") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val budget = 512
+    val assign = Text.packSequences(docs, col("doc_id"), col("text"), budget, buckets = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    val asm = Text.assemblePacks(docs, col("doc_id"), col("text"), budget, buckets = 8)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val texts = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val grouped = assign.groupBy(r => (r._2, r._3))
+    assert(asm.keySet === grouped.keySet)
+    grouped.foreach { case (k, members) =>
+      val (seq, nDocs, nTokens) = asm(k)
+      assert(nDocs === members.length)
+      assert(nTokens === members.map(_._4).sum)
+      // id-ordered, space-joined member texts
+      assert(seq === members.sortBy(_._1).map(m => texts(m._1)).mkString(" "))
+    }
+  }
+
   test("packSequencesAuto sizes buckets from the session parallelism") {
     val docs = Tables.load(spark, sf0001, "documents")
     val out = Text.packSequencesAuto(docs, col("doc_id"), col("text"), 512)
