@@ -95,6 +95,14 @@ object Text {
         sum(col("n_tokens")).as("n_tokens"))
   }
 
+  /** [[assemblePacks]] over [[packSequencesAuto]]'s parallelism-sized
+    * buckets — the production default.
+    */
+  def assemblePacksAuto(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      budget: Int): org.apache.spark.sql.DataFrame =
+    assemblePacks(df, idCol, text, budget,
+      math.max(1, df.sparkSession.sparkContext.defaultParallelism * 2))
+
   /** Count of tokens that appear in `stopwords` (codegen'd scan). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     TokenExprs.stopword_hits(text, stopwords)

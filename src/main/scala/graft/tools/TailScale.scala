@@ -61,6 +61,13 @@ object TailScale {
         graft.functions.Text.packSequencesAuto(docs,
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"), budget = 512)
+      // the production minhash configuration: auto-sized bucket cap
+      case "minhash_auto" =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+        graft.functions.Dedup.minhashLshPairsAuto(docs,
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"),
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
       case s if s.startsWith("pack_b") => // explicit bucket count
         val docs = graft.Tables.load(spark, dir, "documents")
         graft.functions.Text.packSequences(docs,

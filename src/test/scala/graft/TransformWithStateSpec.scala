@@ -241,6 +241,38 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming vector near-dups: bucket state survives stop/restart (recovery)") {
+    import graft.streaming.StreamingDedup
+    withRocksDb {
+      import java.nio.file.Files
+      val ckpt = Files.createTempDirectory("graft-ndv-ckpt").toFile.getPath
+      val outDir = Files.createTempDirectory("graft-ndv-out").toFile.getPath
+      val base = Array(1.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.6, -0.4)
+      val nearDup = base.map(_ + 0.01)
+      val opposite = base.map(-_)
+      val src = Testing.testingSource[(Long, Array[Double])](spark)
+      def startQuery() =
+        StreamingDedup.nearDupVectors(src.toDS().toDF("vec_id", "embedding"),
+            "vec_id", "embedding", threshold = 0.9, bits = 4, tables = 8)
+          .toDF("i", "j", "sim").writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+      src.addBatch((1L, base), (2L, opposite))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      // the near-dup arrives only after restart: the pair requires
+      // vector 1's residency (VecResident ListState) to be recovered
+      src.addBatch((3L, nearDup))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val pairs = spark.read.parquet(outDir)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      assert(pairs === Set((1L, 3L)), pairs.toString)
+    }
+  }
+
   test("collectTws buffers in ListState and flushes at maxSize") {
     withRocksDb {
       val src = Testing.testingSource[(String, Int)](spark)
