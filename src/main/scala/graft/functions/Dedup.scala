@@ -177,11 +177,16 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // cached: the band explode and both sides of the verify join re-scan
-    // this relation; recomputing shingles+signatures 4× dominates without it
+    // this relation; recomputing shingles+signatures 4× dominates without
+    // it. Only (id, sh, sig) is persisted — carrying the raw text too
+    // was the difference between OOM and completion at the 5M-doc
+    // single-JVM point (ROUND7.md §8: banding reads (id, sig), verify
+    // reads (id, sh); nothing downstream reads text)
     val withSig = scope.track(df.select(idCol.as("id"), text.as("text"))
       .withColumn("sh", shingles(col("text"), n))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sh"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bandedAll = withSig.select(
       col("id"),

@@ -37,16 +37,22 @@ import graft.functions.{Dedup, MinHash}
   * tail) only when it exceeds 2× the cap, so eviction cost is
   * amortized O(1) per arrival instead of O(cap) rewrites per visit.
   *
-  * State bounds (the 100 TB story): `ttl` expires IDLE buckets on a
-  * processing-time clock — a bucket with no arrivals for `ttl` drops
-  * all residents at once at its next visit; a continually-hot bucket
-  * never expires and is bounded by `maxBucketSize` instead (physical
-  * bound 2×cap between compactions). `maxBucketSize` caps logical
-  * membership FIFO (a degenerate boilerplate bucket otherwise grows
-  * without bound AND would make every arrival O(bucket); with the cap
-  * it is O(maxBucketSize) verify work per (doc, band)). Requires the
-  * RocksDB state store provider, the same requirement as every
-  * transformWithState operator here.
+  * State bounds (the 100 TB story): `ttl` is a PER-RESIDENT
+  * processing-time horizon — ListState TTL is per-value
+  * (`OneToManyTTLState`), so each resident expires `ttl` after its
+  * own arrival regardless of bucket activity, and near-dup detection
+  * genuinely looks back only `ttl` even inside a continually-hot
+  * bucket (the ValueState layout this replaced refreshed the whole
+  * bucket on every arrival — hot-bucket residents never aged; the
+  * ListState rewrite is what made the event-horizon semantics true).
+  * One caveat: the amortized compaction `put` re-inserts the
+  * surviving tail, restarting those residents' clocks — a resident
+  * can live at most ~2×ttl when its bucket compacts. `maxBucketSize`
+  * caps logical membership FIFO (a degenerate boilerplate bucket
+  * otherwise grows without bound AND would make every arrival
+  * O(bucket); with the cap it is O(maxBucketSize) verify work per
+  * (doc, band)). Requires the RocksDB state store provider, the same
+  * requirement as every transformWithState operator here.
   */
 object StreamingDedup {
 

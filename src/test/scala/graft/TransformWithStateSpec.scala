@@ -214,9 +214,10 @@ class TransformWithStateSpec extends SparkSpec {
       // control: generous TTL — the dup IS found through the
       // ProcessingTime path (the expiry case below is not vacuous)
       assert(run("ndp_ttl_ctl", java.time.Duration.ofHours(1), gapMs = 200) === Set((1L, 2L)))
-      // doc 1's bucket sat idle past the TTL before doc 2 arrived, so
-      // its residents were dropped and the dup goes undetected — the
-      // documented per-bucket-idle processing-time semantics
+      // doc 1's residency aged past the per-resident TTL before doc 2
+      // arrived, so the dup goes undetected — the documented
+      // look-back-ttl event-horizon semantics (ListState TTL is
+      // per-value, so this holds even in hot buckets)
       val expired = run("ndp_ttl", java.time.Duration.ofMillis(500), gapMs = 2500)
       assert(expired.isEmpty, s"expired resident still paired: $expired")
     }
