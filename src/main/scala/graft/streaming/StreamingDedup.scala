@@ -92,8 +92,9 @@ object StreamingDedup {
     * costs amortized O(1) merges per arrival instead of O(cap)
     * rewrites per visit.
     */
-  private def fifoVisit[R](list: ListState[R], cap: Int, arrivals: Array[R])(
+  private def fifoVisit[R](list: ListState[R], cap0: Int, arrivals: Array[R])(
       verify: (R, R) => Unit)(implicit ct: scala.reflect.ClassTag[R]): Unit = {
+    val cap = math.max(0, cap0) // <= 0 uniformly means uncapped
     val m = arrivals.length
     // one pass: count physical length, keep the last `cap` entries
     // (every entry when uncapped — then the "ring" is just the list)
