@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, GraftExpr}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic corpus sampling for training-data pipelines —
+  * down-sampling and stratified source mixing as pure codegen'd
+  * filters, no shuffle, no stored state.
+  *
+  * Why hash-based instead of `rand()`: Spark's `rand(seed)` is seeded
+  * PER PARTITION — membership of a row depends on which partition and
+  * position it lands in, so the sample changes under repartitioning,
+  * AQE re-planning, and task RETRY (a recomputed partition draws a
+  * fresh stream: rows can be double-sampled or lost mid-job). Keying
+  * the decision on `splitmix64(id + salt·GOLDEN)` makes membership a
+  * pure function of the row — repeatable across runs, stable under
+  * retries, and consistent between a pipeline's stages (the same
+  * (id, salt) always lands on the same side). Disjoint salts give
+  * independent samples; `rate` resolution is 1/2⁶³.
+  *
+  * The reference has no sampling operator (bytewax routes randomness
+  * through user lambdas); this is brief-mandated LLM-pipeline surface
+  * alongside dedup/packing.
+  */
+object Sampling {
+
+  /** splitmix64 of the id (as a codegen'd unary expression) — the same
+    * finalizer the LSH planes and MinHash permutations derive from
+    * ([[LshBucketImpl]]; Steele et al., "Fast Splittable Pseudorandom
+    * Number Generators", OOPSLA'14).
+    */
+  def splitmix64(id: Column): Column =
+    GraftExpr.column(Splitmix64Expr(GraftExpr.expression(id)))
+
+  /** 2⁶³ × rate, the inclusion threshold for `(splitmix64(x) >>> 1)`.
+    * Public so oracles can inline the exact same rounding.
+    */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    // 2^63 exactly overflows Long; clamp full-rate to MaxValue (every
+    // (h >>> 1) value is < 2^63 <= MaxValue+1, so rate 1.0 keeps all)
+    if (rate >= 1.0) Long.MaxValue
+    else math.round(rate * 9.223372036854775807e18)
+  }
+
+  /** Keep-this-row predicate: uniform in [0,1) via the hash's top 63
+    * bits. Exposed for composing into joins/filters directly.
+    */
+  def hashKeep(id: Column, rate: Double, salt: Long = 0L): Column =
+    shiftrightunsigned(splitmix64(
+      // xor folds the salt in WITHOUT long-add overflow (ANSI mode)
+      lit(salt).bitwiseXOR(id)), 1) < lit(threshold(rate))
+
+  /** Deterministic down-sample: keep each row iff
+    * `splitmix64(id ⊕ salt) >>> 1 < rate·2⁶³`. A pure filter — pushed
+    * to the scan, no shuffle, no RNG state.
+    */
+  def hashSample(df: DataFrame, idCol: Column, rate: Double, salt: Long = 0L): DataFrame =
+    df.filter(hashKeep(idCol, rate, salt))
+
+  /** Stratified sampling / corpus mixing: per-stratum keep rates (the
+    * "20% of web, 100% of books" recipe), `defaultRate` for strata not
+    * listed. One pass, one codegen'd CASE over the stratum column —
+    * the idiomatic replacement for `DataFrameStatFunctions.sampleBy`
+    * when the sample must be retry-stable and re-runnable.
+    */
+  def stratifiedSample(df: DataFrame, idCol: Column, stratumCol: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: Long = 0L): DataFrame = {
+    val u = shiftrightunsigned(splitmix64(lit(salt).bitwiseXOR(idCol)), 1)
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) { case (els, (stratum, rate)) =>
+      when(stratumCol === lit(stratum), lit(threshold(rate))).otherwise(els)
+    }
+    df.filter(u < thr)
+  }
+}
+
+/** splitmix64 finalizer as a codegen'd unary long→long expression. */
+case class Splitmix64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"splitmix64 requires an integral input, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SamplingImpl.splitmix64(input match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case s: java.lang.Short => s.longValue
+      case b: java.lang.Byte => b.longValue
+    })
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SamplingImpl.splitmix64((long) $c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Splitmix64Expr =
+    copy(child = newChild)
+}
+
+object SamplingImpl {
+  /** The shared splitmix64 finalizer (same constants as
+    * [[LshBucketImpl]]/[[MinHashSigExpr]]).
+    */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Dedup, Multimodal, Similarity, Text}
+import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Text}
 
 /** Correctness-gate queries for the training-data-pipeline operators:
   * text analysis, dedup (exact / n-gram Jaccard / MinHash-LSH /
@@ -49,6 +49,28 @@ object LlmQueries {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
       Text.packSequences(docs, $"doc_id", $"text", budget = 512, buckets = 8)
+    },
+
+    // deterministic hash-based down-sampling: membership is a pure
+    // function of (id, salt) — retry-stable and re-runnable, unlike
+    // rand(seed) which is seeded per partition
+    "q_sample" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.hashSample(docs, $"doc_id", rate = 0.25, salt = 7L)
+        .select($"doc_id")
+    },
+
+    // stratified sampling / corpus mixing: per-stratum keep rates in
+    // one codegen'd CASE (stratum here = doc_id mod 3 so the oracle
+    // is closed-form; production strata are language/quality/source)
+    "q_sample_strat" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("stratum", pmod($"doc_id", lit(3L)).cast("string"))
+      Sampling.stratifiedSample(docs, $"doc_id", $"stratum",
+          rates = Map("0" -> 0.1, "1" -> 0.5), defaultRate = 1.0, salt = 7L)
+        .select($"doc_id", $"stratum")
     },
 
     // training-sequence assembly: each pack's docs concatenated in id
@@ -545,6 +567,28 @@ object LlmQueries {
       s"((((CAST($z AS HUGEINT) // 4294967296) * $c) % 4294967296) * 4294967296)) " +
       s"% $M64 AS UBIGINT)"
 
+  /** DuckDB rendering of the splitmix64 finalizer over a UBIGINT
+    * expression `z0` (the sampling membership hash —
+    * [[graft.functions.SamplingImpl.splitmix64]]). Returns a UBIGINT
+    * SQL expression. Wrapping multiplies via [[mul64]].
+    */
+  private def smix64Sql(z0: String): String = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    val za = s"CAST((CAST($z0 AS HUGEINT) + $c1) % $M64 AS UBIGINT)"
+    val zb = mul64(s"xor($za, $za >> 30)", c2)
+    val zc = mul64(s"xor($zb, $zb >> 27)", c3)
+    s"xor($zc, $zc >> 31)"
+  }
+
+  /** The sampling gates' membership test: keep iff
+    * `splitmix64(id ⊕ salt) >> 1 < threshold` (thresholds inlined by
+    * the Scala side's exact `rate · 2⁶³` rounding).
+    */
+  private def sampleKeepSql(salt: Long, thresholdLit: String): String =
+    s"(${smix64Sql(s"xor(CAST(doc_id AS UBIGINT), ${salt}::UBIGINT)")} >> 1) < $thresholdLit"
+
   /** DuckDB rendering of [[graft.functions.SimHashImpl]]: FNV-1a 64 per
     * token as an ordered `list_reduce` fold in UBIGINT (xor/shift) with
     * the wrapping multiply in HUGEINT, then per-bit majority votes.
@@ -693,6 +737,16 @@ object LlmQueries {
          |  COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM (SELECT doc_id, $ntok AS n_tokens FROM documents))""".stripMargin,
+    "q_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${sampleKeepSql(7L, s"${Sampling.threshold(0.25)}::UBIGINT")}""".stripMargin,
+    "q_sample_strat" ->
+      s"""SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS stratum FROM documents
+         |WHERE ${sampleKeepSql(7L,
+            s"""(CASE CAST(doc_id % 3 AS VARCHAR)
+               | WHEN '1' THEN ${Sampling.threshold(0.5)}
+               | WHEN '0' THEN ${Sampling.threshold(0.1)}
+               | ELSE ${Sampling.threshold(1.0)} END)::UBIGINT""".stripMargin)}""".stripMargin,
     "q_text_pack_asm" ->
       s"""SELECT bucket, pack,
          |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text,

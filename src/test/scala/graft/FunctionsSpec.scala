@@ -383,6 +383,42 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("hashSample is partition-invariant, salt-independent, and rate-accurate") {
+    import graft.functions.Sampling
+    val docs = Tables.load(spark, sf001, "documents")
+    val n = docs.count()
+    val a = Sampling.hashSample(docs, col("doc_id"), 0.25, salt = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    // partition-invariance — THE property rand(seed) lacks (per-partition
+    // seeding changes membership under repartitioning and task retry)
+    val b = Sampling.hashSample(docs.repartition(17), col("doc_id"), 0.25, salt = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // rate accuracy: binomial(500, 0.25) stays within 5 sigma of 125
+    assert(math.abs(a.size - 0.25 * n) < 5 * math.sqrt(n * 0.25 * 0.75), a.size.toString)
+    // different salts draw near-independent samples
+    val c = Sampling.hashSample(docs, col("doc_id"), 0.25, salt = 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a !== c)
+    val overlap = a.intersect(c).size.toDouble
+    assert(math.abs(overlap - 0.0625 * n) < 5 * math.sqrt(n * 0.0625), overlap.toString)
+  }
+
+  test("stratifiedSample applies per-stratum rates with a default") {
+    import graft.functions.Sampling
+    val docs = Tables.load(spark, sf001, "documents")
+      .withColumn("stratum", pmod(col("doc_id"), lit(3L)).cast("string"))
+    val got = Sampling.stratifiedSample(docs, col("doc_id"), col("stratum"),
+        rates = Map("0" -> 0.0, "1" -> 0.5), defaultRate = 1.0, salt = 7L)
+      .groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    val per = docs.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(!got.contains("0"))                      // rate 0 drops the stratum
+    assert(got("2") === per("2"))                   // default 1.0 keeps all
+    val n1 = per("1").toDouble
+    assert(math.abs(got("1") - 0.5 * n1) < 5 * math.sqrt(n1 * 0.25), got("1").toString)
+  }
+
   test("packSequencesAuto sizes buckets from the session parallelism") {
     val docs = Tables.load(spark, sf0001, "documents")
     val out = Text.packSequencesAuto(docs, col("doc_id"), col("text"), 512)
