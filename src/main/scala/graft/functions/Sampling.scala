@@ -56,8 +56,12 @@ object Sampling {
       lit(salt).bitwiseXOR(id)), 1) < lit(threshold(rate))
 
   /** Deterministic down-sample: keep each row iff
-    * `splitmix64(id ⊕ salt) >>> 1 < rate·2⁶³`. A pure filter — pushed
-    * to the scan, no shuffle, no RNG state.
+    * `splitmix64(id ⊕ salt) >>> 1 < rate·2⁶³`. A pure filter fused
+    * into the scan's whole-stage-codegen span (plan-verified: the
+    * predicate sits in `DataFilters` directly over the FileScan; a
+    * custom expression cannot reach parquet `PushedFilters`, and a
+    * hash predicate would not prune row groups anyway) — no shuffle,
+    * no RNG state.
     */
   def hashSample(df: DataFrame, idCol: Column, rate: Double, salt: Long = 0L): DataFrame =
     df.filter(hashKeep(idCol, rate, salt))
