@@ -15,6 +15,8 @@ final class Flow(val flowId: String, val meter: Boolean = false) {
   private[graft] def record(stepId: String, kind: String, ups: Seq[String]): Unit =
     synchronized { steps += (stepId -> ((kind, ups))) }
 
+  private val obsCounts = scala.collection.mutable.HashMap.empty[String, Int]
+
   /** Per-step row metering (the reference labels its `item_inp_count`
     * /`item_out_count` prometheus counters by step id — reference
     * src/operators.rs:599-631). When the flow is built with
@@ -25,13 +27,26 @@ final class Flow(val flowId: String, val meter: Boolean = false) {
     * it as `graft_step_rows_total{flow,step}`. Opt-in because the
     * `CollectMetrics` node, while shuffle-free, is visible to
     * plan-shape inspection.
+    *
+    * Observation names must be unique per query (Spark rejects
+    * duplicate observed-metric names at analysis), so a RE-USED step
+    * id gets a `~<n>` suffix on its second and later taps; the metrics
+    * endpoint strips the suffix, so repeats still aggregate under one
+    * `step` label. The one shape naming can't save is the SAME tapped
+    * `Dataset` instance appearing twice in one query (e.g. a self-join
+    * of a metered stream) — that duplicates the single observe node
+    * itself; tap before the fan-out or self-join the un-metered frame.
     */
   private[graft] def tap[T](ds: Dataset[T], stepId: String): Dataset[T] =
-    if (meter)
-      ds.observe("graft_step_" + stepId,
+    if (meter) {
+      val seen = synchronized {
+        val c = obsCounts.getOrElse(stepId, 0); obsCounts(stepId) = c + 1; c
+      }
+      val name = if (seen == 0) "graft_step_" + stepId else s"graft_step_$stepId~$seen"
+      ds.observe(name,
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("rows"))
-    else ds
+    } else ds
 
   def stepIds: Seq[String] = synchronized(steps.keys.toSeq)
 

@@ -37,6 +37,13 @@ object Dedup {
   /** Cap-parameter convention for the curation pipelines: negative →
     * [[autoCap]] sized from `corpus` (one count() action), 0 →
     * explicitly uncapped, positive → the caller's cap.
+    *
+    * Pipelines pass their RAW input frame, not the quality-filtered
+    * one: the count-star then collapses to parquet footer stats
+    * instead of re-computing the quality score over every document,
+    * and the raw N is an upper bound of the search-set size, so the
+    * derived cap is only ever LARGER — which can't cost recall (caps
+    * only drop hot keys; see [[autoCap]]).
     */
   private def resolveCap(cap: Int, corpus: DataFrame): Int =
     if (cap < 0) autoCap(corpus.count()) else cap
@@ -251,7 +258,7 @@ object Dedup {
       Text.qualityScore(text, stopwords).as("quality"))
     val kept = scored.filter(col("quality") >= minQuality)
     val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands,
-        threshold, resolveCap(maxBucketSize, kept))
+        threshold, resolveCap(maxBucketSize, df))
       .select(col("j").as("drop_id")).distinct()
     kept.join(pairs, kept("id") === pairs("drop_id"), "left_anti")
       .select(col("id"), col("quality"))
@@ -503,7 +510,7 @@ object Dedup {
     // returning (see CacheScope)
     val scope = new CacheScope
     val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands,
-      threshold, resolveCap(maxBucketSize, kept), scope)
+      threshold, resolveCap(maxBucketSize, df), scope)
     val drops = connectedComponents(pairs.select(col("i"), col("j")))
       .filter(col("id") =!= col("rep")).select(col("id").as("drop_id"))
     scope.close()
@@ -535,7 +542,7 @@ object Dedup {
     // materialized the pairs into its round checkpoints (see CacheScope)
     val scope = new CacheScope
     val pairs = minhashLshPairs(uniq, col("id"), col("text"), n, numHashes, bands,
-      threshold, resolveCap(maxBucketSize, uniq), scope)
+      threshold, resolveCap(maxBucketSize, df), scope)
     val drops = connectedComponents(pairs.select(col("i"), col("j")))
       .filter(col("id") =!= col("rep")).select(col("id").as("drop_id"))
     scope.close()

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * position it lands in, so the sample changes under repartitioning,
   * AQE re-planning, and task RETRY (a recomputed partition draws a
   * fresh stream: rows can be double-sampled or lost mid-job). Keying
-  * the decision on `splitmix64(id + salt·GOLDEN)` makes membership a
+  * the decision on `splitmix64(id ⊕ salt)` makes membership a
   * pure function of the row — repeatable across runs, stable under
   * retries, and consistent between a pipeline's stages (the same
   * (id, salt) always lands on the same side). Disjoint salts give
@@ -37,21 +37,27 @@ object Sampling {
     GraftExpr.column(Splitmix64Expr(GraftExpr.expression(id)))
 
   /** 2⁶³ × rate, the inclusion threshold for `(splitmix64(x) >>> 1)`.
-    * Public so oracles can inline the exact same rounding.
+    * Public so oracles can inline the exact same rounding. Only
+    * meaningful for rates in (0, 1): [[hashKeep]]/[[stratifiedSample]]
+    * short-circuit the endpoints to constant predicates, because under
+    * the strict `<` comparison `Long.MaxValue` (the clamped 2⁶³) would
+    * still drop the two ids whose `splitmix64 >>> 1` equals
+    * `MaxValue` — rate 1.0 must keep ALL rows, not all-but-two.
     */
   def threshold(rate: Double): Long = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    // 2^63 exactly overflows Long; clamp full-rate to MaxValue (every
-    // (h >>> 1) value is < 2^63 <= MaxValue+1, so rate 1.0 keeps all)
     if (rate >= 1.0) Long.MaxValue
     else math.round(rate * 9.223372036854775807e18)
   }
 
   /** Keep-this-row predicate: uniform in [0,1) via the hash's top 63
-    * bits. Exposed for composing into joins/filters directly.
+    * bits; rates ≥ 1.0 / ≤ 0.0 fold to constant true/false (no hash
+    * evaluated). Exposed for composing into joins/filters directly.
     */
   def hashKeep(id: Column, rate: Double, salt: Long = 0L): Column =
-    shiftrightunsigned(splitmix64(
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else shiftrightunsigned(splitmix64(
       // xor folds the salt in WITHOUT long-add overflow (ANSI mode)
       lit(salt).bitwiseXOR(id)), 1) < lit(threshold(rate))
 
@@ -76,10 +82,16 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: Long = 0L): DataFrame = {
     val u = shiftrightunsigned(splitmix64(lit(salt).bitwiseXOR(idCol)), 1)
-    val thr = rates.foldLeft(lit(threshold(defaultRate))) { case (els, (stratum, rate)) =>
-      when(stratumCol === lit(stratum), lit(threshold(rate))).otherwise(els)
+    // endpoint rates become constant branches (same reason as hashKeep:
+    // strict `<` against the clamped 2⁶³ would drop two ids at rate 1.0)
+    def keep(rate: Double): Column =
+      if (rate >= 1.0) lit(true)
+      else if (rate <= 0.0) lit(false)
+      else u < lit(threshold(rate))
+    val pred = rates.foldLeft(keep(defaultRate)) { case (els, (stratum, rate)) =>
+      when(stratumCol === lit(stratum), keep(rate)).otherwise(els)
     }
-    df.filter(u < thr)
+    df.filter(pred)
   }
 }
 

@@ -740,13 +740,16 @@ object LlmQueries {
     "q_sample" ->
       s"""SELECT doc_id FROM documents
          |WHERE ${sampleKeepSql(7L, s"${Sampling.threshold(0.25)}::UBIGINT")}""".stripMargin,
+    // the ELSE (default rate 1.0) renders as TRUE, matching the Scala
+    // side's endpoint short-circuit — not a `< 2⁶³` comparison, which
+    // under strict `<` on the clamped MaxValue would drop the two ids
+    // whose hash tops out
     "q_sample_strat" ->
       s"""SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS stratum FROM documents
-         |WHERE ${sampleKeepSql(7L,
-            s"""(CASE CAST(doc_id % 3 AS VARCHAR)
-               | WHEN '1' THEN ${Sampling.threshold(0.5)}
-               | WHEN '0' THEN ${Sampling.threshold(0.1)}
-               | ELSE ${Sampling.threshold(1.0)} END)::UBIGINT""".stripMargin)}""".stripMargin,
+         |WHERE (CASE CAST(doc_id % 3 AS VARCHAR)
+         | WHEN '1' THEN ${sampleKeepSql(7L, s"${Sampling.threshold(0.5)}::UBIGINT")}
+         | WHEN '0' THEN ${sampleKeepSql(7L, s"${Sampling.threshold(0.1)}::UBIGINT")}
+         | ELSE TRUE END)""".stripMargin,
     "q_text_pack_asm" ->
       s"""SELECT bucket, pack,
          |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text,

@@ -128,8 +128,11 @@ object MetricsServer {
       // step taps from metered flows (batch and streaming spans alike)
       span.observed.foreach {
         case (name, StepRows(n)) if name.startsWith("graft_step_") =>
+          // `~<n>` disambiguates re-used step ids per query (observe
+          // names must be unique); the label aggregates them back
           registry.inc("graft_step_rows_total",
-            flow :+ ("step" -> name.stripPrefix("graft_step_")), n.toLong)
+            flow :+ ("step" -> name.stripPrefix("graft_step_").replaceAll("~\\d+$", "")),
+            n.toLong)
         case _ => ()
       }
     }

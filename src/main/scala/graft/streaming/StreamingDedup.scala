@@ -86,26 +86,38 @@ object StreamingDedup {
     *
     * No separate length state: the list can only be read front-to-back
     * anyway, so one pass both counts the physical length and collects
-    * the last `cap` entries in a ring (memory O(cap)); visibility is
-    * then resolved exactly. The list is physically compacted (one
-    * `put` of the kept tail) only when it exceeds 2×cap, so eviction
-    * costs amortized O(1) merges per arrival instead of O(cap)
-    * rewrites per visit.
+    * the last `cap` entries in a ring (memory O(min(cap, residents)) —
+    * the ring starts small and doubles up to `cap`, so a huge explicit
+    * cap over a near-empty bucket costs the occupancy, not the cap);
+    * visibility is then resolved exactly. The list is physically
+    * compacted (one `put` of the kept tail) only when it exceeds
+    * 2×cap, so eviction costs amortized O(1) merges per arrival
+    * instead of O(cap) rewrites per visit.
     */
   private def fifoVisit[R](list: ListState[R], cap0: Int, arrivals: Array[R])(
       verify: (R, R) => Unit)(implicit ct: scala.reflect.ClassTag[R]): Unit = {
     val cap = math.max(0, cap0) // <= 0 uniformly means uncapped
     val m = arrivals.length
     // one pass: count physical length, keep the last `cap` entries
-    // (every entry when uncapped — then the "ring" is just the list)
+    // (every entry when uncapped — then the "ring" is just the list).
+    // The ring is grown geometrically while it still holds EVERY entry
+    // seen (no wrap can happen before len reaches the ring's capacity,
+    // and growth fires exactly then), so positions stay `idx % length`.
     var len = 0
-    val ring = if (cap > 0) new Array[AnyRef](cap) else null
+    var ring: Array[AnyRef] = if (cap > 0) new Array[AnyRef](math.min(cap, 16)) else null
     var all: scala.collection.mutable.ArrayBuffer[R] = null
     if (cap == 0) all = scala.collection.mutable.ArrayBuffer.empty[R]
     val it = list.get()
     while (it.hasNext) {
       val r = it.next()
-      if (cap > 0) ring(len % cap) = r.asInstanceOf[AnyRef] else all += r
+      if (cap > 0) {
+        if (len == ring.length && ring.length < cap) {
+          val bigger = new Array[AnyRef](math.min(cap.toLong, ring.length.toLong * 2).toInt)
+          System.arraycopy(ring, 0, bigger, 0, len)
+          ring = bigger
+        }
+        ring(len % ring.length) = r.asInstanceOf[AnyRef]
+      } else all += r
       len += 1
     }
     // list entry idx is visible to arrival k iff cap == 0 or
@@ -117,7 +129,7 @@ object StreamingDedup {
       val a = arrivals(k)
       if (cap > 0) {
         var idx = math.max(0, len + k - cap)
-        while (idx < len) { verify(ring(idx % cap).asInstanceOf[R], a); idx += 1 }
+        while (idx < len) { verify(ring(idx % ring.length).asInstanceOf[R], a); idx += 1 }
       } else {
         var idx = 0
         while (idx < len) { verify(all(idx), a); idx += 1 }
@@ -135,7 +147,7 @@ object StreamingDedup {
       val keptOld = math.max(0, len - keepFrom)
       val tail = new Array[R](cap)
       var i = 0
-      while (i < keptOld) { tail(i) = ring((keepFrom + i) % cap).asInstanceOf[R]; i += 1 }
+      while (i < keptOld) { tail(i) = ring((keepFrom + i) % ring.length).asInstanceOf[R]; i += 1 }
       var j = math.max(0, keepFrom - len)
       while (j < m) { tail(i) = arrivals(j); i += 1; j += 1 }
       list.put(if (i == cap) tail else tail.take(i))

@@ -419,6 +419,40 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(got("1") - 0.5 * n1) < 5 * math.sqrt(n1 * 0.25), got("1").toString)
   }
 
+  test("sampling endpoints: rate 1.0 keeps even the ids whose hash tops out") {
+    import graft.functions.{Sampling, SamplingImpl}
+    // splitmix64 (gamma add + finalizer) is bijective on Long, so the
+    // two ids with (splitmix64(id) >>> 1) == Long.MaxValue — the ids a
+    // strict `< threshold(1.0)` comparison deterministically drops —
+    // can be constructed exactly by inverting it for outputs -1 and -2
+    val M = BigInt(2).pow(64)
+    def minv(c: Long): Long = (BigInt(c) & (M - 1)).modInverse(M).toLong
+    def unxs(y: Long, s: Int): Long = {
+      var x = y; (0 until 64 / s + 1).foreach(_ => x = y ^ (x >>> s)); x
+    }
+    def inv(z: Long): Long = {
+      var v = unxs(z, 31)
+      v *= minv(0x94d049bb133111ebL)
+      v = unxs(v, 27)
+      v *= minv(0xbf58476d1ce4e5b9L)
+      v = unxs(v, 30)
+      v - 0x9e3779b97f4a7c15L
+    }
+    val tops = Seq(inv(-1L), inv(-2L)) // salt 0: hash input IS the id
+    tops.foreach(id => assert(SamplingImpl.splitmix64(id) >>> 1 === Long.MaxValue))
+    val ids = (tops ++ Seq(0L, 1L, 42L)).toDF("id")
+    // rate 1.0 keeps ALL rows (pre-fix: all-but-the-two-tops); 0.0 none
+    assert(Sampling.hashSample(ids, col("id"), 1.0).count() === 5)
+    assert(Sampling.hashSample(ids, col("id"), 0.0).count() === 0)
+    // same endpoint folding inside a stratified CASE branch: the 1.0
+    // stratum holds exactly the two top ids, the 0.0 default the rest
+    val strat = ids.withColumn("s",
+      when(col("id").isin(tops: _*), "hot").otherwise("cold"))
+    val kept = Sampling.stratifiedSample(strat, col("id"), col("s"),
+      rates = Map("hot" -> 1.0), defaultRate = 0.0).select("id").as[Long].collect().toSet
+    assert(kept === tops.toSet, kept.toString)
+  }
+
   test("packSequencesAuto sizes buckets from the session parallelism") {
     val docs = Tables.load(spark, sf0001, "documents")
     val out = Text.packSequencesAuto(docs, col("doc_id"), col("text"), 512)

@@ -106,6 +106,33 @@ class MetricsServerSpec extends SparkSpec {
     } finally guard.close()
   }
 
+  test("metered flow tolerates a re-used step id in one query") {
+    // Spark rejects duplicate observed-metric names at analysis; a
+    // re-used step id on a metered flow gets a ~<n> suffix on later
+    // taps (Flow.tap), and the metrics endpoint aggregates the
+    // suffixed observations back under one step label. Pre-fix this
+    // union threw AnalysisException — a metered-only failure mode.
+    val flow = graft.api.Flow("dup_steps", meter = true)
+    val guard = MetricsServer.start(spark, flow.toJson, port = 0)
+    try {
+      val inp = graft.api.ops.input("in", flow, spark, s"$sf0001/region.parquet")
+      val lo = graft.api.ops.filter("split", inp, col("r_regionkey") < 2)  // 2 rows
+      val hi = graft.api.ops.filter("split", inp, col("r_regionkey") >= 2) // 3 rows
+      assert(lo.ds.union(hi.ds).count() === 5)
+      val base = s"http://127.0.0.1:${guard.port}"
+      val deadline = System.currentTimeMillis() + 20000
+      var body = ""
+      while (System.currentTimeMillis() < deadline &&
+          !body.matches("(?s).*graft_step_rows_total\\{[^}]*step=\"split\"[^}]*\\} 5\n.*")) {
+        Thread.sleep(200)
+        body = get(s"$base/metrics")._3
+      }
+      // both taps aggregate under ONE un-suffixed step label: 2 + 3
+      assert(body.matches("(?s).*graft_step_rows_total\\{[^}]*step=\"split\"[^}]*\\} 5\n.*"), body)
+      assert(!body.contains("step=\"split~"), body)
+    } finally guard.close()
+  }
+
   test("GraftFlow exposes its recorded graph for the runner's /dataflow") {
     val wf = new graft.run.WordCountFlow
     assert(wf.graph.isEmpty)

@@ -126,6 +126,26 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup pairs: a huge explicit cap costs occupancy, not the cap") {
+    import graft.streaming.StreamingDedup
+    withRocksDb {
+      // fifoVisit's ring is sized from observed occupancy (grown
+      // geometrically up to the cap), not pre-allocated at the cap:
+      // pre-fix this allocated a 1e9-slot Array[AnyRef] (~8 GB) per
+      // (bucket, micro-batch) visit and OOMed the 8 GB test JVM
+      val t = "one single repeated document body that matches itself exactly every time"
+      val src = Testing.testingSource[(Long, String)](spark)
+      src.addBatch((1L, t))
+      src.addBatch((2L, t))
+      val out = StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        maxBucketSize = 1_000_000_000)
+      val pairs = StreamingOps.runToMemory(out, "ndp_hugecap")
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      assert(pairs === Set((1L, 2L)), pairs.toString)
+    }
+  }
+
   test("streaming near-dup pairs: logical FIFO window is exact across compaction") {
     import graft.streaming.StreamingDedup
     withRocksDb {
