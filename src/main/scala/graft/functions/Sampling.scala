@@ -72,6 +72,32 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: Column, rate: Double, salt: Long = 0L): DataFrame =
     df.filter(hashKeep(idCol, rate, salt))
 
+  /** Deterministic corpus shuffle + sharding — the "globally shuffle
+    * the training set, write S shards" step, as ONE hash-partition
+    * shuffle plus an in-partition sort (no global range sort, no
+    * sampled range boundaries). The permutation key is
+    * `splitmix64(id ⊕ seed) >>> 1`; `shard` = key mod `numShards`
+    * (sizes binomial around N/S), `pos` = the row's rank inside its
+    * shard under `(key, id)` — the id breaks the (rare) 63-bit key
+    * ties, so the permutation is a total order: re-runs, retries, and
+    * repartitionings reproduce the identical (shard, pos) for every
+    * row, which a `sort(rand())` shuffle cannot promise. At cluster
+    * scale pick `numShards` ≥ the write parallelism; each task sorts
+    * ~N/S rows and Spark's window sorter spills past memory.
+    */
+  def shuffleShards(df: DataFrame, idCol: Column, numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    // >>> 1 keeps the key non-negative, so signed (Spark) and unsigned
+    // (oracle UBIGINT) comparisons and mods agree for ANY shard count
+    val key = shiftrightunsigned(splitmix64(lit(seed).bitwiseXOR(idCol)), 1)
+    df.withColumn("shard", pmod(key, lit(numShards.toLong)))
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(key.asc, idCol.asc))
+          .cast("long") - 1L)
+  }
+
   /** Stratified sampling / corpus mixing: per-stratum keep rates (the
     * "20% of web, 100% of books" recipe), `defaultRate` for strata not
     * listed. One pass, one codegen'd CASE over the stratum column —

@@ -277,4 +277,45 @@ object Similarity {
       threshold: Double, targetBucket: Int = 64, tables: Int = 8): DataFrame =
     bucketedCosinePairs(df, idCol, vecCol, threshold,
       autoBits(df.count(), targetBucket), tables)
+
+  /** PQ-compressed bucket-local top-k (ADC): the [[bucketTopK]] shape
+    * with the corpus side carrying `model.m`-byte PQ codes instead of
+    * `dim`-float vectors, and the per-candidate score `m` LUT lookups
+    * instead of `dim` multiplies ([[Pq]], Jégou et al. TPAMI'11). The
+    * asymmetric split is deliberate: the CORPUS relation (the big side
+    * — what shuffles on bucket and would be cached in a serving
+    * layout) is (bucket, id, m bytes), 32× smaller than raw vectors at
+    * dim=64/m=8; the QUERY side pays an m·ksub-double LUT per row,
+    * computed once per query, amortized over every candidate it meets.
+    * Metric is inner product — normalize vectors upstream for cosine.
+    * Any bucket expression composes: [[signBucket]]/[[lshBucket]] for
+    * LSH-PQ, an IVF cell id for IVF-PQ (what a billion-vector layout
+    * runs), or `lit(0L)` for an exhaustive ADC scan (the in-cell
+    * baseline).
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      model: PqModel, bucket: Column): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"), bucket.as("bucket"))
+    val corpus = bucketed.select(col("bucket"), col("id").as("nid"),
+      Pq.pq_encode(col("v"), model).as("codes"))
+    val queries = bucketed.select(col("bucket"), col("id").as("qid"),
+      Pq.pq_lut(col("v"), model).as("lut"))
+    val joined = queries.join(corpus, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("adc", Pq.adc_dot(col("lut"), col("codes"), model.ksub))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+  }
+
+  /** [[pqTopK]] with a trained model and corpus-derived LSH bucketing:
+    * trains per-subspace codebooks on a bounded deterministic sample
+    * ([[PqModel.train]]), buckets by [[lshBucket]] at [[autoBits]].
+    */
+  def pqTopKAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 256, targetBucket: Int = 64): DataFrame = {
+    val model = PqModel.train(df, col(idCol), col(vecCol), m, ksub)
+    pqTopK(df, idCol, vecCol, k, model,
+      lshBucket(col(vecCol), autoBits(df.count(), targetBucket)))
+  }
 }

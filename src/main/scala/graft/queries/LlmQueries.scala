@@ -73,6 +73,16 @@ object LlmQueries {
         .select($"doc_id", $"stratum")
     },
 
+    // deterministic corpus shuffle + sharding: one hash-partition
+    // shuffle + in-partition sort; (shard, pos) is a pure function of
+    // (id, seed) — the retry-stable replacement for sort(rand())
+    "q_shuffle_shard" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.shuffleShards(docs.select($"doc_id"), $"doc_id",
+        numShards = 8, seed = 7L)
+    },
+
     // training-sequence assembly: each pack's docs concatenated in id
     // order — the materialization step after q_text_pack's assignment
     "q_text_pack_asm" -> { (s, dir) =>
@@ -306,6 +316,24 @@ object LlmQueries {
         .select($"qid", $"rank".cast("long").as("rank"), $"nid")
     },
 
+    // PQ-compressed ADC top-3 inside the sign-bit bucket (the IVF-PQ
+    // shape: coarse partition outside, m-byte codes + LUT scoring
+    // inside). The gate pins the FIXED splitmix64 codebook variant
+    // (m=4, ksub=4) so encode's per-subspace argmin, the query LUT,
+    // and the ADC sum are all DuckDB-rendered bit-for-bit — including
+    // the adc double itself: unlike cosine there is no division or
+    // sqrt, just +,-,* in pinned order. Production trains codebooks
+    // (PqModel.train → pqTopKAuto); recall is spec'd on planted
+    // clusters.
+    "q_embed_pq" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.functions.PqModel.fixed(dim = 64, m = 4, ksub = 4, seed = 7L)
+      Similarity.pqTopK(emb, "vec_id", "embedding", k = 3, model,
+          Similarity.signBucket($"embedding", 4))
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid", $"adc")
+    },
+
     // IVF ANN with deterministic seed centroids (no Lloyd iterations in
     // the gate so the coarse quantizer is SQL-expressible): broadcast
     // centroid assignment, nprobe-cell candidate search, exact in-cell
@@ -484,6 +512,58 @@ object LlmQueries {
   private val signBucketSql =
     (0 until 4).map(b => s"(CASE WHEN embedding[${b + 1}] >= 0 THEN ${1L << b} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** DuckDB rendering of the fixed-codebook PQ gate
+    * ([[graft.functions.PqModel.fixed]] m=4, ksub=4, dim=64, seed=7):
+    * codebook values inlined as shortest-round-trip double literals
+    * (strtod parses them back to the identical bits), encode's
+    * squared-L2 folds and the ADC dot chains rendered as explicit
+    * left-associative term chains so every double matches the Scala
+    * loops bit-for-bit — no list_reduce, no division, no sqrt.
+    */
+  private def pqAdcSql: String = {
+    val model = graft.functions.PqModel.fixed(dim = 64, m = 4, ksub = 4, seed = 7L)
+    val m = model.m; val ksub = model.ksub; val subdim = model.subdim
+    // EXPONENT notation, not Double.toString: DuckDB parses a bare
+    // decimal literal as DECIMAL and its cast to DOUBLE double-rounds
+    // (int128 → double, then ÷10^scale — measured 1 ulp off); an
+    // e-notation literal goes straight through strtod, bit-exact
+    def dbl(x: Double) = f"($x%.17e)"
+    def e(pfx: String, i: Int) = s"CAST($pfx.embedding[${i + 1}] AS DOUBLE)"
+    // squared-L2 of subspace s against code c: Scala's dist += t*t fold
+    def dist(s: Int, c: Int) = (0 until subdim).map { d =>
+      val x = e("v", s * subdim + d); val cd = dbl(model.centroid(s, c, d))
+      s"(($x - $cd) * ($x - $cd))"
+    }.mkString(" + ")
+    // first-minimum argmin (ties -> lowest code), as in PqImpl.encode
+    def code(s: Int) = {
+      val ds = (0 until ksub).map(c => dist(s, c))
+      val whens = (0 until ksub - 1).map { c =>
+        val leqs = ((c + 1) until ksub).map(o => s"(${ds(c)}) <= (${ds(o)})").mkString(" AND ")
+        s"WHEN $leqs THEN $c"
+      }.mkString(" ")
+      s"(CASE $whens ELSE ${ksub - 1} END)"
+    }
+    // lut[s][c] = dot(q_sub_s, codebook[s][c]): Scala's dot += q*c fold
+    def qdot(s: Int, c: Int) = (0 until subdim).map { d =>
+      s"(${e("q", s * subdim + d)} * ${dbl(model.centroid(s, c, d))})"
+    }.mkString(" + ")
+    def pick(s: Int) = {
+      val whens = (0 until ksub).map(c => s"WHEN $c THEN (${qdot(s, c)})").mkString(" ")
+      s"(CASE n.c$s $whens END)"
+    }
+    val adc = (0 until m).map(pick).mkString(" + ")
+    val codes = (0 until m).map(s => s"${code(s)} AS c$s").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, embedding, $signBucketSql AS bucket FROM embeddings),
+       |enc AS (SELECT vec_id, bucket, $codes FROM v),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid, $adc AS adc
+       |  FROM v q JOIN enc n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id)
+       |SELECT qid, rank, nid, adc FROM (
+       |  SELECT qid, nid, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rank
+       |  FROM pairs) WHERE rank <= 3""".stripMargin
+  }
 
   private val ntok = "len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))"
   private val nalpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
@@ -719,6 +799,7 @@ object LlmQueries {
     "q_dedup_simhash" -> simhashPairsSql,
     "q_embed_lsh" -> lshTopKSql,
     "q_embed_pairs_amp" -> amplifiedPairsSql,
+    "q_embed_pq" -> pqAdcSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $ntok AS n_tokens, $nalpha AS n_alpha,
          |  CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> length(t))) AS BIGINT) AS checksum
@@ -750,6 +831,15 @@ object LlmQueries {
          | WHEN '1' THEN ${sampleKeepSql(7L, s"${Sampling.threshold(0.5)}::UBIGINT")}
          | WHEN '0' THEN ${sampleKeepSql(7L, s"${Sampling.threshold(0.1)}::UBIGINT")}
          | ELSE TRUE END)""".stripMargin,
+    // the 63-bit key makes UBIGINT mod/order here agree with the Scala
+    // side's signed-long mod/order for any shard count; doc_id breaks
+    // key ties so ROW_NUMBER is deterministic
+    "q_shuffle_shard" ->
+      s"""SELECT doc_id, CAST(k % 8 AS BIGINT) AS shard,
+         |  ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1 AS pos
+         |FROM (SELECT doc_id,
+         |  (${smix64Sql("xor(CAST(doc_id AS UBIGINT), 7::UBIGINT)")} >> 1) AS k
+         |  FROM documents)""".stripMargin,
     "q_text_pack_asm" ->
       s"""SELECT bucket, pack,
          |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text,

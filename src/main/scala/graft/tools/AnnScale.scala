@@ -93,6 +93,43 @@ object AnnScale {
       Similarity.bucketedCosinePairsAuto(planted, "vec_id", "embedding", 0.9, tables = 1) }
     plantRecall("planted auto 8 tables") {
       Similarity.bucketedCosinePairsAuto(planted, "vec_id", "embedding", 0.9) }
+
+    // PQ tier: identical LSH bucket structure, but the corpus side of
+    // the candidate join carries m-byte codes scored by ADC instead of
+    // dim-float vectors scored by exact cosine — measures (a) the
+    // wall-clock delta ADC buys inside the same candidate sets, (b)
+    // the cached-relation compression (the number that decides whether
+    // a billion-vector serving corpus fits in cluster memory), (c)
+    // planted-clone top-1 recall through the compressed scorer.
+    import graft.functions.{Pq, PqModel}
+    val t2 = System.nanoTime()
+    val model = PqModel.train(emb, col("vec_id"), col("embedding"), m = 8, ksub = 256)
+    println(f"ANN pq train m=8 ksub=256      ${(System.nanoTime() - t2) / 1e9}%7.2f s")
+    val bits = Similarity.autoBits(emb.count(), 64)
+    t("pq topk auto (ADC in-bucket)") {
+      Similarity.pqTopK(emb, "vec_id", "embedding", 3, model,
+        Similarity.lshBucket(col("embedding"), bits)) }
+    def cachedBytes(name: String, df: org.apache.spark.sql.DataFrame): Long = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      p.count()
+      val bytes = p.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+      p.unpersist(true)
+      println(f"ANN $name%-28s ${bytes / 1024.0 / 1024.0}%7.2f MiB cached")
+      bytes
+    }
+    val vb = cachedBytes("corpus relation: vectors",
+      emb.select(col("vec_id"), col("embedding")))
+    val cb = cachedBytes("corpus relation: pq codes",
+      emb.select(col("vec_id"), Pq.pq_encode(col("embedding"), model).as("codes")))
+    println(f"ANN pq compression             ${vb.toDouble / cb}%7.2f x")
+    plantRecall("planted pq top1 (trained)") {
+      val pm = PqModel.train(planted, col("vec_id"), col("embedding"), m = 8, ksub = 256)
+      Similarity.pqTopK(planted, "vec_id", "embedding", 1, pm,
+          Similarity.lshBucket(col("embedding"),
+            Similarity.autoBits(planted.count(), 64)))
+        .filter(col("rank") === 1)
+        .select(col("qid").as("i"), col("nid").as("j"))
+    }
     planted.unpersist(false)
     spark.stop()
   }

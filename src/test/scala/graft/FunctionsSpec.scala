@@ -419,6 +419,83 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(got("1") - 0.5 * n1) < 5 * math.sqrt(n1 * 0.25), got("1").toString)
   }
 
+  test("PQ: trained codebooks recover exact top-k on clustered embeddings") {
+    import graft.functions.{PqModel, SamplingImpl, Similarity}
+    // deterministic planted corpus: 16 cluster centers, 10 members
+    // each, members = center + small perturbation; L2-normalized so
+    // inner product (PQ's metric) and cosine (the baseline's) agree
+    val dim = 16
+    def u(h: Long): Double = (SamplingImpl.splitmix64(h) >>> 11).toDouble / (1L << 53).toDouble * 2 - 1
+    val vecs = for (c <- 0 until 16; j <- 0 until 10) yield {
+      val raw = Array.tabulate(dim)(d => u(c.toLong * 131 + d) + 0.05 * u((c * 10 + j).toLong * 977 + d))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      ((c * 10 + j).toLong, raw.map(x => (x / n).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val model = PqModel.train(df, col("vec_id"), col("embedding"), m = 4, ksub = 16)
+    assert(model.dim === dim && model.subdim === 4)
+    // exhaustive ADC scan (single bucket): every neighbor PQ returns
+    // should be a cluster-mate (exact-rank recall WITHIN a cluster is
+    // not PQ's contract — mates quantize to the same code, ADC ties,
+    // and the id tie-break diverges from the exact float ordering)
+    val got = Similarity.pqTopK(df, "vec_id", "embedding", k = 5, model, lit(0L))
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(got.length === 160 * 5)
+    val mates = got.count { case (q, n) => q / 10 == n / 10 }
+    assert(mates.toDouble / got.length >= 0.95,
+      s"cluster-mate precision ${mates.toDouble / got.length}")
+    // the compression contract: corpus-side state is m bytes per vector
+    val lens = df.select(octet_length(
+        graft.functions.Pq.pq_encode(col("embedding"), model)))
+      .as[Int].collect().toSet
+    assert(lens === Set(4))
+  }
+
+  test("PQ: ADC is exact on zero-quantization-error vectors, codes are layout-stable") {
+    import graft.functions.{Pq, PqModel}
+    val model = PqModel.fixed(dim = 8, m = 4, ksub = 4, seed = 7L)
+    // vectors that ARE per-subspace centroids quantize losslessly, so
+    // ADC(q, code(x)) == dot(q, x) exactly up to regrouping (per-
+    // subspace partial sums vs one left-to-right fold)
+    val x = Array.tabulate(8) { d => model.centroid(d / 2, 1, d % 2) } // code (1,1,1,1)
+    val q = Array.tabulate(8)(d => (d + 1) * 0.25)
+    val df = Seq((1L, x.toSeq, q.toSeq)).toDF("id", "x", "q")
+    val adc = df.select(Pq.adc_dot(Pq.pq_lut(col("q"), model),
+      Pq.pq_encode(col("x"), model), model.ksub)).as[Double].head()
+    val exact = x.zip(q).map { case (a, b) => a * b }.sum
+    assert(math.abs(adc - exact) < 1e-12, s"adc $adc vs exact $exact")
+    // codes are a pure function of the value: identical under repartition
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val a = emb.select(col("vec_id"), hex(Pq.pq_encode(col("embedding"),
+        PqModel.fixed(64, 8, 16, seed = 7L))).as("c"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = emb.repartition(13).select(col("vec_id"), hex(Pq.pq_encode(col("embedding"),
+        PqModel.fixed(64, 8, 16, seed = 7L))).as("c"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("shuffleShards is a total permutation, stable under repartitioning") {
+    import graft.functions.Sampling
+    val docs = Tables.load(spark, sf001, "documents").select(col("doc_id"))
+    def run(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.shuffleShards(d, col("doc_id"), 8, seed)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(docs, 7L)
+    // (shard, pos) is a pure function of (id, seed): physical layout
+    // must not matter — THE property a sort(rand()) shuffle lacks
+    assert(a === run(docs.repartition(17), 7L))
+    // within every shard, pos is exactly 0..count-1: no gaps, no dups
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted === (0L until rows.length).toSeq, s"shard $shard")
+    }
+    assert(a.map(_._2).distinct.sorted === (0L to 7L).toSeq)
+    // a different seed draws a different permutation of the same rows
+    val c = run(docs, 8L)
+    assert(a.map(_._1) === c.map(_._1))
+    assert(a !== c)
+  }
+
   test("sampling endpoints: rate 1.0 keeps even the ids whose hash tops out") {
     import graft.functions.{Sampling, SamplingImpl}
     // splitmix64 (gamma add + finalizer) is bijective on Long, so the

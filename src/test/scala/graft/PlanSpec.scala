@@ -116,6 +116,18 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one shuffle:\n$p")
   }
 
+  test("shuffleShards is one exchange + in-partition sort (no global range sort)") {
+    // shard assignment is a projection over the scan; only the window's
+    // hash partition on shard moves data — a rangepartitioning exchange
+    // here would mean an accidental global sort (sampled boundaries, a
+    // second pass over the data)
+    val p = plan("q_shuffle_shard")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") === 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort crept in:\n$p")
+  }
+
   test("size-limited collect chunks in one exchange (agg reuses the window's partitioning)") {
     // groupBy(key, chunk) must NOT re-shuffle: HashPartitioning(key)
     // from the row_number window satisfies clustering on (key, chunk)
