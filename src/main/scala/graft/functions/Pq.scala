@@ -209,6 +209,39 @@ object PqImpl {
     while (s < codes.length) { acc += lut.getDouble(s * ksub + (codes(s) & 0xff)); s += 1 }
     acc
   }
+
+  /** Direct ADC: dot the raw query against the code's selected
+    * centroids, per-subspace partial sums added in subspace order —
+    * bit-identical to lut+[[adc]] (same fold shape), but with no LUT
+    * column in the plan. This is the form the relational join path
+    * uses: an m·ksub-double LUT per query row is 16 KB at ksub=256,
+    * and Spark's row shuffle COPIES it once per joined candidate
+    * (measured 29× slower than full-precision cosine at sf1); the
+    * LUT expression is for genuinely-amortized scans (mapPartitions
+    * serving over a cached code block).
+    */
+  def adcDirectF(model: PqModel, q: ArrayData, codes: Array[Byte]): Double =
+    adcDirect(model, q, codes, isFloat = true)
+  def adcDirectD(model: PqModel, q: ArrayData, codes: Array[Byte]): Double =
+    adcDirect(model, q, codes, isFloat = false)
+
+  private def adcDirect(model: PqModel, q: ArrayData, codes: Array[Byte],
+      isFloat: Boolean): Double = {
+    val ksub = model.ksub; val subdim = model.subdim
+    var acc = 0.0; var s = 0
+    while (s < codes.length) {
+      val c = codes(s) & 0xff
+      var dot = 0.0; var d = 0
+      while (d < subdim) {
+        val x = if (isFloat) q.getFloat(s * subdim + d).toDouble else q.getDouble(s * subdim + d)
+        dot += x * model.centroid(s, c, d)
+        d += 1
+      }
+      acc += dot
+      s += 1
+    }
+    acc
+  }
 }
 
 /** PQ code of a vector — binary(m). Codegen'd; the model rides into
@@ -288,9 +321,46 @@ case class AdcDotExpr(left: Expression, right: Expression, ksub: Int)
       newRight: Expression): AdcDotExpr = copy(left = newLeft, right = newRight)
 }
 
+/** Direct ADC score of a raw query vector against a PQ code — see
+  * [[PqImpl.adcDirectF]] for why the join path prefers this over a
+  * materialized LUT column.
+  */
+case class AdcScoreExpr(left: Expression, right: Expression, model: PqModel)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), BinaryType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"adc_score requires (array<float|double> query, binary codes), got ($l, $r)")
+  }
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    if (isFloat) PqImpl.adcDirectF(model, q.asInstanceOf[ArrayData], codes.asInstanceOf[Array[Byte]])
+    else PqImpl.adcDirectD(model, q.asInstanceOf[ArrayData], codes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqModel", model, classOf[PqModel].getName)
+    val fn = if (isFloat) "adcDirectF" else "adcDirectD"
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.PqImpl.$fn($ref, $l, $r)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcScoreExpr = copy(left = newLeft, right = newRight)
+}
+
 object Pq {
   def pq_encode(vec: Column, model: PqModel): Column =
     GraftExpr.column(PqEncodeExpr(GraftExpr.expression(vec), model))
+
+  def adc_score(vec: Column, codes: Column, model: PqModel): Column =
+    GraftExpr.column(AdcScoreExpr(GraftExpr.expression(vec),
+      GraftExpr.expression(codes), model))
 
   def pq_lut(vec: Column, model: PqModel): Column =
     GraftExpr.column(PqLutExpr(GraftExpr.expression(vec), model))

@@ -98,6 +98,31 @@ object Sampling {
           .cast("long") - 1L)
   }
 
+  /** [[shuffleShards]] with the shard count derived from the session —
+    * 2× `defaultParallelism` (the same rule as `packSequencesAuto`),
+    * so every write slot gets work without hand-tuning.
+    */
+  def shuffleShardsAuto(df: DataFrame, idCol: Column, seed: Long = 0L): DataFrame =
+    shuffleShards(df, idCol,
+      math.max(1, df.sparkSession.sparkContext.defaultParallelism * 2), seed)
+
+  /** Deterministic fixed-quota selection: exactly `min(k, |stratum|)`
+    * rows per stratum — the "exactly 50k docs per source" companion to
+    * rate-based [[stratifiedSample]] (a rate can't promise a count).
+    * Selection order is the [[shuffleShards]] permutation key, so the
+    * quota is a uniform draw that is retry-stable and re-runnable; one
+    * hash-partition shuffle on the stratum, rank, filter.
+    */
+  def takePerStratum(df: DataFrame, idCol: Column, stratumCol: Column, k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = shiftrightunsigned(splitmix64(lit(seed).bitwiseXOR(idCol)), 1)
+    df.withColumn("__take_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(stratumCol).orderBy(key.asc, idCol.asc)))
+      .filter(col("__take_rank") <= k).drop("__take_rank")
+  }
+
   /** Stratified sampling / corpus mixing: per-stratum keep rates (the
     * "20% of web, 100% of books" recipe), `defaultRate` for strata not
     * listed. One pass, one codegen'd CASE over the stratum column —

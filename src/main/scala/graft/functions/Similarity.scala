@@ -285,8 +285,12 @@ object Similarity {
     * asymmetric split is deliberate: the CORPUS relation (the big side
     * — what shuffles on bucket and would be cached in a serving
     * layout) is (bucket, id, m bytes), 32× smaller than raw vectors at
-    * dim=64/m=8; the QUERY side pays an m·ksub-double LUT per row,
-    * computed once per query, amortized over every candidate it meets.
+    * dim=64/m=8; the QUERY side keeps its raw vector and the fused
+    * [[AdcScoreExpr]] dots it against the code's centroids per pair
+    * (NOT a materialized LUT column: Spark's row shuffle copies a
+    * 16 KB ksub=256 LUT once per joined candidate — measured 29×
+    * slower than this form at sf1; [[Pq.pq_lut]] stays for genuinely
+    * amortized mapPartitions serving scans).
     * Metric is inner product — normalize vectors upstream for cosine.
     * Any bucket expression composes: [[signBucket]]/[[lshBucket]] for
     * LSH-PQ, an IVF cell id for IVF-PQ (what a billion-vector layout
@@ -298,10 +302,9 @@ object Similarity {
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"), bucket.as("bucket"))
     val corpus = bucketed.select(col("bucket"), col("id").as("nid"),
       Pq.pq_encode(col("v"), model).as("codes"))
-    val queries = bucketed.select(col("bucket"), col("id").as("qid"),
-      Pq.pq_lut(col("v"), model).as("lut"))
+    val queries = bucketed.select(col("bucket"), col("id").as("qid"), col("v").as("qv"))
     val joined = queries.join(corpus, Seq("bucket")).filter(col("qid") =!= col("nid"))
-      .withColumn("adc", Pq.adc_dot(col("lut"), col("codes"), model.ksub))
+      .withColumn("adc", Pq.adc_score(col("qv"), col("codes"), model))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid").asc)
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -73,6 +73,17 @@ object LlmQueries {
         .select($"doc_id", $"stratum")
     },
 
+    // deterministic fixed-quota selection: exactly k docs per stratum,
+    // drawn uniformly by the splitmix64 permutation key — the count-
+    // exact companion to rate-based stratified sampling
+    "q_sample_take" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("stratum", pmod($"doc_id", lit(3L)).cast("string"))
+      Sampling.takePerStratum(docs, $"doc_id", $"stratum", k = 40, seed = 7L)
+        .select($"doc_id", $"stratum")
+    },
+
     // deterministic corpus shuffle + sharding: one hash-partition
     // shuffle + in-partition sort; (shard, pos) is a pure function of
     // (id, seed) — the retry-stable replacement for sort(rand())
@@ -831,6 +842,13 @@ object LlmQueries {
          | WHEN '1' THEN ${sampleKeepSql(7L, s"${Sampling.threshold(0.5)}::UBIGINT")}
          | WHEN '0' THEN ${sampleKeepSql(7L, s"${Sampling.threshold(0.1)}::UBIGINT")}
          | ELSE TRUE END)""".stripMargin,
+    "q_sample_take" ->
+      s"""SELECT doc_id, stratum FROM (
+         |  SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS stratum,
+         |    ROW_NUMBER() OVER (PARTITION BY CAST(doc_id % 3 AS VARCHAR)
+         |      ORDER BY (${smix64Sql("xor(CAST(doc_id AS UBIGINT), 7::UBIGINT)")} >> 1),
+         |        doc_id) AS r
+         |  FROM documents) WHERE r <= 40""".stripMargin,
     // the 63-bit key makes UBIGINT mod/order here agree with the Scala
     // side's signed-long mod/order for any shard count; doc_id breaks
     // key ties so ROW_NUMBER is deterministic

@@ -12,6 +12,10 @@ import graft.functions.Similarity
 object AnnScale {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/repo/data/sf1"
+    // optional 2nd arg "pq": run only the PQ tier (the other sections'
+    // brute-force truth is quadratic in the corpus — prohibitive at
+    // sf10 when only the PQ load point is needed)
+    val pqOnly = args.length > 1 && args(1) == "pq"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,11 +28,14 @@ object AnnScale {
       f.write.format("noop").mode("overwrite").save()
       println(f"ANN $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
+    if (pqOnly) t("warmup (lsh auto)") { Similarity.lshTopKAuto(emb, "vec_id", "embedding", 3) }
+    if (!pqOnly) {
     t("warmup (ivf gate)") { Similarity.ivfTopK(emb, "vec_id", "embedding", 3, 16, 2, 0) }
     t("ivf gate nlist=16 it=2") { Similarity.ivfTopK(emb, "vec_id", "embedding", 3, 16, 2, 2) }
     t("ivf auto nlist=sqrt(N) it=2") { Similarity.ivfTopKAuto(emb, "vec_id", "embedding", 3) }
     t("lsh gate bits=4") { Similarity.lshTopK(emb, "vec_id", "embedding", 3, 4) }
     t("lsh auto bits=log2(N/64)") { Similarity.lshTopKAuto(emb, "vec_id", "embedding", 3) }
+    }
 
     // Pair path (the SemDeDup generator): fixed-bits gate form vs the
     // corpus-sized auto forms, with recall vs the exact all-pairs
@@ -38,6 +45,7 @@ object AnnScale {
     // with similarity — the ≥0.9 band is the one semantic dedup acts
     // on). Threshold matches the q_embed_dedup gate (0.3).
     import org.apache.spark.sql.functions.col
+    if (!pqOnly) {
     val th = 0.3
     val truth = Similarity.cosinePairs(emb, "vec_id", "embedding", th)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -65,6 +73,7 @@ object AnnScale {
     pr("pairs auto 8 tables") {
       Similarity.bucketedCosinePairsAuto(emb, "vec_id", "embedding", th) }
     truth.unpersist(false)
+    }
 
     // The corpus is near-random (0 organic pairs at sim >= 0.9 at sf1),
     // so the recall numbers above are dominated by barely-over-threshold
@@ -87,12 +96,14 @@ object AnnScale {
       val sec = (System.nanoTime() - t1) / 1e9
       println(f"ANN $name%-28s $sec%7.2f s  (planted recall ${found.toDouble / nPlant}%.3f)")
     }
+    if (!pqOnly) {
     plantRecall("planted gate bits=4 (sign)") {
       Similarity.bucketedCosinePairs(planted, "vec_id", "embedding", 0.9, 4) }
     plantRecall("planted auto 1 table") {
       Similarity.bucketedCosinePairsAuto(planted, "vec_id", "embedding", 0.9, tables = 1) }
     plantRecall("planted auto 8 tables") {
       Similarity.bucketedCosinePairsAuto(planted, "vec_id", "embedding", 0.9) }
+    }
 
     // PQ tier: identical LSH bucket structure, but the corpus side of
     // the candidate join carries m-byte codes scored by ADC instead of

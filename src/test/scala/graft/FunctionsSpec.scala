@@ -464,6 +464,19 @@ class FunctionsSpec extends SparkSpec {
       Pq.pq_encode(col("x"), model), model.ksub)).as[Double].head()
     val exact = x.zip(q).map { case (a, b) => a * b }.sum
     assert(math.abs(adc - exact) < 1e-12, s"adc $adc vs exact $exact")
+    // the join path's fused direct ADC is bit-identical to LUT+lookup
+    // (same per-subspace fold shape) — it exists because a per-query
+    // LUT column is copied per candidate in the join shuffle
+    val big = graft.functions.PqModel.fixed(64, 8, 16, seed = 7L)
+    val embAll = Tables.load(spark, sf001, "embeddings").limit(50)
+    val pair = embAll.select(col("vec_id"), col("embedding"))
+      .crossJoin(embAll.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+    val diffs = pair.select(
+        Pq.adc_score(col("embedding"), Pq.pq_encode(col("nv"), big), big).as("direct"),
+        Pq.adc_dot(Pq.pq_lut(col("embedding"), big),
+          Pq.pq_encode(col("nv"), big), big.ksub).as("viaLut"))
+      .filter(col("direct") =!= col("viaLut")).count()
+    assert(diffs === 0)
     // codes are a pure function of the value: identical under repartition
     val emb = Tables.load(spark, sf001, "embeddings")
     val a = emb.select(col("vec_id"), hex(Pq.pq_encode(col("embedding"),
@@ -494,6 +507,36 @@ class FunctionsSpec extends SparkSpec {
     val c = run(docs, 8L)
     assert(a.map(_._1) === c.map(_._1))
     assert(a !== c)
+  }
+
+  test("takePerStratum draws an exact per-stratum quota, stable and uniform-ish") {
+    import graft.functions.Sampling
+    val docs = Tables.load(spark, sf001, "documents")
+      .withColumn("stratum", pmod(col("doc_id"), lit(4L)).cast("string"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.takePerStratum(d, col("doc_id"), col("stratum"), k = 25, seed = 7L)
+        .select("doc_id").as[Long].collect().toSet
+    val a = run(docs)
+    // exact quota per stratum (corpus has >= 25 docs in each)
+    assert(a.size === 100)
+    assert(a.groupBy(_ % 4).values.forall(_.size == 25))
+    // membership is a pure function of (id, seed) — layout-stable
+    assert(a === run(docs.repartition(11)))
+    // helper column dropped, input schema preserved
+    val cols = Sampling.takePerStratum(docs, col("doc_id"), col("stratum"), 1).columns
+    assert(cols.toSeq === docs.columns.toSeq)
+    // a fresh seed draws a (near-certainly) different quota
+    assert(a !== Sampling.takePerStratum(docs, col("doc_id"), col("stratum"),
+      k = 25, seed = 8L).select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("shuffleShardsAuto sizes the shard count from the session parallelism") {
+    import graft.functions.Sampling
+    val docs = Tables.load(spark, sf001, "documents").select(col("doc_id"))
+    val out = Sampling.shuffleShardsAuto(docs, col("doc_id"))
+      .select("shard").as[Long].collect()
+    val expected = math.max(1, spark.sparkContext.defaultParallelism * 2)
+    assert(out.forall(s => s >= 0 && s < expected))
   }
 
   test("sampling endpoints: rate 1.0 keeps even the ids whose hash tops out") {
