@@ -161,9 +161,38 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int, nprobe: Int, iterations: Int = 2): DataFrame = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    require(nlist > 0, "nlist must be positive (use ivfTopKAuto to derive it)")
+    val ranked = ivfRanked(data, nlist, nprobe, iterations)
+    val cells = ranked.filter(col("rn") === 1).select(col("id"), col("v"), col("cid"))
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
 
-    // deterministic seeds: the nlist lowest-id vectors
+    val joined = probes.join(cells.select(col("cid"), col("id").as("nid"), col("v").as("nv")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Centroid ranking shared by the IVF family: Lloyd-iterated
+    * centroids (deterministic seeds = the `nlist` lowest-id vectors),
+    * then every vector ranked against the final centroids — rn = 1 is
+    * the cell ASSIGNMENT, rn ≤ nprobe the query PROBES, so one
+    * relation serves both sides of the candidate join. Deliberately
+    * NOT persisted: the branches recompute the ranking (N·nlist
+    * cosines), which is negligible next to the N·(N/nlist)·nprobe
+    * candidate join, whereas caching N·nprobe vector rows costs real
+    * memory at corpus scale (and measured ~2 s of InMemoryRelation
+    * overhead at bench scale). Re-tested at corpus-derived nlist where
+    * the assignment is N^1.5 cosines: persisting measured NO better
+    * there either (sf10, nlist=448: 72.0 s persisted vs 70.5 s not —
+    * the per-id window rank, not the cosine recompute, dominates), so
+    * the non-persist form stands at every scale.
+    */
+  private def ivfRanked(data: DataFrame, nlist: Int, nprobe: Int,
+      iterations: Int): DataFrame = {
+    require(nlist > 0, "nlist must be positive (use the *Auto variant to derive it)")
     var centroids = data.orderBy(col("id")).limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"))
 
@@ -177,34 +206,12 @@ object Similarity {
       centroids = centroidMeans(assigned)
     }
 
-    // one ranking relation serves both the cell assignment (rn=1) and
-    // the query probes (rn<=nprobe). Deliberately NOT persisted: the
-    // branches recompute the ranking (N·nlist cosines), which is
-    // negligible next to the N·(N/nlist)·nprobe candidate join, whereas
-    // caching N·nprobe vector rows costs real memory at corpus scale
-    // (and measured ~2 s of InMemoryRelation overhead at bench scale).
-    // Re-tested at corpus-derived nlist where the assignment is N^1.5
-    // cosines: persisting measured NO better there either (sf10,
-    // nlist=448: 72.0 s persisted vs 70.5 s not — the per-id window
-    // rank, not the cosine recompute, dominates), so the non-persist
-    // form stands at every scale.
-    val ranked = data.crossJoin(broadcast(centroids))
+    data.crossJoin(broadcast(centroids))
       .withColumn("sim", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)))
       .filter(col("rn") <= math.max(1, nprobe))
       .select(col("id"), col("v"), col("cid"), col("rn"))
-    val cells = ranked.filter(col("rn") === 1).select(col("id"), col("v"), col("cid"))
-    val probes = ranked.filter(col("rn") <= nprobe)
-      .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
-
-    val joined = probes.join(cells.select(col("cid"), col("id").as("nid"), col("v").as("nv")), Seq("cid"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
   /** Element-wise centroid means: posexplode vector positions, average
@@ -320,5 +327,51 @@ object Similarity {
     val model = PqModel.train(df, col(idCol), col(vecCol), m, ksub)
     pqTopK(df, idCol, vecCol, k, model,
       lshBucket(col(vecCol), autoBits(df.count(), targetBucket)))
+  }
+
+  /** IVF-PQ: the coarse IVF quantizer of [[ivfTopK]] over the
+    * compressed candidate scoring of [[pqTopK]] — the layout a
+    * billion-vector corpus actually runs (Jégou et al. TPAMI'11,
+    * IVFADC). [[pqTopK]]'s symmetric bucket join cannot express
+    * nprobe > 1 (a row would need to sit in several buckets), so this
+    * reuses [[ivfRanked]]'s asymmetric split: the CORPUS side is each
+    * vector's rn = 1 cell carrying only the m-byte PQ code, the QUERY
+    * side probes its nprobe nearest cells with the raw vector, and the
+    * fused [[AdcScoreExpr]] scores each candidate in-codegen. Relative
+    * to [[ivfTopK]] the candidate join shuffles (cid, nid, m bytes)
+    * instead of (cid, nid, dim floats) — 32× smaller at dim=64/m=8,
+    * the term that dominates bytes-at-scale since candidate rows
+    * outnumber corpus rows by nprobe·(N/nlist). Metric is inner
+    * product (ADC) while cell assignment is cosine — normalize
+    * upstream for pure-cosine semantics.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      model: PqModel, nlist: Int, nprobe: Int, iterations: Int = 2): DataFrame = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val ranked = ivfRanked(data, nlist, nprobe, iterations)
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("cid"), col("id").as("nid"), Pq.pq_encode(col("v"), model).as("codes"))
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
+
+    val joined = probes.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
+      .withColumn("adc", Pq.adc_score(col("qv"), col("codes"), model))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+  }
+
+  /** [[ivfPqTopK]] with the corpus-derived sizing of [[ivfTopKAuto]]
+    * (nlist ≈ √N — the same balance holds: ADC scoring is cheaper per
+    * candidate but candidate COUNT still scales N·nprobe/nlist) and a
+    * codebook trained on a bounded sample ([[PqModel.train]]).
+    */
+  def ivfPqTopKAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 256, nprobe: Int = 2,
+      iterations: Int = 2): DataFrame = {
+    val nlist = math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+    val model = PqModel.train(df, col(idCol), col(vecCol), m, ksub)
+    ivfPqTopK(df, idCol, vecCol, k, model, nlist, nprobe, iterations)
   }
 }

@@ -357,6 +357,20 @@ object LlmQueries {
         .select($"qid", $"rank".cast("long").as("rank"), $"nid")
     },
 
+    // IVF-PQ (IVFADC): q_embed_ivf's coarse quantizer outside, m-byte
+    // PQ codes + fused direct ADC inside — the billion-vector layout.
+    // Same pinned fixed codebook as q_embed_pq, so the adc double
+    // itself is oracle-exact (+,-,* in pinned order); production
+    // trains codebooks and sizes nlist (ivfPqTopKAuto).
+    "q_embed_ivfpq" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.functions.PqModel.fixed(dim = 64, m = 4, ksub = 4, seed = 7L)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 3, model,
+          nlist = 16, nprobe = 2, iterations = 0)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid", $"adc")
+    },
+
     // Random-hyperplane LSH-bucketed ANN. Oracled via DuckDB
     // UBIGINT/HUGEINT splitmix64 (split 64×64 multiply mod 2^64) and an
     // ordered list_reduce dot-product fold that reproduces the Scala
@@ -532,22 +546,35 @@ object LlmQueries {
     * left-associative term chains so every double matches the Scala
     * loops bit-for-bit — no list_reduce, no division, no sqrt.
     */
-  private def pqAdcSql: String = {
-    val model = graft.functions.PqModel.fixed(dim = 64, m = 4, ksub = 4, seed = 7L)
-    val m = model.m; val ksub = model.ksub; val subdim = model.subdim
-    // EXPONENT notation, not Double.toString: DuckDB parses a bare
-    // decimal literal as DECIMAL and its cast to DOUBLE double-rounds
-    // (int128 → double, then ÷10^scale — measured 1 ulp off); an
-    // e-notation literal goes straight through strtod, bit-exact
-    def dbl(x: Double) = f"($x%.17e)"
-    def e(pfx: String, i: Int) = s"CAST($pfx.embedding[${i + 1}] AS DOUBLE)"
+  /** Shared renderers for the fixed-codebook PQ oracles
+    * ([[graft.functions.PqModel.fixed]] m=4, ksub=4, dim=64, seed=7):
+    * `codes` encodes alias `v`'s embedding (per-subspace first-minimum
+    * argmin over explicit squared-L2 term chains), `adc` dots alias
+    * `q`'s embedding against alias `n`'s code columns `c0..c{m-1}`.
+    * Both are left-associative +,-,* chains matching the Scala folds
+    * bit-for-bit — no list_reduce, no division, no sqrt. Double
+    * literals use EXPONENT notation, not Double.toString: DuckDB
+    * parses a bare decimal literal as DECIMAL and its cast to DOUBLE
+    * double-rounds (int128 → double, then ÷10^scale — measured 1 ulp
+    * off); an e-notation literal goes straight through strtod,
+    * bit-exact. The `adc` chain is the oracle twin of BOTH
+    * [[graft.functions.AdcScoreExpr]] (direct form) and lut+adc_dot —
+    * the two are bit-identical by the shared per-subspace fold shape
+    * (spec-pinned in FunctionsSpec).
+    */
+  private object PqSql {
+    private val model = graft.functions.PqModel.fixed(dim = 64, m = 4, ksub = 4, seed = 7L)
+    private val m = model.m; private val ksub = model.ksub
+    private val subdim = model.subdim
+    private def dbl(x: Double) = f"($x%.17e)"
+    private def e(pfx: String, i: Int) = s"CAST($pfx.embedding[${i + 1}] AS DOUBLE)"
     // squared-L2 of subspace s against code c: Scala's dist += t*t fold
-    def dist(s: Int, c: Int) = (0 until subdim).map { d =>
+    private def dist(s: Int, c: Int) = (0 until subdim).map { d =>
       val x = e("v", s * subdim + d); val cd = dbl(model.centroid(s, c, d))
       s"(($x - $cd) * ($x - $cd))"
     }.mkString(" + ")
     // first-minimum argmin (ties -> lowest code), as in PqImpl.encode
-    def code(s: Int) = {
+    private def code(s: Int) = {
       val ds = (0 until ksub).map(c => dist(s, c))
       val whens = (0 until ksub - 1).map { c =>
         val leqs = ((c + 1) until ksub).map(o => s"(${ds(c)}) <= (${ds(o)})").mkString(" AND ")
@@ -556,25 +583,50 @@ object LlmQueries {
       s"(CASE $whens ELSE ${ksub - 1} END)"
     }
     // lut[s][c] = dot(q_sub_s, codebook[s][c]): Scala's dot += q*c fold
-    def qdot(s: Int, c: Int) = (0 until subdim).map { d =>
+    private def qdot(s: Int, c: Int) = (0 until subdim).map { d =>
       s"(${e("q", s * subdim + d)} * ${dbl(model.centroid(s, c, d))})"
     }.mkString(" + ")
-    def pick(s: Int) = {
+    private def pick(s: Int) = {
       val whens = (0 until ksub).map(c => s"WHEN $c THEN (${qdot(s, c)})").mkString(" ")
       s"(CASE n.c$s $whens END)"
     }
-    val adc = (0 until m).map(pick).mkString(" + ")
-    val codes = (0 until m).map(s => s"${code(s)} AS c$s").mkString(", ")
+    val adc: String = (0 until m).map(pick).mkString(" + ")
+    val codes: String = (0 until m).map(s => s"${code(s)} AS c$s").mkString(", ")
+  }
+
+  private def pqAdcSql: String =
     s"""WITH v AS (SELECT vec_id, embedding, $signBucketSql AS bucket FROM embeddings),
-       |enc AS (SELECT vec_id, bucket, $codes FROM v),
+       |enc AS (SELECT vec_id, bucket, ${PqSql.codes} FROM v),
        |pairs AS (
-       |  SELECT q.vec_id AS qid, n.vec_id AS nid, $adc AS adc
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid, ${PqSql.adc} AS adc
        |  FROM v q JOIN enc n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id)
        |SELECT qid, rank, nid, adc FROM (
        |  SELECT qid, nid, adc,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rank
        |  FROM pairs) WHERE rank <= 3""".stripMargin
-  }
+
+  /** [[pqAdcSql]]'s ADC scoring under [[q_embed_ivf]]'s coarse
+    * quantizer: seed centroids (16 lowest ids, 0 Lloyd iterations so
+    * the quantizer is SQL-expressible), corpus = each vector's rn = 1
+    * cell PQ-encoded, queries probe rn ≤ 2 cells with the raw vector.
+    */
+  private def ivfPqSql: String =
+    s"""WITH seeds AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |               FROM embeddings ORDER BY vec_id LIMIT 16),
+       |asgn AS (SELECT e.vec_id AS id, e.embedding, s.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC, s.cid) AS rn
+       |  FROM embeddings e, seeds s),
+       |enc AS (SELECT v.id AS nid, v.cid, ${PqSql.codes}
+       |        FROM (SELECT id, embedding, cid FROM asgn WHERE rn = 1) v),
+       |probes AS (SELECT id AS qid, embedding, cid FROM asgn WHERE rn <= 2),
+       |pairs AS (
+       |  SELECT q.qid, n.nid, ${PqSql.adc} AS adc
+       |  FROM probes q JOIN enc n ON q.cid = n.cid AND q.qid <> n.nid)
+       |SELECT qid, rank, nid, adc FROM (
+       |  SELECT qid, nid, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rank
+       |  FROM pairs) WHERE rank <= 3""".stripMargin
 
   private val ntok = "len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))"
   private val nalpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
@@ -811,6 +863,7 @@ object LlmQueries {
     "q_embed_lsh" -> lshTopKSql,
     "q_embed_pairs_amp" -> amplifiedPairsSql,
     "q_embed_pq" -> pqAdcSql,
+    "q_embed_ivfpq" -> ivfPqSql,
     "q_text_stats" ->
       s"""SELECT doc_id, $ntok AS n_tokens, $nalpha AS n_alpha,
          |  CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> length(t))) AS BIGINT) AS checksum

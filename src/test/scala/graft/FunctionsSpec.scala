@@ -451,6 +451,36 @@ class FunctionsSpec extends SparkSpec {
     assert(lens === Set(4))
   }
 
+  test("IVF-PQ: nlist=1 degenerates bit-exactly to the exhaustive ADC scan; auto path keeps cluster-mates") {
+    import graft.functions.{PqModel, SamplingImpl, Similarity}
+    val dim = 16
+    def u(h: Long): Double = (SamplingImpl.splitmix64(h) >>> 11).toDouble / (1L << 53).toDouble * 2 - 1
+    val vecs = for (c <- 0 until 16; j <- 0 until 10) yield {
+      val raw = Array.tabulate(dim)(d => u(c.toLong * 131 + d) + 0.05 * u((c * 10 + j).toLong * 977 + d))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      ((c * 10 + j).toLong, raw.map(x => (x / n).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val model = PqModel.train(df, col("vec_id"), col("embedding"), m = 4, ksub = 16)
+    // one cell = no coarse pruning: candidate set and ADC scores match
+    // the single-bucket pqTopK row-for-row (shared fold shapes)
+    val viaIvf = Similarity.ivfPqTopK(df, "vec_id", "embedding", k = 5, model,
+        nlist = 1, nprobe = 1, iterations = 0)
+      .select("qid", "rank", "nid", "adc").as[(Long, Int, Long, Double)].collect().toSet
+    val viaBucket = Similarity.pqTopK(df, "vec_id", "embedding", k = 5, model, lit(0L))
+      .select("qid", "rank", "nid", "adc").as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaIvf === viaBucket)
+    // auto path (√N cells ≈ the 16 planted clusters, trained codebook):
+    // coarse quantizer + ADC together still return cluster-mates
+    val got = Similarity.ivfPqTopKAuto(df, "vec_id", "embedding", k = 3,
+        m = 4, ksub = 16, nprobe = 2)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(got.nonEmpty && got.length <= 160 * 3)
+    val mates = got.count { case (q, n) => q / 10 == n / 10 }
+    assert(mates.toDouble / got.length >= 0.9,
+      s"cluster-mate precision ${mates.toDouble / got.length} over ${got.length}")
+  }
+
   test("PQ: ADC is exact on zero-quantization-error vectors, codes are layout-stable") {
     import graft.functions.{Pq, PqModel}
     val model = PqModel.fixed(dim = 8, m = 4, ksub = 4, seed = 7L)
