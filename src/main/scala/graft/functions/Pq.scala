@@ -150,23 +150,43 @@ object PqImpl {
   def encodeF(model: PqModel, v: ArrayData): Array[Byte] = encode(model, v, isFloat = true)
   def encodeD(model: PqModel, v: ArrayData): Array[Byte] = encode(model, v, isFloat = false)
 
+  /** Bulk-extract the vector to a primitive double[] once per row.
+    * The per-element `ArrayData.getFloat/getDouble` form made the hot
+    * loops megamorphic (UnsafeArrayData from shuffled rows,
+    * ColumnarArray from cached relations, GenericArrayData
+    * interpreted) — measured as nondeterministic 30–90 s
+    * deopt/interpretation bursts on 16k-op-per-row encode stages in
+    * long-lived JVMs (SCALE.md round 8). One virtual bulk copy per
+    * row keeps the O(dim·ksub) loop monomorphic on primitives.
+    */
+  private def toDoubles(v: ArrayData, isFloat: Boolean): Array[Double] =
+    if (isFloat) {
+      val f = v.toFloatArray()
+      val a = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { a(i) = f(i).toDouble; i += 1 }
+      a
+    } else v.toDoubleArray()
+
   private def encode(model: PqModel, v: ArrayData, isFloat: Boolean): Array[Byte] = {
     val m = model.m; val ksub = model.ksub; val subdim = model.subdim
+    val x = toDoubles(v, isFloat)
+    val cs = model.centroids
     val out = new Array[Byte](m)
-    var s = 0
+    var s = 0; var off = 0 // off tracks ((s·ksub)+c)·subdim
     while (s < m) {
+      val base = s * subdim
       var best = 0; var bestDist = Double.MaxValue
       var c = 0
       while (c < ksub) {
         var dist = 0.0; var d = 0
         while (d < subdim) {
-          val x = if (isFloat) v.getFloat(s * subdim + d).toDouble else v.getDouble(s * subdim + d)
-          val t = x - model.centroid(s, c, d)
+          val t = x(base + d) - cs(off + d)
           dist += t * t
           d += 1
         }
         if (dist < bestDist) { bestDist = dist; best = c }
-        c += 1
+        c += 1; off += subdim
       }
       out(s) = best.toByte
       s += 1
@@ -182,19 +202,21 @@ object PqImpl {
 
   private def lut(model: PqModel, q: ArrayData, isFloat: Boolean): ArrayData = {
     val m = model.m; val ksub = model.ksub; val subdim = model.subdim
+    val x = toDoubles(q, isFloat)
+    val cs = model.centroids
     val out = new Array[Double](m * ksub)
-    var s = 0
+    var s = 0; var off = 0
     while (s < m) {
+      val base = s * subdim
       var c = 0
       while (c < ksub) {
         var dot = 0.0; var d = 0
         while (d < subdim) {
-          val x = if (isFloat) q.getFloat(s * subdim + d).toDouble else q.getDouble(s * subdim + d)
-          dot += x * model.centroid(s, c, d)
+          dot += x(base + d) * cs(off + d)
           d += 1
         }
         out(s * ksub + c) = dot
-        c += 1
+        c += 1; off += subdim
       }
       s += 1
     }
@@ -228,13 +250,15 @@ object PqImpl {
   private def adcDirect(model: PqModel, q: ArrayData, codes: Array[Byte],
       isFloat: Boolean): Double = {
     val ksub = model.ksub; val subdim = model.subdim
+    val x = toDoubles(q, isFloat)
+    val cs = model.centroids
     var acc = 0.0; var s = 0
     while (s < codes.length) {
-      val c = codes(s) & 0xff
+      val off = ((s * ksub) + (codes(s) & 0xff)) * subdim
+      val base = s * subdim
       var dot = 0.0; var d = 0
       while (d < subdim) {
-        val x = if (isFloat) q.getFloat(s * subdim + d).toDouble else q.getDouble(s * subdim + d)
-        dot += x * model.centroid(s, c, d)
+        dot += x(base + d) * cs(off + d)
         d += 1
       }
       acc += dot

@@ -20,6 +20,7 @@ object AnnScale {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
+    println("ANNPID " + ProcessHandle.current().pid())
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.Tables.load(spark, dir, "embeddings")
     println(s"corpus ${emb.count()} vectors @ $dir")
@@ -116,6 +117,13 @@ object AnnScale {
     val t2 = System.nanoTime()
     val model = PqModel.train(emb, col("vec_id"), col("embedding"), m = 8, ksub = 256)
     println(f"ANN pq train m=8 ksub=256      ${(System.nanoTime() - t2) / 1e9}%7.2f s")
+    // untimed JIT warm of the PQ kernels: long-lived JVMs showed
+    // nondeterministic 30–90 s deopt/interpretation bursts on the
+    // first PQ-bearing stage (SCALE.md round 8) — same reason
+    // TailScale warms up before timing
+    emb.limit(2000).select(Pq.adc_score(col("embedding"),
+        Pq.pq_encode(col("embedding"), model), model))
+      .write.format("noop").mode("overwrite").save()
     val bits = Similarity.autoBits(emb.count(), 64)
     t("pq topk auto (ADC in-bucket)") {
       Similarity.pqTopK(emb, "vec_id", "embedding", 3, model,
@@ -133,11 +141,21 @@ object AnnScale {
     val cb = cachedBytes("corpus relation: pq codes",
       emb.select(col("vec_id"), Pq.pq_encode(col("embedding"), model).as("codes")))
     println(f"ANN pq compression             ${vb.toDouble / cb}%7.2f x")
+    t("ivfpq topk auto (IVFADC)") {
+      Similarity.ivfPqTopKAuto(emb, "vec_id", "embedding", 3) }
     plantRecall("planted pq top1 (trained)") {
       val pm = PqModel.train(planted, col("vec_id"), col("embedding"), m = 8, ksub = 256)
       Similarity.pqTopK(planted, "vec_id", "embedding", 1, pm,
           Similarity.lshBucket(col("embedding"),
             Similarity.autoBits(planted.count(), 64)))
+        .filter(col("rank") === 1)
+        .select(col("qid").as("i"), col("nid").as("j"))
+    }
+    plantRecall("planted ivfpq top1 (trained)") {
+      val pm = PqModel.train(planted, col("vec_id"), col("embedding"), m = 8, ksub = 256)
+      Similarity.ivfPqTopK(planted, "vec_id", "embedding", 1, pm,
+          nlist = math.max(16, math.ceil(math.sqrt(
+            planted.count().toDouble)).toInt), nprobe = 2)
         .filter(col("rank") === 1)
         .select(col("qid").as("i"), col("nid").as("j"))
     }
