@@ -157,17 +157,20 @@ class PropertySpec extends SparkSpec {
   test("facade windowing ops run end-to-end and record flow steps") {
     import graft.windowing.{EventClock, TumblingWindower}
     val flow = graft.api.Flow("winflow")
-    // events.parquet is TIMESTAMP(NANOS): raw reads need the legacy conf
-    // (Tables.load sets it for the query layer)
+    // raw reads of events.parquet need the legacy conf when the driver
+    // data carries TIMESTAMP(NANOS) (Tables.load sets it for the query
+    // layer); newer generations carry timestamp[us] directly
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val inp = graft.api.ops.input("in", flow, spark, s"$sf0001/events.parquet")
-    // events.parquet carries nanos ts; facade users load via Tables —
-    // emulate with a map step that truncates to micros
+    // facade users load via Tables — emulate its ts normalization with
+    // a map step (nanos long → micros; timestamp[us]/NTZ → timestamp)
+    val tsExpr =
+      if (inp.ds.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        org.apache.spark.sql.functions.timestamp_micros(
+          (col("ts").cast("long") / 1000).cast("long")).as("ts")
+      else col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts")
     val prepared = graft.api.ops.map("prep", inp,
-      col("user_id").cast("string").as("key"),
-      org.apache.spark.sql.functions.timestamp_micros(
-        (col("ts").cast("long") / 1000).cast("long")).as("ts"),
-      col("event_id"))
+      col("user_id").cast("string").as("key"), tsExpr, col("event_id"))
     val counted = graft.api.ops.countWindow("cw", prepared,
       EventClock("ts"), TumblingWindower("1 day"), Seq(col("key")))
     assert(counted.ds.count() > 0)

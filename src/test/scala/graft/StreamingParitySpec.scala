@@ -27,12 +27,18 @@ class StreamingParitySpec extends SparkSpec {
   }
 
   private def streamEvents = {
-    // file-stream the same parquet through the nanos-normalizing loader
-    // schema (events carries TIMESTAMP(NANOS) — see Tables.loadEvents)
+    // file-stream the same parquet, normalizing ts exactly like
+    // Tables.loadEvents (nanos-as-long, timestamp[us]/NTZ, or native)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts",
+        $"ts".cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   test("tumbling window counts agree between batch and stream") {
