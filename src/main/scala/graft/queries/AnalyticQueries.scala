@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Ops
+import graft.operators.{AsofJoin, Ops}
 
 /** Multi-join analytic queries — the optimizer-facing workload: star
   * joins with broadcastable dims, selective pushed-down filters, top-N.
@@ -62,7 +62,50 @@ object AnalyticQueries {
         .select(unix_millis($"m").as("month_ms"),
           coalesce($"hi_n", lit(0L)).as("hi_n"),
           coalesce($"lo_n", lit(0L)).as("lo_n"))
+    },
+
+    // as-of joins: click → purchase-as-of per user, all four shapes.
+    // Differential surface is real on this data: ~7% of clicks have no
+    // prior purchase (backward) and ~7% no later one (forward).
+    "q_asof_backward" -> { (s, dir) =>
+      val (l, r) = asofSides(s, dir)
+      asofOut(AsofJoin.asof(l, r, Seq("user_id" -> "r_uid"), "ts", "r_ts"))
+    },
+
+    "q_asof_forward" -> { (s, dir) =>
+      val (l, r) = asofSides(s, dir)
+      asofOut(AsofJoin.asof(l, r, Seq("user_id" -> "r_uid"), "ts", "r_ts",
+        direction = AsofJoin.Forward))
+    },
+
+    "q_asof_nearest" -> { (s, dir) =>
+      val (l, r) = asofSides(s, dir)
+      asofOut(AsofJoin.asof(l, r, Seq("user_id" -> "r_uid"), "ts", "r_ts",
+        direction = AsofJoin.Nearest))
+    },
+
+    "q_asof_tolerance" -> { (s, dir) =>
+      val (l, r) = asofSides(s, dir)
+      asofOut(AsofJoin.asof(l, r, Seq("user_id" -> "r_uid"), "ts", "r_ts",
+        tolerance = Some(expr("INTERVAL 1 DAY"))))
     })
+
+  /** Left = clicks, right = purchases pre-aggregated unique per
+    * (user, ts) — the operator's determinism contract. */
+  private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.load(s, dir, "events")
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("r_uid"), col("ts").as("r_ts"))
+      .agg(max(col("value")).as("r_value"))
+    (l, r)
+  }
+
+  private def asofOut(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("ts_ms"),
+      unix_millis(col("r_ts")).as("r_ts_ms"), col("r_value"))
 
   val oracle: Map[String, String] = Map(
     "q3_topn" ->
@@ -93,5 +136,38 @@ object AnalyticQueries {
         |            FROM orders WHERE NOT (o_totalprice >= 150000) GROUP BY 1)
         |SELECT epoch_ms(COALESCE(hi.m, lo.m)) AS month_ms,
         |  COALESCE(hi_n, 0) AS hi_n, COALESCE(lo_n, 0) AS lo_n
-        |FROM hi FULL OUTER JOIN lo ON hi.m = lo.m""".stripMargin)
+        |FROM hi FULL OUTER JOIN lo ON hi.m = lo.m""".stripMargin,
+    "q_asof_backward" -> (asofPre +
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |  epoch_ms(r.r_ts) AS r_ts_ms, r.r_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.r_uid AND l.ts >= r.r_ts""".stripMargin),
+    "q_asof_forward" -> (asofPre +
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |  epoch_ms(r.r_ts) AS r_ts_ms, r.r_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.r_uid AND l.ts <= r.r_ts""".stripMargin),
+    "q_asof_nearest" -> (asofPre +
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |  epoch_ms(m.r_ts) AS r_ts_ms, m.r_value
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT r_ts, r_value FROM r
+        |  WHERE r.r_uid = l.user_id
+        |  ORDER BY ABS(epoch_us(r_ts) - epoch_us(l.ts)), r_ts ASC LIMIT 1
+        |) m ON TRUE""".stripMargin),
+    "q_asof_tolerance" -> (asofPre +
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |  epoch_ms(m.r_ts) AS r_ts_ms, m.r_value
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT r_ts, r_value FROM r
+        |  WHERE r.r_uid = l.user_id AND r.r_ts <= l.ts
+        |    AND r.r_ts >= l.ts - INTERVAL 1 DAY
+        |  ORDER BY r_ts DESC LIMIT 1
+        |) m ON TRUE""".stripMargin))
+
+  private def asofPre: String =
+    """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
+      |     r AS (SELECT user_id AS r_uid, ts AS r_ts, MAX(value) AS r_value
+      |           FROM events WHERE event_type='purchase' GROUP BY 1,2)
+      |""".stripMargin
 }
