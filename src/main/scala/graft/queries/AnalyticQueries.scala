@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsofJoin, Ops}
+import graft.operators.{AsofJoin, Ops, RangeJoin}
 
 /** Multi-join analytic queries — the optimizer-facing workload: star
   * joins with broadcastable dims, selective pushed-down filters, top-N.
@@ -88,6 +88,24 @@ object AnalyticQueries {
       val (l, r) = asofSides(s, dir)
       asofOut(AsofJoin.asof(l, r, Seq("user_id" -> "r_uid"), "ts", "r_ts",
         tolerance = Some(expr("INTERVAL 1 DAY"))))
+    },
+
+    // keyless interval join: purchases (any user) within ±6h of each
+    // click — binned to a 12h-cell equi-join, never a nested loop
+    "q_range_join" -> { (s, dir) =>
+      val hUs = 3600L * 1000000L
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), unix_micros(col("ts")).as("c_us"))
+        .withColumn("lo", col("c_us") - 6 * hUs)
+        .withColumn("hi", col("c_us") + 6 * hUs)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("p_us"))
+      RangeJoin.pointInInterval(pur, "p_us", clicks, "lo", "hi", 12 * hUs)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby"),
+          expr("min(p_us) div 1000").as("first_ms"),
+          expr("max(p_us) div 1000").as("last_ms"))
     })
 
   /** Left = clicks, right = purchases pre-aggregated unique per
@@ -163,7 +181,15 @@ object AnalyticQueries {
         |  WHERE r.r_uid = l.user_id AND r.r_ts <= l.ts
         |    AND r.r_ts >= l.ts - INTERVAL 1 DAY
         |  ORDER BY r_ts DESC LIMIT 1
-        |) m ON TRUE""".stripMargin))
+        |) m ON TRUE""".stripMargin),
+    "q_range_join" ->
+      """WITH c AS (SELECT event_id, ts FROM events WHERE event_type='click'),
+        |     p AS (SELECT ts AS p_ts FROM events WHERE event_type='purchase')
+        |SELECT c.event_id, COUNT(*) AS n_nearby,
+        |  epoch_ms(MIN(p_ts)) AS first_ms, epoch_ms(MAX(p_ts)) AS last_ms
+        |FROM c JOIN p
+        |  ON p.p_ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts + INTERVAL 6 HOUR
+        |GROUP BY 1""".stripMargin)
 
   private def asofPre: String =
     """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
