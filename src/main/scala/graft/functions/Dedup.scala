@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftExpr}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Deduplication operators for training-data pipelines: exact (hash
   * groupBy), n-gram Jaccard (exact, shared-shingle join), MinHash+LSH
@@ -351,6 +353,46 @@ object Dedup {
     val esh = eval.select(explode(shingles(evalText, n)).as("s0"))
       .select(xxhash64(col("s0")).as("s")).distinct()
     tsh.join(esh, Seq("s"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[decontaminate]] with a broadcast Bloom prefilter on the train
+    * side — same exact result (the Bloom only admits candidates; the
+    * exact shingle join then removes its false positives), different
+    * scale envelope. Plain `decontaminate` must move EVERY train
+    * shingle into the join; when the eval set outgrows the broadcast
+    * ceiling (many benchmarks × n-grams ≈ 10⁸ rows, tens of GB as an
+    * exact hash relation) that join becomes a full shuffle of ~10¹²
+    * train shingle rows at 100 TB. The Bloom collapses the eval side
+    * to `-n·ln(fpp)/ln²2` BITS (≈120 MB at 10⁸ keys, 1% fpp) —
+    * broadcastable at any realistic benchmark count — and the probe
+    * is a codegen'd [[BloomFilterMightContain]] evaluated map-side in
+    * the scan stage, so only the ~contamination-rate + fpp fraction
+    * of train shingles ever reaches the exchange. Build is one
+    * distributed `stat.bloomFilter` pass over the (cached,
+    * benchmark-scale) eval shingle set.
+    */
+  def decontaminateBloom(train: DataFrame, trainId: Column, trainText: Column,
+      eval: DataFrame, evalText: Column, n: Int, minShared: Int,
+      fpp: Double = 0.01,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val esh = scope.track(
+      eval.select(explode(shingles(evalText, n)).as("s0"))
+        .select(xxhash64(col("s0")).as("s")).distinct()
+        .cache()) // consumers: count, bloom build, exact verify join
+    val expected = math.max(esh.count(), 1L)
+    val bf = esh.stat.bloomFilter("s", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftExpr.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), GraftExpr.expression(col("s"))))
+    shingleRows(train, trainId, trainText, n)
+      .filter(mightContain)
+      .join(esh, Seq("s"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -455,6 +455,17 @@ object LlmQueries {
         n = 5, minShared = 3)
     },
 
+    // same contract through the Bloom-prefiltered path: identical
+    // oracle (exactness must survive the probabilistic prefilter)
+    "q_curate_decontam_bloom" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val evalSet = docs.filter($"doc_id" % 50 === 0)
+      val train = docs.filter($"doc_id" % 50 =!= 0)
+      Dedup.decontaminateBloom(train, $"doc_id", $"text", evalSet, $"text",
+        n = 5, minShared = 3)
+    },
+
     // duplicate-cluster assignment: near-dup pairs → connected
     // components (alternating large-star/small-star) → (id, rep =
     // component min). The oracle closes the same pair set transitively
@@ -982,6 +993,16 @@ object LlmQueries {
          |FROM inj""".stripMargin
     },
     "q_curate_decontam" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |  FROM tok, UNNEST(generate_series(1, len(w)-4)) t(i))),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS id, COUNT(*) AS n_shared
+        |FROM tr JOIN ev USING (s)
+        |GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin,
+    "q_curate_decontam_bloom" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
