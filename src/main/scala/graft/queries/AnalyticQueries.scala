@@ -106,6 +106,56 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("n_nearby"),
           expr("min(p_us) div 1000").as("first_ms"),
           expr("max(p_us) div 1000").as("last_ms"))
+    },
+
+    // exact quantiles + exact distinct counts per group (single
+    // shuffle; percentile is Spark's exact sort-based aggregate)
+    "q_quantiles" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          expr("percentile(l_quantity, 0.95)").as("q95"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+    },
+
+    // rollup with grouping ids — subtotal/grand-total rows in one pass
+    // (Spark Expand: one shuffle for all grouping sets, not one per level)
+    "q_rollup" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          CoreQueries.decDouble(sum(d12(col("l_extendedprice")))).as("rev"),
+          grouping_id().as("gid"))
+    },
+
+    // ordered analytic window functions: row_number / lag / running sum
+    // per customer (running sums evaluate sequentially over the sorted
+    // frame in both engines — deterministic double arithmetic)
+    "q_window_funcs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        CoreQueries.decDouble(sum(d12(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("run_total"))
+    },
+
+    // pivot: wide per-category counts in one grouped pass
+    "q_pivot" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("F"), lit(0L)).as("n_f"))
     })
 
   /** Left = clicks, right = purchases pre-aggregated unique per
@@ -189,7 +239,34 @@ object AnalyticQueries {
         |  epoch_ms(MIN(p_ts)) AS first_ms, epoch_ms(MAX(p_ts)) AS last_ms
         |FROM c JOIN p
         |  ON p.p_ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts + INTERVAL 6 HOUR
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  quantile_cont(l_quantity, 0.95) AS q95,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS rev,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f
+        |FROM lineitem GROUP BY 1""".stripMargin)
 
   private def asofPre: String =
     """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
