@@ -62,12 +62,13 @@ object AsofScale {
     }
     // organic keys: per-user history fixed, key count grows with SF
     asofPair("", clicks, purchases)
-    // dense keys: 200 keys total, per-key history grows with SF — the
-    // regime where candidate counts go quadratic while the window scan
-    // stays sort+linear
+    // dense keys: SPARK_GRAFT_DENSE_KEYS keys total (default 200),
+    // per-key history grows with SF — the regime where candidate
+    // counts go quadratic while the window scan stays sort+linear
+    val denseKeys = sys.env.getOrElse("SPARK_GRAFT_DENSE_KEYS", "200").toLong
     asofPair("_dense",
-      clicks.withColumn("user_id", pmod(col("user_id"), lit(200L))),
-      purchases.withColumn("r_uid", pmod(col("r_uid"), lit(200L)))
+      clicks.withColumn("user_id", pmod(col("user_id"), lit(denseKeys))),
+      purchases.withColumn("r_uid", pmod(col("r_uid"), lit(denseKeys)))
         .groupBy(col("r_uid"), col("r_ts")).agg(max(col("r_value")).as("r_value")))
 
     val hUs = 3600L * 1000000L
@@ -76,8 +77,13 @@ object AsofScale {
       .withColumn("hi", col("c_us") + 6 * hUs)
     val pPt = ev.filter(col("event_type") === "purchase")
       .select(unix_micros(col("ts")).as("p_us"))
-    time("range_binned") {
-      RangeJoin.pointInInterval(pPt, "p_us", cIv, "lo", "hi", 12 * hUs)
+    // binWidth knob: per-cell candidate scan is Σ_cell pts·ivls — on a
+    // DENSIFYING axis (testdata scale-ups pack 10× the rows into the
+    // same 30 days) smaller cells cut the cross term linearly at the
+    // cost of a higher interval explosion factor
+    val binH = sys.env.getOrElse("SPARK_GRAFT_BIN_HOURS", "12").toLong
+    time(s"range_binned_${binH}h") {
+      RangeJoin.pointInInterval(pPt, "p_us", cIv, "lo", "hi", binH * hUs)
         .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
     }
     if (rangeNaive) time("range_naive_bnlj") {
