@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Text}
+import graft.functions.{Dedup, Hll, Multimodal, Sampling, Similarity, Text}
 
 /** Correctness-gate queries for the training-data-pipeline operators:
   * text analysis, dedup (exact / n-gram Jaccard / MinHash-LSH /
@@ -455,6 +455,38 @@ object LlmQueries {
         n = 5, minShared = 3)
     },
 
+    // HLL sketch: the full 2^8-register array rendered bit-exactly in
+    // DuckDB (splitmix64 bucketing + bin()-length leading zeros), not
+    // just an estimate — distinct users per event type
+    "q_hll" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val sk = ev.groupBy($"event_type")
+        .agg(Hll.hllSketch(Sampling.splitmix64($"user_id"), p = 8).as("sk"))
+      val regs = Hll.hllRegisters($"sk")
+      sk.select($"event_type",
+        md5(array_join(regs.cast("array<string>"), ",")).as("regs_md5"),
+        aggregate(regs, lit(0L), (a, x) => a + x.cast("long")).as("reg_sum"),
+        size(filter(regs, _ === 0)).cast("long").as("n_zero"))
+    },
+
+    // sketch mergeability: per-day partial sketches unioned by
+    // hll_merge must be register-identical to the direct whole-group
+    // sketch (max is associative) — the oracle computes the direct
+    // registers once
+    "q_hll_merge" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val daily = ev
+        .groupBy($"event_type", dayofmonth($"ts").as("d"))
+        .agg(Hll.hllSketch(Sampling.splitmix64($"user_id"), p = 8).as("sk"))
+      daily.groupBy($"event_type")
+        .agg(Hll.hllMerge($"sk").as("sk"))
+        .select($"event_type",
+          md5(array_join(Hll.hllRegisters($"sk").cast("array<string>"), ","))
+            .as("regs_md5"))
+    },
+
     // same contract through the Bloom-prefiltered path: identical
     // oracle (exactness must survive the probabilistic prefilter)
     "q_curate_decontam_bloom" -> { (s, dir) =>
@@ -736,6 +768,28 @@ object LlmQueries {
     s"xor($zc, $zc >> 31)"
   }
 
+  /** DuckDB rendering of the full 2^8-register HLL sketch over
+    * `splitmix64(user_id)` per event_type ([[graft.functions.HllImpl]]):
+    * idx = top 8 bits, w = h·2^8 mod 2^64, rho = 57 when w=0 else
+    * 65 − length(bin(w)) (bin() drops leading zeros, so its length is
+    * the MSB position — integer-exact leading-zero count). The grid
+    * cross join restores empty registers as 0.
+    */
+  private def hllRegSql: String = {
+    val h = smix64Sql("CAST(user_id AS UBIGINT)")
+    s"""WITH b AS (SELECT event_type, CAST(($h) >> 56 AS BIGINT) AS idx,
+       |  CAST((CAST(($h) AS HUGEINT) * 256) % 18446744073709551616 AS UBIGINT) AS w
+       |  FROM events),
+       |r0 AS (SELECT event_type, idx,
+       |    MAX(CASE WHEN w = 0 THEN 57 ELSE 65 - length(bin(w)) END) AS reg
+       |  FROM b GROUP BY 1, 2),
+       |grid AS (SELECT DISTINCT event_type FROM events),
+       |regs AS (SELECT g.event_type, i.idx, COALESCE(r0.reg, 0) AS reg
+       |  FROM grid g CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS idx) i
+       |  LEFT JOIN r0 ON r0.event_type = g.event_type AND r0.idx = i.idx)
+       |""".stripMargin
+  }
+
   /** The sampling gates' membership test: keep iff
     * `splitmix64(id ⊕ salt) >> 1 < threshold` (thresholds inlined by
     * the Scala side's exact `rate · 2⁶³` rounding).
@@ -1002,6 +1056,16 @@ object LlmQueries {
         |SELECT doc_id AS id, COUNT(*) AS n_shared
         |FROM tr JOIN ev USING (s)
         |GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin,
+    "q_hll" -> (hllRegSql +
+      """SELECT event_type,
+        |  md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY idx)) AS regs_md5,
+        |  CAST(SUM(reg) AS BIGINT) AS reg_sum,
+        |  CAST(COUNT(*) FILTER (reg = 0) AS BIGINT) AS n_zero
+        |FROM regs GROUP BY 1""".stripMargin),
+    "q_hll_merge" -> (hllRegSql +
+      """SELECT event_type,
+        |  md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY idx)) AS regs_md5
+        |FROM regs GROUP BY 1""".stripMargin),
     "q_curate_decontam_bloom" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
