@@ -151,6 +151,19 @@ object AnalyticQueries {
           .as("run_total"))
     },
 
+    // z-order curve values: integer min/max bucketize + bit interleave,
+    // the write-side layout primitive (LayoutSpec measures the actual
+    // file pruning; this gate pins the arithmetic bit-exactly)
+    "q_zorder" -> { (s, dir) =>
+      import graft.functions.Layout
+      val tsMin = 1704067200000000L // 2024-01-01 UTC in micros
+      val tsMax = 1706745599999999L // 2024-01-31 23:59:59.999999
+      Tables.load(s, dir, "events").select(col("event_id"),
+        Layout.zvalue(10,
+          Layout.bucketize(col("user_id"), 0L, 1999L, 10),
+          Layout.bucketize(unix_micros(col("ts")), tsMin, tsMax, 10)).as("z"))
+    },
+
     // pivot: wide per-category counts in one grouped pass
     "q_pivot" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -266,6 +279,17 @@ object AnalyticQueries {
         |          ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS run_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_zorder" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 9), i ->
+        |    (((bu >> i) & 1) << (2*i)) + (((bt >> i) & 1) << (2*i + 1))))
+        |    AS BIGINT) AS z
+        |FROM (
+        |  SELECT event_id,
+        |    LEAST(GREATEST(user_id, 0), 1999) * 1024 // 2000 AS bu,
+        |    (LEAST(GREATEST(epoch_us(ts), 1704067200000000), 1706745599999999)
+        |      - 1704067200000000) * 1024 // 2678400000000 AS bt
+        |  FROM events)""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
