@@ -235,6 +235,64 @@ object Dedup {
     minhashLshPairs(df, idCol, text, n, numHashes, bands, threshold,
       autoCap(df.count()), scope)
 
+  /** Incremental near-dup pairs for corpus MAINTENANCE: all pairs with
+    * at least one member in `newDf` (new×new and new×old), never
+    * old×old — the shape of a daily drop deduplicated against the kept
+    * history. Same banding, caps, and exact verify as
+    * [[minhashLshPairs]]; the asymmetry is in the candidate join,
+    * where only NEW band rows probe the combined buckets:
+    * candidate work is Σ_bucket new_b · total_b instead of total_b² —
+    * for a drop that is 0.1% of the corpus, ~1000× less verify work
+    * than re-running the full pair search, and the history re-scan is
+    * signatures only (at scale, persist the history's (id, sh, sig)
+    * relation once and pass it through `scope`; it is append-only
+    * across drops). Pairs are normalized i < j; results are exactly
+    * `minhashLshPairs(new ∪ old)` minus the old×old pairs (spec-pinned).
+    */
+  def minhashLshPairsIncremental(newDf: DataFrame, oldDf: DataFrame,
+      idCol: Column, text: Column, n: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    def sigs(df: DataFrame, isNew: Int): DataFrame =
+      df.select(idCol.as("id"), text.as("text"))
+        .withColumn("sh", shingles(col("text"), n))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", minhashSignature(col("sh"), numHashes))
+        .select(col("id"), col("sh"), col("sig"), lit(isNew).as("is_new"))
+    val withSig = scope.track(sigs(newDf, 1).unionByName(sigs(oldDf, 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bandedAll = withSig.select(
+      col("id"), col("is_new"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows))).as("bh")))).as("bb"))
+      .select(col("id"), col("is_new"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded =
+      if (maxBucketSize <= 0) bandedAll
+      else {
+        val hot = bandedAll.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("bsz_")).filter(col("bsz_") > maxBucketSize)
+          .select(col("band"), col("bh"))
+        bandedAll.join(hot, Seq("band", "bh"), "left_anti")
+      }
+    val cands = banded.filter(col("is_new") === 1).as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("i"),
+        greatest(col("a.id"), col("b.id")).as("j"))
+      .distinct()
+    val sh = withSig.select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+    cands
+      .join(sh.select(col("id").as("i"), col("sh").as("sh_i"), col("n_sh").as("ni")), "i")
+      .join(sh.select(col("id").as("j"), col("sh").as("sh_j"), col("n_sh").as("nj")), "j")
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jac", col("inter").cast("double") / (col("ni") + col("nj") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
   /** Streaming exact dedup: drop repeats of `idCols` arriving within the
     * watermark horizon — state for a key is reclaimed once the watermark
     * passes its event time + delay, so memory is bounded on unbounded

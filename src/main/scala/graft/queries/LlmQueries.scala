@@ -455,6 +455,17 @@ object LlmQueries {
         n = 5, minShared = 3)
     },
 
+    // incremental corpus maintenance: new drop (doc_id%3==0) vs kept
+    // history — pairs touching the drop, never old×old re-verification
+    "q_dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minhashLshPairsIncremental(
+        docs.filter($"doc_id" % 3 === 0), docs.filter($"doc_id" % 3 =!= 0),
+        $"doc_id", $"text", n = 3, numHashes = 64, bands = 16,
+        threshold = 0.5, maxBucketSize = 1000)
+    },
+
     // HLL sketch: the full 2^8-register array rendered bit-exactly in
     // DuckDB (splitmix64 bucketing + bin()-length leading zeros), not
     // just an estimate — distinct users per event type
@@ -1147,6 +1158,8 @@ object LlmQueries {
          |SELECT doc_id AS id, quality FROM kept
          |WHERE doc_id NOT IN (SELECT j FROM dup)""".stripMargin,
     "q_dedup_minhash" -> exactJaccardSql(0.5),
+    "q_dedup_incremental" ->
+      (exactJaccardSql(0.5) + "\n  AND (i % 3 = 0 OR j % 3 = 0)"),
     "q_curate_full" -> {
       val email = Text.emailPattern.replace("'", "''")
       val ip = Text.ipv4Pattern
