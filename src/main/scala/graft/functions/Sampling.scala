@@ -72,6 +72,32 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: Column, rate: Double, salt: Long = 0L): DataFrame =
     df.filter(hashKeep(idCol, rate, salt))
 
+  /** Weight-proportional Bernoulli keep: P(keep) = weight/maxWeight,
+    * decided by the same splitmix64 membership hash as [[hashKeep]] —
+    * quality-/length-weighted corpus down-sampling with identical
+    * retry/partition/AQE stability. Keep iff
+    * `(h >>> 1) · maxWeight < weight · 2⁶³`, evaluated in
+    * decimal(38,0): both products are < 8.6×10³⁷ for any Long weight,
+    * so the comparison is EXACT (a double formulation rounds at these
+    * magnitudes and an oracle could legitimately disagree on boundary
+    * rows). Weights are clamped to [0, maxWeight]: 0 never keeps,
+    * ≥ maxWeight always keeps. Null weights drop the row (SQL
+    * three-valued comparison) — document weights upstream.
+    */
+  def weightedKeep(id: Column, weight: Column, maxWeight: Long, salt: Long = 0L): Column = {
+    require(maxWeight > 0, s"maxWeight must be positive, got $maxWeight")
+    val d38 = "decimal(38,0)"
+    val h = shiftrightunsigned(splitmix64(lit(salt).bitwiseXOR(id)), 1)
+    val w = least(greatest(weight.cast("long"), lit(0L)), lit(maxWeight))
+    (h.cast(d38) * lit(maxWeight).cast(d38)) <
+      (w.cast(d38) * lit(Long.MaxValue).cast(d38) + w.cast(d38))
+  }
+
+  /** [[weightedKeep]] as a filter. */
+  def weightedSample(df: DataFrame, idCol: Column, weight: Column,
+      maxWeight: Long, salt: Long = 0L): DataFrame =
+    df.filter(weightedKeep(idCol, weight, maxWeight, salt))
+
   /** Deterministic corpus shuffle + sharding — the "globally shuffle
     * the training set, write S shards" step, as ONE hash-partition
     * shuffle plus an in-partition sort (no global range sort, no

@@ -61,6 +61,15 @@ object LlmQueries {
         .select($"doc_id")
     },
 
+    // weight-proportional Bernoulli sampling: P(keep) = n_chars/8192,
+    // exact decimal comparison (no double rounding at 2^63 scale)
+    "q_sample_weighted" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.weightedSample(docs, $"doc_id", $"n_chars", maxWeight = 8192L, salt = 7L)
+        .select($"doc_id", $"n_chars")
+    },
+
     // stratified sampling / corpus mixing: per-stratum keep rates in
     // one codegen'd CASE (stratum here = doc_id mod 3 so the oracle
     // is closed-form; production strata are language/quality/source)
@@ -961,6 +970,12 @@ object LlmQueries {
     "q_sample" ->
       s"""SELECT doc_id FROM documents
          |WHERE ${sampleKeepSql(7L, s"${Sampling.threshold(0.25)}::UBIGINT")}""".stripMargin,
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE CAST((${smix64Sql("xor(CAST(doc_id AS UBIGINT), 7::UBIGINT)")}) >> 1 AS HUGEINT)
+         |    * 8192
+         |  < CAST(LEAST(GREATEST(n_chars, 0), 8192) AS HUGEINT)
+         |    * 9223372036854775808::HUGEINT""".stripMargin,
     // the ELSE (default rate 1.0) renders as TRUE, matching the Scala
     // side's endpoint short-circuit — not a `< 2⁶³` comparison, which
     // under strict `<` on the clamped MaxValue would drop the two ids

@@ -404,6 +404,28 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(overlap - 0.0625 * n) < 5 * math.sqrt(n * 0.0625), overlap.toString)
   }
 
+  test("weightedSample: P(keep)=w/maxW, partition-invariant, exact edges") {
+    import graft.functions.Sampling
+    val docs = Tables.load(spark, sf001, "documents")
+    val a = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"), 8192L, salt = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(docs.repartition(17), col("doc_id"), col("n_chars"),
+        8192L, salt = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // expected keep count = sum(w/maxW); 5-sigma Poisson-binomial bound
+    val exp = docs.select((least(greatest(col("n_chars"), lit(0L)), lit(8192L))
+        .cast("double") / 8192.0).as("p"))
+      .agg(sum(col("p")), sum(col("p") * (lit(1.0) - col("p")))).head()
+    val (mu, varSum) = (exp.getDouble(0), exp.getDouble(1))
+    assert(math.abs(a.size - mu) < 5 * math.sqrt(varSum), s"got ${a.size}, want ~$mu")
+    // exact edges: weight 0 never keeps, weight >= maxW always keeps
+    val edges = Seq((1L, 0L), (2L, 8192L), (3L, 999999L)).toDF("id", "w")
+    val kept = Sampling.weightedSample(edges, col("id"), col("w"), 8192L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("stratifiedSample applies per-stratum rates with a default") {
     import graft.functions.Sampling
     val docs = Tables.load(spark, sf001, "documents")
