@@ -475,6 +475,32 @@ object LlmQueries {
         threshold = 0.5, maxBucketSize = 1000)
     },
 
+    // corpus-maintenance capstone: a new drop (pool doc_id%3==0)
+    // deduped against kept history via the incremental pair path
+    // (keeper rule: new×new drops the higher id, new×old always drops
+    // the new doc — history wins), then Bloom-decontaminated against
+    // the eval split. Composes this round's operators end-to-end
+    // under ONE oracle.
+    "q_maintain" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pool = docs.filter($"doc_id" % 50 =!= 0)
+      val evalSet = docs.filter($"doc_id" % 50 === 0)
+      val newD = pool.filter($"doc_id" % 3 === 0)
+      val oldD = pool.filter($"doc_id" % 3 =!= 0)
+      val pairs = Dedup.minhashLshPairsIncremental(newD, oldD, $"doc_id", $"text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val isNew = (c: Column) => c % 3 === 0
+      val dropped = pairs.select(
+        when(isNew($"i") && isNew($"j"), $"j")
+          .when(isNew($"i"), $"i").otherwise($"j").as("d")).distinct()
+      val contaminated = Dedup.decontaminateBloom(newD, $"doc_id", $"text",
+        evalSet, $"text", n = 5, minShared = 3).select($"id".as("c"))
+      newD.join(dropped, $"doc_id" === $"d", "left_anti")
+        .join(contaminated, $"doc_id" === $"c", "left_anti")
+        .select($"doc_id", $"n_chars")
+    },
+
     // HLL sketch: the full 2^8-register array rendered bit-exactly in
     // DuckDB (splitmix64 bucketing + bin()-length leading zeros), not
     // just an estimate — distinct users per event type
@@ -1175,6 +1201,38 @@ object LlmQueries {
     "q_dedup_minhash" -> exactJaccardSql(0.5),
     "q_dedup_incremental" ->
       (exactJaccardSql(0.5) + "\n  AND (i % 3 = 0 OR j % 3 = 0)"),
+    "q_maintain" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |sh3 AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+        |       FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM pr
+        |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |  WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5
+        |    AND (i % 3 = 0 OR j % 3 = 0)),
+        |dropped AS (
+        |  SELECT j AS d FROM pairs WHERE i % 3 = 0 AND j % 3 = 0
+        |  UNION SELECT i FROM pairs WHERE i % 3 = 0 AND j % 3 <> 0
+        |  UNION SELECT j FROM pairs WHERE i % 3 <> 0 AND j % 3 = 0),
+        |tok5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh5 AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |  FROM tok5, UNNEST(generate_series(1, len(w)-4)) t(i))),
+        |ev AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 50 = 0),
+        |contaminated AS (SELECT doc_id FROM (
+        |  SELECT t.doc_id, COUNT(*) AS ns FROM sh5 t JOIN ev USING (s)
+        |  WHERE t.doc_id % 50 <> 0 AND t.doc_id % 3 = 0 GROUP BY 1)
+        |  WHERE ns >= 3)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 50 <> 0 AND doc_id % 3 = 0
+        |  AND doc_id NOT IN (SELECT d FROM dropped)
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
     "q_curate_full" -> {
       val email = Text.emailPattern.replace("'", "''")
       val ip = Text.ipv4Pattern
