@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions.{col, lit}
-import graft.operators.{Ops, StatefulOps}
+import graft.operators.{AsofJoin, Ops, RangeJoin, StatefulOps}
 import graft.windowing.{Clock, EventClock, Windower, Windowing, WindowLogicOps}
 
 /** Fluent, step-id'd operator facade mirroring the reference's
@@ -119,4 +119,18 @@ object ops {
       orderBy: Seq[Column], aggs: (Column, String)*): Stream[Row] =
     step(up.flow, id, "stateful_map", up.stepId)(
       StatefulOps.runningAgg(up.ds.toDF(), keyCol, orderBy, aggs: _*))
+
+  def asofJoin(id: String, left: Stream[Row], right: Stream[Row],
+      keys: Seq[(String, String)], leftTime: String, rightTime: String,
+      direction: AsofJoin.Direction = AsofJoin.Backward,
+      tolerance: Option[Column] = None): Stream[Row] =
+    step(left.flow, id, "asof_join", left.stepId, right.stepId)(
+      AsofJoin.asof(left.ds.toDF(), right.ds.toDF(), keys, leftTime, rightTime,
+        direction, tolerance))
+
+  def rangeJoin(id: String, points: Stream[Row], intervals: Stream[Row],
+      point: String, lo: String, hi: String, binWidth: Long): Stream[Row] =
+    step(points.flow, id, "range_join", points.stepId, intervals.stepId)(
+      RangeJoin.pointInInterval(points.ds.toDF(), point,
+        intervals.ds.toDF(), lo, hi, binWidth))
 }

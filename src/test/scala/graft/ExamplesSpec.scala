@@ -272,6 +272,24 @@ class ExamplesSpec extends SparkSpec {
     assert(flow.stepIds.toSet === Set("v0", "v1", "v2", "v3"))
   }
 
+  test("facade asofJoin/rangeJoin record two-upstream steps and compute") {
+    import graft.api.{ops, Flow, Stream}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    val flow = Flow("joins")
+    val l = Stream[Row](Seq((1L, "a", 10L), (2L, "a", 5L)).toDF("id", "k", "lt"), flow, "l")
+    val r = Stream[Row](Seq(("a", 7L, 1.5)).toDF("rk", "rt", "v"), flow, "r")
+    val j = ops.asofJoin("aj", l, r, Seq("k" -> "rk"), "lt", "rt")
+    assert(j.ds.toDF().select(col("id"), col("v")).as[(Long, Option[Double])]
+      .collect().toSet === Set((1L, Some(1.5)), (2L, None)))
+    val pts = Stream[Row](Seq((10L, 3L)).toDF("pid", "x"), flow, "p")
+    val ivs = Stream[Row](Seq((20L, 0L, 5L), (21L, 4L, 9L)).toDF("iid", "lo", "hi"), flow, "i")
+    val g = ops.rangeJoin("rj", pts, ivs, "x", "lo", "hi", 4L)
+    assert(g.ds.toDF().select(col("pid"), col("iid")).as[(Long, Long)]
+      .collect().toSet === Set((10L, 20L)))
+    assert(flow.stepIds.toSet.intersect(Set("aj", "rj")) === Set("aj", "rj"))
+  }
+
   test("benchmark_windowing port: window structure correct, output discarded") {
     import org.apache.spark.sql.functions._
     // 600 second-spaced events = 10 full 1-minute tumbling windows; the
