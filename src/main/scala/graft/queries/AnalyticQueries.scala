@@ -164,6 +164,21 @@ object AnalyticQueries {
           Layout.bucketize(unix_micros(col("ts")), tsMin, tsMax, 10)).as("z"))
     },
 
+    // time-RANGE window frame: trailing-30-day order count + spend per
+    // customer at each order (range frames bound by VALUE, not row
+    // position — the moving-aggregate shape row frames can't express
+    // under irregular event spacing)
+    "q_window_range" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = unix_date(col("o_orderdate").cast("date")).cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(days)
+        .rangeBetween(-29L, Window.currentRow)
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_30d"),
+        CoreQueries.decDouble(sum(d12(col("o_totalprice"))).over(w)).as("spend_30d"))
+    },
+
     // pivot: wide per-category counts in one grouped pass
     "q_pivot" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -290,6 +305,15 @@ object AnalyticQueries {
         |    (LEAST(GREATEST(epoch_us(ts), 1704067200000000), 1706745599999999)
         |      - 1704067200000000) * 1024 // 2678400000000 AS bt
         |  FROM events)""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  COUNT(*) OVER w AS n_30d,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS VARCHAR) AS DOUBLE)
+        |    AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
