@@ -43,12 +43,11 @@ import org.apache.spark.sql.functions._
   *    duplicates the scan keeps the last in partition order, which is
   *    nondeterministic — pre-aggregate the right side to pin it.
   *
-  * At least one equi-key is required: a keyless global as-of would
-  * serialize the whole axis into one window partition. For the keyless
-  * case, pre-bucket both sides on a coarse time bin (`window(ts, w)`)
-  * and pass the bin as the key, duplicating each left row's candidate
-  * bin and its predecessor — the binned-range-join pattern in
-  * [[RangeJoin]].
+  * At least one equi-key is required here: a keyless global as-of
+  * would serialize the whole axis into one window partition. The
+  * keyless case has its own operator, [[asofGlobal]] — a binned
+  * two-level scan whose only single-partition work is over the BIN
+  * table, never the data.
   */
 object AsofJoin {
 
@@ -133,6 +132,72 @@ object AsofJoin {
     val rightOut = rPayload.map(c => col(s"__m.`$c`").as(c))
     u.withColumn("__m", guarded)
       .filter(col(SIDE) === 1)
+      .select(leftOut ++ rightOut: _*)
+  }
+
+  /** KEYLESS backward as-of over a Long axis (epoch micros/millis) —
+    * the global "match each event to the latest prior version"
+    * lookup, without serializing the axis into one window partition.
+    *
+    * Binned two-level design:
+    *  1. per time-bin of width `binWidth`, reduce the right side to
+    *     its latest row (`max_by`) — a partial-aggregable shuffle on
+    *     the bin id;
+    *  2. prefix-scan those bin bests (ordered window over the BIN
+    *     table — metadata-scale rows = axis span / binWidth, so the
+    *     single-partition sort is over thousands of rows, not the
+    *     data) to get "latest right strictly before this bin";
+    *  3. each left row takes the best of its in-bin candidates with
+    *     rt <= lt (bounded by per-bin density) and falls back to the
+    *     carried prefix best.
+    *
+    * Cost: one bin-keyed candidate join bounded per bin + one
+    * per-left-row aggregation — both ordinary hash shuffles; nothing
+    * global touches the data rows. Right rows must be unique per
+    * time (pre-aggregate) for deterministic results, as in [[asof]].
+    */
+  def asofGlobal(
+      left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val collide = right.columns.toSeq.intersect(left.columns.toSeq)
+    require(collide.isEmpty, s"column collision across sides: ${collide.mkString(", ")}")
+    val rPayload = right.columns.toSeq
+    def bin(c: Column) = ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+
+    val r2 = right.filter(col(rightTime).isNotNull)
+      .select(struct(rPayload.map(col): _*).as(R), col(rightTime).as("__rt"))
+      .withColumn("__bin", bin(col("__rt")))
+    // 1. latest right per bin
+    val perBin = r2.groupBy(col("__bin"))
+      .agg(max_by(col(R), col("__rt")).as("__best"), max(col("__rt")).as("__maxrt"))
+    // 2. prefix bests over the union bin axis (covers left-only bins)
+    val l2 = left.withColumn("__bin", bin(col(leftTime)))
+    val axis = l2.select(col("__bin")).union(perBin.select(col("__bin"))).distinct()
+    val w = Window.orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = axis.join(perBin, Seq("__bin"), "left")
+      .withColumn("__carry", last(col("__best"), ignoreNulls = true).over(w))
+      .select(col("__bin"), col("__carry"))
+    // 3. in-bin best per left row, then fall back to the carry
+    // row identity = content hash, NOT monotonically_increasing_id: l3
+    // feeds two plan branches, and mid is assigned per recomputation —
+    // the two branches could disagree. Identical-content left rows
+    // share a group, the same candidate set, and the same match, then
+    // fan back out in the final join, so cardinality is preserved.
+    val lid = "__lrow"
+    val l3 = l2.withColumn(lid,
+      xxhash64(struct(left.columns.toSeq.map(col): _*)))
+    val inBin = l3
+      .join(r2, l3("__bin") === r2("__bin") && col("__rt") <= col(leftTime), "left")
+      .groupBy(col(lid))
+      .agg(max_by(col(R), col("__rt")).as("__inbin"))
+    val leftOut = left.columns.toSeq.map(col)
+    val rightOut = rPayload.map(c => col(s"__m.`$c`").as(c))
+    l3.join(inBin, lid)
+      .join(carry, Seq("__bin"), "left")
+      .withColumn("__m", coalesce(col("__inbin"), col("__carry")))
       .select(leftOut ++ rightOut: _*)
   }
 

@@ -90,6 +90,18 @@ object AnalyticQueries {
         tolerance = Some(expr("INTERVAL 1 DAY"))))
     },
 
+    // KEYLESS as-of: each click matched to the latest prior purchase of
+    // ANY user — binned two-level scan, no single global window
+    "q_asof_global" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), unix_micros(col("ts")).as("l_us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(unix_micros(col("ts")).as("r_us"))
+        .agg(max(col("value")).as("r_value"))
+      AsofJoin.asofGlobal(l, "l_us", r, "r_us", binWidth = 3600L * 1000000L)
+    },
+
     // keyless interval join: purchases (any user) within ±6h of each
     // click — binned to a 12h-cell equi-join, never a nested loop
     "q_range_join" -> { (s, dir) =>
@@ -264,6 +276,13 @@ object AnalyticQueries {
         |    AND r.r_ts >= l.ts - INTERVAL 1 DAY
         |  ORDER BY r_ts DESC LIMIT 1
         |) m ON TRUE""".stripMargin),
+    "q_asof_global" ->
+      """WITH l AS (SELECT event_id, epoch_us(ts) AS l_us FROM events
+        |           WHERE event_type='click'),
+        |     r AS (SELECT epoch_us(ts) AS r_us, MAX(value) AS r_value
+        |           FROM events WHERE event_type='purchase' GROUP BY 1)
+        |SELECT l.event_id, l.l_us, r.r_us, r.r_value
+        |FROM l ASOF LEFT JOIN r ON l.l_us >= r.r_us""".stripMargin,
     "q_range_join" ->
       """WITH c AS (SELECT event_id, ts FROM events WHERE event_type='click'),
         |     p AS (SELECT ts AS p_ts FROM events WHERE event_type='purchase')

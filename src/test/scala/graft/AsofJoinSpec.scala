@@ -92,6 +92,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === Map(1L -> Some(1.0), 2L -> None))
   }
 
+  test("asofGlobal (keyless) matches brute force across binWidths") {
+    val lRows = Seq((1L, 10L), (2L, 3L), (3L, 64L), (4L, 200L), (5L, 1L))
+    val rRows = Seq((9L, 1.0), (15L, 2.0), (63L, 3.0), (64L, 4.0), (130L, 5.0))
+    val want = lRows.map { case (id, lt) =>
+      id -> rRows.filter(_._1 <= lt).sortBy(_._1).lastOption.map(_._1)
+    }.toMap
+    for (w <- Seq(1L, 5L, 64L, 1000L)) {
+      val got = AsofJoin.asofGlobal(
+          lRows.toDF("id", "lt"), "lt", rRows.toDF("rt", "v"), "rt", w)
+        .select($"id", $"rt").collect()
+        .map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      assert(got === want, s"binWidth=$w")
+    }
+  }
+
+  test("asofGlobal preserves duplicate-content left rows") {
+    val l = Seq((1L, 10L), (1L, 10L), (2L, 10L)).toDF("id", "lt")
+    val r = Seq((5L, 1.0)).toDF("rt", "v")
+    val got = AsofJoin.asofGlobal(l, "lt", r, "rt", 4L)
+      .select($"id", $"rt").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 5L), (1L, 5L), (2L, 5L)))
+  }
+
   test("plan: one hash exchange on the keys, no join node, no cartesian") {
     val (l, r) = mk(left, right)
     val p = AsofJoin.asof(l, r, Seq("k" -> "rk"), "lt", "rt", AsofJoin.Nearest)
