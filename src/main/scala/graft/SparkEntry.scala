@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, CoreQueries, LlmQueries, StatefulQueries, WindowQueries}
+import graft.queries.{AnalyticQueries, CoreQueries, CorpusQueries, LlmQueries, StatefulQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY §2 is exercised by one entry
@@ -16,7 +16,8 @@ object SparkEntry {
       (StatefulQueries.queries, StatefulQueries.oracle),
       (WindowQueries.queries, WindowQueries.oracle),
       (LlmQueries.queries, LlmQueries.oracle),
-      (AnalyticQueries.queries, AnalyticQueries.oracle))
+      (AnalyticQueries.queries, AnalyticQueries.oracle),
+      (CorpusQueries.queries, CorpusQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

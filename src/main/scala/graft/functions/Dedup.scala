@@ -293,6 +293,33 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** Corpus snapshot diff — the maintenance question "what changed
+    * between crawl N and crawl N+1": classify every doc id as added
+    * (only in the new snapshot), removed (only in the old), changed
+    * (both, fingerprints differ), or unchanged. One full-outer hash
+    * join on id; at warehouse scale both snapshots live bucketed/
+    * sorted by id (or z-ordered — [[Layout.zorderBy]]) and the join
+    * plans shuffle-free. Compare on a cheap content fingerprint
+    * column (e.g. [[Text.fingerprint]]), never raw text — the
+    * exchange then carries (id, 32-byte fp) rows regardless of doc
+    * size. Returns (id, status, old_fp, new_fp); `includeUnchanged`
+    * keeps the (typically dominant) unchanged class, off by default
+    * so the result stays proportional to the drift, not the corpus.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String, fpCol: String,
+      includeUnchanged: Boolean = false): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), col(fpCol).as("old_fp"))
+    val n = newDf.select(col(idCol).as("id"), col(fpCol).as("new_fp"))
+    val joined = o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_fp"), col("new_fp"))
+    if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
+  }
+
   /** Streaming exact dedup: drop repeats of `idCols` arriving within the
     * watermark horizon — state for a key is reclaimed once the watermark
     * passes its event time + delay, so memory is bounded on unbounded

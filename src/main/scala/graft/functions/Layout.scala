@@ -79,6 +79,39 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** The join-side half of "make the 100 TB scan cheap" (z-order is the
+    * filter-side half): persist `df` as a BUCKETED, bucket-sorted
+    * external parquet table, so every later equi-join or aggregation on
+    * the bucket key plans WITHOUT an exchange — Spark's hash-bucket
+    * metadata proves both sides co-partitioned, and the per-bucket
+    * sort feeds SortMergeJoin without a sort node either. Paying the
+    * shuffle ONCE at layout time instead of per-join is the standard
+    * warehouse contract for fact tables joined daily (LayoutSpec
+    * asserts the exchange-free, sort-free plan and row parity against
+    * the unbucketed join).
+    *
+    * Same-numBuckets tables only (Spark joins bucketed tables
+    * shuffle-free when bucket counts match; a mismatch re-shuffles the
+    * smaller side). Requires a catalog (`saveAsTable`) — bucketing
+    * metadata lives there, not in parquet footers. Exchange
+    * elimination is unconditional; SORT elimination additionally
+    * needs `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+    * (off by default since SPARK-28595 because it presumes one file
+    * per bucket — exactly what the repartition below guarantees).
+    */
+  def bucketWrite(df: DataFrame, table: String, path: String,
+      numBuckets: Int, key: String, extraSortCols: String*): Unit =
+    // repartition on the key first so each bucket is ONE file: Spark
+    // only trusts sortBy metadata (and so skips the join-side Sort)
+    // when a bucket has a single file — multi-file buckets re-sort
+    df.repartition(numBuckets, col(key))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+      .sortBy(key, extraSortCols: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }
 
 object LayoutImpl {

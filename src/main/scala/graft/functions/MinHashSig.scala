@@ -47,8 +47,8 @@ object MinHashImpl {
   }
 
   private val maxHashes = 512
-  private val as: Array[Long] = Array.tabulate(maxHashes)(k => splitmix64(2L * k) | 1L)
-  private val bs: Array[Long] = Array.tabulate(maxHashes)(k => splitmix64(2L * k + 1))
+  private[functions] val as: Array[Long] = Array.tabulate(maxHashes)(k => splitmix64(2L * k) | 1L)
+  private[functions] val bs: Array[Long] = Array.tabulate(maxHashes)(k => splitmix64(2L * k + 1))
 
   /** The (a_k, b_k) affine constants for hashes 0..numHashes-1 — public
     * so the DuckDB oracle can inline the exact same permutation family

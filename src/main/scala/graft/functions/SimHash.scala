@@ -77,10 +77,35 @@ object SimHashImpl {
   def fnv1a(s: UTF8String): Long = fnv1a(s.getBytes)
 }
 
+/** FNV-1a 64 of a string column — the item hash for sketch inputs
+  * ([[Cms]], corpus MinHash signatures) where the oracle must replay
+  * the hash in DuckDB (xxhash64's seed/finalizer is not SQL-renderable;
+  * FNV-1a is an ordered byte fold).
+  */
+case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fnv1a64 requires string, got $t")
+    }
+  override def nullSafeEval(input: Any): Any =
+    SimHashImpl.fnv1a(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.fnv1a($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64Expr =
+    copy(child = newChild)
+}
+
 object SimHash {
   /** Column wrapper: simhash64(array<string>) → long. */
   def simhash64(tokens: Column): Column =
     GraftExpr.column(SimHash64(GraftExpr.expression(tokens)))
+
+  /** Column wrapper: fnv1a64(string) → long. */
+  def fnv1a64(s: Column): Column =
+    GraftExpr.column(Fnv1a64Expr(GraftExpr.expression(s)))
 
   /** Hamming distance between two simhashes (built-in, codegen'd). */
   def hamming(a: Column, b: Column): Column =

@@ -103,6 +103,51 @@ object Text {
     assemblePacks(df, idCol, text, budget,
       math.max(1, df.sparkSession.sparkContext.defaultParallelism * 2))
 
+  /** C4-style line-level dedup (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…" §2.2 — C4 removed any three-sentence
+    * span occurring more than once; line granularity is the common
+    * production variant): every occurrence of a line whose GLOBAL
+    * occurrence count reaches `minCount` is removed from every
+    * document, and each document's surviving lines are reassembled in
+    * their original order. Returns (id, text, n_lines, n_removed) for
+    * every input document — callers drop emptied docs themselves.
+    *
+    * Scale shape — only boilerplate moves through the heavy shuffles:
+    * (1) one fingerprint-count shuffle over exploded line hashes
+    * (map-side combine; 8-byte keys, never line text); (2) the
+    * boilerplate relation (count >= minCount — by construction a tiny
+    * fraction of distinct lines) broadcasts back onto the exploded
+    * hashes, and only MATCHING occurrences aggregate into per-doc
+    * removal sets; (3) documents join their removal set by id and the
+    * rewrite happens as an array filter on the intact row — the
+    * document text itself is never exploded, re-sorted, or
+    * re-concatenated. A 64-bit line fingerprint stands in for the
+    * line ([[SimHashImpl.fnv1a]]): collisions remove an innocent line
+    * with probability ~ n_distinct²/2⁶⁴ — the same envelope as every
+    * fingerprint dedup path here.
+    */
+  def lineDedup(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      minCount: Long, delimiter: String = "\n"): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val delimRegex = java.util.regex.Pattern.quote(delimiter)
+    val docs = df.select(idCol.as("id"), text.as("text"))
+    val lh = docs.select(col("id"),
+      explode(split(col("text"), delimRegex)).as("line"))
+      .select(col("id"), SimHash.fnv1a64(col("line")).as("lh"))
+    val boiler = lh.groupBy("lh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("lh")
+    val rm = lh.join(broadcast(boiler), "lh")
+      .groupBy("id").agg(collect_set(col("lh")).as("rm"))
+    val lines = split(col("text"), delimRegex)
+    val kept = filter(lines, l => !array_contains(col("rm"), SimHash.fnv1a64(l)))
+    docs.join(rm, Seq("id"), "left")
+      .withColumn("rm", coalesce(col("rm"), array().cast("array<long>")))
+      .select(col("id"),
+        array_join(kept, delimiter).as("text"),
+        size(lines).cast("long").as("n_lines"),
+        (size(lines) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Count of tokens that appear in `stopwords` (codegen'd scan). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     TokenExprs.stopword_hits(text, stopwords)

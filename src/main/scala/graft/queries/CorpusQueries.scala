@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Bloom, Cms, CorpusSketch, Dedup, Hist, MinHashImpl, Shingles, SimHash, Text}
+import OracleSql._
+
+/** Corpus-statistics sketches and corpus-maintenance gates: the
+  * mergeable sketch suite (Count-Min frequencies, corpus MinHash
+  * overlap, fixed-grid histograms — companions to the q_hll gates),
+  * C4-style line-level dedup, and snapshot diffing. Every sketch gate
+  * renders the ENTIRE sketch state (counter grids, signature slots)
+  * bit-exactly in DuckDB, pinning the hash arithmetic end to end —
+  * not just a summary statistic.
+  */
+object CorpusQueries {
+
+  private val cmsD = 3
+  private val cmsW = 64
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // per-source token-frequency CMS: all depth*width counters pinned
+    "q_cms" -> { (s, dir) =>
+      val sk = sourceTokens(s, dir).groupBy(col("source"))
+        .agg(Cms.cmsSketch(SimHash.fnv1a64(col("t")), lit(1L), cmsD, cmsW).as("sk"))
+      val cs = Cms.cmsCounters(col("sk"))
+      sk.select(col("source"),
+        md5(array_join(cs.cast("array<string>"), ",")).as("cnt_md5"),
+        aggregate(cs, lit(0L), (a, x) => a + x).as("cnt_sum"),
+        array_max(cs).as("cnt_max"))
+    },
+
+    // sketch mergeability: per-source partial sketches summed by
+    // cms_merge must be counter-identical to the direct global sketch
+    // — the oracle computes the direct counters once
+    "q_cms_merge" -> { (s, dir) =>
+      val perSrc = sourceTokens(s, dir).groupBy(col("source"))
+        .agg(Cms.cmsSketch(SimHash.fnv1a64(col("t")), lit(1L), cmsD, cmsW).as("sk"))
+      val merged = perSrc.agg(Cms.cmsMerge(col("sk")).as("sk"))
+      val cs = Cms.cmsCounters(col("sk"))
+      merged.select(
+        md5(array_join(cs.cast("array<string>"), ",")).as("cnt_md5"),
+        aggregate(cs, lit(0L), (a, x) => a + x).as("cnt_sum"))
+    },
+
+    // heavy hitters: the probe shape — one global sketch broadcast
+    // into a codegen'd estimate scan over a candidate drop (src0's
+    // distinct tokens). est >= exact always (one-sided CMS error);
+    // the exact count joins in so the gate pins both sides. The
+    // crossJoin is a deliberate 1-row broadcast (the sketch), the
+    // same pattern as the IVF centroid broadcast.
+    "q_heavy_hitters" -> { (s, dir) =>
+      val tok = sourceTokens(s, dir)
+      val sk = tok.agg(
+        Cms.cmsSketch(SimHash.fnv1a64(col("t")), lit(1L), cmsD, cmsW).as("sk"))
+      val cand = tok.filter(col("source") === "src0").select(col("t")).distinct()
+      val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact"))
+      cand.crossJoin(broadcast(sk))
+        .select(col("t"), Cms.cmsEstimate(col("sk"), SimHash.fnv1a64(col("t"))).as("est"))
+        .filter(col("est") >= 500L)
+        .join(exact, "t")
+        .select(col("t").as("token"), col("est"), col("exact"))
+    },
+
+    // per-source membership filters: every set bit pinned, plus a
+    // membership matrix (each source's filter probed with the global
+    // vocabulary — own tokens always hit, extra hits are the measured
+    // false positives, identical in both engines by construction)
+    "q_bloom" -> { (s, dir) =>
+      val tok = sourceTokens(s, dir)
+      val sk = tok.groupBy(col("source"))
+        .agg(Bloom.bloomSketch(SimHash.fnv1a64(col("t")), 512, 3).as("sk"))
+      val vocab = tok.select(col("t")).distinct()
+      val hits = vocab.crossJoin(broadcast(sk))
+        .filter(Bloom.bloomContains(col("sk"), SimHash.fnv1a64(col("t"))))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_probe_hits"))
+      val bits = Bloom.bloomBits(col("sk"))
+      sk.select(col("source"),
+          size(bits).cast("long").as("n_set"),
+          md5(array_join(bits.cast("array<string>"), ",")).as("bits_md5"))
+        .join(hits, "source")
+    },
+
+    // corpus-overlap matrix: one 64-slot MinHash signature per source
+    // corpus (over distinct 3-token shingles), every slot of every
+    // signature pinned via md5 + the pairwise match count (the Jaccard
+    // estimator numerator). The signature self-join is a 20-row
+    // broadcast nested loop — metadata-scale by construction (S
+    // corpora, never items).
+    "q_corpus_overlap" -> { (s, dir) =>
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(Shingles.shingles(col("text"), 3)).as("sh"))
+      val sigs = sh.groupBy(col("source"))
+        .agg(CorpusSketch.corpusMinhash(SimHash.fnv1a64(col("sh")), 64).as("sig"))
+      sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"),
+          CorpusSketch.sigMatches(col("a.sig"), col("b.sig")).as("n_eq"),
+          md5(array_join(col("a.sig").cast("array<string>"), ",")).as("sig_a_md5"),
+          md5(array_join(col("b.sig").cast("array<string>"), ",")).as("sig_b_md5"))
+    },
+
+    // per-source doc-length histograms on a [100, 500)x16 grid chosen
+    // so both tail slots carry mass; quantile slots integer-exact
+    "q_hist" -> { (s, dir) =>
+      val sk = Tables.load(s, dir, "documents").groupBy(col("source"))
+        .agg(Hist.histSketch(col("n_chars").cast("double"), 100.0, 500.0, 16).as("h"))
+      sk.select(col("source"),
+        md5(array_join(col("h").cast("array<string>"), ",")).as("h_md5"),
+        element_at(col("h"), 1).as("n_under"),
+        element_at(col("h"), 18).as("n_over"),
+        Hist.histQuantileSlot(col("h"), 0.5).cast("long").as("q50_slot"),
+        Hist.histQuantileSlot(col("h"), 0.95).cast("long").as("q95_slot"))
+    },
+
+    // C4-style line dedup over deterministically derived lines (the
+    // corpus token 'line' becomes the delimiter — same rewrite in both
+    // engines); all occurrences of any globally-3x line are removed
+    "q_text_linedup" -> { (s, dir) =>
+      val lined = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), replace(col("text"), lit(" line "), lit("\n")).as("t"))
+      Text.lineDedup(lined, col("doc_id"), col("t"), minCount = 3)
+        .select(col("id"), md5(col("text")).as("text_md5"),
+          col("n_lines"), col("n_removed"))
+    },
+
+    // snapshot diff: old = ids not 0 mod 7, new = ids not 0 mod 5 with
+    // 0-mod-11 docs rewritten — added/removed/changed classes all live
+    "q_snapshot_diff" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text"))).as("fp"))
+      Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
+    })
+
+  private def sourceTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+
+  /** CMS counter grid over token FNV-1a hashes: per depth row j,
+    * idx = splitmix64(h XOR j) mod width ([[graft.functions.CmsImpl]]).
+    * `grid` restores untouched counters as 0.
+    */
+  private def cmsGridSql(perSource: Boolean): String = {
+    val h = fnvFold("t")
+    val srcSel = if (perSource) "source, " else ""
+    val srcGrp = if (perSource) "source, " else ""
+    val srcGrid =
+      if (perSource) "(SELECT DISTINCT source FROM documents) g CROSS JOIN "
+      else ""
+    val srcGridSel = if (perSource) "g.source, " else ""
+    val srcJoin = if (perSource) "c0.source = grid.source AND " else ""
+    s"""WITH tk AS (SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents),
+       |th AS (SELECT source, $h AS h
+       |  FROM tk),
+       |b AS (SELECT $srcSel jj.j AS j,
+       |    CAST(${smix64("xor(h, CAST(jj.j AS UBIGINT))")} % $cmsW AS BIGINT) AS idx
+       |  FROM th, (SELECT UNNEST(range(0, $cmsD)) AS j) jj),
+       |c0 AS (SELECT $srcGrp j, idx, COUNT(*) AS c FROM b GROUP BY ALL),
+       |grid AS (SELECT $srcGridSel jj.j, ii.idx
+       |  FROM $srcGrid(SELECT UNNEST(range(0, $cmsD)) AS j) jj
+       |  CROSS JOIN (SELECT UNNEST(range(0, $cmsW)) AS idx) ii),
+       |cnts AS (SELECT ${if (perSource) "grid.source, " else ""}grid.j, grid.idx, COALESCE(c0.c, 0) AS c
+       |  FROM grid LEFT JOIN c0 ON ${srcJoin}c0.j = grid.j AND c0.idx = grid.idx)
+       |""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_cms" -> (cmsGridSql(perSource = true) +
+      """SELECT source,
+        |  md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY j, idx)) AS cnt_md5,
+        |  CAST(SUM(c) AS BIGINT) AS cnt_sum,
+        |  CAST(MAX(c) AS BIGINT) AS cnt_max
+        |FROM cnts GROUP BY 1""".stripMargin),
+
+    "q_cms_merge" -> (cmsGridSql(perSource = false) +
+      """SELECT
+        |  md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY j, idx)) AS cnt_md5,
+        |  CAST(SUM(c) AS BIGINT) AS cnt_sum
+        |FROM cnts""".stripMargin),
+
+    "q_heavy_hitters" -> {
+      val h = fnvFold("t")
+      s"""WITH tk AS (SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents),
+         |cnt AS (SELECT t, $h AS h, COUNT(*) AS exact
+         |  FROM tk GROUP BY 1, 2),
+         |b AS (SELECT t, exact, jj.j AS j,
+         |    CAST(${smix64("xor(h, CAST(jj.j AS UBIGINT))")} % $cmsW AS BIGINT) AS idx
+         |  FROM cnt, (SELECT UNNEST(range(0, $cmsD)) AS j) jj),
+         |cw AS (SELECT j, idx, SUM(exact) AS c FROM b GROUP BY 1, 2),
+         |est AS (SELECT b.t, b.exact, CAST(MIN(cw.c) AS BIGINT) AS est
+         |  FROM b JOIN cw ON b.j = cw.j AND b.idx = cw.idx
+         |  GROUP BY 1, 2)
+         |SELECT t AS token, est, CAST(exact AS BIGINT) AS exact
+         |FROM est
+         |WHERE est >= 500
+         |  AND t IN (SELECT DISTINCT t FROM tk WHERE source = 'src0')""".stripMargin
+    },
+
+    "q_bloom" -> {
+      val h = fnvFold("t")
+      s"""WITH tk AS (SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents),
+         |th AS (SELECT DISTINCT source, t FROM tk),
+         |thh AS (SELECT source, t, $h AS h
+         |  FROM th),
+         |bits AS (SELECT DISTINCT source,
+         |    CAST(${smix64("xor(h, CAST(jj.j AS UBIGINT))")} % 512 AS INT) AS bit
+         |  FROM thh, (SELECT UNNEST(range(0, 3)) AS j) jj),
+         |agg AS (SELECT source, COUNT(*) AS n_set,
+         |    md5(string_agg(CAST(bit AS VARCHAR), ',' ORDER BY bit)) AS bits_md5
+         |  FROM bits GROUP BY 1),
+         |vocab AS (SELECT DISTINCT t, $h AS h
+         |  FROM (SELECT DISTINCT t FROM tk)),
+         |vbd AS (SELECT DISTINCT t,
+         |    CAST(${smix64("xor(h, CAST(jj.j AS UBIGINT))")} % 512 AS INT) AS bit
+         |  FROM vocab, (SELECT UNNEST(range(0, 3)) AS j) jj),
+         |tneed AS (SELECT t, COUNT(*) AS need FROM vbd GROUP BY 1),
+         |mtch AS (SELECT b.source, v.t, COUNT(*) AS got
+         |  FROM vbd v JOIN bits b ON b.bit = v.bit GROUP BY 1, 2),
+         |hits AS (SELECT m.source, COUNT(*) AS n_probe_hits
+         |  FROM mtch m JOIN tneed n ON n.t = m.t AND m.got = n.need GROUP BY 1)
+         |SELECT a.source, CAST(a.n_set AS BIGINT) AS n_set, a.bits_md5,
+         |  CAST(h.n_probe_hits AS BIGINT) AS n_probe_hits
+         |FROM agg a JOIN hits h ON h.source = a.source""".stripMargin
+    },
+
+    "q_corpus_overlap" -> {
+      val h = fnvFold("s")
+      val permRows = MinHashImpl.constants(64).zipWithIndex.map { case ((a, b), p) =>
+        s"($p, ${java.lang.Long.toUnsignedString(a)}::UBIGINT, " +
+          s"${java.lang.Long.toUnsignedString(b)}::UBIGINT)"
+      }.mkString(",\n    ")
+      val affine = s"CAST((CAST(${mulCols("h", "a")} AS HUGEINT) + CAST(b AS HUGEINT)) % $M64 AS UBIGINT)"
+      s"""WITH tok AS (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents),
+         |shd AS (SELECT DISTINCT source, s FROM (
+         |  SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+         |hh AS (SELECT source, $h AS h
+         |  FROM shd),
+         |perms(p, a, b) AS (VALUES
+         |    $permRows),
+         |mins AS (SELECT source, p,
+         |    CAST(MIN(${toSigned(affine)}) AS BIGINT) AS smin
+         |  FROM hh, perms GROUP BY 1, 2),
+         |sigs AS (SELECT source,
+         |    md5(string_agg(CAST(smin AS VARCHAR), ',' ORDER BY p)) AS sig_md5
+         |  FROM mins GROUP BY 1),
+         |pairs AS (SELECT a.source AS sa, b.source AS sb,
+         |    CAST(COUNT(*) FILTER (WHERE a.smin = b.smin) AS BIGINT) AS n_eq
+         |  FROM mins a JOIN mins b ON a.p = b.p AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT p.sa, p.sb, p.n_eq,
+         |  ga.sig_md5 AS sig_a_md5, gb.sig_md5 AS sig_b_md5
+         |FROM pairs p
+         |JOIN sigs ga ON ga.source = p.sa
+         |JOIN sigs gb ON gb.source = p.sb""".stripMargin
+    },
+
+    // bin arithmetic in the exact Scala operation order:
+    // (v - lo) * nbins / (hi - lo), floor, fp-guard LEAST, +1 offset
+    "q_hist" ->
+      """WITH b AS (SELECT source,
+        |  CASE WHEN CAST(n_chars AS DOUBLE) < 100.0 THEN 0
+        |       WHEN CAST(n_chars AS DOUBLE) >= 500.0 THEN 17
+        |       ELSE 1 + LEAST(CAST(floor((CAST(n_chars AS DOUBLE) - 100.0) * 16 / (500.0 - 100.0)) AS INT), 15)
+        |  END AS slot
+        |  FROM documents),
+        |c0 AS (SELECT source, slot, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |grid AS (SELECT g.source, i.slot
+        |  FROM (SELECT DISTINCT source FROM documents) g
+        |  CROSS JOIN (SELECT UNNEST(range(0, 18)) AS slot) i),
+        |hh AS (SELECT grid.source, grid.slot, COALESCE(c0.c, 0) AS c
+        |  FROM grid LEFT JOIN c0 ON c0.source = grid.source AND c0.slot = grid.slot),
+        |q AS (SELECT source, slot, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY slot) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS tot
+        |  FROM hh)
+        |SELECT source,
+        |  md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY slot)) AS h_md5,
+        |  CAST(SUM(CASE WHEN slot = 0 THEN c END) AS BIGINT) AS n_under,
+        |  CAST(SUM(CASE WHEN slot = 17 THEN c END) AS BIGINT) AS n_over,
+        |  CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.5 * tot) AS BIGINT)) THEN slot END) AS BIGINT) AS q50_slot,
+        |  CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.95 * tot) AS BIGINT)) THEN slot END) AS BIGINT) AS q95_slot
+        |FROM q GROUP BY 1""".stripMargin,
+
+    "q_text_linedup" ->
+      """WITH d AS (SELECT doc_id, replace(text, ' line ', chr(10)) AS t FROM documents),
+        |l AS (SELECT doc_id, u.i AS i, string_split(t, chr(10))[u.i] AS line
+        |  FROM d, UNNEST(generate_series(1, len(string_split(t, chr(10))))) u(i)),
+        |c AS (SELECT line, COUNT(*) AS cnt FROM l GROUP BY 1),
+        |boiler AS (SELECT line FROM c WHERE cnt >= 3),
+        |k AS (SELECT doc_id, i, line FROM l WHERE line NOT IN (SELECT line FROM boiler)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt,
+        |    COUNT(*) AS n_kept
+        |  FROM k GROUP BY 1)
+        |SELECT d.doc_id AS id, md5(COALESCE(a.txt, '')) AS text_md5,
+        |  CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(string_split(d.t, chr(10))) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS id, md5(text) AS old_fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id AS id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (SELECT COALESCE(o.id, n.id) AS id,
+        |    CASE WHEN o.id IS NULL THEN 'added'
+        |         WHEN n.id IS NULL THEN 'removed'
+        |         WHEN old_fp <> new_fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    old_fp, new_fp
+        |  FROM o FULL OUTER JOIN n ON o.id = n.id)
+        |SELECT id, status, old_fp, new_fp FROM j WHERE status <> 'unchanged'""".stripMargin)
+}

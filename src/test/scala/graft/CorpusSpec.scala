@@ -1,0 +1,330 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Cms, CmsImpl, CorpusSketch, CorpusSketchImpl, Dedup, Hist, HistImpl, Sampling, SimHash, Text}
+
+/** Corpus-statistics sketch suite (CMS / corpus MinHash / histogram)
+  * and corpus-maintenance ops (line dedup, snapshot diff).
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Count-Min sketch ----
+
+  private def skewed(n: Int): DataFrame =
+    // zipf-ish: key k appears ~n/(k+1) times
+    spark.range(n).toDF("i")
+      .select((col("i") % 1000).as("k"))
+      .filter(Sampling.splitmix64(col("i")) % (col("k") + 1L) === 0L)
+
+  test("cms estimate is >= exact for every key and tight for heavy keys") {
+    val df = skewed(200000).cache()
+    try {
+      val total = df.count()
+      val sk = df.agg(
+        Cms.cmsSketch(Sampling.splitmix64(col("k")), lit(1L), 4, 512).as("sk"))
+      val exact = df.groupBy("k").agg(count(lit(1)).as("exact"))
+      val rows = exact.crossJoin(broadcast(sk))
+        .select(col("k"), col("exact"),
+          Cms.cmsEstimate(col("sk"), Sampling.splitmix64(col("k"))).as("est"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+          s"one-sided bound violated at k=${r.getAs[Long]("k")}")
+      }
+      // CMS guarantee: P(err > e/w * N) <= exp(-d). With d=4, w=512:
+      // e/w*N ~ N/188. Allow 5x the Markov bound's failure count.
+      val bound = (math.E / 512 * total).toLong
+      val over = rows.count(r => r.getAs[Long]("est") - r.getAs[Long]("exact") > bound)
+      assert(over <= math.max(1, (rows.length * 5 * math.exp(-4.0)).toInt),
+        s"$over of ${rows.length} keys exceed the eps*N bound $bound")
+    } finally df.unpersist()
+  }
+
+  test("cms merge of per-shard sketches is byte-identical to the direct sketch") {
+    val df = skewed(50000).withColumn("shard", col("k") % 7)
+    val direct = df.agg(
+      Cms.cmsSketch(Sampling.splitmix64(col("k")), lit(1L), 3, 128)).head().getAs[Array[Byte]](0)
+    val merged = df.groupBy("shard")
+      .agg(Cms.cmsSketch(Sampling.splitmix64(col("k")), lit(1L), 3, 128).as("sk"))
+      .agg(Cms.cmsMerge(col("sk"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, merged))
+  }
+
+  test("weighted cms over pre-aggregated counts equals unweighted over raw rows") {
+    val raw = skewed(30000)
+    val agg = raw.groupBy("k").agg(count(lit(1)).as("cnt"))
+    val a = raw.agg(Cms.cmsSketch(Sampling.splitmix64(col("k")), lit(1L), 3, 64))
+      .head().getAs[Array[Byte]](0)
+    val b = agg.agg(Cms.cmsSketch(Sampling.splitmix64(col("k")), col("cnt"), 3, 64))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("cms refuses to merge mismatched shapes") {
+    val a = CmsImpl.create(3, 64)
+    val b = CmsImpl.create(3, 128)
+    val e = intercept[IllegalArgumentException](CmsImpl.mergeInto(a, b))
+    assert(e.getMessage.contains("different shape"))
+  }
+
+  test("cms sketch partial-aggregates: sketches cross the exchange, not rows") {
+    val df = skewed(10000)
+    val plan = df.agg(Cms.cmsSketch(Sampling.splitmix64(col("k")), lit(1L), 3, 64))
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate runs in partial + final mode around the exchange
+    assert(plan.contains("cms_sketch"))
+    assert(plan.toLowerCase.contains("partial_cms_sketch") ||
+      plan.contains("partial"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("streaming running count: final estimates bit-equal the batch estimates") {
+    import graft.connectors.Testing
+    import graft.streaming.{StreamingCms, StreamingOps}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // last emission per (key, item) = the final (full-data) estimate:
+      // counters only grow and every batch re-emits its arrivals
+      val rows = (0L until 3000L).map(i => ("k" + (i % 2), i % 37))
+      val src = Testing.testingSource[(String, Long)](spark)
+      src.addBatch(rows.take(1000): _*)
+      src.addBatch(rows.slice(1000, 2000): _*)
+      src.addBatch(rows.drop(2000): _*)
+      val out = StreamingCms.runningCount(src.toDS(), depth = 3, width = 32)
+      val got = StreamingOps.runToMemory(out, "scms").as[(String, (Long, Long))]
+        .collect().groupBy(r => (r._1, r._2._1))
+        .map { case (k, v) => k -> v.map(_._2._2).max }
+      val skDf = rows.toDF("k", "h").groupBy($"k")
+        .agg(Cms.cmsSketch($"h", lit(1L), 3, 32).as("sk"))
+      val want = rows.toDF("k", "h").distinct().join(skDf, "k")
+        .select($"k", $"h", Cms.cmsEstimate($"sk", $"h").as("est"))
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === want)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  // ---- Corpus MinHash ----
+
+  /** Two corpora of item ids with known Jaccard: |A|=|B|=n, overlap o. */
+  private def twoCorpora(n: Int, o: Int): (DataFrame, DataFrame) = {
+    val a = spark.range(n).toDF("item")
+    val b = spark.range(n - o, 2L * n - o).toDF("item")
+    (a, b)
+  }
+
+  test("corpus minhash jaccard estimate is accurate at k=256") {
+    val n = 20000
+    val o = 10000 // true J = o / (2n - o) = 1/3
+    val (a, b) = twoCorpora(n, o)
+    def sig(df: DataFrame) = df
+      .agg(CorpusSketch.corpusMinhash(Sampling.splitmix64(col("item")), 256).as("sig"))
+    val est = sig(a).crossJoin(sig(b).withColumnRenamed("sig", "sigB"))
+      .select(CorpusSketch.jaccardEstimate(col("sig"), col("sigB")))
+      .head().getDouble(0)
+    val trueJ = o.toDouble / (2.0 * n - o)
+    // stderr = sqrt(J(1-J)/k) ~ 0.029; 4 sigma ~ 0.12
+    assert(math.abs(est - trueJ) < 0.12, s"est=$est true=$trueJ")
+  }
+
+  test("corpus minhash merge of shard signatures equals the direct signature") {
+    val df = spark.range(30000).toDF("item").withColumn("shard", col("item") % 5)
+    val direct = df
+      .agg(CorpusSketch.corpusMinhash(Sampling.splitmix64(col("item")), 64))
+      .head().getSeq[Long](0).toVector
+    val merged = df.groupBy("shard")
+      .agg(CorpusSketch.corpusMinhash(Sampling.splitmix64(col("item")), 64).as("sig"))
+      .agg(CorpusSketch.corpusMinhashMerge(col("sig")))
+      .head().getSeq[Long](0).toVector
+    assert(direct == merged)
+  }
+
+  test("corpus minhash merge is idempotent and duplicate-insensitive") {
+    val items = spark.range(5000).toDF("item")
+    val sig = items
+      .agg(CorpusSketch.corpusMinhash(Sampling.splitmix64(col("item")), 64).as("sig"))
+      .head().getSeq[Long](0).toVector
+    val twice = Seq((1, sig), (2, sig)).toDF("i", "sig")
+      .agg(CorpusSketch.corpusMinhashMerge(col("sig"))).head().getSeq[Long](0).toVector
+    assert(twice == sig)
+    val dup = items.union(items)
+      .agg(CorpusSketch.corpusMinhash(Sampling.splitmix64(col("item")), 64))
+      .head().getSeq[Long](0).toVector
+    assert(dup == sig)
+  }
+
+  test("corpus signatures refuse to merge mismatched k") {
+    val e = intercept[IllegalArgumentException](
+      CorpusSketchImpl.mergeInto(new Array[Long](64), new Array[Long](128)))
+    assert(e.getMessage.contains("different k"))
+  }
+
+  // ---- Bloom ----
+
+  test("bloom has no false negatives and a sane false-positive rate at 10 bits/key") {
+    import graft.functions.{Bloom, BloomImpl}
+    val members = spark.range(1000).toDF("id")
+    val sk = members.agg(
+      Bloom.bloomSketch(Sampling.splitmix64(col("id")), 10240, 3).as("sk"))
+    val inHits = members.crossJoin(broadcast(sk))
+      .filter(Bloom.bloomContains(col("sk"), Sampling.splitmix64(col("id"))))
+      .count()
+    assert(inHits == 1000L, "false negative")
+    val outHits = spark.range(1000, 11000).toDF("id").crossJoin(broadcast(sk))
+      .filter(Bloom.bloomContains(col("sk"), Sampling.splitmix64(col("id"))))
+      .count()
+    // expected fp ~ (1-e^(-3*1000/10240))^3 ~ 1.6% of 10000 = ~160; allow 3x
+    assert(outHits < 500, s"fp rate too high: $outHits/10000")
+    val e = intercept[IllegalArgumentException](
+      BloomImpl.mergeInto(BloomImpl.create(512, 3), BloomImpl.create(1024, 3)))
+    assert(e.getMessage.contains("different shape"))
+  }
+
+  test("bloom merge of shard filters is byte-identical to the direct filter and idempotent") {
+    import graft.functions.Bloom
+    val df = spark.range(5000).toDF("id").withColumn("shard", col("id") % 4)
+    val direct = df.agg(Bloom.bloomSketch(Sampling.splitmix64(col("id")), 4096, 3))
+      .head().getAs[Array[Byte]](0)
+    val shards = df.groupBy("shard")
+      .agg(Bloom.bloomSketch(Sampling.splitmix64(col("id")), 4096, 3).as("sk"))
+    val merged = shards.agg(Bloom.bloomMerge(col("sk"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, merged))
+    val twice = shards.union(shards).agg(Bloom.bloomMerge(col("sk")))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, twice))
+  }
+
+  // ---- Histogram ----
+
+  test("hist counts match exact bin counts and quantile slot brackets the exact quantile") {
+    val df = spark.range(10000).toDF("i")
+      .select((Sampling.splitmix64(col("i")) % 1000L).cast("double").as("v"))
+      .cache()
+    try {
+      val lo = -1000.0; val hi = 1000.0; val nbins = 40
+      val h = df.agg(Hist.histSketch(col("v"), lo, hi, nbins).as("h"))
+      val counts = h.select(col("h")).head().getSeq[Long](0).toVector
+      assert(counts.length == nbins + 2)
+      assert(counts.sum == 10000L)
+      // exact per-bin counts via the same floor arithmetic
+      val exact = df.select(
+        when(col("v") < lo, 0)
+          .when(col("v") >= hi, nbins + 1)
+          .otherwise(lit(1) + least(floor((col("v") - lo) * nbins / (hi - lo)).cast("int"),
+            lit(nbins - 1))).as("slot"))
+        .groupBy("slot").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      counts.zipWithIndex.foreach { case (c, i) =>
+        assert(c == exact.getOrElse(i, 0L), s"slot $i: $c vs ${exact.getOrElse(i, 0L)}")
+      }
+      // quantile value within one bin width of the exact percentile
+      val est = h.select(Hist.histQuantileValue(col("h"), 0.5, lo, hi, nbins))
+        .head().getDouble(0)
+      val ex = df.agg(expr("percentile(v, 0.5)")).head().getDouble(0)
+      assert(math.abs(est - ex) <= (hi - lo) / nbins, s"est=$est exact=$ex")
+      // slot agrees with the value
+      val slot = h.select(Hist.histQuantileSlot(col("h"), 0.5)).head().getInt(0)
+      assert(slot >= 1 && slot <= nbins)
+    } finally df.unpersist()
+  }
+
+  test("hist merge parity, NaN skipped, empty histogram quantiles") {
+    val df = spark.range(8000).toDF("i")
+      .select((col("i") % 100L).cast("double").as("v"), (col("i") % 3L).as("shard"))
+    val direct = df.agg(Hist.histSketch(col("v"), 0.0, 100.0, 10))
+      .head().getSeq[Long](0).toVector
+    val merged = df.groupBy("shard")
+      .agg(Hist.histSketch(col("v"), 0.0, 100.0, 10).as("h"))
+      .agg(Hist.histMerge(col("h"))).head().getSeq[Long](0).toVector
+    assert(direct == merged)
+
+    val withNan = spark.range(8000).toDF("i").select(
+      when(col("i") % 7 === 0, lit(Double.NaN))
+        .otherwise((col("i") % 100L).cast("double")).as("v"))
+    val counts = withNan.agg(Hist.histSketch(col("v"), 0.0, 100.0, 10))
+      .head().getSeq[Long](0).toVector
+    assert(counts.sum == 8000L - 8000L / 7 - 1)
+
+    val empty = spark.range(0).toDF("i").select(col("i").cast("double").as("v"))
+      .agg(Hist.histSketch(col("v"), 0.0, 1.0, 4).as("h"))
+    assert(empty.select(Hist.histQuantileSlot(col("h"), 0.5)).head().getInt(0) == -1)
+    assert(empty.select(Hist.histQuantileValue(col("h"), 0.5, 0.0, 1.0, 4))
+      .head().getDouble(0).isNaN)
+  }
+
+  test("hist under/overflow quantile values clamp to lo/hi") {
+    val df = Seq(-5.0, -4.0, -3.0, 50.0, 200.0).toDF("v")
+    val h = df.agg(Hist.histSketch(col("v"), 0.0, 100.0, 10).as("h"))
+    assert(h.select(Hist.histQuantileValue(col("h"), 0.1, 0.0, 100.0, 10))
+      .head().getDouble(0) == 0.0) // underflow mass
+    assert(h.select(Hist.histQuantileValue(col("h"), 0.99, 0.0, 100.0, 10))
+      .head().getDouble(0) == 100.0) // overflow mass
+  }
+
+  // ---- Line-level dedup ----
+
+  test("lineDedup removes every occurrence of globally-frequent lines, order-preserving") {
+    val docs = Seq(
+      (1L, "keep one\nBOILER\nkeep two"),
+      (2L, "BOILER\nunique line\nBOILER"),
+      (3L, "another doc\nBOILER"),
+      (4L, "all clean\nhere"),
+      (5L, "BOILER") // fully emptied
+    ).toDF("doc_id", "text")
+    val out = Text.lineDedup(docs, col("doc_id"), col("text"), minCount = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"))))
+      .toMap
+    assert(out(1L) == (("keep one\nkeep two", 3L, 1L)))
+    assert(out(2L) == (("unique line", 3L, 2L)))
+    assert(out(3L) == (("another doc", 2L, 1L)))
+    assert(out(4L) == (("all clean\nhere", 2L, 0L)))
+    assert(out(5L) == (("", 1L, 1L)))
+  }
+
+  test("lineDedup with a threshold above the max count is the identity") {
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val out = Text.lineDedup(docs, col("doc_id"), col("text"), minCount = 3)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[String]("text")).toSeq == Seq("a\nb", "a\nc"))
+    assert(out.map(_.getAs[Long]("n_removed")).sum == 0L)
+  }
+
+  test("lineDedup matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val lines = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(5)).map(_ => lines(rnd.nextInt(lines.size))).mkString("\n"))
+    }
+    val minCount = 4L
+    val counts = docs.flatMap(_._2.split("\n", -1)).groupBy(identity).map { case (l, v) => l -> v.size }
+    val boiler = counts.filter(_._2 >= minCount).keySet
+    val expected = docs.map { case (id, t) =>
+      id -> t.split("\n", -1).filterNot(boiler).mkString("\n")
+    }.toMap
+    val got = Text.lineDedup(docs.toDF("doc_id", "text"), col("doc_id"), col("text"), minCount)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(got == expected)
+  }
+
+  // ---- Snapshot diff ----
+
+  test("snapshotDiff classifies added/removed/changed and hides unchanged by default") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "fp")
+    val got = Dedup.snapshotDiff(old, neu, "id", "fp")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val all = Dedup.snapshotDiff(old, neu, "id", "fp", includeUnchanged = true)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(all(2L) == "unchanged" && all.size == 4)
+  }
+}

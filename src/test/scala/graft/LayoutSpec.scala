@@ -53,6 +53,44 @@ class LayoutSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("bucketed tables join with no exchange and no sort, rows identical to unbucketed") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-bucket").toFile.getPath
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"value")
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val sortMeta = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val oldBcast = spark.conf.get(bcast)
+    spark.conf.set(bcast, "-1")
+    // scan-side sort elimination needs the sorted-bucket metadata
+    // opt-in (defaulted off in SPARK-28595 because it requires one
+    // file per bucket — which bucketWrite guarantees)
+    spark.conf.set(sortMeta, "true")
+    try {
+      Layout.bucketWrite(clicks, "graft_bkt_clicks", s"$base/clicks", 4, "user_id")
+      Layout.bucketWrite(purchases, "graft_bkt_purchases", s"$base/purchases", 4, "user_id")
+      val joined = spark.table("graft_bkt_clicks")
+        .join(spark.table("graft_bkt_purchases"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      assert(!plan.contains("+- Sort "), s"bucketed join re-sorted:\n$plan")
+      // decimal sum: order-independent, unlike a double fold
+      val got = joined.agg(count(lit(1)), sum($"value".cast("decimal(20,2)"))).head()
+      val want = clicks.join(purchases, "user_id")
+        .agg(count(lit(1)), sum($"value".cast("decimal(20,2)"))).head()
+      assert(got === want)
+      assert(got.getLong(0) > 0)
+    } finally {
+      spark.conf.set(bcast, oldBcast)
+      spark.conf.unset(sortMeta)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_clicks")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_purchases")
+    }
+  }
+
   test("z-value interleave round-trips bucketed dims (locality sanity)") {
     // neighbors in both dims land within a bounded z-distance window:
     // the curve maps each 1x1 bucket step to a bounded bit change
