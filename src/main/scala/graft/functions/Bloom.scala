@@ -41,6 +41,31 @@ object Bloom {
     GraftExpr.column(
       BloomSketchAgg(GraftExpr.expression(hash), m, k).toAggregateExpression())
 
+  /** [[bloomSketch]] sized from the expected key count and target
+    * false-positive rate: m = -n·ln(fpp)/ln²2 rounded up to bytes,
+    * k = round(m/n·ln2) — the textbook optimum (the same formula
+    * Spark's `stat.bloomFilter` uses). n is EXPECTED keys — an
+    * estimate (e.g. a prior drop's [[Hll]] count) is fine; overshoot
+    * just pads fpp.
+    */
+  def bloomSketchAuto(hash: Column, expectedKeys: Long, fpp: Double = 0.01): Column = {
+    val (m, k) = autoShape(expectedKeys, fpp)
+    bloomSketch(hash, m, k)
+  }
+
+  /** (m bits, k hashes) for (expectedKeys, fpp) — public so probe
+    * sides can size identically.
+    */
+  def autoShape(expectedKeys: Long, fpp: Double): (Int, Int) = {
+    require(expectedKeys > 0, s"expectedKeys must be > 0, got $expectedKeys")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val ln2 = math.log(2.0)
+    val mRaw = math.ceil(-expectedKeys * math.log(fpp) / (ln2 * ln2))
+    val m = math.min((((mRaw.toLong + 7) / 8) * 8).max(8L), 1L << 30).toInt
+    val k = math.max(1, math.round(m.toDouble / expectedKeys * ln2).toInt).min(16)
+    (m, k)
+  }
+
   /** Union pre-built filters: bitwise OR. Mismatched (m, k) throw. */
   def bloomMerge(sketch: Column): Column =
     GraftExpr.column(BloomMergeAgg(GraftExpr.expression(sketch)).toAggregateExpression())

@@ -51,6 +51,30 @@ object Cms {
       CmsSketchAgg(GraftExpr.expression(hash), GraftExpr.expression(weight),
         depth, width).toAggregateExpression())
 
+  /** [[cmsSketch]] with (depth, width) derived from the target error
+    * instead of hand-tuned: estimates overshoot true counts by more
+    * than `relErr`·TOTAL with probability at most `delta` — width =
+    * ceil(e/relErr), depth = ceil(ln(1/delta)). The defaults (0.1%
+    * of total mass, 1% failure odds) cost 5 rows × 2719 counters =
+    * ~106 KB per group, independent of corpus size — the property
+    * that makes the shape safe to fix once for a 100 TB history.
+    */
+  def cmsSketchAuto(hash: Column, weight: Column,
+      relErr: Double = 0.001, delta: Double = 0.01): Column = {
+    val (d, w) = autoShape(relErr, delta)
+    cmsSketch(hash, weight, d, w)
+  }
+
+  /** (depth, width) for a target (relErr, delta) — public so callers
+    * building probe-side estimates can size identically.
+    */
+  def autoShape(relErr: Double, delta: Double): (Int, Int) = {
+    require(relErr > 0 && relErr < 1, s"relErr must be in (0,1), got $relErr")
+    require(delta > 0 && delta < 1, s"delta must be in (0,1), got $delta")
+    (math.ceil(math.log(1.0 / delta)).toInt.max(1),
+      math.ceil(math.E / relErr).toInt.max(2))
+  }
+
   /** Union pre-built sketches: counter-wise sum. Associative and
     * commutative (NOT idempotent — merging the same shard twice
     * double-counts, unlike [[Hll.hllMerge]]; dedupe shard ids first).

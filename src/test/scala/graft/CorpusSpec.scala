@@ -167,6 +167,36 @@ class CorpusSpec extends SparkSpec {
     assert(e.getMessage.contains("different k"))
   }
 
+  test("auto-sized sketches: cms honors its error target, bloom its fpp target") {
+    import graft.functions.Bloom
+    // cms: relErr 1% of total, delta 10% -> d=3, w=272
+    assert(Cms.autoShape(0.01, 0.1) == ((3, 272)))
+    val df = skewed(100000).cache()
+    try {
+      val total = df.count()
+      val sk = df.agg(Cms.cmsSketchAuto(Sampling.splitmix64(col("k")), lit(1L),
+        relErr = 0.01, delta = 0.1).as("sk"))
+      val rows = df.groupBy("k").agg(count(lit(1)).as("exact"))
+        .crossJoin(broadcast(sk))
+        .select(col("exact"),
+          Cms.cmsEstimate(col("sk"), Sampling.splitmix64(col("k"))).as("est"))
+        .collect()
+      val over = rows.count(r => r.getAs[Long]("est") - r.getAs[Long]("exact") > 0.01 * total)
+      assert(over <= math.max(1, (rows.length * 0.2).toInt), s"$over/${rows.length}")
+    } finally df.unpersist()
+
+    // bloom: 1000 keys at 1% -> ~9585 bits rounded to bytes, k=7
+    val (m, k) = Bloom.autoShape(1000, 0.01)
+    assert(m >= 9585 && m % 8 == 0 && k == 7, s"m=$m k=$k")
+    val members = spark.range(1000).toDF("id")
+    val sk = members.agg(
+      Bloom.bloomSketchAuto(Sampling.splitmix64(col("id")), 1000, 0.01).as("sk"))
+    val fp = spark.range(1000, 21000).toDF("id").crossJoin(broadcast(sk))
+      .filter(graft.functions.Bloom.bloomContains(col("sk"), Sampling.splitmix64(col("id"))))
+      .count()
+    assert(fp < 20000 * 0.03, s"fp=$fp of 20000 at target 1%")
+  }
+
   // ---- Bloom ----
 
   test("bloom has no false negatives and a sane false-positive rate at 10 bits/key") {
