@@ -51,6 +51,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaCol.as[(Long, Long)].collect().toSet === viaSql.as[(Long, Long)].collect().toSet)
   }
 
+  test("the sketch suite is drivable from pure SQL: build, merge, probe") {
+    GraftExtensions.register(spark)
+    Tables.load(spark, sf0001, "events").createOrReplaceTempView("ext_events")
+    // per-type HLL sketches merged in SQL == the direct whole-table sketch
+    val hll = spark.sql(
+      """WITH parts AS (
+        |  SELECT event_type, hll_sketch(splitmix64(user_id), 8) AS sk
+        |  FROM ext_events GROUP BY event_type)
+        |SELECT hll_estimate(hll_merge(sk)) AS merged,
+        |       (SELECT hll_estimate(hll_sketch(splitmix64(user_id), 8))
+        |        FROM ext_events) AS direct
+        |FROM parts""".stripMargin).head()
+    assert(hll.getDouble(0) === hll.getDouble(1))
+    // CMS: SQL estimate >= exact for a known-hot key
+    val cms = spark.sql(
+      """WITH sk AS (SELECT cms_sketch(splitmix64(user_id), 1L, 3, 64) AS s
+        |            FROM ext_events)
+        |SELECT cms_estimate(s, splitmix64(7L)) AS est,
+        |       (SELECT COUNT(*) FROM ext_events WHERE user_id = 7) AS exact
+        |FROM sk""".stripMargin).head()
+    assert(cms.getLong(0) >= cms.getLong(1))
+    // bloom: member hits, non-member id space mostly misses
+    val bloom = spark.sql(
+      """WITH sk AS (SELECT bloom_sketch(splitmix64(user_id), 4096, 3) AS s
+        |            FROM ext_events)
+        |SELECT bloom_contains(s, splitmix64((SELECT MIN(user_id) FROM ext_events))) AS hit,
+        |       size(bloom_bits(s)) AS n_set
+        |FROM sk""".stripMargin).head()
+    assert(bloom.getBoolean(0) && bloom.getInt(1) > 0)
+    // corpus minhash self-overlap is k; hist quantile slot is in range
+    val rest = spark.sql(
+      """WITH sig AS (SELECT corpus_minhash(splitmix64(user_id), 16) AS g
+        |             FROM ext_events),
+        |     h AS (SELECT hist_sketch(value, 0.0D, 100.0D, 10) AS hh
+        |           FROM ext_events)
+        |SELECT size(filter(zip_with(g, g, (x, y) -> x = y), m -> m)) AS self_eq,
+        |       hist_quantile_slot(hh, 0.5D) AS q50
+        |FROM sig, h""".stripMargin).head()
+    assert(rest.getInt(0) === 16)
+    assert(rest.getInt(1) >= 0 && rest.getInt(1) <= 11)
+    // fnv1a64 in SQL == the JVM hash
+    val f = spark.sql("SELECT fnv1a64('alpha') AS h").head().getLong(0)
+    assert(f === graft.functions.SimHashImpl.fnv1a(
+      org.apache.spark.unsafe.types.UTF8String.fromString("alpha")))
+  }
+
   test("saltedAgg equals plain aggregation (skew-safe two-phase)") {
     val ev = Tables.load(spark, sf0001, "events")
     val plain = ev.groupBy($"event_type")
