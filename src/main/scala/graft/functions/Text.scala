@@ -71,6 +71,35 @@ object Text {
         col("n_tokens").cast("long").as("n_tokens"))
   }
 
+  /** Document chunking — the dual of [[packSequences]] (packing
+    * combines short docs into a budget; chunking splits long docs to
+    * fit one): fixed-size token windows of `chunkTokens` advancing by
+    * `stride` (stride < chunkTokens ⇒ overlapping windows, the
+    * standard long-context training shape). Returns
+    * (id, chunk_idx, chunk_text, n_tokens); the last chunk is the
+    * remainder (>= chunkTokens - stride + 1 tokens when the doc
+    * overflows, the whole doc otherwise). Pure narrow plan: tokenize
+    * once, explode the per-doc chunk index range, slice — no shuffle
+    * at all; chunk count arithmetic is integer-exact
+    * ((n - chunk + stride - 1) div stride + 1), never a double ceil.
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      chunkTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    val n = col("__n")
+    val nChunks = when(n <= chunkTokens, lit(1L))
+      .otherwise(expr(s"((__n - $chunkTokens + $stride - 1) div $stride) + 1"))
+    df.select(idCol.as("id"), tokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1L)))
+      .select(col("id"), col("chunk_idx"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1L).cast("int"), lit(chunkTokens)), " ").as("chunk_text"),
+        least(n - col("chunk_idx") * stride, lit(chunkTokens.toLong)).as("n_tokens"))
+  }
+
   /** Training-sequence assembly — the step after [[packSequences]]:
     * concatenate each pack's documents (id-ordered, space-joined)
     * into one sequence row (bucket, pack, seq_text, n_docs,

@@ -125,6 +125,27 @@ object CorpusQueries {
           col("n_lines"), col("n_removed"))
     },
 
+    // document chunking: 32-token windows, stride 16 (overlapping) —
+    // the long-context training split, narrow plan (no shuffle)
+    "q_text_chunk" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Text.chunkDocs(docs, col("doc_id"), col("text"), chunkTokens = 32, stride = 16)
+        .select(col("id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
+    },
+
+    // edit-distance verify tier: near-dup candidates from the shingle
+    // index, confirmed by exact Levenshtein — both engines implement
+    // the classic DP metric, so the distances pin exactly
+    "q_dedup_edit" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+      pairs.join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
+        .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
+        .select(col("i"), col("j"), levenshtein(col("ta"), col("tb")).cast("long").as("edit"))
+    },
+
     // snapshot diff: old = ids not 0 mod 7, new = ids not 0 mod 5 with
     // 0-mod-11 docs rewritten — added/removed/changed classes all live
     "q_snapshot_diff" -> { (s, dir) =>
@@ -302,6 +323,36 @@ object CorpusQueries {
         |  CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
         |  CAST(len(string_split(d.t, chr(10))) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
         |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS n FROM tok),
+        |c AS (SELECT doc_id, w, n,
+        |    CASE WHEN n <= 32 THEN 1 ELSE ((n - 32 + 16 - 1) // 16) + 1 END AS nc
+        |  FROM n),
+        |x AS (SELECT doc_id, w, n, UNNEST(range(0, nc)) AS ci FROM c)
+        |SELECT doc_id AS id, ci AS chunk_idx,
+        |  md5(array_to_string(w[ci*16 + 1 : LEAST(ci*16 + 32, n)], ' ')) AS chunk_md5,
+        |  CAST(LEAST(n - ci*16, 32) AS BIGINT) AS n_tokens
+        |FROM x""".stripMargin,
+
+    "q_dedup_edit" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |cand AS (SELECT i, j FROM pairs
+        |         JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |         WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5)
+        |SELECT c.i, c.j, CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit
+        |FROM cand c
+        |JOIN documents da ON da.doc_id = c.i
+        |JOIN documents db ON db.doc_id = c.j""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id AS id, md5(text) AS old_fp

@@ -345,6 +345,43 @@ class CorpusSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---- Chunking ----
+
+  test("chunkDocs covers every token, overlaps by chunk-stride, remainder chunk correct") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = Text.chunkDocs(docs, col("doc_id"), col("text"), chunkTokens = 32, stride = 16)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens")))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // n=100, chunk=32, stride=16: nc = ((100-32+15) div 16)+1 = 6
+    assert(d1.length == 6)
+    assert(d1.forall(c => c._3.split(" ").length == c._4))
+    assert(d1.take(5).forall(_._4 == 32L))
+    assert(d1.last._4 == 100L - 5 * 16) // remainder = 20
+    // consecutive chunks overlap by exactly chunk - stride = 16 tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val at = a._3.split(" ").toSeq; val bt = b._3.split(" ").toSeq
+      assert(at.takeRight(16) == bt.take(16))
+    }
+    // full coverage: stride-th token of each chunk reassembles the doc
+    val reassembled = (d1.init.map(_._3.split(" ").take(16)).flatten ++
+      d1.last._3.split(" ")).mkString(" ")
+    assert(reassembled == text)
+    // short doc: one chunk, verbatim; empty doc: one empty chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    assert(out.filter(_._1 == 3L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, "", 0L)))
+  }
+
+  test("chunkDocs at stride == chunkTokens partitions exactly (no overlap)") {
+    val text = (1 to 50).map(i => s"t$i").mkString(" ")
+    val out = Text.chunkDocs(Seq((7L, text)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), chunkTokens = 20, stride = 20)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text"))
+    assert(out.length == 3)
+    assert(out.mkString(" ") == text)
+  }
+
   // ---- Snapshot diff ----
 
   test("snapshotDiff classifies added/removed/changed and hides unchanged by default") {
