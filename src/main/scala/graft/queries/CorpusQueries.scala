@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Bloom, Cms, CorpusSketch, Dedup, Hist, MinHashImpl, Shingles, SimHash, Text}
+import graft.functions.{Bloom, BpeTrain, Cms, CorpusSketch, Dedup, Hist, MinHashImpl, Shingles, SimHash, Text}
 import OracleSql._
 
 /** Corpus-statistics sketches and corpus-maintenance gates: the
@@ -146,6 +146,18 @@ object CorpusQueries {
         .select(col("i"), col("j"), levenshtein(col("ta"), col("tb")).cast("long").as("edit"))
     },
 
+    // BPE vocabulary training: the first 4 learned merges — every
+    // merge depends on the full corpus's weighted pair counts and on
+    // every previous merge's greedy rewrite, so the 4 rows pin the
+    // whole iterative computation. minCount=1 so both engines stop on
+    // pair exhaustion only (they can't, on this corpus).
+    "q_text_bpe_train" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val merges = BpeTrain.train(docs, col("text"), numMerges = 4, minCount = 1L)
+      s.createDataFrame(merges)
+        .select(col("step").cast("long").as("step"), col("a"), col("b"), col("cnt"))
+    },
+
     // snapshot diff: old = ids not 0 mod 7, new = ids not 0 mod 5 with
     // 0-mod-11 docs rewritten — added/removed/changed classes all live
     "q_snapshot_diff" -> { (s, dir) =>
@@ -158,6 +170,58 @@ object CorpusQueries {
             .otherwise(col("text"))).as("fp"))
       Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
     })
+
+  /** DuckDB rendering of [[graft.functions.BpeTrain.train]], the `v`
+    * merge iterations unrolled as CTEs. The greedy leftmost merge is
+    * expressed relationally: match positions, consecutive runs via
+    * `i - row_number()`, greedy keep = odd rank within run (for a!=b
+    * runs are singletons — every match merges; for a=b a run of k
+    * matches keeps ceil(k/2), exactly the left-to-right scan), then a
+    * positional rebuild dropping each kept match's second symbol.
+    */
+  private def bpeTrainSql(v: Int): String = {
+    val base =
+      """WITH w0 AS (
+        |  SELECT t AS word, COUNT(*) AS cnt FROM (
+        |    SELECT UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        |    FROM documents) GROUP BY 1),
+        |s0 AS (SELECT word, cnt,
+        |    list_transform(range(1, length(word)+1), i -> word[i]) AS syms
+        |  FROM w0)""".stripMargin
+    val its = (0 until v).map { k =>
+      s"""p$k AS (SELECT s.syms[t.i] AS a, s.syms[t.i+1] AS b, SUM(s.cnt) AS c
+         |  FROM s$k s, UNNEST(range(1, len(s.syms))) t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, c FROM p$k ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |m$k AS (SELECT s.word, t.i,
+         |    ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY t.i) AS rn
+         |  FROM s$k s, UNNEST(range(1, len(s.syms))) t(i), b$k
+         |  WHERE s.syms[t.i] = b$k.a AND s.syms[t.i+1] = b$k.b),
+         |k$k AS (SELECT word, i FROM (
+         |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, i - rn ORDER BY i) AS rn2
+         |    FROM m$k) WHERE rn2 % 2 = 1),
+         |s${k + 1} AS (
+         |  SELECT q.word, q.cnt, list(q.osym ORDER BY q.j) AS syms FROM (
+         |    SELECT x.word, x.cnt, x.j,
+         |      CASE WHEN kj.i IS NOT NULL THEN x.sym || x.nxt ELSE x.sym END AS osym,
+         |      (kp.i IS NOT NULL) AS skipped
+         |    FROM (
+         |      SELECT s.word, s.cnt, t.j, s.syms[t.j] AS sym, s.syms[t.j+1] AS nxt
+         |      FROM s$k s, UNNEST(range(1, len(s.syms)+1)) t(j)
+         |    ) x
+         |    LEFT JOIN k$k kj ON kj.word = x.word AND kj.i = x.j
+         |    LEFT JOIN k$k kp ON kp.word = x.word AND kp.i = x.j - 1
+         |  ) q WHERE NOT q.skipped
+         |  GROUP BY q.word, q.cnt)""".stripMargin
+    }
+    val finalSel = (0 until v)
+      .map(k => s"SELECT ${k + 1} AS step, a, b, c FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""$base,
+       |${its.mkString(",\n")}
+       |SELECT CAST(step AS BIGINT) AS step, a, b, CAST(c AS BIGINT) AS cnt FROM (
+       |  $finalSel)""".stripMargin
+  }
 
   private def sourceTokens(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -323,6 +387,8 @@ object CorpusQueries {
         |  CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
         |  CAST(len(string_split(d.t, chr(10))) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
         |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+
+    "q_text_bpe_train" -> bpeTrainSql(4),
 
     "q_text_chunk" ->
       """WITH tok AS (SELECT doc_id,

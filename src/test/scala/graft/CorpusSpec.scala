@@ -382,6 +382,58 @@ class CorpusSpec extends SparkSpec {
     assert(out.mkString(" ") == text)
   }
 
+  // ---- BPE training ----
+
+  test("bpe training learns the hand-computable merges of a tiny corpus") {
+    import graft.functions.BpeTrain
+    // "abab" x3, "ab" x2: pairs a-b:8, b-a:3 -> merge1 (a,b) cnt 8
+    // then words [ab,ab]x3, [ab]x2: pair ab-ab:3 -> merge2 (ab,ab) cnt 3
+    val docs = Seq((1L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    val m = BpeTrain.train(docs, col("text"), numMerges = 2, minCount = 1L)
+    assert(m.map(x => (x.step, x.a, x.b, x.cnt)) ==
+      Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)))
+  }
+
+  test("bpe greedy merge is leftmost non-overlapping; apply matches training state") {
+    import graft.functions.{BpeApplyExpr, BpeTrain}
+    import org.apache.spark.sql.GraftExpr
+    // greedy (a,a) on aaaa -> [aa,aa]; on aaa -> [aa,a]
+    val out = Seq(Seq("a", "a", "a", "a"), Seq("a", "a", "a")).toDF("syms")
+      .select(GraftExpr.column(graft.functions.BpeMergeExpr(
+        GraftExpr.expression(col("syms")), "a", "a")).as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out.toList == List(List("aa", "aa"), List("aa", "a")))
+
+    // applying the learned table re-tokenizes the corpus consistently:
+    // every output symbol is a char or a learned merge product, and
+    // concatenation round-trips the original tokens
+    val docs = Tables.load(spark, sf0001, "documents").limit(50)
+    val merges = BpeTrain.train(docs, col("text"), numMerges = 4, minCount = 1L)
+    assert(merges.size == 4)
+    val vocab = merges.map(m => m.a + m.b).toSet ++ ('a' to 'z').map(_.toString).toSet ++
+      ('0' to '9').map(_.toString).toSet
+    val enc = docs.select(col("doc_id"),
+      graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        BpeTrain.applyMerges(col("toks"), merges.map(m => (m.a, m.b))).as("sub"))
+      .collect()
+    enc.foreach { r =>
+      val toks = r.getSeq[String](1)
+      val sub = r.getSeq[String](2)
+      assert(sub.forall(s => vocab.contains(s) || s.length == 1), s"stray symbol in $sub")
+      assert(sub.mkString == toks.mkString, "round-trip failed")
+      assert(sub.length < toks.mkString.length || toks.mkString.isEmpty,
+        "no compression achieved")
+    }
+  }
+
+  test("bpe training stops early when no pair reaches minCount") {
+    import graft.functions.BpeTrain
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text") // every pair count 1
+    val m = BpeTrain.train(docs, col("text"), numMerges = 5, minCount = 2L)
+    assert(m.isEmpty)
+  }
+
   // ---- Snapshot diff ----
 
   test("snapshotDiff classifies added/removed/changed and hides unchanged by default") {
