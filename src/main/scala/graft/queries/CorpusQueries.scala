@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Bloom, BpeTrain, Cms, CorpusSketch, Dedup, Hist, MinHashImpl, Shingles, SimHash, Text}
+import graft.functions.{Bloom, BpeTrain, Cms, CorpusSketch, Dedup, Hist, Hll, MinHashImpl, Shingles, SimHash, Text}
 import OracleSql._
 
 /** Corpus-statistics sketches and corpus-maintenance gates: the
@@ -144,6 +144,37 @@ object CorpusQueries {
       pairs.join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
         .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
         .select(col("i"), col("j"), levenshtein(col("ta"), col("tb")).cast("long").as("edit"))
+    },
+
+    // sketch-suite capstone: ONE grouped pass computes four sketches
+    // simultaneously over the token stream (HLL + CMS + Bloom +
+    // exact distinct), joined with the doc-grain histogram and the
+    // shingle MinHash overlap vs src0 — the per-source corpus report
+    // a maintenance job would persist per drop. All outputs integer.
+    "q_corpus_report" -> { (s, dir) =>
+      val tok = sourceTokens(s, dir)
+      val th = SimHash.fnv1a64(col("t"))
+      val tokAgg = tok.groupBy(col("source")).agg(
+        countDistinct(col("t")).as("n_words"),
+        Hll.hllSketch(th, 8).as("hsk"),
+        Cms.cmsSketch(th, lit(1L), cmsD, cmsW).as("csk"),
+        Bloom.bloomSketch(th, 512, 3).as("bsk"))
+      val docs = Tables.load(s, dir, "documents")
+      val docAgg = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        Hist.histSketch(col("n_chars").cast("double"), 100.0, 500.0, 16).as("h"))
+      val sigs = docs
+        .select(col("source"), explode(Shingles.shingles(col("text"), 3)).as("sh"))
+        .groupBy(col("source"))
+        .agg(CorpusSketch.corpusMinhash(SimHash.fnv1a64(col("sh")), 64).as("sig"))
+      val s0 = sigs.filter(col("source") === "src0").select(col("sig").as("sig0"))
+      tokAgg.join(docAgg, "source").join(sigs, "source").crossJoin(broadcast(s0))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          size(filter(Hll.hllRegisters(col("hsk")), r => r === 0)).cast("long").as("hll_zero"),
+          array_max(Cms.cmsCounters(col("csk"))).as("cms_max"),
+          size(Bloom.bloomBits(col("bsk"))).cast("long").as("bloom_set"),
+          Hist.histQuantileSlot(col("h"), 0.5).cast("long").as("q50_slot"),
+          CorpusSketch.sigMatches(col("sig"), col("sig0")).as("n_eq_src0"))
     },
 
     // BPE vocabulary training: the first 4 learned merges — every
@@ -387,6 +418,76 @@ object CorpusQueries {
         |  CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
         |  CAST(len(string_split(d.t, chr(10))) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
         |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+
+    "q_corpus_report" -> {
+      val ht = fnvFold("t")
+      val hs = fnvFold("s")
+      val permRows = MinHashImpl.constants(64).zipWithIndex.map { case ((a, b), p) =>
+        s"($p, ${java.lang.Long.toUnsignedString(a)}::UBIGINT, " +
+          s"${java.lang.Long.toUnsignedString(b)}::UBIGINT)"
+      }.mkString(",\n    ")
+      val affine = s"CAST((CAST(${mulCols("h", "a")} AS HUGEINT) + CAST(b AS HUGEINT)) % $M64 AS UBIGINT)"
+      s"""WITH tk AS (SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents),
+         |tc AS (SELECT source, t, COUNT(*) AS occ FROM tk GROUP BY 1, 2),
+         |thh AS (SELECT source, t, occ, $ht AS h
+         |  FROM tc),
+         |nw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words FROM tc GROUP BY 1),
+         |hz AS (SELECT source, CAST(256 - COUNT(DISTINCT h >> 56) AS BIGINT) AS hll_zero
+         |  FROM thh GROUP BY 1),
+         |cb AS (SELECT source, jj.j AS j,
+         |    CAST(${smix64("xor(h, CAST(jj.j AS UBIGINT))")} % $cmsW AS BIGINT) AS idx, occ
+         |  FROM thh, (SELECT UNNEST(range(0, $cmsD)) AS j) jj),
+         |cm AS (SELECT source, CAST(MAX(c) AS BIGINT) AS cms_max FROM (
+         |    SELECT source, j, idx, SUM(occ) AS c FROM cb GROUP BY 1, 2, 3)
+         |  GROUP BY 1),
+         |bb AS (SELECT DISTINCT source,
+         |    CAST(${smix64("xor(h, CAST(jj.j AS UBIGINT))")} % 512 AS INT) AS bit
+         |  FROM thh, (SELECT UNNEST(range(0, 3)) AS j) jj),
+         |bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS bloom_set FROM bb GROUP BY 1),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+         |hb AS (SELECT source,
+         |  CASE WHEN CAST(n_chars AS DOUBLE) < 100.0 THEN 0
+         |       WHEN CAST(n_chars AS DOUBLE) >= 500.0 THEN 17
+         |       ELSE 1 + LEAST(CAST(floor((CAST(n_chars AS DOUBLE) - 100.0) * 16 / (500.0 - 100.0)) AS INT), 15)
+         |  END AS slot
+         |  FROM documents),
+         |hc AS (SELECT source, slot, COUNT(*) AS c FROM hb GROUP BY 1, 2),
+         |hg AS (SELECT g.source, i.slot
+         |  FROM (SELECT DISTINCT source FROM documents) g
+         |  CROSS JOIN (SELECT UNNEST(range(0, 18)) AS slot) i),
+         |hh2 AS (SELECT hg.source, hg.slot, COALESCE(hc.c, 0) AS c
+         |  FROM hg LEFT JOIN hc ON hc.source = hg.source AND hc.slot = hg.slot),
+         |hq AS (SELECT source,
+         |    CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.5 * tot) AS BIGINT)) THEN slot END) AS BIGINT) AS q50_slot
+         |  FROM (SELECT source, slot,
+         |      SUM(c) OVER (PARTITION BY source ORDER BY slot) AS cum,
+         |      SUM(c) OVER (PARTITION BY source) AS tot FROM hh2)
+         |  GROUP BY 1),
+         |tokw AS (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents),
+         |shd AS (SELECT DISTINCT source, s FROM (
+         |  SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM tokw, UNNEST(generate_series(1, len(w)-2)) t(i))),
+         |shh AS (SELECT source, $hs AS h
+         |  FROM shd),
+         |perms(p, a, b) AS (VALUES
+         |    $permRows),
+         |mins AS (SELECT source, p,
+         |    CAST(MIN(${toSigned(affine)}) AS BIGINT) AS smin
+         |  FROM shh, perms GROUP BY 1, 2),
+         |ne AS (SELECT a.source,
+         |    CAST(COUNT(*) FILTER (WHERE a.smin = b.smin) AS BIGINT) AS n_eq_src0
+         |  FROM mins a JOIN mins b ON b.source = 'src0' AND a.p = b.p
+         |  GROUP BY 1)
+         |SELECT nd.source, nd.n_docs, nw.n_words, hz.hll_zero, cm.cms_max,
+         |  bs.bloom_set, hq.q50_slot, ne.n_eq_src0
+         |FROM nd
+         |JOIN nw ON nw.source = nd.source
+         |JOIN hz ON hz.source = nd.source
+         |JOIN cm ON cm.source = nd.source
+         |JOIN bs ON bs.source = nd.source
+         |JOIN hq ON hq.source = nd.source
+         |JOIN ne ON ne.source = nd.source""".stripMargin
+    },
 
     "q_text_bpe_train" -> bpeTrainSql(4),
 
