@@ -177,6 +177,43 @@ object Text {
         (size(lines) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** Corpus-relative rare-word statistics — the quality signal the
+    * doc-local scores ([[qualityScore]], repetition) cannot see:
+    * what fraction of a document's tokens are rare in the WHOLE
+    * corpus (high ratio ⇒ gibberish/OCR noise/codes; near-zero with
+    * high repetition ⇒ boilerplate). "Rare" is RANK-based — the
+    * bottom `bottomFrac` of the vocabulary by corpus count (ties
+    * broken by token) — so the definition is scale-invariant: the
+    * same fraction of the vocabulary is rare at any corpus size,
+    * where an absolute count threshold drifts with every new drop.
+    *
+    * Plan: two partial-aggregated shuffles (corpus token counts,
+    * per-doc re-aggregation), one join of the token stream against
+    * the Zipf-bounded count relation (AQE broadcasts it while it
+    * fits), and one vocabulary-sized ranking window — the only
+    * single-partition step runs over distinct tokens, never the
+    * corpus. Returns (id, n_tokens, n_rare, rare_ratio); the ratio
+    * is one IEEE division of exact integers — cross-engine
+    * deterministic.
+    */
+  def rareWordStats(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      bottomFrac: Double): org.apache.spark.sql.DataFrame = {
+    require(bottomFrac > 0.0 && bottomFrac < 1.0, s"bottomFrac must be in (0,1), got $bottomFrac")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(idCol.as("id"), explode(tokens(text)).as("t"))
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cnt"), col("t"))))
+      .withColumn("vocab", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rare", col("rnk") <= ceil(col("vocab") * bottomFrac))
+      .select("t", "rare")
+    tok.join(counts, "t")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rare"), 1L).otherwise(0L)).as("n_rare"))
+      .select(col("id"), col("n_tokens"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tokens").cast("double")).as("rare_ratio"))
+  }
+
   /** Count of tokens that appear in `stopwords` (codegen'd scan). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     TokenExprs.stopword_hits(text, stopwords)

@@ -189,6 +189,14 @@ object CorpusQueries {
         .select(col("step").cast("long").as("step"), col("a"), col("b"), col("cnt"))
     },
 
+    // corpus-relative rare-word quality signal: rare = bottom quarter
+    // of the vocabulary by corpus count — rank-based, so the split is
+    // non-trivial at every scale
+    "q_text_rareword" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Text.rareWordStats(docs, col("doc_id"), col("text"), bottomFrac = 0.25)
+    },
+
     // snapshot diff: old = ids not 0 mod 7, new = ids not 0 mod 5 with
     // 0-mod-11 docs rewritten — added/removed/changed classes all live
     "q_snapshot_diff" -> { (s, dir) =>
@@ -520,6 +528,21 @@ object CorpusQueries {
         |FROM cand c
         |JOIN documents da ON da.doc_id = c.i
         |JOIN documents db ON db.doc_id = c.j""".stripMargin,
+
+    "q_text_rareword" ->
+      """WITH tk AS (SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, COUNT(*) AS cnt FROM tk GROUP BY 1),
+        |r AS (SELECT t,
+        |    ROW_NUMBER() OVER (ORDER BY cnt, t) <=
+        |      CAST(ceil(COUNT(*) OVER () * 0.25) AS BIGINT) AS rare
+        |  FROM c)
+        |SELECT tk.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN r.rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(SUM(CASE WHEN r.rare THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+        |FROM tk JOIN r ON r.t = tk.t
+        |GROUP BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id AS id, md5(text) AS old_fp
