@@ -133,4 +133,26 @@ object ops {
     step(points.flow, id, "range_join", points.stepId, intervals.stepId)(
       RangeJoin.pointInInterval(points.ds.toDF(), point,
         intervals.ds.toDF(), lo, hi, binWidth))
+
+  // ---- corpus-maintenance steps (beyond-reference surface) ----
+
+  def lineDedup(id: String, up: Stream[Row], idCol: String, textCol: String,
+      minCount: Long, delimiter: String = "\n"): Stream[Row] =
+    step(up.flow, id, "line_dedup", up.stepId)(
+      graft.functions.Text.lineDedup(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(textCol), minCount, delimiter))
+
+  def chunkDocs(id: String, up: Stream[Row], idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): Stream[Row] =
+    step(up.flow, id, "chunk_docs", up.stepId)(
+      graft.functions.Text.chunkDocs(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(textCol), chunkTokens, stride))
+
+  def snapshotDiff(id: String, oldUp: Stream[Row], newUp: Stream[Row],
+      idCol: String, fpCol: String, includeUnchanged: Boolean = false): Stream[Row] =
+    step(oldUp.flow, id, "snapshot_diff", oldUp.stepId, newUp.stepId)(
+      graft.functions.Dedup.snapshotDiff(oldUp.ds.toDF(), newUp.ds.toDF(),
+        idCol, fpCol, includeUnchanged))
 }

@@ -290,6 +290,30 @@ class ExamplesSpec extends SparkSpec {
     assert(flow.stepIds.toSet.intersect(Set("aj", "rj")) === Set("aj", "rj"))
   }
 
+  test("facade corpus-maintenance steps: lineDedup -> chunkDocs -> snapshotDiff pipeline") {
+    import graft.api.{ops, Flow, Stream}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, md5}
+    val flow = Flow("maint")
+    val docs = Stream[Row](Seq(
+      (1L, "keep\nBOILER\nw1 w2 w3 w4 w5"),
+      (2L, "BOILER\nother text here"),
+      (3L, "BOILER\nlast")).toDF("doc_id", "text"), flow, "docs")
+    val clean = ops.lineDedup("ld", docs, "doc_id", "text", minCount = 3)
+    val cleaned = clean.ds.toDF().collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(cleaned(1L) == "keep\nw1 w2 w3 w4 w5" && cleaned(3L) == "last")
+    val chunks = ops.chunkDocs("ch", clean, "id", "text", chunkTokens = 3, stride = 3)
+    assert(chunks.ds.toDF().count() == 4L) // doc1: 6 toks -> 2; doc2: 3 -> 1; doc3: 1 -> 1
+    val oldSnap = Stream[Row](Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), flow, "old")
+    val newSnap = Stream[Row](Seq((2L, "b2"), (3L, "c")).toDF("id", "fp"), flow, "new")
+    val diff = ops.snapshotDiff("sd", oldSnap, newSnap, "id", "fp")
+    assert(diff.ds.toDF().collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap ==
+      Map(1L -> "removed", 2L -> "changed", 3L -> "added"))
+    assert(flow.stepIds.toSet.intersect(Set("ld", "ch", "sd")) === Set("ld", "ch", "sd"))
+  }
+
   test("benchmark_windowing port: window structure correct, output discarded") {
     import org.apache.spark.sql.functions._
     // 600 second-spaced events = 10 full 1-minute tumbling windows; the
