@@ -214,6 +214,19 @@ object Text {
         (col("n_rare").cast("double") / col("n_tokens").cast("double")).as("rare_ratio"))
   }
 
+  /** Compressibility quality signal: deflate(text).length / length —
+    * boilerplate/looped text compresses far below natural prose,
+    * random noise sits near (or above) 1.0; production pipelines
+    * threshold it from both sides (Dolma/RefinedWeb-style). zlib
+    * level 6, deterministic, codegen'd scan with a thread-local
+    * Deflater; 1.0 for empty text. Spec-only surface — DuckDB has no
+    * SQL zlib to oracle the byte count against.
+    */
+  def compressionRatio(text: Column): Column =
+    when(length(text) === 0, lit(1.0))
+      .otherwise(TokenExprs.deflate_size(text).cast("double") /
+        length(text).cast("double"))
+
   /** Count of tokens that appear in `stopwords` (codegen'd scan). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     TokenExprs.stopword_hits(text, stopwords)

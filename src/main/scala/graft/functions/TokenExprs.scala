@@ -61,6 +61,24 @@ case class StopwordHitsExpr(child: Expression, words: Seq[String]) extends TextS
   override protected def withNewChildInternal(c: Expression): StopwordHitsExpr = copy(child = c)
 }
 
+/** Deflate-compressed byte length of a string (zlib level 6, raw
+  * deflate) — the compressibility quality signal: highly repetitive
+  * boilerplate compresses far below natural text, random noise far
+  * above (Dolma/RefinedWeb-style filters threshold the ratio
+  * compressed/raw from both sides). Deterministic for a given input
+  * (fixed level and strategy), codegen'd, one thread-local Deflater
+  * per executor thread — no per-row allocation. Spec-only surface:
+  * DuckDB has no SQL zlib to oracle against.
+  */
+case class DeflateSizeExpr(child: Expression) extends TextScanExpr {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TokenScanImpl.deflateSize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScanImpl.deflateSize($c)")
+  override protected def withNewChildInternal(c: Expression): DeflateSizeExpr = copy(child = c)
+}
+
 /** The token array itself (whitespace-separated, empties dropped) —
   * feeds simhash; same semantics as `filter(split(text, "\\s+"), ...)`.
   */
@@ -193,6 +211,25 @@ object TokenScanImpl {
     }
     count
   }
+
+  private val deflaterTl = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+  private val deflateBufTl = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+
+  def deflateSize(s: UTF8String): Int = {
+    val d = deflaterTl.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = deflateBufTl.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
 }
 
 object TokenExprs {
@@ -206,4 +243,6 @@ object TokenExprs {
     GraftExpr.column(TokensExpr(GraftExpr.expression(text)))
   def ngram_stats(text: Column, n: Int): Column =
     GraftExpr.column(NgramStatsExpr(GraftExpr.expression(text), n))
+  def deflate_size(text: Column): Column =
+    GraftExpr.column(DeflateSizeExpr(GraftExpr.expression(text)))
 }

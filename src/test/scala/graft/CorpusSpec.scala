@@ -382,6 +382,27 @@ class CorpusSpec extends SparkSpec {
     assert(out.mkString(" ") == text)
   }
 
+  test("compression ratio separates boilerplate, prose, and noise") {
+    val rows = Seq(
+      (1L, "spam " * 200),                       // looped boilerplate
+      (2L, Tables.load(spark, sf0001, "documents")
+        .limit(1).collect()(0).getAs[String]("text")), // word-soup prose
+      (3L, (0 until 1000).map(i => (graft.functions.SamplingImpl.splitmix64(i) & 0x7f)
+        .toChar).mkString),                      // near-random bytes
+      (4L, "")).toDF("id", "text")
+    val got = rows.select(col("id"), Text.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("r")).toMap
+    assert(got(1L) < 0.05, s"boilerplate ratio ${got(1L)}")
+    assert(got(2L) > got(1L) && got(2L) < got(3L),
+      s"prose ${got(2L)} not between boilerplate ${got(1L)} and noise ${got(3L)}")
+    assert(got(3L) > 0.7, s"noise ratio ${got(3L)}")
+    assert(got(4L) == 1.0)
+    // deterministic across evaluations
+    val again = rows.select(Text.compressionRatio(col("text"))).collect().map(_.getDouble(0))
+    assert(again.toSeq == rows.select(Text.compressionRatio(col("text")))
+      .collect().map(_.getDouble(0)).toSeq)
+  }
+
   // ---- BPE training ----
 
   test("bpe training learns the hand-computable merges of a tiny corpus") {
