@@ -112,6 +112,45 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("streaming cms survives stop/restart without double counting") {
+    import graft.connectors.Testing
+    import graft.streaming.StreamingCms
+    import java.nio.file.Files
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft-scms-ckpt").toFile.getPath
+      val outDir = Files.createTempDirectory("graft-scms-out").toFile.getPath
+      val src = Testing.testingSource[(String, Long)](spark)
+      def start() = StreamingCms.runningCount(src.toDS(), depth = 3, width = 32)
+        .map { case (k, (h, e)) => (k, h, e) }.toDF("k", "h", "est")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val rows1 = (0L until 500L).map(i => ("k" + (i % 2), i % 11))
+      val rows2 = (500L until 1000L).map(i => ("k" + (i % 2), i % 11))
+      src.addBatch(rows1: _*)
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      src.addBatch(rows2: _*)
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      // final estimate per (key, item) = max over emissions; lost state
+      // would read low, a replayed batch-1 would read high — both fail
+      val got = spark.read.parquet(outDir).as[(String, Long, Long)]
+        .collect().groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.map(_._3).max }
+      val all = rows1 ++ rows2
+      val skDf = all.toDF("k", "h").groupBy($"k")
+        .agg(Cms.cmsSketch($"h", lit(1L), 3, 32).as("sk"))
+      val want = all.toDF("k", "h").distinct().join(skDf, "k")
+        .select($"k", $"h", Cms.cmsEstimate($"sk", $"h").as("est"))
+        .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === want)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   // ---- Corpus MinHash ----
 
   /** Two corpora of item ids with known Jaccard: |A|=|B|=n, overlap o. */
