@@ -151,6 +151,39 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("all four sketch families survive a parquet round-trip and re-merge to the direct sketch") {
+    import graft.functions.{Bloom, Hll}
+    import java.nio.file.Files
+    // the suite's core claim: persist one sketch per shard, merge in a
+    // LATER JOB — so the sketch must survive disk, not just the exchange
+    val dir = Files.createTempDirectory("graft-sketch-rt").toFile.getPath
+    val df = skewed(40000).withColumn("shard", col("k") % 5)
+    df.groupBy("shard").agg(
+        Hll.hllSketch(Sampling.splitmix64(col("k")), 8).as("hsk"),
+        Cms.cmsSketch(Sampling.splitmix64(col("k")), lit(1L), 3, 64).as("csk"),
+        Bloom.bloomSketch(Sampling.splitmix64(col("k")), 1024, 3).as("bsk"),
+        CorpusSketch.corpusMinhash(Sampling.splitmix64(col("k")), 32).as("msk"),
+        Hist.histSketch(col("k").cast("double"), 0.0, 1000.0, 20).as("hist"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val merged = back.agg(
+      Hll.hllMerge(col("hsk")).as("h"), Cms.cmsMerge(col("csk")).as("c"),
+      Bloom.bloomMerge(col("bsk")).as("b"),
+      CorpusSketch.corpusMinhashMerge(col("msk")).as("m"),
+      Hist.histMerge(col("hist")).as("g")).head()
+    val direct = df.agg(
+      Hll.hllSketch(Sampling.splitmix64(col("k")), 8).as("h"),
+      Cms.cmsSketch(Sampling.splitmix64(col("k")), lit(1L), 3, 64).as("c"),
+      Bloom.bloomSketch(Sampling.splitmix64(col("k")), 1024, 3).as("b"),
+      CorpusSketch.corpusMinhash(Sampling.splitmix64(col("k")), 32).as("m"),
+      Hist.histSketch(col("k").cast("double"), 0.0, 1000.0, 20).as("g")).head()
+    assert(java.util.Arrays.equals(merged.getAs[Array[Byte]]("h"), direct.getAs[Array[Byte]]("h")))
+    assert(java.util.Arrays.equals(merged.getAs[Array[Byte]]("c"), direct.getAs[Array[Byte]]("c")))
+    assert(java.util.Arrays.equals(merged.getAs[Array[Byte]]("b"), direct.getAs[Array[Byte]]("b")))
+    assert(merged.getSeq[Long](merged.fieldIndex("m")) == direct.getSeq[Long](direct.fieldIndex("m")))
+    assert(merged.getSeq[Long](merged.fieldIndex("g")) == direct.getSeq[Long](direct.fieldIndex("g")))
+  }
+
   // ---- Corpus MinHash ----
 
   /** Two corpora of item ids with known Jaccard: |A|=|B|=n, overlap o. */
