@@ -134,6 +134,18 @@ object CorpusQueries {
           md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
     },
 
+    // chunk -> pack composition: long docs split into overlapping
+    // windows, then the chunks packed into fixed-budget training
+    // sequences — the full assembly pipeline under one oracle
+    "q_text_chunk_pack" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val chunks = Text.chunkDocs(docs, col("doc_id"), col("text"),
+          chunkTokens = 32, stride = 16)
+        .select((col("id") * 1000 + col("chunk_idx")).as("cid"), col("chunk_text"))
+      Text.packSequences(chunks, col("cid"), col("chunk_text"),
+        budget = 128, buckets = 8)
+    },
+
     // edit-distance verify tier: near-dup candidates from the shingle
     // index, confirmed by exact Levenshtein — both engines implement
     // the classic DP metric, so the distances pin exactly
@@ -512,6 +524,26 @@ object CorpusQueries {
         |  md5(array_to_string(w[ci*16 + 1 : LEAST(ci*16 + 32, n)], ' ')) AS chunk_md5,
         |  CAST(LEAST(n - ci*16, 32) AS BIGINT) AS n_tokens
         |FROM x""".stripMargin,
+
+    "q_text_chunk_pack" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS n FROM tok),
+        |c AS (SELECT doc_id, w, n,
+        |    CASE WHEN n <= 32 THEN 1 ELSE ((n - 32 + 16 - 1) // 16) + 1 END AS nc
+        |  FROM n),
+        |x AS (SELECT doc_id, n, UNNEST(range(0, nc)) AS ci FROM c),
+        |ch AS (SELECT doc_id * 1000 + ci AS cid,
+        |    CAST(LEAST(n - ci*16, 32) AS BIGINT) AS n_tokens
+        |  FROM x)
+        |SELECT cid AS id, cid % 8 AS bucket,
+        |  CAST(floor(CAST(cum_before AS DOUBLE) / 128) AS BIGINT) AS pack,
+        |  n_tokens
+        |FROM (SELECT cid, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY cid % 8 ORDER BY cid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM ch)""".stripMargin,
 
     "q_dedup_edit" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
