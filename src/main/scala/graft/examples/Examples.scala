@@ -437,6 +437,47 @@ object Examples {
     wo.select(explode(col("values")).as("x")) // op.flat_map flatten-window
   }
 
+  /** The end-to-end training-data story a pipeline owner runs per
+    * corpus drop — every stage a graft operator, one pass each:
+    * boilerplate-line removal → full curation (PII scrub, quality
+    * gate, exact + near-dup cluster dedup, decontamination) → chunk
+    * to windows → pack to training sequences; alongside, the per-drop
+    * statistics report (sketch suite) the maintenance loop persists.
+    * Returns (sequences, report).
+    */
+  def curationPipeline(docs: DataFrame, evalDocs: DataFrame,
+      chunkTokens: Int = 64, budget: Int = 256): (DataFrame, DataFrame) = {
+    import graft.functions.{Bloom, Cms, Dedup, Hist, Hll, SimHash, Text}
+    val lined = Text.lineDedup(docs.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), minCount = 3)
+    val kept = Dedup.curateFull(
+      lined.select(col("id").as("doc_id"), col("text")),
+      col("doc_id"), col("text"),
+      evalDocs.select(col("text")), col("text"),
+      stopwords = Text.langStopwords.flatMap(_._2), minQuality = 0.2,
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      decontamN = 5, decontamMinShared = 1)
+    // curateFull keeps (id, quality); re-attach the scrubbed text
+    val keptDocs = lined.select(col("id"), col("text"))
+      .join(kept.select(col("id")), "id")
+    val chunks = Text.chunkDocs(keptDocs, col("id"), col("text"),
+        chunkTokens, chunkTokens)
+      .select((col("id") * 100000 + col("chunk_idx")).as("cid"), col("chunk_text"))
+    val sequences = Text.assemblePacksAuto(chunks, col("cid"), col("chunk_text"), budget)
+    val th = SimHash.fnv1a64(col("t"))
+    val report = keptDocs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .agg(count(lit(1)).as("n_tokens"),
+        Hll.hllEstimate(Hll.hllSketch(th, 12)).as("approx_vocab"),
+        Cms.cmsSketch(th, lit(1L), 4, 512).as("freq_sketch"),
+        Bloom.bloomSketch(th, 65536, 5).as("seen_filter"))
+      .crossJoin(keptDocs.agg(
+        count(lit(1)).as("n_docs"),
+        Hist.histSketch(length(col("text")).cast("double"), 0.0, 10000.0, 64)
+          .as("len_hist")))
+    (sequences, report)
+  }
+
   def basicRouter(nums: DataFrame): DataFrame = {
     import graft.api.{ops, Flow, Stream}
     val flow = Flow("basic")

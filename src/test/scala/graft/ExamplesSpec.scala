@@ -314,6 +314,30 @@ class ExamplesSpec extends SparkSpec {
     assert(flow.stepIds.toSet.intersect(Set("ld", "ch", "sd")) === Set("ld", "ch", "sd"))
   }
 
+  test("curation pipeline example: drop in, sequences + report out") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.load(spark, sf001, "documents")
+    val evalDocs = docs.filter(col("doc_id") % 17 === 0)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val (sequences, report) = Examples.curationPipeline(train, evalDocs)
+    val seqRows = sequences.collect()
+    assert(seqRows.nonEmpty)
+    // every sequence respects the budget envelope (overflow bounded by
+    // its last chunk, which is <= chunkTokens = 64)
+    assert(seqRows.forall(_.getAs[Long]("n_tokens") <= 256L + 64L))
+    val rep = report.head()
+    val nTok = rep.getAs[Long]("n_tokens")
+    val vocabEst = rep.getAs[Double]("approx_vocab")
+    assert(nTok > 10000L && vocabEst > 10 && vocabEst < 100, s"n=$nTok v=$vocabEst")
+    // the persisted artifacts are probe-ready
+    import graft.functions.{Bloom, Cms, SimHash}
+    val probed = report.select(
+      Cms.cmsEstimate(col("freq_sketch"), SimHash.fnv1a64(lit("the"))).as("est"),
+      Bloom.bloomContains(col("seen_filter"), SimHash.fnv1a64(lit("the"))).as("seen"))
+      .head()
+    assert(probed.getAs[Long]("est") > 0L && probed.getAs[Boolean]("seen"))
+  }
+
   test("benchmark_windowing port: window structure correct, output discarded") {
     import org.apache.spark.sql.functions._
     // 600 second-spaced events = 10 full 1-minute tumbling windows; the
