@@ -147,6 +147,16 @@ object AnalyticQueries {
           grouping_id().as("gid"))
     },
 
+    // cube: all 2^k grouping sets in the same single Expand shuffle
+    // (rollup's lattice completion — cross-category subtotals too)
+    "q_cube" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          CoreQueries.decDouble(sum(d12(col("l_extendedprice")))).as("rev"),
+          grouping_id().as("gid"))
+    },
+
     // ordered analytic window functions: row_number / lag / running sum
     // per customer (running sums evaluate sequentially over the sorted
     // frame in both engines — deterministic double arithmetic)
@@ -304,6 +314,11 @@ object AnalyticQueries {
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS rev,
         |  GROUPING(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS rev,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q_window_funcs" ->
       """SELECT o_orderkey, o_custkey,
         |  ROW_NUMBER() OVER w AS rn,
