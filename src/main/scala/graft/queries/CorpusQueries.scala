@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Bloom, BpeTrain, Cms, CorpusSketch, Dedup, Hist, Hll, MinHashImpl, Shingles, SimHash, Text}
+import graft.functions.{Bloom, BpeTrain, Cms, CorpusSketch, Dedup, Hist, Hll, Kmv, MinHashImpl, Shingles, SimHash, Text}
 import OracleSql._
 
 /** Corpus-statistics sketches and corpus-maintenance gates: the
@@ -99,6 +99,20 @@ object CorpusQueries {
           CorpusSketch.sigMatches(col("a.sig"), col("b.sig")).as("n_eq"),
           md5(array_join(col("a.sig").cast("array<string>"), ",")).as("sig_a_md5"),
           md5(array_join(col("b.sig").cast("array<string>"), ",")).as("sig_b_md5"))
+    },
+
+    // KMV exemplar sample: the 8 smallest-hash distinct tokens per
+    // source — a deterministic, mergeable "show me examples" sample
+    // (stable across reruns where LIMIT/TABLESAMPLE are not); every
+    // sampled (hash, item) pair pinned
+    "q_kmv" -> { (s, dir) =>
+      val sk = sourceTokens(s, dir).groupBy(col("source"))
+        .agg(Kmv.kmvSample(SimHash.fnv1a64(col("t")), col("t"), 8).as("smp"))
+      val rendered = transform(col("smp"),
+        e => concat(e.getField("h").cast("string"), lit(":"), e.getField("v")))
+      sk.select(col("source"),
+        md5(array_join(rendered, ",")).as("sample_md5"),
+        size(col("smp")).cast("long").as("n"))
     },
 
     // per-source doc-length histograms on a [100, 500)x16 grid chosen
@@ -395,6 +409,22 @@ object CorpusQueries {
          |FROM pairs p
          |JOIN sigs ga ON ga.source = p.sa
          |JOIN sigs gb ON gb.source = p.sb""".stripMargin
+    },
+
+    "q_kmv" -> {
+      val h = fnvFold("t")
+      s"""WITH tk AS (SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents),
+         |td AS (SELECT DISTINCT source, t FROM tk),
+         |th AS (SELECT source, t, CAST(${toSigned(s"($h)")} AS BIGINT) AS h
+         |  FROM td),
+         |mh AS (SELECT source, h, MIN(t) AS v FROM th GROUP BY 1, 2),
+         |r AS (SELECT source, h, v,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM mh)
+         |SELECT source,
+         |  md5(string_agg(CAST(h AS VARCHAR) || ':' || v, ',' ORDER BY h)) AS sample_md5,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM r WHERE rn <= 8 GROUP BY 1""".stripMargin
     },
 
     // bin arithmetic in the exact Scala operation order:

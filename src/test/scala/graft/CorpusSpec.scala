@@ -304,6 +304,48 @@ class CorpusSpec extends SparkSpec {
     assert(java.util.Arrays.equals(direct, twice))
   }
 
+  // ---- KMV sample ----
+
+  test("kmv sample is deterministic under repartition, duplicate-insensitive, and merge ≡ direct") {
+    import graft.functions.Kmv
+    import org.apache.spark.sql.Row
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.agg(Kmv.kmvSample(Sampling.splitmix64(col("id")),
+          col("id").cast("string"), 16))
+        .head().getSeq[Row](0).map(r => (r.getLong(0), r.getString(1)))
+    val base = spark.range(5000).toDF("id")
+    val a = sample(base)
+    assert(a.length == 16 && a == a.sortBy(_._1))
+    assert(sample(base.repartition(17)) == a, "partition order changed the sample")
+    assert(sample(base.union(base)) == a, "duplicates changed the sample")
+    // merge of per-shard samples == direct
+    val merged = base.withColumn("shard", col("id") % 7)
+      .groupBy("shard")
+      .agg(Kmv.kmvSample(Sampling.splitmix64(col("id")),
+        col("id").cast("string"), 16).as("s"))
+      .agg(Kmv.kmvMerge(col("s"), 16))
+      .head().getSeq[Row](0).map(r => (r.getLong(0), r.getString(1)))
+    assert(merged == a)
+    // fewer distinct items than k: sample is the whole set
+    val tiny = sample(spark.range(5).toDF("id"))
+    assert(tiny.length == 5)
+  }
+
+  test("kmv equal-hash collisions keep the smallest payload deterministically") {
+    import graft.functions.{Kmv, KmvImpl}
+    import org.apache.spark.unsafe.types.UTF8String
+    val buf = new KmvImpl.Buf
+    KmvImpl.insert(buf, 4, 10L, UTF8String.fromString("zz"))
+    KmvImpl.insert(buf, 4, 10L, UTF8String.fromString("aa"))
+    KmvImpl.insert(buf, 4, 10L, UTF8String.fromString("mm"))
+    assert(buf.get(10L).toString == "aa")
+    // and via the Column path with a constant hash
+    val got = Seq(("zz"), ("aa"), ("mm")).toDF("v")
+      .agg(Kmv.kmvSample(lit(10L), col("v"), 4))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(got.length == 1 && got.head.getString(1) == "aa")
+  }
+
   // ---- Histogram ----
 
   test("hist counts match exact bin counts and quantile slot brackets the exact quantile") {
