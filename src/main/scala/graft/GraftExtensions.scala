@@ -146,7 +146,13 @@ object GraftExtensions {
     ("hist_quantile_value",
       new ExpressionInfo(classOf[HistQuantileValueExpr].getName, "hist_quantile_value"),
       (es: Seq[Expression]) => HistQuantileValueExpr(es.head, doubleArg(es(1), "q"),
-        doubleArg(es(2), "lo"), doubleArg(es(3), "hi"), intArg(es(4), "nbins"))))
+        doubleArg(es(2), "lo"), doubleArg(es(3), "hi"), intArg(es(4), "nbins"))),
+    ("kmv_sample",
+      new ExpressionInfo(classOf[graft.functions.KmvSampleAgg].getName, "kmv_sample"),
+      (es: Seq[Expression]) => graft.functions.KmvSampleAgg(es.head, es(1), intArg(es(2), "k"))),
+    ("kmv_merge",
+      new ExpressionInfo(classOf[graft.functions.KmvMergeAgg].getName, "kmv_merge"),
+      (es: Seq[Expression]) => graft.functions.KmvMergeAgg(es.head, intArg(es(1), "k"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

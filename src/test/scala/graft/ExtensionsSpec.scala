@@ -91,6 +91,17 @@ class ExtensionsSpec extends SparkSpec {
         |FROM sig, h""".stripMargin).head()
     assert(rest.getInt(0) === 16)
     assert(rest.getInt(1) >= 0 && rest.getInt(1) <= 11)
+    // kmv: 5 smallest-hash users, deterministic and SQL-merged
+    val kmv = spark.sql(
+      """WITH parts AS (SELECT event_type,
+        |    kmv_sample(splitmix64(user_id), CAST(user_id AS STRING), 5) AS s
+        |  FROM ext_events GROUP BY event_type)
+        |SELECT kmv_merge(s, 5) AS m,
+        |  (SELECT kmv_sample(splitmix64(user_id), CAST(user_id AS STRING), 5)
+        |   FROM ext_events) AS direct
+        |FROM parts""".stripMargin).head()
+    assert(kmv.getSeq[org.apache.spark.sql.Row](0) ==
+      kmv.getSeq[org.apache.spark.sql.Row](1))
     // fnv1a64 in SQL == the JVM hash
     val f = spark.sql("SELECT fnv1a64('alpha') AS h").head().getLong(0)
     assert(f === graft.functions.SimHashImpl.fnv1a(
