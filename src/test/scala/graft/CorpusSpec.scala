@@ -487,6 +487,15 @@ class CorpusSpec extends SparkSpec {
     assert(out.filter(_._1 == 3L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, "", 0L)))
   }
 
+  test("chunkDocs plans narrow: zero exchanges, whole-stage codegen") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val plan = Text.chunkDocs(docs, col("doc_id"), col("text"), 32, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+    // "*(n)" marks operators inside a WholeStageCodegen span
+    assert(plan.linesIterator.next().startsWith("*("), s"no codegen span:\n$plan")
+  }
+
   test("chunkDocs at stride == chunkTokens partitions exactly (no overlap)") {
     val text = (1 to 50).map(i => s"t$i").mkString(" ")
     val out = Text.chunkDocs(Seq((7L, text)).toDF("doc_id", "text"),
