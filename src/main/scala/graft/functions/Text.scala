@@ -177,6 +177,64 @@ object Text {
         (size(lines) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** Exact duplicated-span removal (the fixed-window variant of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" ExactSubstr): every token covered by ANY `spanTokens`-
+    * token window whose content occurs >= 2 times in the whole corpus
+    * (across documents or within one) is removed; surviving tokens
+    * reassemble in order, single-space-joined (whitespace normalizes
+    * — the same contract as the reference's byte-span cuts). Where
+    * [[lineDedup]] needs boilerplate to align on line boundaries,
+    * this catches duplicated prose ANYWHERE in a document. The
+    * suffix-array machinery of the paper finds maximal repeats of
+    * arbitrary length; the fixed-L window gives the same coverage
+    * guarantee for repeats >= L — relationally, in three shuffles:
+    *
+    * (1) one gram-fingerprint count shuffle (8-byte hashes, map-side
+    * combine); (2) the duplicated-gram relation (>= 2 occurrences —
+    * a tiny fraction by construction) broadcasts onto the position
+    * stream to flag duplicate window STARTS; (3) coverage is a
+    * per-document running `max` over the last L-1 positions (one
+    * window, no self-join), and the kept tokens re-aggregate by doc.
+    * Returns (id, text, n_tokens, n_removed) for every input doc.
+    * 64-bit gram fingerprints: collisions remove an innocent span at
+    * ~n_grams²/2⁶⁴ — the house fingerprint envelope.
+    */
+  def dedupSpans(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      spanTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.as("id"), tokens(text).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val pos = base.filter(col("n") >= 1)
+      .select(col("id"), col("n"), col("toks"),
+        explode(sequence(lit(1L), col("n"))).as("i"))
+      .select(col("id"), col("n"), col("i"),
+        element_at(col("toks"), col("i").cast("int")).as("tok"),
+        when(col("i") <= col("n") - (spanTokens - 1),
+          SimHash.fnv1a64(array_join(
+            slice(col("toks"), col("i").cast("int"), lit(spanTokens)), " "))).as("gh"))
+    val dupGrams = pos.filter(col("gh").isNotNull)
+      .groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gh"), lit(1).as("dup"))
+    val w = Window.partitionBy("id").orderBy("i")
+      .rowsBetween(-(spanTokens - 1), Window.currentRow)
+    val kept = pos.join(broadcast(dupGrams), Seq("gh"), "left")
+      .withColumn("dupflag", coalesce(col("dup"), lit(0)))
+      .withColumn("cov", max(col("dupflag")).over(w))
+      .filter(col("cov") === 0)
+      .groupBy("id").agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            s => s.getField("tok"))).as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("id"), col("n")).join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("kept_text"), lit("")).as("text"),
+        col("n").as("n_tokens"),
+        (col("n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Corpus-relative rare-word statistics — the quality signal the
     * doc-local scores ([[qualityScore]], repetition) cannot see:
     * what fraction of a document's tokens are rare in the WHOLE

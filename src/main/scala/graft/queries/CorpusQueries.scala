@@ -215,6 +215,15 @@ object CorpusQueries {
         .select(col("step").cast("long").as("step"), col("a"), col("b"), col("cnt"))
     },
 
+    // ExactSubstr-style duplicated-span removal: every token covered
+    // by an 8-token window occurring >= 2x corpus-wide is cut
+    "q_text_spandup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Text.dedupSpans(docs, col("doc_id"), col("text"), spanTokens = 8)
+        .select(col("id"), md5(col("text")).as("text_md5"),
+          col("n_tokens"), col("n_removed"))
+    },
+
     // corpus-relative rare-word quality signal: rare = bottom quarter
     // of the vocabulary by corpus count — rank-based, so the split is
     // non-trivial at every scale
@@ -590,6 +599,31 @@ object CorpusQueries {
         |FROM cand c
         |JOIN documents da ON da.doc_id = c.i
         |JOIN documents db ON db.doc_id = c.j""".stripMargin,
+
+    "q_text_spandup" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w, len(w) AS n FROM tok),
+        |pos AS (SELECT doc_id, n, t.i AS i, w[t.i] AS tk,
+        |    CASE WHEN t.i <= n - 7 THEN array_to_string(w[t.i:t.i+7], ' ') END AS gram
+        |  FROM b, UNNEST(generate_series(1, n)) t(i)),
+        |c AS (SELECT gram FROM pos WHERE gram IS NOT NULL
+        |  GROUP BY 1 HAVING COUNT(*) >= 2),
+        |f AS (SELECT p.doc_id, p.n, p.i, p.tk,
+        |    CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END AS dup
+        |  FROM pos p LEFT JOIN c ON c.gram = p.gram),
+        |cov AS (SELECT doc_id, n, i, tk,
+        |    MAX(dup) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+        |  FROM f),
+        |k AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS txt,
+        |    COUNT(*) AS n_kept
+        |  FROM cov WHERE cov = 0 GROUP BY 1)
+        |SELECT b.doc_id AS id, md5(COALESCE(k.txt, '')) AS text_md5,
+        |  CAST(b.n AS BIGINT) AS n_tokens,
+        |  CAST(b.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM b LEFT JOIN k ON k.doc_id = b.doc_id""".stripMargin,
 
     "q_text_rareword" ->
       """WITH tk AS (SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
