@@ -424,4 +424,83 @@ object Text {
     */
   def tokenLengthChecksum(text: Column): Column =
     TokenExprs.token_length_sum(text)
+
+  /** Gopher-style rule thresholds (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446 §A1.1). Ratio thresholds are PER-MILLE integers
+    * so every rule evaluates in exact Long arithmetic — a double
+    * formulation (`dup_frac <= 0.1`) can flip boundary docs between
+    * engines; `(n2 - d2) * 1000 <= dupMaxPm * n2` cannot. Defaults are
+    * the paper's where the paper has one, corpus-split-verified
+    * otherwise.
+    *
+    * @param minTokens / maxTokens  word-count bounds (paper: 50 / 100k)
+    * @param meanLenMinPm / meanLenMaxPm  mean word length bounds ×1000
+    *        (paper: 3–10 chars)
+    * @param alphaMinPm  min alphabetic share of non-whitespace chars
+    *        ×1000 (stands in for the paper's "80% of words contain an
+    *        alphabetic character" with the fused char-level scan)
+    * @param minStopwordHits  min hits of the stopword list (paper: 2)
+    * @param dup2MaxPm / top2MaxPm  max duplicate-2-gram share / max
+    *        top-2-gram occurrence share ×1000 (paper family: dup and
+    *        top n-gram fraction caps)
+    */
+  final case class GopherThresholds(
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      meanLenMinPm: Long = 3000L, meanLenMaxPm: Long = 10000L,
+      alphaMinPm: Long = 800L, minStopwordHits: Int = 2,
+      dup2MaxPm: Long = 200L, top2MaxPm: Long = 180L)
+
+  /** Gopher-style document quality rules as ONE fused projection —
+    * per-rule booleans plus the conjunction, every comparison in exact
+    * integer arithmetic over the fused scans ([[TokenCountExpr]],
+    * [[TokenLengthSumExpr]], [[AlphaCharsExpr]], [[StopwordHitsExpr]],
+    * [[NgramStatsExpr]]): the text is scanned a constant number of
+    * times inside one whole-stage-codegen span, no explode, no
+    * shuffle, no per-row UDF. Returns
+    * struct(ok_word_count, ok_mean_word_len, ok_alpha, ok_stopwords,
+    * ok_dup_2gram, ok_top_2gram, keep).
+    *
+    * Why flags and not just a filter: at curation scale the per-rule
+    * rejection PROFILE is the operator's real output — it is how a
+    * pipeline owner audits what a threshold change would do before
+    * rerunning a 100 TB pass (sum the booleans per source/shard).
+    */
+  def gopherRules(text: Column, stopwords: Seq[String],
+      t: GopherThresholds = GopherThresholds()): Column = {
+    val ntok = tokenCount(text).cast("long")
+    val lensum = TokenExprs.token_length_sum(text)
+    val nalpha = alphaChars(text).cast("long")
+    val hits = stopwordCount(text, stopwords).cast("long")
+    val g2 = ngramStats(text, 2)
+    val n2 = g2.getField("n_grams").cast("long")
+    val d2 = g2.getField("n_distinct").cast("long")
+    val top2 = g2.getField("top_count").cast("long")
+    val okWords = ntok >= t.minTokens && ntok <= t.maxTokens
+    val okMean = lensum * 1000L >= ntok * t.meanLenMinPm &&
+      lensum * 1000L <= ntok * t.meanLenMaxPm
+    // gram-less docs (n2 = 0) pass the repetition rules vacuously:
+    // 0 <= pm * 0 holds, no CASE needed
+    val okAlpha = nalpha * 1000L >= lensum * t.alphaMinPm
+    val okStop = hits >= t.minStopwordHits
+    val okDup2 = (n2 - d2) * 1000L <= n2 * t.dup2MaxPm
+    val okTop2 = top2 * 1000L <= n2 * t.top2MaxPm
+    struct(
+      okWords.as("ok_word_count"),
+      okMean.as("ok_mean_word_len"),
+      okAlpha.as("ok_alpha"),
+      okStop.as("ok_stopwords"),
+      okDup2.as("ok_dup_2gram"),
+      okTop2.as("ok_top_2gram"),
+      (okWords && okMean && okAlpha && okStop && okDup2 && okTop2).as("keep"))
+  }
+
+  /** [[gopherRules]] as a filter: keep only documents passing every
+    * rule. A pure codegen'd scan predicate — composes with parquet
+    * column pruning (only `text` is read beyond the caller's columns).
+    */
+  def gopherFilter(df: org.apache.spark.sql.DataFrame, text: Column,
+      stopwords: Seq[String],
+      t: GopherThresholds = GopherThresholds()): org.apache.spark.sql.DataFrame =
+    df.filter(gopherRules(text, stopwords, t).getField("keep"))
 }

@@ -133,6 +133,27 @@ object LlmQueries {
         Text.topNgramFraction($"text", 2).as("top_2gram_frac"))
     },
 
+    // Gopher-rule quality filter: per-rule booleans + keep, every
+    // comparison exact-integer (per-mille thresholds). Thresholds
+    // chosen so each rule is differentially live on this corpus
+    // (word count splits at 20, mean length at 4.0, repetition at
+    // 0.10); ok_alpha is vacuously true here (all-alpha corpus) but
+    // pinned anyway.
+    "q_text_gopher" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val r = Text.gopherRules($"text", stop, Text.GopherThresholds(
+        minTokens = 20, meanLenMinPm = 4000L, dup2MaxPm = 100L, top2MaxPm = 100L))
+      docs.select($"doc_id",
+        r.getField("ok_word_count").as("ok_word_count"),
+        r.getField("ok_mean_word_len").as("ok_mean_word_len"),
+        r.getField("ok_alpha").as("ok_alpha"),
+        r.getField("ok_stopwords").as("ok_stopwords"),
+        r.getField("ok_dup_2gram").as("ok_dup_2gram"),
+        r.getField("ok_top_2gram").as("ok_top_2gram"),
+        r.getField("keep").as("keep"))
+    },
+
     // document fingerprinting
     "q_text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -1079,6 +1100,40 @@ object LlmQueries {
         |         x -> len(list_filter(g2, y -> y = x)))), 0) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
         |       END AS top_2gram_frac
         |FROM g""".stripMargin,
+    // every rule re-derived in exact integer arithmetic — the same
+    // per-mille comparisons as Text.gopherRules, no doubles anywhere
+    "q_text_gopher" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS ntok,
+        |  CAST(COALESCE(list_sum(list_transform(w, t -> length(t))), 0) AS BIGINT) AS lensum,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS nalpha,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS nhits,
+        |  CASE WHEN len(w) >= 2
+        |       THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |       ELSE [] END AS g2
+        |FROM tok),
+        |r AS (SELECT doc_id, ntok, lensum, nalpha, nhits,
+        |  CAST(len(g2) AS BIGINT) AS n2,
+        |  CAST(len(list_distinct(g2)) AS BIGINT) AS d2,
+        |  CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+        |    x -> len(list_filter(g2, y -> y = x)))), 0) AS BIGINT) AS top2
+        |FROM s)
+        |SELECT doc_id,
+        |  (ntok >= 20 AND ntok <= 100000) AS ok_word_count,
+        |  (lensum * 1000 >= ntok * 4000 AND lensum * 1000 <= ntok * 10000) AS ok_mean_word_len,
+        |  (nalpha * 1000 >= lensum * 800) AS ok_alpha,
+        |  (nhits >= 2) AS ok_stopwords,
+        |  ((n2 - d2) * 1000 <= n2 * 100) AS ok_dup_2gram,
+        |  (top2 * 1000 <= n2 * 100) AS ok_top_2gram,
+        |  ((ntok >= 20 AND ntok <= 100000)
+        |    AND (lensum * 1000 >= ntok * 4000 AND lensum * 1000 <= ntok * 10000)
+        |    AND (nalpha * 1000 >= lensum * 800)
+        |    AND (nhits >= 2)
+        |    AND ((n2 - d2) * 1000 <= n2 * 100)
+        |    AND (top2 * 1000 <= n2 * 100)) AS keep
+        |FROM r""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,

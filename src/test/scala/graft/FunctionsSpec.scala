@@ -289,6 +289,52 @@ class FunctionsSpec extends SparkSpec {
     assert(m("ok") === ((0.0, 0.25)))    // 4 grams, all distinct
   }
 
+  test("gopherRules: each rule rejects its designed failure and keep is the conjunction") {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val good = "the quick brown fox jumps over a lazy dog and runs far into " +
+      "the deep green forest to find food and water is near the old mill"
+    val rows = Seq(
+      ("good", good),
+      ("short", "the cat is here and now"),                      // < minTokens
+      ("longwords", ("the is " + Seq.fill(28)("extraordinarily").mkString(" "))), // mean len > 10
+      ("symbols", "the @@ ## $$ %% ^^ && ** (( )) __ ++ == {{ }} [[ ]] :: ;; << >> ?? // \\\\ || ~~ `` '' \"\" ,, .. !! @@ ## $$ %%"), // alpha share low
+      ("nostop", good.split(" ").filterNot(stop.contains).mkString(" ") + " " +
+        good.split(" ").filterNot(stop.contains).reverse.mkString(" ")), // no stopwords (still long)
+      ("loop", Seq.fill(8)("the spam and spam the spam and spam").mkString(" ") +
+        " the end is here and now ok")) // repetition
+      .toDF("id", "text")
+    val t = Text.GopherThresholds(minTokens = 10, maxTokens = 100000,
+      meanLenMinPm = 3000L, meanLenMaxPm = 10000L, alphaMinPm = 800L,
+      minStopwordHits = 2, dup2MaxPm = 300L, top2MaxPm = 200L)
+    val r = rows.select(col("id"), Text.gopherRules(col("text"), stop, t).as("r"))
+      .select(col("id"), col("r.*"))
+      .collect().map(x => x.getString(0) ->
+        (x.getBoolean(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4),
+          x.getBoolean(5), x.getBoolean(6), x.getBoolean(7))).toMap
+    assert(r("good") === ((true, true, true, true, true, true, true)))
+    assert(!r("short")._1 && !r("short")._7)       // word count
+    assert(!r("longwords")._2 && !r("longwords")._7) // mean word length
+    assert(!r("symbols")._3 && !r("symbols")._7)   // alpha share
+    assert(!r("nostop")._4 && !r("nostop")._7)     // stopword hits
+    assert((!r("loop")._5 || !r("loop")._6) && !r("loop")._7) // repetition
+    // keep ≡ conjunction on every row
+    r.values.foreach { case (a, b, c, d, e, f, k) => assert(k === (a && b && c && d && e && f)) }
+  }
+
+  test("gopherFilter is the keep-flag filter and a pure scan predicate (no exchange)") {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t = Text.GopherThresholds(minTokens = 20, meanLenMinPm = 4000L,
+      dup2MaxPm = 100L, top2MaxPm = 100L)
+    val kept = Text.gopherFilter(docs, col("text"), stop, t)
+    val viaFlags = docs.filter(Text.gopherRules(col("text"), stop, t).getField("keep"))
+    assert(kept.count() === viaFlags.count())
+    val n = kept.count()
+    assert(n > 0 && n < docs.count()) // differentially live on the corpus
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherFilter should not shuffle:\n$plan")
+  }
+
   test("winnow matches a naive rolling-hash + sliding-min reference") {
     import graft.functions.WinnowImpl
     def naive(s: String, k: Int, w: Int): Set[Long] = {
