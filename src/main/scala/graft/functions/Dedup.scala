@@ -702,6 +702,58 @@ object Dedup {
     connectedComponents(pairs.select(col("i"), col("j")))
   }
 
+  /** SEMANTIC benchmark decontamination (SemDeDup-flavored, Abbas et
+    * al. 2023): flag training items whose EMBEDDING is near an eval
+    * item's — the contamination n-gram overlap cannot see (paraphrased
+    * benchmark questions, translated answers, reformatted tables).
+    * Companion to the lexical [[decontaminate]]/[[decontaminateBloom]];
+    * production curation runs both.
+    *
+    * Shape: the cross-corpus variant of
+    * [[Similarity.bucketedCosinePairs]] — both sides sketch into the
+    * same `tables` OR-amplified random-hyperplane tables, candidates
+    * are (train, eval) rows colocated in ANY table (never train×train
+    * or eval×eval, the asymmetry [[minhashLshPairsIncremental]] also
+    * exploits), and every candidate is exact-cosine-verified, so
+    * precision is 1.0 by construction and recall is the amplified
+    * 1−(1−p^bits)^tables. Candidate work ≈ tables · Σ_bucket
+    * train_b · eval_b; with bits sized to the TRAIN side
+    * (the big side — [[Similarity.autoBits]] in the `Auto` variant)
+    * it stays ≈ tables · |eval| · targetBucket — LINEAR in the train
+    * corpus, and the eval side (benchmark-scale) is broadcast by AQE
+    * in the candidate join.
+    *
+    * @return (id, n_hits): contaminated train ids with the number of
+    *         eval items verified within `threshold` cosine — integer
+    *         output, so the gate pins it exactly.
+    */
+  def decontaminateSemantic(train: DataFrame, trainId: String, trainVec: String,
+      eval: DataFrame, evalId: String, evalVec: String,
+      threshold: Double, bits: Int, tables: Int): DataFrame = {
+    val t = train.select(col(trainId).as("id"), col(trainVec).as("v"))
+    val e = eval.select(col(evalId).as("eid"), col(evalVec).as("ev"))
+    def keyed(df: DataFrame, id: String, v: String) =
+      df.select(col(id), posexplode(Similarity.lshSketch(col(v), bits, tables))
+        .as(Seq("t", "bucket")))
+    val cands = keyed(t, "id", "v").join(keyed(e, "eid", "ev"), Seq("t", "bucket"))
+      .select(col("id"), col("eid")).distinct()
+    cands
+      .join(t, "id")
+      .join(e, "eid")
+      .filter(Similarity.cosine(col("v"), col("ev")) >= threshold)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** [[decontaminateSemantic]] with bits sized from the TRAIN corpus
+    * (`Similarity.autoBits`) — per-table expected train bucket ≈
+    * `targetBucket`, candidate work linear in train size.
+    */
+  def decontaminateSemanticAuto(train: DataFrame, trainId: String, trainVec: String,
+      eval: DataFrame, evalId: String, evalVec: String,
+      threshold: Double, targetBucket: Int = 64, tables: Int = 8): DataFrame =
+    decontaminateSemantic(train, trainId, trainVec, eval, evalId, evalVec,
+      threshold, Similarity.autoBits(train.count(), targetBucket), tables)
+
   /** SimHash near-dup pairs: 64-bit sketch per doc (custom codegen'd
     * expression), pairs within `maxHamming` bits. Pair search uses
     * generalized pigeonhole blocking (Manku et al., WWW'07): the sketch

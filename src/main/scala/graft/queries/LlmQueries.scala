@@ -565,6 +565,20 @@ object LlmQueries {
         n = 5, minShared = 3)
     },
 
+    // SEMANTIC decontamination: train embeddings (vec_id%50<>0) vs the
+    // eval split (vec_id%50=0) through the cross-corpus OR-amplified
+    // LSH candidate path + exact cosine verify; integer (id, n_hits)
+    // output. bits=4/tables=2 for DuckDB sketch-rendering tractability
+    // (the amp-gate protocol); production sizes via
+    // decontaminateSemanticAuto.
+    "q_curate_decontam_sem" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Dedup.decontaminateSemantic(
+        emb.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        threshold = 0.3, bits = 4, tables = 2)
+    },
+
     // duplicate-cluster assignment: near-dup pairs → connected
     // components (alternating large-star/small-star) → (id, rep =
     // component min). The oracle closes the same pair set transitively
@@ -990,8 +1004,53 @@ object LlmQueries {
        |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.3""".stripMargin
   }
 
+  /** Cross-corpus (train × eval) variant of [[amplifiedPairsSql]]'s
+    * sketch rendering: same splitmix64 plane family, candidates join
+    * train buckets to eval buckets (never within a side), exact
+    * cosine verify, grouped to integer (id, n_hits).
+    */
+  private val decontamSemSql = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    s"""WITH dims AS (SELECT MAX(len(embedding)) AS nd FROM embeddings),
+       |seeds AS (
+       |  SELECT tt.t AS t, bb.b AS b, ii.i AS i,
+       |    CAST((CAST(tt.t AS HUGEINT) * 4294967296 + ii.i * 256 + bb.b + $c1) % $M64 AS UBIGINT) AS z
+       |  FROM (SELECT UNNEST(range(0, 2)) AS t) tt,
+       |       (SELECT UNNEST(range(0, 4)) AS b) bb,
+       |       (SELECT UNNEST(range(0, (SELECT nd FROM dims))) AS i) ii),
+       |p1 AS (SELECT t, b, i, ${mul64("xor(z, z >> 30)", c2)} AS z FROM seeds),
+       |p2 AS (SELECT t, b, i, ${mul64("xor(z, z >> 27)", c3)} AS z FROM p1),
+       |pf AS (SELECT t, b, i, xor(z, z >> 31) AS z FROM p2),
+       |planes AS (
+       |  SELECT t, b, list(CASE WHEN z % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS sgn
+       |  FROM pf GROUP BY t, b),
+       |dots AS (
+       |  SELECT e.vec_id, p.t, p.b,
+       |    list_reduce(
+       |      list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * p.sgn[i])),
+       |      (a, x) -> a + x) AS dot
+       |  FROM embeddings e, planes p),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS bkt
+       |  FROM dots GROUP BY vec_id, t),
+       |cands AS (SELECT DISTINCT tr.vec_id AS id, ev.vec_id AS eid
+       |  FROM buckets tr JOIN buckets ev ON tr.t = ev.t AND tr.bkt = ev.bkt
+       |  WHERE tr.vec_id % 50 <> 0 AND ev.vec_id % 50 = 0)
+       |SELECT c.id, COUNT(*) AS n_hits
+       |FROM cands c
+       |JOIN embeddings ea ON ea.vec_id = c.id
+       |JOIN embeddings eb ON eb.vec_id = c.eid
+       |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.3
+       |GROUP BY c.id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashPairsSql,
+    "q_curate_decontam_sem" -> decontamSemSql,
     "q_embed_lsh" -> lshTopKSql,
     "q_embed_pairs_amp" -> amplifiedPairsSql,
     "q_embed_pq" -> pqAdcSql,

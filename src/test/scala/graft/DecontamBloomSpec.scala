@@ -46,4 +46,53 @@ class DecontamBloomSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan)
   }
+
+  test("semantic decontam: perfect precision vs brute force; hits only cross-corpus") {
+    import graft.functions.Similarity
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val train = emb.filter($"vec_id" % 50 =!= 0)
+    val eval = emb.filter($"vec_id" % 50 === 0)
+    val got = Dedup.decontaminateSemantic(train, "vec_id", "embedding",
+        eval, "vec_id", "embedding", threshold = 0.3, bits = 4, tables = 2)
+      .as[(Long, Long)].collect().toMap
+    // brute-force truth: per-train count of eval vectors within threshold
+    val truth = train.select($"vec_id".as("id"), $"embedding".as("v"))
+      .crossJoin(eval.select($"vec_id".as("eid"), $"embedding".as("ev")))
+      .filter(Similarity.cosine($"v", $"ev") >= 0.3)
+      .groupBy($"id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty, "fixture must flag some semantic contamination")
+    // precision 1.0: every flagged id is truly contaminated, and the
+    // LSH candidate path can only undercount, never overcount
+    got.foreach { case (id, n) =>
+      assert(truth.contains(id), s"flagged id $id not in brute-force truth")
+      assert(n <= truth(id), s"id $id: got $n hits > truth ${truth(id)}")
+    }
+    // amplification buys recall: at tables=8 (the Auto default) the
+    // flagged set must cover most of the brute-force truth — at
+    // θ=0.3 each hyperplane colocates with p≈0.6, so p^4≈0.13
+    // per table and 1−(1−p^4)^8 ≈ 0.66 expected
+    val amped = Dedup.decontaminateSemantic(train, "vec_id", "embedding",
+        eval, "vec_id", "embedding", threshold = 0.3, bits = 4, tables = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(amped.size * 10 >= truth.size * 5,
+      s"amplified recall ${amped.size}/${truth.size} below 0.5")
+    assert(amped.size >= got.size)
+    // asymmetry: train ids only (no eval id ever appears as output id)
+    got.keys.foreach(id => assert(id % 50 != 0))
+  }
+
+  test("semantic decontam auto sizes bits from the train side and stays verified") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val train = emb.filter($"vec_id" % 50 =!= 0)
+    val eval = emb.filter($"vec_id" % 50 === 0)
+    val auto = Dedup.decontaminateSemanticAuto(train, "vec_id", "embedding",
+        eval, "vec_id", "embedding", threshold = 0.3, targetBucket = 64, tables = 4)
+      .as[(Long, Long)].collect().toMap
+    val fixed = Dedup.decontaminateSemantic(train, "vec_id", "embedding",
+        eval, "vec_id", "embedding", 0.3,
+        graft.functions.Similarity.autoBits(train.count(), 64), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(auto === fixed)
+  }
 }
