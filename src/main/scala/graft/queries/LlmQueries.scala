@@ -375,6 +375,24 @@ object LlmQueries {
         .select($"qid", $"rank".cast("long").as("rank"), $"nid", $"adc")
     },
 
+    // int8 scalar quantization: every code byte pinned (md5 over the
+    // signed values), plus two exact integer dots — the self dot and
+    // the dot against vec 0's codes (the candidate-scoring shape).
+    // The rounding boundary floor(v·127/maxabs + 0.5) is rendered
+    // operation-for-operation in the oracle.
+    "q_embed_int8" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Int8
+      val emb = Tables.load(s, dir, "embeddings")
+      val coded = emb.select($"vec_id", Int8.int8Codes($"embedding").as("c"))
+      val q0 = coded.filter($"vec_id" === 0L).select($"c".as("qc"))
+      coded.crossJoin(broadcast(q0))
+        .select($"vec_id",
+          md5(array_join($"c".cast("array<string>"), ",")).as("codes_md5"),
+          Int8.int8Dot($"c", $"c").as("self_dot"),
+          Int8.int8Dot($"c", $"qc").as("dot0"))
+    },
+
     // IVF ANN with deterministic seed centroids (no Lloyd iterations in
     // the gate so the coarse quantizer is SQL-expressible): broadcast
     // centroid assignment, nprobe-cell candidate search, exact in-cell
@@ -1048,9 +1066,28 @@ object LlmQueries {
        |GROUP BY c.id""".stripMargin
   }
 
+  private val int8Sql =
+    """WITH m AS (SELECT vec_id, embedding,
+      |  COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0) AS maxabs
+      |  FROM embeddings),
+      |codes AS (SELECT vec_id,
+      |  CASE WHEN maxabs = 0
+      |       THEN list_transform(embedding, x -> 0::BIGINT)
+      |       ELSE list_transform(embedding, x -> CAST(
+      |         LEAST(GREATEST(floor((CAST(x AS DOUBLE) * 127.0) / maxabs + 0.5), -127), 127)
+      |         AS BIGINT)) END AS c
+      |  FROM m),
+      |q0 AS (SELECT c AS qc FROM codes WHERE vec_id = 0)
+      |SELECT codes.vec_id,
+      |  md5(array_to_string(list_transform(c, x -> CAST(x AS VARCHAR)), ',')) AS codes_md5,
+      |  CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS self_dot,
+      |  CAST(list_sum(list_transform(range(1, len(c) + 1), i -> c[i] * qc[i])) AS BIGINT) AS dot0
+      |FROM codes, q0""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashPairsSql,
     "q_curate_decontam_sem" -> decontamSemSql,
+    "q_embed_int8" -> int8Sql,
     "q_embed_lsh" -> lshTopKSql,
     "q_embed_pairs_amp" -> amplifiedPairsSql,
     "q_embed_pq" -> pqAdcSql,

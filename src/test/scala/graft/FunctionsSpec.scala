@@ -519,6 +519,52 @@ class FunctionsSpec extends SparkSpec {
     assert(lens === Set(4))
   }
 
+  test("int8: quantization round-trips within one step; cosine near-exact; topK recall high") {
+    import graft.functions.Int8
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coded = emb.select($"vec_id", $"embedding",
+      Int8.int8Codes($"embedding").as("c"), Int8.int8Scale($"embedding").as("s"))
+    // round-to-nearest contract: |v_i − c_i·scale| <= scale/2
+    val worst = coded.select(
+        expr("aggregate(zip_with(embedding, c, (v, q) -> abs(cast(v as double) - q * s)), 0D, (a, x) -> greatest(a, x))").as("e"),
+        $"s")
+      .agg(max($"e" / $"s")).as[Double].collect().head
+    assert(worst <= 0.5 + 1e-6, s"worst |v - q·s|/s = $worst exceeds half a step")
+    // int8 cosine tracks float cosine closely on real vectors
+    val simCheck = coded.as("x").crossJoin(coded.as("y"))
+      .filter($"x.vec_id" < $"y.vec_id").limit(500)
+      .select(
+        graft.functions.Similarity.cosine($"x.embedding", $"y.embedding").as("cf"),
+        Int8.int8Cosine($"x.c", $"y.c").as("ci"))
+      .agg(max(abs($"cf" - $"ci"))).as[Double].collect().head
+    assert(simCheck <= 0.02, s"int8 cosine deviates by $simCheck")
+    // brute-force int8 top-3 matches exact float top-3 on most slots
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 3)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val i8 = Int8.bruteForceInt8TopK(emb, "vec_id", "embedding", 3)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val overlap = (exact & i8).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"int8 top-k overlap $overlap below 0.9")
+  }
+
+  test("int8TopK: bucketed path agrees with brute force on colocated neighbors; auto sizes bits") {
+    import graft.functions.Int8
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bits = Similarity.autoBits(emb.count(), 64)
+    val bucketed = Int8.int8TopK(emb, "vec_id", "embedding", 3, bits)
+      .select($"qid", $"nid", $"rank").as[(Long, Long, Int)].collect()
+    assert(bucketed.nonEmpty)
+    // every returned neighbor shares the query's bucket and ranks are
+    // contiguous from 1
+    bucketed.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    val auto = Int8.int8TopKAuto(emb, "vec_id", "embedding", 3)
+      .select($"qid", $"nid", $"rank").as[(Long, Long, Int)].collect()
+    assert(auto.sortBy(r => (r._1, r._3)).toSeq === bucketed.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("IVF-PQ: nlist=1 degenerates bit-exactly to the exhaustive ADC scan; auto path keeps cluster-mates") {
     import graft.functions.{PqModel, SamplingImpl, Similarity}
     val dim = 16
