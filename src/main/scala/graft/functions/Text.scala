@@ -503,4 +503,95 @@ object Text {
       stopwords: Seq[String],
       t: GopherThresholds = GopherThresholds()): org.apache.spark.sql.DataFrame =
     df.filter(gopherRules(text, stopwords, t).getField("keep"))
+
+  /** A bigram language model as RELATIONS — the CCNet-style quality
+    * scorer's model (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", LREC 2020, which
+    * scores crawl text by a reference-corpus LM's perplexity). The
+    * "model" is two count relations + the corpus token total; at
+    * 100 TB the vocabulary/bigram relations are Zipf-bounded (grow
+    * sub-linearly in corpus size — the measured BPE-training shape),
+    * persist as parquet, and join distributively: there is no
+    * driver-side model object at all.
+    */
+  final case class LmModel(unigrams: org.apache.spark.sql.DataFrame,
+      bigrams: org.apache.spark.sql.DataFrame, totalTokens: Long)
+
+  /** Train [[LmModel]] from a reference corpus: one token explode for
+    * unigram counts, one bigram explode for bigram counts — two hash
+    * aggregations with map-side partials, nothing else.
+    */
+  def lmTrain(df: org.apache.spark.sql.DataFrame, text: Column): LmModel = {
+    val w = df.select(tokens(text).as("w"))
+    val uni = w.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val bi = w.select(explode(bigramPairs(col("w"))).as("b"))
+      .select(col("b.p").as("p"), col("b.t").as("t"))
+      .groupBy("p", "t").agg(count(lit(1)).as("c2"))
+    val total = uni.agg(sum(col("c1"))).collect()(0).getLong(0)
+    LmModel(uni, bi, total)
+  }
+
+  /** (prev, cur) bigram structs of a token array. */
+  private def bigramPairs(w: Column): Column =
+    zip_with(slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => struct(a.as("p"), b.as("t")))
+
+  /** Stupid-backoff LM scoring (Brants et al., "Large Language Models
+    * in Machine Translation", EMNLP 2007): per bigram position,
+    * S(cur|prev) = c2/c1(prev) when the bigram was seen, else
+    * α · max(c1(cur), 1)/N (unigram backoff; unseen words take the
+    * add-one floor so the log stays finite). Output per doc:
+    * n_scored, n_backoff, ll = Σ ln S, ppl = exp(−ll/n_scored) — the
+    * CCNet filter signal (drop/flag high-perplexity docs).
+    *
+    * Scale shape: one bigram explode of the scored corpus, one hash
+    * join against the bigram relation and two against the unigram
+    * relation (AQE broadcasts them while they fit — vocabulary-sized,
+    * not corpus-sized), one per-doc aggregation. Docs under 2 tokens
+    * produce no row.
+    */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      model: LmModel, alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val pos = df.select(idCol.as("id"), explode(bigramPairs(tokens(text))).as("b"))
+      .select(col("id"), col("b.p").as("p"), col("b.t").as("t"))
+    val joined = pos
+      .join(model.bigrams, Seq("p", "t"), "left")
+      .join(model.unigrams.select(col("t").as("p"), col("c1").as("c1p")), Seq("p"), "left")
+      .join(model.unigrams.select(col("t"), col("c1").as("c1t")), Seq("t"), "left")
+    val hit = col("c2").isNotNull && col("c1p").isNotNull
+    val lp = when(hit, log(col("c2").cast("double")) - log(col("c1p").cast("double")))
+      .otherwise(lit(math.log(alpha)) +
+        log(greatest(coalesce(col("c1t"), lit(0L)), lit(1L)).cast("double")) -
+        lit(math.log(model.totalTokens.toDouble)))
+    joined.groupBy(col("id")).agg(
+      count(lit(1)).as("n_scored"),
+      sum(when(hit, 0L).otherwise(1L)).as("n_backoff"),
+      sum(lp).as("ll"))
+      .withColumn("ppl", exp(-col("ll") / col("n_scored").cast("double")))
+  }
+
+  /** The exact-integer face of [[lmScore]] for cross-engine pinning:
+    * per doc, the five count sums that fully determine the model
+    * lookups (hits, Σc2, Σc1(prev) over hits, Σc1(cur) over backoff
+    * positions) — everything except the ln()s, whose last-ulp
+    * behavior is libm-specific (the q_text_tfidf precedent).
+    */
+  def lmScoreCounts(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      model: LmModel): org.apache.spark.sql.DataFrame = {
+    val pos = df.select(idCol.as("id"), explode(bigramPairs(tokens(text))).as("b"))
+      .select(col("id"), col("b.p").as("p"), col("b.t").as("t"))
+    val joined = pos
+      .join(model.bigrams, Seq("p", "t"), "left")
+      .join(model.unigrams.select(col("t").as("p"), col("c1").as("c1p")), Seq("p"), "left")
+      .join(model.unigrams.select(col("t"), col("c1").as("c1t")), Seq("t"), "left")
+    val hit = col("c2").isNotNull && col("c1p").isNotNull
+    joined.groupBy(col("id")).agg(
+      count(lit(1)).as("n_scored"),
+      sum(when(hit, 1L).otherwise(0L)).as("n_hit"),
+      sum(when(hit, col("c2")).otherwise(0L)).as("sum_c2"),
+      sum(when(hit, col("c1p")).otherwise(0L)).as("sum_c1prev"),
+      sum(when(hit, 0L).otherwise(coalesce(col("c1t"), lit(0L)))).as("sum_c1backoff"))
+  }
 }

@@ -133,6 +133,18 @@ object LlmQueries {
         Text.topNgramFraction($"text", 2).as("top_2gram_frac"))
     },
 
+    // CCNet-style LM quality scoring, exact-integer face: bigram LM
+    // trained on the even-doc split, every doc scored; the five count
+    // sums pin every model lookup (the ln()s stay spec-side — libm
+    // last-ulp, the q_text_tfidf precedent). Odd docs exercise the
+    // backoff path differentially (their bigrams may be train-unseen).
+    "q_text_lm" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val model = Text.lmTrain(docs.filter($"doc_id" % 2 === 0), $"text")
+      Text.lmScoreCounts(docs, $"doc_id", $"text", model)
+    },
+
     // Gopher-rule quality filter: per-rule booleans + keep, every
     // comparison exact-integer (per-mille thresholds). Thresholds
     // chosen so each rule is differentially live on this corpus
@@ -1196,6 +1208,26 @@ object LlmQueries {
         |         x -> len(list_filter(g2, y -> y = x)))), 0) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
         |       END AS top_2gram_frac
         |FROM g""".stripMargin,
+    "q_text_lm" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w FROM documents),
+        |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        |uni AS (SELECT t, COUNT(*) AS c1 FROM (SELECT UNNEST(w) AS t FROM train) GROUP BY t),
+        |bi AS (SELECT p, t, COUNT(*) AS c2 FROM (
+        |  SELECT w[i] AS p, w[i+1] AS t FROM train, UNNEST(generate_series(1, len(w)-1)) r(i))
+        |  GROUP BY p, t),
+        |pos AS (SELECT doc_id, w[i] AS p, w[i+1] AS t
+        |  FROM tok, UNNEST(generate_series(1, len(w)-1)) r(i)),
+        |j AS (SELECT doc_id, bi.c2, up.c1 AS c1p, ut.c1 AS c1t FROM pos
+        |  LEFT JOIN bi ON pos.p = bi.p AND pos.t = bi.t
+        |  LEFT JOIN uni up ON pos.p = up.t
+        |  LEFT JOIN uni ut ON pos.t = ut.t)
+        |SELECT doc_id AS id, COUNT(*) AS n_scored,
+        |  CAST(SUM(CASE WHEN c2 IS NOT NULL AND c1p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN c2 IS NOT NULL AND c1p IS NOT NULL THEN c2 ELSE 0 END) AS BIGINT) AS sum_c2,
+        |  CAST(SUM(CASE WHEN c2 IS NOT NULL AND c1p IS NOT NULL THEN c1p ELSE 0 END) AS BIGINT) AS sum_c1prev,
+        |  CAST(SUM(CASE WHEN c2 IS NOT NULL AND c1p IS NOT NULL THEN 0 ELSE COALESCE(c1t, 0) END) AS BIGINT) AS sum_c1backoff
+        |FROM j GROUP BY doc_id""".stripMargin,
     // every rule re-derived in exact integer arithmetic — the same
     // per-mille comparisons as Text.gopherRules, no doubles anywhere
     "q_text_gopher" ->

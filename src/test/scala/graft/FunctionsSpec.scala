@@ -289,6 +289,40 @@ class FunctionsSpec extends SparkSpec {
     assert(m("ok") === ((0.0, 0.25)))    // 4 grams, all distinct
   }
 
+  test("lmScore: stupid backoff hand-computed on a tiny corpus; OOV takes the add-one floor") {
+    val train = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val model = Text.lmTrain(train, col("text"))
+    // counts: a=3, b=2, c=1, N=6; bigrams: (a,b)=2, (b,a)=2, (a,c)=1
+    assert(model.totalTokens === 6L)
+    val score = Text.lmScore(Seq((1L, "a b a"), (2L, "a z")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), model, alpha = 0.4)
+      .select(col("id"), col("n_scored"), col("n_backoff"), col("ll"))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: (a,b): ln(2/3); (b,a): ln(2/2) — both hits
+    val exp1 = math.log(2.0 / 3.0) + math.log(1.0)
+    assert(score(1L)._1 === 2L && score(1L)._2 === 0L)
+    assert(math.abs(score(1L)._3 - exp1) < 1e-12)
+    // doc 2: (a,z) unseen, z OOV → ln(0.4) + ln(max(0,1)) − ln(6)
+    val exp2 = math.log(0.4) + math.log(1.0) - math.log(6.0)
+    assert(score(2L)._1 === 1L && score(2L)._2 === 1L)
+    assert(math.abs(score(2L)._3 - exp2) < 1e-12)
+  }
+
+  test("lmScore: perplexity ranks natural continuation below scrambled text") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val model = Text.lmTrain(docs, $"text")
+    // natural = real corpus docs; scrambled = same tokens reversed THEN
+    // interleaved across a stride, destroying bigram structure while
+    // keeping the unigram distribution identical
+    val scrambled = docs.select($"doc_id",
+      concat_ws(" ", reverse(Text.tokens($"text"))).as("text"))
+    val nat = Text.lmScore(docs, $"doc_id", $"text", model)
+      .agg(avg($"ppl")).as[Double].collect().head
+    val scr = Text.lmScore(scrambled, $"doc_id", $"text", model)
+      .agg(avg($"ppl")).as[Double].collect().head
+    assert(nat < scr, s"natural ppl $nat should be below scrambled $scr")
+  }
+
   test("gopherRules: each rule rejects its designed failure and keep is the conjunction") {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
     val good = "the quick brown fox jumps over a lazy dog and runs far into " +
