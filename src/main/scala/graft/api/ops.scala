@@ -134,6 +134,23 @@ object ops {
       RangeJoin.pointInInterval(points.ds.toDF(), point,
         intervals.ds.toDF(), lo, hi, binWidth))
 
+  /** Keyed event-time interval join — streaming inputs route through
+    * Structured Streaming's watermark-bounded symmetric hash join,
+    * batch inputs through the identical-predicate single join
+    * ([[graft.streaming.StreamingJoin]]).
+    */
+  def intervalJoin(id: String, left: Stream[Row], right: Stream[Row],
+      leftTs: String, rightTs: String, key: String,
+      lower: String, upper: String, delay: String,
+      joinType: String = "inner"): Stream[Row] =
+    step(left.flow, id, "interval_join", left.stepId, right.stepId)(
+      if (left.ds.isStreaming || right.ds.isStreaming)
+        graft.streaming.StreamingJoin.intervalJoin(left.ds.toDF(), leftTs,
+          right.ds.toDF(), rightTs, key, lower, upper, delay, joinType)
+      else
+        graft.streaming.StreamingJoin.intervalJoinBatch(left.ds.toDF(), leftTs,
+          right.ds.toDF(), rightTs, key, lower, upper, joinType))
+
   // ---- corpus-maintenance steps (beyond-reference surface) ----
 
   def lineDedup(id: String, up: Stream[Row], idCol: String, textCol: String,
