@@ -215,6 +215,20 @@ object CorpusQueries {
         .select(col("step").cast("long").as("step"), col("a"), col("b"), col("cnt"))
     },
 
+    // the trained tokenizer APPLIED: every doc encoded with the 4
+    // learned merges (train→encode end-to-end under one oracle); the
+    // flattened subword stream pinned by count + ordered md5
+    "q_text_bpe_apply" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val merges = BpeTrain.train(docs, col("text"), numMerges = 4, minCount = 1L)
+      docs.select(col("doc_id"),
+          BpeTrain.applyMerges(Text.tokens(col("text")),
+            merges.map(m => (m.a, m.b))).as("syms"))
+        .select(col("doc_id"),
+          size(col("syms")).cast("long").as("n_subwords"),
+          md5(concat_ws("|", col("syms"))).as("syms_md5"))
+    },
+
     // ExactSubstr-style duplicated-span removal: every token covered
     // by an 8-token window occurring >= 2x corpus-wide is cut
     "q_text_spandup" -> { (s, dir) =>
@@ -295,6 +309,28 @@ object CorpusQueries {
        |${its.mkString(",\n")}
        |SELECT CAST(step AS BIGINT) AS step, a, b, CAST(c AS BIGINT) AS cnt FROM (
        |  $finalSel)""".stripMargin
+  }
+
+  /** Encode gate oracle: the SAME unrolled training CTEs, but the
+    * final select joins the post-merge word->syms relation (s`v`)
+    * back onto every doc's ordered token stream — the flattened
+    * subword sequence per document, pinned by count + md5.
+    */
+  private def bpeApplySql(v: Int): String = {
+    val trainSql = bpeTrainSql(v)
+    // swap the train final-select for the encode final-select, keeping
+    // every CTE (w0, s0..s`v`, p*, b*, m*, k*) verbatim
+    val cut = trainSql.lastIndexOf("SELECT CAST(step AS BIGINT)")
+    trainSql.substring(0, cut).stripSuffix("\n") + ",\n" +
+      s"""tok AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |doc AS (SELECT doc_id, t.i AS pos, w[t.i] AS word
+         |  FROM tok, UNNEST(generate_series(1, len(w))) t(i)),
+         |enc AS (SELECT d.doc_id, d.pos, s.syms FROM doc d JOIN s$v s ON d.word = s.word)
+         |SELECT doc_id,
+         |  CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
+         |  md5(string_agg(array_to_string(syms, '|'), '|' ORDER BY pos)) AS syms_md5
+         |FROM enc GROUP BY doc_id""".stripMargin
   }
 
   private def sourceTokens(s: SparkSession, dir: String): DataFrame =
@@ -549,6 +585,7 @@ object CorpusQueries {
     },
 
     "q_text_bpe_train" -> bpeTrainSql(4),
+    "q_text_bpe_apply" -> bpeApplySql(4),
 
     "q_text_chunk" ->
       """WITH tok AS (SELECT doc_id,
