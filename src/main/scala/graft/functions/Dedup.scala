@@ -808,7 +808,22 @@ object Dedup {
     * selects the default m = maxHamming+1).
     */
   def simhashPairs(df: DataFrame, idCol: Column, text: Column, maxHamming: Int,
-      blocks: Int): DataFrame = {
+      blocks: Int): DataFrame =
+    hammingPairs(df, idCol, SimHash.simhash64(Text.tokens(text)), maxHamming, blocks)
+
+  /** Generalized-pigeonhole Hamming pair search over ANY 64-bit
+    * signature column (Manku et al., WWW'07 — the machinery
+    * [[simhashPairs]] runs, factored so other signature families can
+    * use it: byte-level dHash for multimodal assets
+    * ([[Multimodal.dhash]]), winnow-derived sketches, external
+    * perceptual hashes carried in as data). A pair within `maxHamming`
+    * bits agrees exactly on >= r = m − maxHamming of m blocks, so
+    * candidates join on hashed r-block-subset keys and the exact
+    * popcount verify runs inside the join scan — no cross join, exact
+    * recall by construction.
+    */
+  def hammingPairs(df: DataFrame, idCol: Column, sigCol: Column, maxHamming: Int,
+      blocks: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 63, "maxHamming must be in [0, 62]")
     val m = if (blocks > 0) blocks else maxHamming + 1
     require(m > maxHamming && m <= 64, s"blocks must be in (maxHamming, 64], got $m")
@@ -816,7 +831,7 @@ object Dedup {
     // Distribute 64 bits over m blocks as evenly as possible.
     val widths = Array.tabulate(m)(c => 64 / m + (if (c < 64 % m) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val withSim = df.select(idCol.as("id"), SimHash.simhash64(Text.tokens(text)).as("sim"))
+    val withSim = df.select(idCol.as("id"), sigCol.as("sim"))
     val blockCols = (0 until m).map { c =>
       val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
       shiftrightunsigned(col("sim"), offsets(c)).bitwiseAND(lit(mask))

@@ -122,4 +122,79 @@ object Multimodal {
       }
     }(Encoders.product[Frame])
   }
+
+  /** Byte-level difference hash (the dHash perceptual-hash family,
+    * applied to the stub codec's byte stream — a real pipeline applies
+    * the identical gradient construction to resized grayscale pixels):
+    * stride-sample the blob to `target` bytes with the SAME stride
+    * formula as [[resize]], then bit i = 1 iff sample[i+1] > sample[i]
+    * (unsigned). target−1 <= 63 gradient bits pack into one long —
+    * the asset near-dup signature. Fused codegen'd expression.
+    */
+  def dhash(blob: org.apache.spark.sql.Column, target: Int): org.apache.spark.sql.Column = {
+    require(target >= 2 && target <= 64, s"target must be in [2, 64], got $target")
+    org.apache.spark.sql.GraftExpr.column(DhashExpr(
+      org.apache.spark.sql.GraftExpr.expression(blob), target))
+  }
+
+  /** Asset near-dup pairs: [[dhash]] signatures through the
+    * generalized-pigeonhole Hamming join ([[Dedup.hammingPairs]]) —
+    * dedup for image/audio corpora where text shingles don't exist.
+    * Exact recall at `maxHamming` by construction; only (id, sig,
+    * block-key) rows shuffle, never blobs.
+    */
+  def nearDupAssets(df: DataFrame, idCol: String, blobCol: String,
+      target: Int = 49, maxHamming: Int = 6, blocks: Int = 0): DataFrame =
+    Dedup.hammingPairs(
+      df.select(col(idCol).cast("long").as("id"),
+        dhash(col(blobCol).cast("binary"), target).as("sig")),
+      col("id"), col("sig"), maxHamming, blocks)
+}
+
+/** binary → long byte-gradient dHash (see [[Multimodal.dhash]]). */
+case class DhashExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    target: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dhash requires binary, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MultimodalImpl.dhash(input.asInstanceOf[Array[Byte]], target)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MultimodalImpl.dhash($c, $target)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): DhashExpr =
+    copy(child = c)
+}
+
+object MultimodalImpl {
+  /** Stride-sampled unsigned byte gradient bits (resize's stride
+    * formula: stride = max(1, n/target), outLen = min(target,
+    * ceil(n/stride))). Empty/1-byte blobs hash to 0.
+    */
+  def dhash(b: Array[Byte], target: Int): Long = {
+    val n = b.length
+    if (n == 0) return 0L
+    val stride = math.max(1, n / target)
+    val outLen = math.min(target, (n + stride - 1) / stride)
+    var h = 0L
+    var i = 0
+    while (i < outLen - 1) {
+      val cur = b(i * stride) & 0xff
+      val nxt = b((i + 1) * stride) & 0xff
+      if (nxt > cur) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
 }

@@ -665,6 +665,28 @@ object LlmQueries {
       Multimodal.featurize(docs, "doc_id", "blob").toDF()
     },
 
+    // byte-gradient dHash per asset: every signature bit pinned (the
+    // perceptual-hash construction over the stub codec's byte stream)
+    "q_multimodal_dhash" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text".cast("binary").as("blob"))
+      docs.select($"doc_id".as("asset_id"),
+        Multimodal.dhash($"blob", 49).as("dh"))
+    },
+
+    // asset near-dup pairs at Hamming <= 6 through the pigeonhole
+    // join; oracle is the brute-force xor-popcount join — pigeonhole
+    // recall is exact by construction, so the sets must be identical
+    "q_multimodal_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text".cast("binary").as("blob"))
+      Multimodal.nearDupAssets(docs, "doc_id", "blob",
+          target = 49, maxHamming = 6)
+        .select($"i", $"j", $"hamming".cast("long").as("hamming"))
+    },
+
     // multimodal resize: stride-downsample each blob to <= 48 bytes;
     // the oracle recomputes the exact sampled byte positions
     "q_multimodal_resize" -> { (s, dir) =>
@@ -1568,6 +1590,32 @@ object LlmQueries {
          |FROM probes p JOIN cells c ON p.cid = c.cid AND p.qid <> c.id
          |QUALIFY rank <= 3""".stripMargin
     },
+    "q_multimodal_dhash" ->
+      """WITH src AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, text, n, GREATEST(1, n // 49) AS stride FROM src),
+        |q2 AS (SELECT doc_id, text, n, stride,
+        |  CASE WHEN n = 0 THEN 0 ELSE LEAST(49, (n + stride - 1) // stride) END AS out_len FROM p),
+        |s AS (SELECT doc_id,
+        |  list_transform(range(0, out_len), i -> unicode(text[1 + i*stride])) AS b FROM q2)
+        |SELECT doc_id AS asset_id,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, len(b)), i ->
+        |    CASE WHEN b[i+1] > b[i] THEN (1::BIGINT << CAST(i-1 AS INT)) ELSE 0 END)), 0) AS BIGINT) AS dh
+        |FROM s""".stripMargin,
+    "q_multimodal_neardup" ->
+      """WITH src AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, text, n, GREATEST(1, n // 49) AS stride FROM src),
+        |q2 AS (SELECT doc_id, text, n, stride,
+        |  CASE WHEN n = 0 THEN 0 ELSE LEAST(49, (n + stride - 1) // stride) END AS out_len FROM p),
+        |s AS (SELECT doc_id,
+        |  list_transform(range(0, out_len), i -> unicode(text[1 + i*stride])) AS b FROM q2),
+        |h AS (SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, len(b)), i ->
+        |    CASE WHEN b[i+1] > b[i] THEN (1::BIGINT << CAST(i-1 AS INT)) ELSE 0 END)), 0) AS BIGINT) AS dh
+        |FROM s)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 6""".stripMargin,
     "q_multimodal_resize" ->
       """WITH src AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |p AS (SELECT doc_id, text, n, GREATEST(1, n // 48) AS stride FROM src),

@@ -238,6 +238,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("dhash: hand-computed gradient bits; nearDupAssets equals brute-force xor-popcount") {
+    import graft.functions.{Multimodal, MultimodalImpl}
+    // bytes 1,3,2,2 at target>=4 → stride 1, bits: 3>1 → bit0, 2>3 no,
+    // 2>2 no (strict) → h = 1
+    assert(MultimodalImpl.dhash(Array[Byte](1, 3, 2, 2), 49) === 1L)
+    // unsigned compare: 0x80 (128) > 0x7f (127)
+    assert(MultimodalImpl.dhash(Array[Byte](127, -128), 49) === 1L)
+    assert(MultimodalImpl.dhash(Array.empty[Byte], 49) === 0L)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+    val got = Multimodal.nearDupAssets(docs, "doc_id", "blob", 49, 6)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val sigs = docs.select($"doc_id", Multimodal.dhash($"blob", 49).as("dh"))
+    val brute = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(bit_count($"a.dh".bitwiseXOR($"b.dh")) <= 6)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "corpus should contain near-dup assets")
+  }
+
   test("multimodal featurize matches byte-level ground truth") {
     val df = Seq((1L, "abc"), (2L, "")).toDF("id", "t")
       .select(col("id"), col("t").cast("binary").as("blob"))
