@@ -152,7 +152,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.functions.KmvSampleAgg(es.head, es(1), intArg(es(2), "k"))),
     ("kmv_merge",
       new ExpressionInfo(classOf[graft.functions.KmvMergeAgg].getName, "kmv_merge"),
-      (es: Seq[Expression]) => graft.functions.KmvMergeAgg(es.head, intArg(es(1), "k"))))
+      (es: Seq[Expression]) => graft.functions.KmvMergeAgg(es.head, intArg(es(1), "k"))),
+    ("int8_quantize",
+      new ExpressionInfo(classOf[graft.functions.Int8QuantizeExpr].getName, "int8_quantize"),
+      (es: Seq[Expression]) => graft.functions.Int8QuantizeExpr(es.head)),
+    ("int8_dot",
+      new ExpressionInfo(classOf[graft.functions.Int8DotExpr].getName, "int8_dot"),
+      (es: Seq[Expression]) => graft.functions.Int8DotExpr(es.head, es(1))),
+    ("dhash",
+      new ExpressionInfo(classOf[graft.functions.DhashExpr].getName, "dhash"),
+      (es: Seq[Expression]) => graft.functions.DhashExpr(es.head, intArg(es(1), "target"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -118,4 +118,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(plain.as[(String, Long, Double)].collect().toSet ===
       salted.as[(String, Long, Double)].collect().toSet)
   }
+
+  test("SQL int8_quantize/int8_dot/dhash match their Column counterparts") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT int8_dot(int8_quantize(array(cast(1.0 as double), cast(-0.5 as double))),
+        |               int8_quantize(array(cast(1.0 as double), cast(-0.5 as double)))) AS d,
+        |       int8_quantize(array(cast(1.0 as double), cast(-0.5 as double))) AS q,
+        |       dhash(cast('ab' as binary), 49) AS dh
+        |""".stripMargin).head()
+    // codes: 127, floor(-63.5+0.5) = -63 → dot = 127² + 63² = 20098
+    assert(r.getAs[Long]("d") === (127L * 127 + 63L * 63))
+    assert(r.getAs[Seq[Byte]]("q") === Seq[Byte](127, -63))
+    // 'b' > 'a' → bit 0
+    assert(r.getAs[Long]("dh") === 1L)
+  }
 }
