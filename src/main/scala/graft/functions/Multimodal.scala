@@ -148,7 +148,7 @@ object Multimodal {
     Dedup.hammingPairs(
       df.select(col(idCol).cast("long").as("id"),
         dhash(col(blobCol).cast("binary"), target).as("sig")),
-      col("id"), col("sig"), maxHamming, blocks)
+      col("id"), col("sig"), maxHamming, blocks, sigBits = target - 1)
 }
 
 /** binary → long byte-gradient dHash (see [[Multimodal.dhash]]). */

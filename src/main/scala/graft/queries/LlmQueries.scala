@@ -166,6 +166,27 @@ object LlmQueries {
         r.getField("keep").as("keep"))
     },
 
+    // the curation AUDIT face of the rule filter: per-source rejection
+    // profile (how many docs each rule would cut) — what a pipeline
+    // owner reads before rerunning a 100 TB pass with new thresholds.
+    // One grouped aggregation over the same fused rule projection.
+    "q_quality_report" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val r = Text.gopherRules($"text", stop, Text.GopherThresholds(
+        minTokens = 20, meanLenMinPm = 4000L, dup2MaxPm = 100L, top2MaxPm = 100L))
+      def fails(f: String) = sum(when(r.getField(f), 0L).otherwise(1L))
+      docs.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(r.getField("keep"), 1L).otherwise(0L)).as("n_keep"),
+        fails("ok_word_count").as("n_fail_words"),
+        fails("ok_mean_word_len").as("n_fail_mean"),
+        fails("ok_alpha").as("n_fail_alpha"),
+        fails("ok_stopwords").as("n_fail_stop"),
+        fails("ok_dup_2gram").as("n_fail_dup2"),
+        fails("ok_top_2gram").as("n_fail_top2"))
+    },
+
     // document fingerprinting
     "q_text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -1284,6 +1305,41 @@ object LlmQueries {
         |    AND ((n2 - d2) * 1000 <= n2 * 100)
         |    AND (top2 * 1000 <= n2 * 100)) AS keep
         |FROM r""".stripMargin,
+    "q_quality_report" ->
+      """WITH tok AS (SELECT doc_id, source, text,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  CAST(len(w) AS BIGINT) AS ntok,
+        |  CAST(COALESCE(list_sum(list_transform(w, t -> length(t))), 0) AS BIGINT) AS lensum,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS nalpha,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS nhits,
+        |  CASE WHEN len(w) >= 2
+        |       THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |       ELSE [] END AS g2
+        |FROM tok),
+        |r AS (SELECT doc_id, source, ntok, lensum, nalpha, nhits,
+        |  CAST(len(g2) AS BIGINT) AS n2,
+        |  CAST(len(list_distinct(g2)) AS BIGINT) AS d2,
+        |  CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+        |    x -> len(list_filter(g2, y -> y = x)))), 0) AS BIGINT) AS top2
+        |FROM s),
+        |f AS (SELECT source,
+        |  (ntok >= 20 AND ntok <= 100000) AS ok_w,
+        |  (lensum * 1000 >= ntok * 4000 AND lensum * 1000 <= ntok * 10000) AS ok_m,
+        |  (nalpha * 1000 >= lensum * 800) AS ok_a,
+        |  (nhits >= 2) AS ok_s,
+        |  ((n2 - d2) * 1000 <= n2 * 100) AS ok_d,
+        |  (top2 * 1000 <= n2 * 100) AS ok_t
+        |FROM r)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN ok_w AND ok_m AND ok_a AND ok_s AND ok_d AND ok_t THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(SUM(CASE WHEN ok_w THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_words,
+        |  CAST(SUM(CASE WHEN ok_m THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_mean,
+        |  CAST(SUM(CASE WHEN ok_a THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_alpha,
+        |  CAST(SUM(CASE WHEN ok_s THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stop,
+        |  CAST(SUM(CASE WHEN ok_d THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup2,
+        |  CAST(SUM(CASE WHEN ok_t THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_top2
+        |FROM f GROUP BY source""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,

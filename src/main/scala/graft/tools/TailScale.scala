@@ -42,6 +42,36 @@ object TailScale {
       case "ann_pairs_auto" =>
         graft.functions.Similarity.bucketedCosinePairsAuto(
           graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 0.9)
+      // production int8 serving scan (gate pins tiny dims for oracle)
+      case "ann_int8_auto" =>
+        graft.functions.Int8.int8TopKAuto(
+          graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 3)
+      // asset near-dup with widened pigeonhole blocks (r = m − h > 1):
+      // more selective keys, C(m, r) × the keyed rows
+      // full-width signature (63 gradient bits): more selective block
+      // keys at unchanged m — the scale lever that DOESN'T multiply
+      // keyed rows
+      case "assetdup_t64" =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text").cast("binary").as("blob"))
+        graft.functions.Multimodal.nearDupAssets(docs, "doc_id", "blob",
+          target = 64, maxHamming = 6)
+      case s if s.startsWith("assetdup_b") =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text").cast("binary").as("blob"))
+        graft.functions.Multimodal.nearDupAssets(docs, "doc_id", "blob",
+          target = 49, maxHamming = 6, blocks = s.stripPrefix("assetdup_b").toInt)
+      // production semantic decontam: bits sized to the train side
+      // (the gate pins bits=4/tables=2 for DuckDB tractability)
+      case "decontam_sem_auto" =>
+        val emb = graft.Tables.load(spark, dir, "embeddings")
+        val c = org.apache.spark.sql.functions.col _
+        graft.functions.Dedup.decontaminateSemanticAuto(
+          emb.filter(c("vec_id") % 50 =!= 0), "vec_id", "embedding",
+          emb.filter(c("vec_id") % 50 === 0), "vec_id", "embedding",
+          threshold = 0.9)
       // simhash with widened pigeonhole blocks — the documented knob
       // once N approaches 2^(r·64/m) per dedup domain (the gate's
       // m=maxHamming+1=8 gives 8-bit keys: saturated at 500k docs)
