@@ -854,4 +854,43 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** [[hammingPairs]] with exact-signature pre-grouping — identical
+    * output, different scale envelope for DUP-HEAVY corpora (the
+    * common case for perceptual hashes: most near-dup assets are
+    * bit-exact re-encodes). The pigeonhole join runs over DISTINCT
+    * signatures only, so k identical sigs contribute ONE keyed row
+    * instead of k block-keyed rows and C(k,2) in-bucket candidates;
+    * equal-sig pairs come from a plain equi-self-join on sig (hamming
+    * 0 by construction) and cross-sig pairs expand the distinct-sig
+    * pairs through two member joins — both output-bound.
+    *
+    * MEASURED trade (SCALE.md, 500k assets): on a LOW-multiplicity
+    * corpus (distinct sigs ≈ N) this path costs 124 s vs 34.9 s plain
+    * — it pays the same pigeonhole plus three joins and removes
+    * nothing. It wins only when distinct sigs << N (re-encode-heavy
+    * image corpora, viral-content crawls), where k identical sigs
+    * collapse from C(k,2) in-bucket candidates to one keyed row.
+    * Check `approx_count_distinct(sig)/count(*)` before choosing;
+    * callers default to [[hammingPairs]].
+    */
+  def hammingPairsGrouped(df: DataFrame, idCol: Column, sigCol: Column,
+      maxHamming: Int, blocks: Int = 0, sigBits: Int = 64): DataFrame = {
+    val members = df.select(idCol.as("id"), sigCol.as("sig"))
+    val distinctSigs = members.select(col("sig")).distinct()
+    // the signature doubles as the pair id: distinct + orderable
+    val crossSig = hammingPairs(distinctSigs, col("sig"), col("sig"),
+      maxHamming, blocks, sigBits)
+      .select(col("i").as("sa"), col("j").as("sb"), col("hamming"))
+    val cross = crossSig
+      .join(members.select(col("id").as("ia"), col("sig").as("sa")), Seq("sa"))
+      .join(members.select(col("id").as("ib"), col("sig").as("sb")), Seq("sb"))
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"), col("hamming"))
+    val intra = members.as("a").join(members.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(intra)
+  }
 }

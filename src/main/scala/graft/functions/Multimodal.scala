@@ -144,11 +144,21 @@ object Multimodal {
     * block-key) rows shuffle, never blobs.
     */
   def nearDupAssets(df: DataFrame, idCol: String, blobCol: String,
-      target: Int = 49, maxHamming: Int = 6, blocks: Int = 0): DataFrame =
-    Dedup.hammingPairs(
-      df.select(col(idCol).cast("long").as("id"),
-        dhash(col(blobCol).cast("binary"), target).as("sig")),
-      col("id"), col("sig"), maxHamming, blocks, sigBits = target - 1)
+      target: Int = 49, maxHamming: Int = 6, blocks: Int = 0,
+      groupExact: Boolean = false): DataFrame = {
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      dhash(col(blobCol).cast("binary"), target).as("sig"))
+    // groupExact routes through the exact-sig pre-grouping — a WIN
+    // only when distinct sigs << assets (re-encode-heavy corpora);
+    // measured a 3.5× LOSS on a low-multiplicity corpus (SCALE.md),
+    // hence opt-in rather than default
+    if (groupExact)
+      Dedup.hammingPairsGrouped(sigs, col("id"), col("sig"), maxHamming,
+        blocks, sigBits = target - 1)
+    else
+      Dedup.hammingPairs(sigs, col("id"), col("sig"), maxHamming,
+        blocks, sigBits = target - 1)
+  }
 }
 
 /** binary → long byte-gradient dHash (see [[Multimodal.dhash]]). */

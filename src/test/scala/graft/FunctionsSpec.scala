@@ -256,6 +256,16 @@ class FunctionsSpec extends SparkSpec {
       .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
     assert(got === brute)
     assert(got.nonEmpty, "corpus should contain near-dup assets")
+    // grouped path ≡ ungrouped pigeonhole, including hamming values
+    val grouped = graft.functions.Dedup.hammingPairsGrouped(
+        sigs, $"doc_id", $"dh", 6, sigBits = 48)
+      .as[(Long, Long, Int)].collect().toSet
+    val plain = graft.functions.Dedup.hammingPairs(
+        sigs, $"doc_id", $"dh", 6, sigBits = 48)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(grouped === plain)
+    // exact-equal sigs appear with hamming 0
+    assert(grouped.exists(_._3 == 0))
   }
 
   test("multimodal featurize matches byte-level ground truth") {
