@@ -172,4 +172,33 @@ object ops {
     step(oldUp.flow, id, "snapshot_diff", oldUp.stepId, newUp.stepId)(
       graft.functions.Dedup.snapshotDiff(oldUp.ds.toDF(), newUp.ds.toDF(),
         idCol, fpCol, includeUnchanged))
+
+  def gopherFilter(id: String, up: Stream[Row], textCol: String,
+      stopwords: Seq[String],
+      t: graft.functions.Text.GopherThresholds =
+        graft.functions.Text.GopherThresholds()): Stream[Row] =
+    step(up.flow, id, "gopher_filter", up.stepId)(
+      graft.functions.Text.gopherFilter(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(textCol), stopwords, t))
+
+  def lmScore(id: String, up: Stream[Row], idCol: String, textCol: String,
+      model: graft.functions.Text.LmModel, alpha: Double = 0.4): Stream[Row] =
+    step(up.flow, id, "lm_score", up.stepId)(
+      graft.functions.Text.lmScore(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(textCol), model, alpha))
+
+  def semanticDecontam(id: String, train: Stream[Row], eval: Stream[Row],
+      trainId: String, trainVec: String, evalId: String, evalVec: String,
+      threshold: Double, targetBucket: Int = 64, tables: Int = 8): Stream[Row] =
+    step(train.flow, id, "semantic_decontam", train.stepId, eval.stepId)(
+      graft.functions.Dedup.decontaminateSemanticAuto(train.ds.toDF(),
+        trainId, trainVec, eval.ds.toDF(), evalId, evalVec,
+        threshold, targetBucket, tables))
+
+  def assetNearDup(id: String, up: Stream[Row], idCol: String, blobCol: String,
+      target: Int = 64, maxHamming: Int = 6): Stream[Row] =
+    step(up.flow, id, "asset_near_dup", up.stepId)(
+      graft.functions.Multimodal.nearDupAssets(up.ds.toDF(), idCol, blobCol,
+        target, maxHamming))
 }

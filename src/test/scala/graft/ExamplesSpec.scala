@@ -314,6 +314,35 @@ class ExamplesSpec extends SparkSpec {
     assert(flow.stepIds.toSet.intersect(Set("ld", "ch", "sd")) === Set("ld", "ch", "sd"))
   }
 
+  test("facade quality/dedup steps: gopherFilter, lmScore, semanticDecontam, assetNearDup") {
+    import graft.api.{ops, Flow, Stream}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    val flow = Flow("qual")
+    val stop = graft.functions.Text.langStopwords.head._2
+    val docsDf = Tables.load(spark, sf0001, "documents")
+    val docs = Stream[Row](docsDf, flow, "docs")
+    val kept = ops.gopherFilter("gf", docs, "text", stop,
+      graft.functions.Text.GopherThresholds(minTokens = 20))
+    assert(kept.ds.toDF().count() > 0)
+    val model = graft.functions.Text.lmTrain(docsDf, col("text"))
+    val scored = ops.lmScore("lm", kept, "doc_id", "text", model)
+    assert(scored.ds.toDF().columns.contains("ppl"))
+    assert(scored.ds.toDF().count() > 0)
+    val embDf = Tables.load(spark, sf0001, "embeddings")
+    val train = Stream[Row](embDf.filter(col("vec_id") % 50 =!= 0), flow, "tr")
+    val ev = Stream[Row](embDf.filter(col("vec_id") % 50 === 0), flow, "ev")
+    val dec = ops.semanticDecontam("sdc", train, ev,
+      "vec_id", "embedding", "vec_id", "embedding", threshold = 0.3)
+    assert(dec.ds.toDF().columns.toSeq === Seq("id", "n_hits"))
+    val blobs = Stream[Row](docsDf.select(col("doc_id"),
+      col("text").cast("binary").as("blob")), flow, "bl")
+    val pairs = ops.assetNearDup("and", blobs, "doc_id", "blob")
+    assert(pairs.ds.toDF().count() > 0)
+    assert(flow.stepIds.toSet.intersect(Set("gf", "lm", "sdc", "and")) ===
+      Set("gf", "lm", "sdc", "and"))
+  }
+
   test("curation pipeline example: drop in, sequences + report out") {
     import org.apache.spark.sql.functions.{col, lit}
     val docs = Tables.load(spark, sf001, "documents")
