@@ -149,6 +149,47 @@ object Sampling {
       .filter(col("__take_rank") <= k).drop("__take_rank")
   }
 
+  /** Corpus mixing to a TOKEN BUDGET: down-sample each stratum
+    * (source) so the expected kept token mass is
+    * `min(T_s, sharePm_s/1000 · targetTotal)` — the "assemble a
+    * 500B-token mix at 60% web / 30% code / 10% books" step, where
+    * [[stratifiedSample]] needs hand-derived rates and cannot promise
+    * a budget. One aggregation computes per-stratum token totals T_s;
+    * the keep decision is the [[weightedKeep]] membership hash with
+    * the per-stratum rate `sharePm·targetTotal/(1000·T_s)` NEVER
+    * materialized as a double: keep iff
+    * `(h>>>1) · 1000 · T_s < sharePm · targetTotal · 2⁶³`, evaluated
+    * in decimal(38,0) where both products are exact for any realistic
+    * corpus (T_s, targetTotal < 10¹⁴ tokens) — so the sample is
+    * bit-reproducible cross-engine, retry-stable, and rates ≥ 1 keep
+    * everything naturally (the inequality saturates). Strata not in
+    * `sharesPm` take `defaultSharePm`.
+    *
+    * The totals relation is stratum-sized and broadcast into the keep
+    * filter; the corpus is scanned once for totals and once for the
+    * filter (cache the input if the two scans matter).
+    */
+  def mixToBudget(df: DataFrame, idCol: Column, stratumCol: Column,
+      tokensCol: Column, targetTotal: Long, sharesPm: Map[String, Long],
+      defaultSharePm: Long = 0L, salt: Long = 0L): DataFrame = {
+    require(targetTotal > 0, s"targetTotal must be positive, got $targetTotal")
+    require((sharesPm.values ++ Seq(defaultSharePm)).forall(_ >= 0),
+      "shares must be non-negative")
+    val totals = df.groupBy(stratumCol.as("__stratum"))
+      .agg(sum(tokensCol.cast("long")).as("__t"))
+    val share = sharesPm.foldLeft(lit(defaultSharePm)) { case (els, (s, pm)) =>
+      when(col("__stratum") === lit(s), lit(pm)).otherwise(els)
+    }
+    val d38 = "decimal(38,0)"
+    val h = shiftrightunsigned(splitmix64(lit(salt).bitwiseXOR(idCol)), 1)
+    val keep = (h.cast(d38) * lit(1000L).cast(d38) * col("__t").cast(d38)) <
+      (share.cast(d38) * lit(targetTotal).cast(d38) *
+        lit(Long.MaxValue).cast(d38) + share.cast(d38) * lit(targetTotal).cast(d38))
+    df.join(broadcast(totals), stratumCol === col("__stratum"))
+      .filter(keep)
+      .drop("__stratum", "__t")
+  }
+
   /** Stratified sampling / corpus mixing: per-stratum keep rates (the
     * "20% of web, 100% of books" recipe), `defaultRate` for strata not
     * listed. One pass, one codegen'd CASE over the stratum column —

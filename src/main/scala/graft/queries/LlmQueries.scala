@@ -70,6 +70,20 @@ object LlmQueries {
         .select($"doc_id", $"n_chars")
     },
 
+    // corpus mixing to a token budget: per-source totals from one
+    // aggregation, keep decision in exact decimal(38,0) — the rate is
+    // never a double, so the sample hash-matches cross-engine. src0's
+    // share saturates (rate > 1 keeps the whole stratum), src1 is
+    // mid-rate, the default share is sparse — all three regimes live.
+    "q_sample_mix" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.mixToBudget(docs, $"doc_id", $"source", $"n_chars",
+          targetTotal = 50000L, sharesPm = Map("src0" -> 400L, "src1" -> 100L),
+          defaultSharePm = 20L, salt = 11L)
+        .select($"doc_id", $"source", $"n_chars")
+    },
+
     // stratified sampling / corpus mixing: per-stratum keep rates in
     // one codegen'd CASE (stratum here = doc_id mod 3 so the oracle
     // is closed-form; production strata are language/quality/source)
@@ -1168,6 +1182,17 @@ object LlmQueries {
     "q_sample" ->
       s"""SELECT doc_id FROM documents
          |WHERE ${sampleKeepSql(7L, s"${Sampling.threshold(0.25)}::UBIGINT")}""".stripMargin,
+    "q_sample_mix" ->
+      s"""WITH t AS (SELECT source, SUM(n_chars) AS tt FROM documents GROUP BY 1),
+         |s AS (SELECT doc_id, d.source, n_chars, tt,
+         |  CASE WHEN d.source = 'src0' THEN 400
+         |       WHEN d.source = 'src1' THEN 100 ELSE 20 END AS pm
+         |FROM documents d JOIN t ON d.source = t.source)
+         |SELECT doc_id, source, n_chars FROM s
+         |WHERE CAST((${smix64Sql("xor(CAST(doc_id AS UBIGINT), 11::UBIGINT)")}) >> 1 AS HUGEINT)
+         |    * 1000 * CAST(tt AS HUGEINT)
+         |  < CAST(pm AS HUGEINT) * 50000
+         |    * 9223372036854775808::HUGEINT""".stripMargin,
     "q_sample_weighted" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE CAST((${smix64Sql("xor(CAST(doc_id AS UBIGINT), 7::UBIGINT)")}) >> 1 AS HUGEINT)

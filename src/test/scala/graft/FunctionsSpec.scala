@@ -536,6 +536,32 @@ class FunctionsSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("mixToBudget: kept token mass tracks the per-stratum budget; saturation keeps all") {
+    import graft.functions.Sampling
+    val docs = Tables.load(spark, sf001, "documents")
+    val target = 50000L
+    val mixed = Sampling.mixToBudget(docs, $"doc_id", $"source", $"n_chars",
+      target, Map("src0" -> 400L, "src1" -> 100L), defaultSharePm = 20L, salt = 11L)
+    val kept = mixed.groupBy($"source").agg(sum($"n_chars").as("kt"))
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy($"source").agg(sum($"n_chars"))
+      .as[(String, Long)].collect().toMap
+    // src0: share 0.4 → budget 20000 > T_src0 → saturates, keeps ALL
+    assert(kept("src0") === totals("src0"))
+    // src1: budget 5000 of ~8570 — kept mass within a loose binomial
+    // band (25 docs only, so wide)
+    assert(kept("src1") > 1000L && kept("src1") < totals("src1"))
+    // default strata: budget 1000 of ~7300 — sparse but present in
+    // aggregate across the 18 default sources
+    val defaultKept = kept.filterNot(k => k._1 == "src0" || k._1 == "src1").values.sum
+    assert(defaultKept > 0L && defaultKept < 18 * 3000L)
+    // partition invariance: same membership after a repartition
+    val re = Sampling.mixToBudget(docs.repartition(7), $"doc_id", $"source",
+        $"n_chars", target, Map("src0" -> 400L, "src1" -> 100L), 20L, 11L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(re === mixed.select($"doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("stratifiedSample applies per-stratum rates with a default") {
     import graft.functions.Sampling
     val docs = Tables.load(spark, sf001, "documents")
