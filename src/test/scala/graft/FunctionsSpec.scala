@@ -609,6 +609,32 @@ class FunctionsSpec extends SparkSpec {
     assert(lens === Set(4))
   }
 
+  test("persisted IVF index: parquet round-trip serves bit-identical results to the fused path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fused = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 2, iterations = 1)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iterations = 1)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+    // a LATER JOB: read the index back, never touching the build path
+    val c2 = spark.read.parquet(s"$dir/centroids")
+    val cells2 = spark.read.parquet(s"$dir/cells")
+    val served = Similarity.ivfQueryIndex(emb, "vec_id", "embedding",
+        c2, cells2, nprobe = 2, k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(served === fused)
+    // incremental drop assigns against the FROZEN centroids: cell ids
+    // stay within the persisted centroid set
+    val drop = emb.limit(20)
+    val dropCells = Similarity.ivfAssign(drop, "vec_id", "embedding", c2)
+    val validCids = c2.select($"cid").as[Long].collect().toSet
+    dropCells.select($"cid").as[Long].collect().foreach(c => assert(validCids(c)))
+  }
+
   test("int8: quantization round-trips within one step; cosine near-exact; topK recall high") {
     import graft.functions.Int8
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
