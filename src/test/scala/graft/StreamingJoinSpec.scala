@@ -73,6 +73,41 @@ class StreamingJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("buffered join state survives a stop/restart: match emits across the checkpoint") {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("graft-sij-ckpt").toFile.getPath
+    val outDir = Files.createTempDirectory("graft-sij-out").toFile.getPath
+    val lSrc = Testing.testingSource[(Long, Long, Double)](spark)
+    val rSrc = Testing.testingSource[(Long, Long, Double)](spark)
+    def startQuery() =
+      StreamingJoin.intervalJoin(
+          leftDf(lSrc.toDS()), "lts", rightDf(rSrc.toDS()), "rts",
+          "key", "10 milliseconds", "100 milliseconds", delay = "1 second")
+        .select($"key", $"lv", $"rv").writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // run 1: only the left side of the pair arrives — it must be
+    // buffered in join state (its band reaches to lt+100)
+    val q1 = startQuery()
+    lSrc.addBatch((1L, 1000L, 1.0))
+    rSrc.addBatch((2L, 900L, -2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).filter($"key" === 1L).count() === 0L,
+      "no match may exist before the right row arrives")
+
+    // run 2: the matching right row arrives AFTER restart — the pair
+    // can only emit if the buffered left row was recovered
+    val q2 = startQuery()
+    rSrc.addBatch((1L, 1050L, 10.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir).filter($"key" === 1L)
+      .select($"lv", $"rv").as[(Double, Double)].collect().toSet
+    assert(got === Set((1.0, 10.0)))
+  }
+
   test("left-outer emits null-padded non-matches only after the watermark closes the band") {
     val lSrc = Testing.testingSource[(Long, Long, Double)](spark)
     val rSrc = Testing.testingSource[(Long, Long, Double)](spark)
