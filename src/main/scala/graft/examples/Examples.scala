@@ -478,6 +478,37 @@ object Examples {
     (sequences, report)
   }
 
+  /** Training-mix assembly — the second half of the curation story
+    * ([[curationPipeline]] is the dedup half): Gopher-rule quality
+    * gate → LM-perplexity outlier cut (self-trained bigram LM with
+    * stupid backoff) → down-mix each source to its per-mille share of
+    * a total token budget (exact-decimal membership, never a double
+    * rate) → deterministic global shuffle into training shards.
+    * Returns (sharded mix, per-source audit report).
+    */
+  def mixturePipeline(docs: DataFrame, targetTokens: Long,
+      sharesPm: Map[String, Long], defaultSharePm: Long = 50L,
+      maxPpl: Double = 1e6): (DataFrame, DataFrame) = {
+    import graft.functions.{Sampling, Text}
+    val stop = Text.langStopwords.head._2
+    val gated = Text.gopherFilter(docs, col("text"), stop,
+      Text.GopherThresholds(minTokens = 10))
+    val model = Text.lmTrain(gated, col("text"))
+    val scored = Text.lmScore(gated, col("doc_id"), col("text"), model)
+      .filter(col("ppl") <= maxPpl)
+    val kept = gated.join(scored.select(col("id").as("doc_id"), col("ppl")), "doc_id")
+      .withColumn("n_tok", Text.tokenCount(col("text")).cast("long"))
+    val mixed = Sampling.mixToBudget(kept, col("doc_id"), col("source"),
+      col("n_tok"), targetTokens, sharesPm, defaultSharePm)
+    val sharded = Sampling.shuffleShardsAuto(mixed, col("doc_id"))
+    val report = kept.groupBy(col("source")).agg(
+        count(lit(1)).as("n_gated"), sum(col("n_tok")).as("tok_gated"))
+      .join(mixed.groupBy(col("source")).agg(
+        count(lit(1)).as("n_mixed"), sum(col("n_tok")).as("tok_mixed")),
+        Seq("source"), "left")
+    (sharded, report)
+  }
+
   def basicRouter(nums: DataFrame): DataFrame = {
     import graft.api.{ops, Flow, Stream}
     val flow = Flow("basic")

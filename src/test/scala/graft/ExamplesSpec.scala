@@ -367,6 +367,27 @@ class ExamplesSpec extends SparkSpec {
     assert(probed.getAs[Long]("est") > 0L && probed.getAs[Boolean]("seen"))
   }
 
+  test("mixture pipeline example: gate, score, mix to budget, shard deterministically") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf001, "documents")
+    val (sharded, report) = Examples.mixturePipeline(docs,
+      targetTokens = 10000L, sharesPm = Map("src0" -> 300L), defaultSharePm = 30L)
+    val rows = sharded.collect()
+    assert(rows.nonEmpty)
+    // shards carry the deterministic (shard, pos) permutation
+    assert(sharded.columns.contains("shard") && sharded.columns.contains("pos"))
+    val rerun = Examples.mixturePipeline(docs, 10000L, Map("src0" -> 300L), 30L)._1
+      .select(col("doc_id"), col("shard"), col("pos")).collect().toSet
+    assert(rerun === rows.map(r => org.apache.spark.sql.Row(
+      r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toSet)
+    // report: mixed token mass per source never exceeds gated mass
+    report.collect().foreach { r =>
+      val tg = r.getAs[Long]("tok_gated")
+      val tm = Option(r.getAs[Long]("tok_mixed")).getOrElse(0L)
+      assert(tm <= tg)
+    }
+  }
+
   test("benchmark_windowing port: window structure correct, output discarded") {
     import org.apache.spark.sql.functions._
     // 600 second-spaced events = 10 full 1-minute tumbling windows; the
