@@ -202,8 +202,43 @@ object Text {
     */
   def dedupSpans(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
       spanTokens: Int): org.apache.spark.sql.DataFrame = {
+    val (base, pos) = spanPositions(df, idCol, text, spanTokens)
+    val dupGrams = pos.filter(col("gh").isNotNull)
+      .groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gh"), lit(1).as("dup"))
+    cutCovered(base, pos, dupGrams, spanTokens)
+  }
+
+  /** Surgical span-level DECONTAMINATION: cut every train token
+    * covered by a `spanTokens`-token window that occurs ANYWHERE in
+    * the eval corpus, keeping the rest of the document — the
+    * span-granular companion to [[graft.functions.Dedup.decontaminate]]
+    * (which flags whole documents). The right tool when contamination
+    * is a quoted benchmark question inside an otherwise-good document:
+    * doc-level dropping throws away the document, span cutting removes
+    * exactly the leaked window plus its minimal cover.
+    *
+    * Same machinery as [[dedupSpans]]; the cut relation is the
+    * distinct eval window set instead of the corpus-wide dup grams —
+    * benchmark-scale, so it broadcasts into the coverage join.
+    */
+  def decontaminateSpans(train: org.apache.spark.sql.DataFrame, trainId: Column,
+      trainText: Column, eval: org.apache.spark.sql.DataFrame, evalText: Column,
+      spanTokens: Int): org.apache.spark.sql.DataFrame = {
+    val (base, pos) = spanPositions(train, trainId, trainText, spanTokens)
+    val (_, evalPos) = spanPositions(eval,
+      monotonically_increasing_id(), evalText, spanTokens)
+    val evalGrams = evalPos.filter(col("gh").isNotNull)
+      .select(col("gh")).distinct().withColumn("dup", lit(1))
+    cutCovered(base, pos, evalGrams, spanTokens)
+  }
+
+  /** Per-token position stream with the window-gram hash that STARTS
+    * at each position (null in the tail where no full window fits).
+    */
+  private def spanPositions(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      text: Column, spanTokens: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(idCol.as("id"), tokens(text).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
     val pos = base.filter(col("n") >= 1)
@@ -214,12 +249,20 @@ object Text {
         when(col("i") <= col("n") - (spanTokens - 1),
           SimHash.fnv1a64(array_join(
             slice(col("toks"), col("i").cast("int"), lit(spanTokens)), " "))).as("gh"))
-    val dupGrams = pos.filter(col("gh").isNotNull)
-      .groupBy("gh").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("gh"), lit(1).as("dup"))
+    (base, pos)
+  }
+
+  /** Rewrite each doc without any token covered by a flagged window:
+    * coverage = max(flag) over the trailing `spanTokens`-row frame,
+    * kept tokens re-concatenate in order.
+    */
+  private def cutCovered(base: org.apache.spark.sql.DataFrame,
+      pos: org.apache.spark.sql.DataFrame, cutGrams: org.apache.spark.sql.DataFrame,
+      spanTokens: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("i")
       .rowsBetween(-(spanTokens - 1), Window.currentRow)
-    val kept = pos.join(broadcast(dupGrams), Seq("gh"), "left")
+    val kept = pos.join(broadcast(cutGrams), Seq("gh"), "left")
       .withColumn("dupflag", coalesce(col("dup"), lit(0)))
       .withColumn("cov", max(col("dupflag")).over(w))
       .filter(col("cov") === 0)

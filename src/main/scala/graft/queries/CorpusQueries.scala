@@ -238,6 +238,18 @@ object CorpusQueries {
           col("n_tokens"), col("n_removed"))
     },
 
+    // surgical span decontamination: every train token covered by an
+    // 8-token window occurring anywhere in the eval split is cut, the
+    // document otherwise kept — rewritten text md5-pinned per doc
+    "q_curate_decontam_span" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Text.decontaminateSpans(
+          docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 50 === 0), col("text"), spanTokens = 8)
+        .select(col("id"), md5(col("text")).as("text_md5"),
+          col("n_tokens"), col("n_removed"))
+    },
+
     // corpus-relative rare-word quality signal: rare = bottom quarter
     // of the vocabulary by corpus count — rank-based, so the split is
     // non-trivial at every scale
@@ -662,6 +674,32 @@ object CorpusQueries {
         |  CAST(b.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
         |FROM b LEFT JOIN k ON k.doc_id = b.doc_id""".stripMargin,
 
+    "q_curate_decontam_span" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w, len(w) AS n FROM tok),
+        |pos AS (SELECT doc_id, n, t.i AS i, w[t.i] AS tk,
+        |    CASE WHEN t.i <= n - 7 THEN array_to_string(w[t.i:t.i+7], ' ') END AS gram
+        |  FROM b, UNNEST(generate_series(1, n)) t(i)),
+        |c AS (SELECT DISTINCT gram FROM pos
+        |  WHERE gram IS NOT NULL AND doc_id % 50 = 0),
+        |f AS (SELECT p.doc_id, p.n, p.i, p.tk,
+        |    CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END AS dup
+        |  FROM pos p LEFT JOIN c ON c.gram = p.gram
+        |  WHERE p.doc_id % 50 <> 0),
+        |cov AS (SELECT doc_id, n, i, tk,
+        |    MAX(dup) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+        |  FROM f),
+        |k AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS txt,
+        |    COUNT(*) AS n_kept
+        |  FROM cov WHERE cov = 0 GROUP BY 1)
+        |SELECT b.doc_id AS id, md5(COALESCE(k.txt, '')) AS text_md5,
+        |  CAST(b.n AS BIGINT) AS n_tokens,
+        |  CAST(b.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM b LEFT JOIN k ON k.doc_id = b.doc_id
+        |WHERE b.doc_id % 50 <> 0""".stripMargin,
     "q_text_rareword" ->
       """WITH tk AS (SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
         |  FROM documents),

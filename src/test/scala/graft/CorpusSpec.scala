@@ -604,6 +604,31 @@ class CorpusSpec extends SparkSpec {
     assert(out(5L) == (("", 0L, 0L)))
   }
 
+  test("decontaminateSpans cuts the quoted eval window, keeps the rest of the doc") {
+    val leak = (1 to 8).map(i => s"q$i").mkString(" ") // the benchmark question
+    val eval = Seq((s"intro words $leak outro words")).toDF("text")
+    val train = Seq(
+      (1L, s"good prose before $leak good prose after"), // quoted leak
+      (2L, "entirely clean document with original content"),
+      (3L, leak)) // the doc IS the leak
+      .toDF("doc_id", "text")
+    val out = Text.decontaminateSpans(train, col("doc_id"), col("text"),
+        eval, col("text"), spanTokens = 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_removed")))).toMap
+    // doc 1: exactly the leaked window is cut, surrounding prose kept
+    assert(out(1L) == (("good prose before good prose after", 8L)))
+    // clean doc untouched
+    assert(out(2L) == (("entirely clean document with original content", 0L)))
+    // fully-leaked doc empties (the doc-level decontaminate analogue)
+    assert(out(3L) == (("", 8L)))
+    // train-only repeats do NOT cut (unlike dedupSpans): same doc set
+    // with an empty eval is identity
+    val none = Text.decontaminateSpans(train, col("doc_id"), col("text"),
+      Seq.empty[String].toDF("text"), col("text"), spanTokens = 8)
+    assert(none.filter(col("n_removed") =!= 0L).count() === 0L)
+  }
+
   test("dedupSpans with no duplicates is the identity modulo whitespace normalization") {
     val docs = Tables.load(spark, sf0001, "documents").limit(30)
       .select(col("doc_id"), col("text"))
