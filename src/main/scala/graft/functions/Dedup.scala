@@ -140,6 +140,80 @@ object Dedup {
       threshold: Double, scope: CacheScope = CacheScope.unmanaged): DataFrame =
     ngramJaccardPairs(df, idCol, text, n, threshold, autoCap(df.count()), scope)
 
+  /** EXACT all-pairs Jaccard with PREFIX FILTERING (Bayardo, Ma &
+    * Srikant, "Scaling Up All Pairs Similarity Search", WWW'07) — the
+    * third point in the exact-Jaccard design space: the uncapped
+    * inverted index pays Σ df² pair work; the df-capped variant bounds
+    * it but CHANGES the similarity definition under a binding cap;
+    * prefix filtering bounds it while staying EXACT. Completeness:
+    * under any global total order on shingles, jac(A,B) ≥ t implies
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets with overlap ≥ α must
+    * share an element among their first |X| − α + 1 elements — so
+    * indexing only each doc's first |X| − ⌈t·|X|⌉ + 1 shingles
+    * (its PREFIX) in df-ASCENDING order generates every qualifying
+    * pair, and rare-first ordering makes those prefixes the
+    * low-collision end of the vocabulary. Candidates then verify with
+    * one `array_intersect` against the full (sorted-hash) shingle
+    * arrays — exact Jaccard, no cap semantics, no recall knob.
+    *
+    * Output = [[ngramJaccardPairs]] exactly (spec-pinned); shuffle
+    * profile = one df aggregation + the prefix self-join (Σ over
+    * PREFIX shingles only) + two array joins bounded by the candidate
+    * count.
+    *
+    * MEASURED decision matrix (SCALE.md): at the NEAR-DUP threshold
+    * (t=0.9, prefixes ≈ 0.1·|doc|) on the boilerplate-skew corpus the
+    * prefix path is 4.3× faster than the uncapped index (6.4 s vs
+    * 27.5 s at 5k docs) and holds 1.8×/decade to 50k — the hot tail
+    * sits provably outside every prefix. At LOW thresholds (t=0.3,
+    * prefixes ≈ 0.7·|doc|) the filter is structurally weak — short
+    * docs admit hot shingles into their prefixes — and it roughly
+    * ties the uncapped index; use the df-capped variant there (with
+    * its documented semantics change). On clean corpora at t=0.5 the
+    * plain inverted index wins 3× (prefix pays a per-doc ranking
+    * window + array verifies that buy nothing when no df is hot).
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: Column, text: Column, n: Int,
+      threshold: Double, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    val docs = scope.track(df.select(idCol.as("id"), shingles(text, n).as("sh0"))
+      .filter(size(col("sh0")) > 0)
+      .select(col("id"),
+        array_sort(transform(col("sh0"), s => xxhash64(s))).as("arr"),
+        size(col("sh0")).as("sz"))
+      .cache())
+    val flat = docs.select(col("id"), col("sz"), explode(col("arr")).as("s"))
+    val dfreq = flat.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df_").asc, col("s").asc)
+    // p = sz − ⌈t·sz⌉ + 1, with the ceil in EXACT integer arithmetic:
+    // t as a 10⁶-denominator rational (exact for any threshold humans
+    // write), ⌈num·sz/10⁶⌉ = (num·sz + 10⁶ − 1) div 10⁶. A double
+    // ceil can land one ulp ABOVE an integer (0.1·30 → 3.0000…4 →
+    // ceil 4) and silently SHORTEN the prefix — a completeness bug,
+    // not a precision nit.
+    val tNum = math.round(threshold * 1000000L)
+    val ceilTSz = GraftExpr.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftExpr.expression(col("sz").cast("long") * lit(tNum) + lit(999999L)),
+        org.apache.spark.sql.catalyst.expressions.Literal(1000000L)))
+    val prefix = flat.join(dfreq, Seq("s"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos").cast("long") <= col("sz").cast("long") - ceilTSz + 1L)
+      .select(col("id"), col("s"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+    cands
+      .join(docs.select(col("id").as("i"), col("arr").as("ai"), col("sz").as("ni")), "i")
+      .join(docs.select(col("id").as("j"), col("arr").as("aj"), col("sz").as("nj")), "j")
+      .withColumn("inter", size(array_intersect(col("ai"), col("aj"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("ni") + col("nj") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
   /** MinHash signature: for hash function k (0..numHashes-1) the min of
     * h_k(shingle) over the doc's shingles — fused single-pass custom
     * expression (see [[MinHashSigExpr]] for why the built-in

@@ -308,6 +308,16 @@ object LlmQueries {
         maxDocFreq = 1000)
     },
 
+    // prefix-filtered EXACT all-pairs (Bayardo WWW'07): same oracle as
+    // the inverted-index path — prefix filtering must be invisible in
+    // the result, that is the completeness guarantee under test
+    "q_dedup_ngram_prefix" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.ngramJaccardPairsPrefix(docs, $"doc_id", $"text", n = 3,
+        threshold = 0.5)
+    },
+
     // Skew stress: every doc gets a shared boilerplate tail, so the
     // boilerplate shingles' document frequency equals the corpus size —
     // far over the df cap, which genuinely BINDS here (unlike
@@ -1464,6 +1474,7 @@ object LlmQueries {
         |  MIN(doc_id) AS keeper, COUNT(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_ngram" -> exactJaccardSql(0.5),
+    "q_dedup_ngram_prefix" -> exactJaccardSql(0.5),
     "q_dedup_ngram_skew" -> cappedJaccardSql(0.3, 50),
     "q_curate" ->
       s"""WITH q AS (SELECT doc_id, text,

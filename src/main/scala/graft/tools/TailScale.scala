@@ -48,6 +48,49 @@ object TailScale {
           graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 3)
       // asset near-dup with widened pigeonhole blocks (r = m − h > 1):
       // more selective keys, C(m, r) × the keyed rows
+      // the boilerplate-skew corpus (every doc shares a hot tail, so
+      // the uncapped Σdf² includes a corpus-wide clique term)
+      case "ngram_uncapped_skew" =>
+        val c = org.apache.spark.sql.functions
+        val docs = graft.Tables.load(spark, dir, "documents")
+          .select(c.col("doc_id"), c.concat(c.col("text"),
+            c.lit(" terms of service apply to every document in this corpus")).as("text"))
+        graft.functions.Dedup.ngramJaccardPairs(docs,
+          c.col("doc_id"), c.col("text"), n = 3, threshold = 0.3)
+      case "ngram_prefix_skew" =>
+        val c = org.apache.spark.sql.functions
+        val docs = graft.Tables.load(spark, dir, "documents")
+          .select(c.col("doc_id"), c.concat(c.col("text"),
+            c.lit(" terms of service apply to every document in this corpus")).as("text"))
+        graft.functions.Dedup.ngramJaccardPairsPrefix(docs,
+          c.col("doc_id"), c.col("text"), n = 3, threshold = 0.3)
+      // same corpora at the near-dup threshold (0.9): short prefixes,
+      // hot tail provably outside every prefix
+      case "ngram_uncapped_skew_t9" =>
+        val c = org.apache.spark.sql.functions
+        val docs = graft.Tables.load(spark, dir, "documents")
+          .select(c.col("doc_id"), c.concat(c.col("text"),
+            c.lit(" terms of service apply to every document in this corpus")).as("text"))
+        graft.functions.Dedup.ngramJaccardPairs(docs,
+          c.col("doc_id"), c.col("text"), n = 3, threshold = 0.9)
+      case "ngram_prefix_skew_t9" =>
+        val c = org.apache.spark.sql.functions
+        val docs = graft.Tables.load(spark, dir, "documents")
+          .select(c.col("doc_id"), c.concat(c.col("text"),
+            c.lit(" terms of service apply to every document in this corpus")).as("text"))
+        graft.functions.Dedup.ngramJaccardPairsPrefix(docs,
+          c.col("doc_id"), c.col("text"), n = 3, threshold = 0.9)
+      // the three EXACT all-pairs Jaccard strategies head-to-head
+      case "ngram_uncapped" =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+        graft.functions.Dedup.ngramJaccardPairs(docs,
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"), n = 3, threshold = 0.5)
+      case "ngram_prefix" =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+        graft.functions.Dedup.ngramJaccardPairsPrefix(docs,
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"), n = 3, threshold = 0.5)
       // full-width signature (63 gradient bits): more selective block
       // keys at unchanged m — the scale lever that DOESN'T multiply
       // keyed rows

@@ -16,6 +16,31 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("prefix-filtered all-pairs equals the uncapped inverted index at multiple thresholds") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val plain = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", 3, t)
+        .select($"i", $"j").as[(Long, Long)].collect().toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, $"doc_id", $"text", 3, t)
+        .select($"i", $"j").as[(Long, Long)].collect().toSet
+      assert(pref === plain, s"threshold $t")
+      assert(plain.nonEmpty || t > 0.5)
+    }
+  }
+
+  test("prefix length is exact at rational boundaries (no double-ceil drift)") {
+    // sz=30, t=0.1: ⌈0.1·30⌉ = 3 exactly; a double ceil of
+    // 3.0000000000000004 would give 4 and shorten the prefix. Build
+    // 30-shingle docs sharing ONLY their last-ordered shingles so the
+    // pair survives iff the prefix is the full 28 elements.
+    val base = (1 to 32).map(i => s"w$i").mkString(" ") // 30 3-grams
+    val docs = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs, $"doc_id", $"text", 3, 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 === 1.0)
+  }
+
   test("doc-frequency cap leaves results unchanged when it does not bind") {
     val docs = Tables.load(spark, sf0001, "documents")
     val uncapped = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
