@@ -902,31 +902,42 @@ object Dedup {
     require(sigBits >= 2 && sigBits <= 64, s"sigBits must be in [2, 64], got $sigBits")
     val m = if (blocks > 0) blocks else maxHamming + 1
     require(m > maxHamming && m <= sigBits, s"blocks must be in (maxHamming, sigBits], got $m")
-    val r = m - maxHamming
-    // Distribute the POPULATED bits over m blocks as evenly as
-    // possible. sigBits matters: blocking a 48-bit signature (dhash)
-    // over 64 positions leaves whole blocks constant-zero, and a
-    // constant block key with r=1 is a full-corpus bucket — the
-    // candidate set degenerates to N²/2 (measured: 17.4 s vs 1.3 s on
-    // 50k assets before/after this parameter existed).
-    val widths = Array.tabulate(m)(c => sigBits / m + (if (c < sigBits % m) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
     val withSim = df.select(idCol.as("id"), sigCol.as("sim"))
-    val blockCols = (0 until m).map { c =>
-      val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
-      shiftrightunsigned(col("sim"), offsets(c)).bitwiseAND(lit(mask))
-    }
-    val keyCols = (0 until m).combinations(r).zipWithIndex.map { case (sel, ci) =>
-      xxhash64((lit(ci) +: sel.map(blockCols)): _*)
-    }.toSeq
     val keyed = withSim.select(col("id"), col("sim"),
-      explode(array(keyCols: _*)).as("k"))
+      explode(sigBlockKeys(col("sim"), maxHamming, m, sigBits)).as("k"))
     keyed.as("a").join(keyed.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         SimHash.hamming(col("a.sim"), col("b.sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The r-of-m pigeonhole block keys of a 64-bit signature as an
+    * array column — the candidate-key scheme [[hammingPairs]] joins on
+    * and [[graft.streaming.StreamingDedup.nearDupAssets]] keys its
+    * state by (one shared construction, so batch and stream colocate
+    * identically). Distributes the POPULATED `sigBits` over m blocks:
+    * sigBits matters — blocking a 48-bit signature (dhash) over 64
+    * positions leaves whole blocks constant-zero, and a constant
+    * block key with r=1 is a full-corpus bucket; the candidate set
+    * degenerates to N²/2 (measured: 17.4 s vs 1.3 s on 50k assets
+    * before/after this parameter existed).
+    */
+  def sigBlockKeys(sigCol: Column, maxHamming: Int, blocks: Int,
+      sigBits: Int): Column = {
+    val m = blocks
+    val r = m - maxHamming
+    val widths = Array.tabulate(m)(c => sigBits / m + (if (c < sigBits % m) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blockCols = (0 until m).map { c =>
+      val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
+      shiftrightunsigned(sigCol, offsets(c)).bitwiseAND(lit(mask))
+    }
+    val keyCols = (0 until m).combinations(r).zipWithIndex.map { case (sel, ci) =>
+      xxhash64((lit(ci) +: sel.map(blockCols)): _*)
+    }.toSeq
+    array(keyCols: _*)
   }
 
   /** [[hammingPairs]] with exact-signature pre-grouping — identical

@@ -294,6 +294,73 @@ object StreamingDedup {
         timeModeFor(ttl), OutputMode.Append())
   }
 
+  /** One resident of a signature bucket: asset id + its 64-bit
+    * perceptual-hash signature — 16 bytes of state per (block-key,
+    * resident).
+    */
+  final case class SigResident(id: Long, sig: Long)
+
+  private final class SigBucketProcessor(maxHamming: Int, maxBucketSize: Int,
+      ttl: Option[java.time.Duration])
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Int)] {
+
+    @transient private var residents: ListState[SigResident] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      residents = getHandle.getListState[SigResident]("graft_sig_bucket",
+        Encoders.product[SigResident], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long, Int)] = {
+      val arrivals = rows.map { case (_, id, sig) => SigResident(id, sig) }.toArray
+      val out = Vector.newBuilder[(Long, Long, Int)]
+      fifoVisit(residents, maxBucketSize, arrivals) { (r, a) =>
+        if (r.id != a.id) {
+          val h = java.lang.Long.bitCount(r.sig ^ a.sig)
+          if (h <= maxHamming) {
+            val (i, j) = if (r.id < a.id) (r.id, a.id) else (a.id, r.id)
+            out += ((i, j, h))
+          }
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming multimodal near-dup: assets arriving on a stream pair
+    * against recent residents by byte-gradient dHash within
+    * `maxHamming` bits — the streaming face of
+    * [[graft.functions.Multimodal.nearDupAssets]]. State keys are the
+    * SAME r-of-m pigeonhole block keys the batch join uses
+    * ([[Dedup.sigBlockKeys]]), so batch and stream colocate
+    * identically; each key's state is a FIFO-capped ListState of
+    * 16-byte (id, sig) residents — O(cap · C(m,r)) state per asset
+    * horizon, blobs never enter state. A pair sharing several block
+    * keys can emit once per shared key (cross-key dedup would need
+    * cross-partition coordination); aggregate downstream when
+    * exactly-once pairs matter — the batch operator's `.distinct()`
+    * applied at read time.
+    */
+  def nearDupAssets(df: DataFrame, idCol: String, blobCol: String,
+      target: Int = 49, maxHamming: Int = 6, blocks: Int = 0,
+      maxBucketSize: Int = 128,
+      ttl: Option[java.time.Duration] = None): Dataset[(Long, Long, Int)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = if (blocks > 0) blocks else maxHamming + 1
+    val prepared = df
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.Multimodal.dhash(col(blobCol).cast("binary"), target).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(Dedup.sigBlockKeys(col("sig"), maxHamming, m, target - 1)).as("bh"))
+      .select(col("bh"), col("id"), col("sig"))
+      .as[(Long, Long, Long)]
+    prepared
+      .groupByKey(_._1)
+      .transformWithState(new SigBucketProcessor(maxHamming, maxBucketSize, ttl),
+        timeModeFor(ttl), OutputMode.Append())
+  }
+
   /** Spark supports state TTL only under processing-time semantics;
     * without a TTL the operator runs in TimeMode.None so bounded
     * drains settle (see [[TransformWithStateOps.statefulTws]]).

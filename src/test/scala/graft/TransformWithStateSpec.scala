@@ -107,6 +107,35 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming asset near-dups: dhash block buckets, cross-micro-batch, batch parity") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingDedup
+    withRocksDb {
+      val a = "the quick brown fox jumps over the lazy dog again and again and more"
+      val aDup = a // exact re-encode: Hamming 0
+      val other = "completely different content with unrelated words entirely distinct here now"
+      val src = Testing.testingSource[(Long, String)](spark)
+      src.addBatch((1L, a), (2L, other))
+      src.addBatch((3L, aDup)) // duplicate asset arriving a micro-batch later
+      val out = StreamingDedup.nearDupAssets(
+        src.toDS().toDF("doc_id", "text")
+          .select(col("doc_id"), col("text").cast("binary").as("blob")),
+        "doc_id", "blob", target = 49, maxHamming = 6)
+      val got = StreamingOps.runToMemory(out, "nda_out")
+        .as[(Long, Long, Int)].collect()
+      // at-least-once: a pair may emit once per shared block key
+      val pairs = got.map(p => (p._1, p._2)).toSet
+      assert(pairs === Set((1L, 3L)), s"got ${got.mkString(",")}")
+      assert(got.forall(_._3 <= 6))
+      // parity with the batch operator on the same corpus
+      val docs = Seq((1L, a), (2L, other), (3L, aDup)).toDF("doc_id", "text")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      val batch = graft.functions.Multimodal.nearDupAssets(docs, "doc_id", "blob", 49, 6)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(pairs === batch)
+    }
+  }
+
   test("streaming near-dup pairs: maxBucketSize FIFO-evicts old residents") {
     import graft.streaming.StreamingDedup
     withRocksDb {
