@@ -49,6 +49,32 @@ object Connectors {
     }
   }
 
+  /** JSONL source — the de-facto crawl-corpus interchange format
+    * (one JSON document per line, usually .jsonl or .jsonl.gz; Spark's
+    * text-based sources decompress gzip transparently by extension).
+    * Batch mode infers the schema unless one is given; streaming
+    * requires an explicit schema (the Structured Streaming contract).
+    * `columnNameOfCorruptRecord` rows survive as `_corrupt_record`
+    * under PERMISSIVE mode, so one malformed crawl line cannot kill a
+    * 100 TB ingest — filter or tee them downstream.
+    */
+  def jsonlSource(spark: SparkSession, path: String, streaming: Boolean = false,
+      schema: Option[StructType] = None): DataFrame =
+    if (streaming) {
+      val s = schema.getOrElse(throw new IllegalArgumentException(
+        "streaming JSONL needs an explicit schema"))
+      spark.readStream.schema(s).option("mode", "PERMISSIVE").json(path)
+    } else {
+      val r = spark.read.option("mode", "PERMISSIVE")
+      schema.fold(r)(r.schema).json(path)
+    }
+
+  /** JSONL sink (one JSON object per line; pass `compression` =
+    * "gzip"/"zstd"/... for compressed shards).
+    */
+  def jsonlSink(df: DataFrame, path: String, compression: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
   /** FileSink / DirSink (files.py:325-462): line sink; exactly-once via
     * batchId-idempotent `foreachBatch` writes (⇔ the reference's
     * truncate-to-offset resume).

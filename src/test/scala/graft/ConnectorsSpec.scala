@@ -193,6 +193,57 @@ class ConnectorsSpec extends SparkSpec {
     val got = spark.read.parquet(outDir).as[(String, Double)].collect().toSet
     assert(got === Set(("a", 1.0), ("a", 3.0), ("a", 7.0)), s"state not recovered: $got")
   }
+
+  test("jsonl source/sink: gzip round-trip, corrupt lines survive as _corrupt_record") {
+    import graft.connectors.Connectors
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = Seq((1L, "alpha text", "src0"), (2L, "beta text", "src1"))
+      .toDF("doc_id", "text", "source")
+    Connectors.jsonlSink(docs, s"$dir/out", compression = "gzip")
+    // the sink wrote gzip'd part files and the source reads them back
+    val files = new java.io.File(s"$dir/out").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    val back = Connectors.jsonlSource(spark, s"$dir/out")
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect().toSet
+    assert(back === Set((1L, "alpha text", "src0"), (2L, "beta text", "src1")))
+    // a malformed crawl line must not kill the read
+    val raw = s"$dir/raw"
+    new java.io.File(raw).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$raw/part.jsonl"),
+      "{\"doc_id\": 1, \"text\": \"ok\"}\nNOT JSON AT ALL\n{\"doc_id\": 2, \"text\": \"also ok\"}\n"
+        .getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val parsed = Connectors.jsonlSource(spark, raw, schema = Some(schema)).cache()
+    assert(parsed.filter($"_corrupt_record".isNotNull).count() === 1L)
+    assert(parsed.filter($"_corrupt_record".isNull).count() === 2L)
+    parsed.unpersist()
+  }
+
+  test("jsonl streaming source reads appended shard files") {
+    import graft.connectors.Connectors
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-s").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.jsonl"),
+      "{\"doc_id\": 1, \"text\": \"first\"}\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = Connectors.jsonlSource(spark, s"$dir/*.jsonl", streaming = true,
+        schema = Some(schema))
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.jsonl"),
+        "{\"doc_id\": 2, \"text\": \"second\"}\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val got = spark.table("jsonl_stream").as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "first"), (2L, "second")))
+    } finally q.stop()
+  }
 }
 
 /** Cross-closure counters for the polling specs (same JVM in local mode). */
