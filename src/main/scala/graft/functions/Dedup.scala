@@ -913,6 +913,20 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Strategy dispatcher for Jaccard pair search, encoding the
+    * MEASURED decision matrix (SCALE.md): at near-dup thresholds
+    * (>= 0.7) prefix filtering is both exact and the fastest skew-safe
+    * path (its prefixes are short and hot shingles provably fall
+    * outside them); below that, prefixes cover most of each doc and
+    * stop filtering, so the auto-capped inverted index is the
+    * production path (exact until the cap binds, and the cap's
+    * semantics are documented at [[ngramJaccardPairs]]).
+    */
+  def jaccardPairsAuto(df: DataFrame, idCol: Column, text: Column, n: Int,
+      threshold: Double, scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    if (threshold >= 0.7) ngramJaccardPairsPrefix(df, idCol, text, n, threshold, scope)
+    else ngramJaccardPairsAuto(df, idCol, text, n, threshold, scope)
+
   /** The r-of-m pigeonhole block keys of a 64-bit signature as an
     * array column — the candidate-key scheme [[hammingPairs]] joins on
     * and [[graft.streaming.StreamingDedup.nearDupAssets]] keys its

@@ -28,6 +28,20 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairsAuto dispatches by threshold per the measured matrix") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val hi = Dedup.jaccardPairsAuto(docs, $"doc_id", $"text", 3, 0.9)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val hiPrefix = Dedup.ngramJaccardPairsPrefix(docs, $"doc_id", $"text", 3, 0.9)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(hi === hiPrefix)
+    val lo = Dedup.jaccardPairsAuto(docs, $"doc_id", $"text", 3, 0.4)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val loCapped = Dedup.ngramJaccardPairsAuto(docs, $"doc_id", $"text", 3, 0.4)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(lo === loCapped)
+  }
+
   test("prefix length is exact at rational boundaries (no double-ceil drift)") {
     // sz=30, t=0.1: ⌈0.1·30⌉ = 3 exactly; a double ceil of
     // 3.0000000000000004 would give 4 and shorten the prefix. Build
