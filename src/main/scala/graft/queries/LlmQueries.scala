@@ -640,6 +640,22 @@ object LlmQueries {
         n = 5, minShared = 3)
     },
 
+    // dedup observability: the cluster-SIZE histogram (how much mass
+    // sits in how-big duplicate families, incl. the singleton row) —
+    // what a pipeline owner reads to pick caps and keeper rules
+    "q_dedup_report" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
+        n = 3, threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs.select($"i", $"j"))
+      val hist = cc.groupBy($"rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      val singletons = docs.join(cc, docs("doc_id") === cc("id"), "left_anti")
+        .agg(lit(1L).as("cluster_size"), count(lit(1)).as("n_clusters"))
+      hist.unionByName(singletons)
+    },
+
     // SEMANTIC decontamination: train embeddings (vec_id%50<>0) vs the
     // eval split (vec_id%50=0) through the cross-corpus OR-amplified
     // LSH candidate path + exact cosine verify; integer (id, n_hits)
@@ -1591,6 +1607,26 @@ object LlmQueries {
          |         WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
          |$componentsSql
          |SELECT id, MIN(r) AS rep FROM reach GROUP BY id""".stripMargin,
+    "q_dedup_report" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (SELECT i, j FROM pairs
+         |         JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |         WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
+         |$componentsSql,
+         |assign AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+         |hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM (
+         |    SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM assign GROUP BY rep)
+         |  GROUP BY cluster_size)
+         |SELECT * FROM hist
+         |UNION ALL
+         |SELECT 1 AS cluster_size,
+         |  CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM assign) AS BIGINT) AS n_clusters""".stripMargin,
     "q_curate_cluster" ->
       s"""WITH RECURSIVE q AS (SELECT doc_id, text,
          |  0.5 * (CAST(${hits(stop)} AS DOUBLE) / GREATEST(CAST($ntok AS DOUBLE), 1.0))
