@@ -59,9 +59,23 @@ object DedupStreamBench {
 
     val src = Testing.testingSource[(Long, String)](spark,
       numPartitions = Some(cpus.toInt))
-    val out = StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
-      "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = threshold,
-      maxBucketSize = cap)
+    // mode `assets`: the dhash signature operator instead of minhash —
+    // same harness, same corpus bytes as blobs
+    val out =
+      if (mode == "assets")
+        StreamingDedup.nearDupAssets(
+          src.toDS().toDF("doc_id", "text")
+            .select(col("doc_id"), col("text").cast("binary").as("blob")),
+          "doc_id", "blob", target = 64, maxHamming = 6, maxBucketSize = cap)
+          .map { case (i, j, h) => (i, j, h.toDouble) }(
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaDouble))
+      else
+        StreamingDedup.nearDupPairs(src.toDS().toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = threshold,
+          maxBucketSize = cap)
     val q = out.toDF("i", "j", "jac").writeStream
       .format("memory").queryName("dedup_stream_bench").outputMode("append")
       .option("checkpointLocation", s"/tmp/graft-dedupstream-${System.nanoTime()}")
@@ -77,7 +91,13 @@ object DedupStreamBench {
     q.stop()
 
     val t1 = System.nanoTime()
-    val batchPairs = graft.functions.Dedup.minhashLshPairs(
+    val batchPairs =
+      if (mode == "assets")
+        graft.functions.Multimodal.nearDupAssets(
+          docs.toSeq.toDF("doc_id", "text")
+            .select(col("doc_id"), col("text").cast("binary").as("blob")),
+          "doc_id", "blob", target = 64, maxHamming = 6).count()
+      else graft.functions.Dedup.minhashLshPairs(
         docs.toSeq.toDF("doc_id", "text"),
         col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16,
         threshold = threshold, maxBucketSize = cap)
