@@ -885,6 +885,20 @@ object Dedup {
       blocks: Int): DataFrame =
     hammingPairs(df, idCol, SimHash.simhash64(Text.tokens(text)), maxHamming, blocks)
 
+  /** [[simhashPairs]] with the block count auto-sized from the corpus
+    * per the MEASURED m=8→m=9 crossover (scaladoc above: m=mH+1 wins
+    * through 500k docs, m=mH+2 wins at 5M — bracket midpoint 1M as
+    * the switch). One count() action, the autoCap/autoBits pattern;
+    * result is identical for every valid block count (pigeonhole
+    * recall 1.0 + exact Hamming verify), so the knob is pure
+    * performance — safe to auto-size.
+    */
+  def simhashPairsAuto(df: DataFrame, idCol: Column, text: Column,
+      maxHamming: Int): DataFrame = {
+    val m = if (df.count() <= 1000000L) maxHamming + 1 else maxHamming + 2
+    simhashPairs(df, idCol, text, maxHamming, m)
+  }
+
   /** Generalized-pigeonhole Hamming pair search over ANY 64-bit
     * signature column (Manku et al., WWW'07 — the machinery
     * [[simhashPairs]] runs, factored so other signature families can

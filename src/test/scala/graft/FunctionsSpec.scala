@@ -141,6 +141,15 @@ class FunctionsSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("simhashPairsAuto dispatches the measured block crossover; result invariant") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val auto = Dedup.simhashPairsAuto(docs, $"doc_id", $"text", maxHamming = 7)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val m8 = Dedup.simhashPairs(docs, $"doc_id", $"text", 7, blocks = 8)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(auto === m8) // 500 docs < 1M → m = maxHamming+1
+  }
+
   test("simhash pairs are invariant across block counts (pigeonhole recall)") {
     val docs = Tables.load(spark, sf0001, "documents")
     def pairs(blocks: Int) =

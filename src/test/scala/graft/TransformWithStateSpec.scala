@@ -232,6 +232,40 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming asset near-dups: sig-bucket state survives stop/restart (recovery)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingDedup
+    withRocksDb {
+      import java.nio.file.Files
+      val ckpt = Files.createTempDirectory("graft-nda-ckpt").toFile.getPath
+      val outDir = Files.createTempDirectory("graft-nda-out").toFile.getPath
+      val a = "the quick brown fox jumps over the lazy dog again and again and more"
+      val other = "completely different content with unrelated words entirely distinct here now"
+      val src = Testing.testingSource[(Long, String)](spark)
+      def startQuery() =
+        StreamingDedup.nearDupAssets(
+            src.toDS().toDF("doc_id", "text")
+              .select(col("doc_id"), col("text").cast("binary").as("blob")),
+            "doc_id", "blob", target = 49, maxHamming = 6)
+          .toDF("i", "j", "hamming").writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+      src.addBatch((1L, a), (2L, other))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      // the duplicate arrives AFTER restart — pair forms only if doc
+      // 1's sig residency recovered
+      src.addBatch((3L, a))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val pairs = spark.read.parquet(outDir)
+        .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+      assert(pairs === Set((1L, 3L)), pairs.toString)
+    }
+  }
+
   test("streaming near-dup pairs: state TTL forgets residents past the horizon") {
     import graft.streaming.StreamingDedup
     withRocksDb {
