@@ -161,7 +161,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.functions.Int8DotExpr(es.head, es(1))),
     ("dhash",
       new ExpressionInfo(classOf[graft.functions.DhashExpr].getName, "dhash"),
-      (es: Seq[Expression]) => graft.functions.DhashExpr(es.head, intArg(es(1), "target"))))
+      (es: Seq[Expression]) => graft.functions.DhashExpr(es.head, intArg(es(1), "target"))),
+    ("top_k_by",
+      new ExpressionInfo(classOf[graft.functions.TopKByAgg].getName, "top_k_by"),
+      (es: Seq[Expression]) => graft.functions.TopKByAgg(es.head, es(1),
+        intArg(es(2), "k")).toAggregateExpression()))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -88,13 +88,9 @@ object Int8 {
       targetBucket: Int = 64): DataFrame =
     int8TopK(df, idCol, vecCol, k, Similarity.autoBits(df.count(), targetBucket))
 
-  private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    joined.select(col("qid"), col("nid"), col("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+  private def rankTopK(joined: DataFrame, k: Int): DataFrame =
+    Similarity.rankTopK(joined.select(col("qid"), col("nid"), col("sim")), k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
 }
 
 /** array<float|double> → array<tinyint> symmetric round-to-nearest

@@ -75,11 +75,23 @@ object Similarity {
     val b = bucketed.select(col("bucket"), col("id").as("nid"), col("v").as("nv"))
     val joined = a.join(b, Seq("bucket")).filter(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    rankTopK(joined, k)
   }
+
+  /** Candidate ranking via the map-side [[TopKByAgg]] — bit-identical
+    * to the row_number window it replaced (same total double order,
+    * same id tie-break; posexplode position + 1 = rank) but the
+    * exchange carries <= tasks·k rows per query instead of EVERY
+    * candidate: the window sort's spill at the third embeddings decade
+    * (5.6e9 candidate rows, 66+ GB, disk death — SCALE.md) becomes a
+    * partial-aggregated shuffle of k-entry buffers.
+    */
+  private[functions] def rankTopK(joined: DataFrame, k: Int): DataFrame =
+    joined.groupBy(col("qid"))
+      .agg(TopK.topKBy(col("sim"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("qid"), (col("p") + 1).cast("int").as("rank"),
+        col("e.id").as("nid"), col("e.sim").as("sim"))
 
   /** Same-bucket pairs (i<j) with cosine ≥ threshold under the
     * sign-bit bucket — the scale-safe replacement for [[cosinePairs]]:
@@ -169,10 +181,7 @@ object Similarity {
     val joined = probes.join(cells.select(col("cid"), col("id").as("nid"), col("v").as("nv")), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    rankTopK(joined, k)
   }
 
   /** Centroid ranking shared by the IVF family: Lloyd-iterated
@@ -193,25 +202,56 @@ object Similarity {
   private def ivfRanked(data: DataFrame, nlist: Int, nprobe: Int,
       iterations: Int): DataFrame = {
     val centroids = lloydCentroids(data, nlist, iterations)
-    data.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)))
-      .filter(col("rn") <= math.max(1, nprobe))
-      .select(col("id"), col("v"), col("cid"), col("rn"))
+    rankedFused(data, centroids, math.max(1, nprobe))
+  }
+
+  /** Rank each vector's `nprobe` best cells through the FUSED
+    * [[IvfTopCellsExpr]] — one row per (vector, probed cell), never one
+    * per (vector, centroid). The crossJoin+window formulation this
+    * replaces materialized N·nlist vector-carrying rows into a sort:
+    * 1.5 TB of spill at 2M vectors (disk-killed — SCALE.md); same
+    * arithmetic, bit-identical output (the expression replicates the
+    * cosine op order, Spark's NaN-greatest double order, and the
+    * cid-ascending tie-break).
+    */
+  private def rankedFused(data: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val (cids, cents, dim) = collectCentroids(centroids)
+    data.select(col("id"), col("v"),
+        posexplode(IvfCells.top_cells(col("v"), cids, cents, dim, nprobe))
+          .as(Seq("p", "c")))
+      .select(col("id"), col("v"), col("c.cid").as("cid"),
+        (col("p") + 1).cast("int").as("rn"))
+  }
+
+  /** Collect the nlist-row centroid relation to a flat matrix (the
+    * PqModel "model fit" collect — √N rows, never data).
+    */
+  private def collectCentroids(c: DataFrame): (Array[Long], Array[Double], Int) = {
+    val rows = c.select(col("cid").cast("long"),
+        col("cv").cast("array<double>")).collect()
+      .sortBy(_.getLong(0))
+    require(rows.nonEmpty, "empty centroid relation")
+    val dim = rows.head.getSeq[Double](1).length
+    val cids = rows.map(_.getLong(0))
+    val cents = new Array[Double](rows.length * dim)
+    var i = 0
+    while (i < rows.length) {
+      val v = rows(i).getSeq[Double](1)
+      var j = 0
+      while (j < dim) { cents(i * dim + j) = v(j); j += 1 }
+      i += 1
+    }
+    (cids, cents, dim)
   }
 
   private def lloydCentroids(data: DataFrame, nlist: Int, iterations: Int): DataFrame = {
     require(nlist > 0, "nlist must be positive (use the *Auto variant to derive it)")
     var centroids = data.orderBy(col("id")).limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"))
-    // Lloyd iterations: assign to nearest centroid (by cosine), re-mean
+    // Lloyd iterations: assign to nearest centroid (by cosine, fused
+    // argmax — no row explosion), re-mean
     for (_ <- 0 until iterations) {
-      val assigned = data.crossJoin(broadcast(centroids))
-        .withColumn("sim", cosine(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)))
-        .filter(col("rn") === 1)
+      val assigned = rankedFused(data, centroids, 1)
       centroids = centroidMeans(assigned)
     }
     centroids
@@ -239,12 +279,7 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)))
-      .filter(col("rn") === 1)
+    rankedFused(df.select(col(idCol).as("id"), col(vecCol).as("v")), centroids, 1)
       .select(col("id"), col("v"), col("cid"))
 
   /** Query a persisted IVF index: probe each query's `nprobe` nearest
@@ -254,21 +289,15 @@ object Similarity {
     */
   def ivfQueryIndex(queries: DataFrame, qId: String, qVec: String,
       centroids: DataFrame, cells: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val probes = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)))
-      .filter(col("rn") <= math.max(1, nprobe))
-      .select(col("qid"), col("qv"), col("cid"))
+    val probes = rankedFused(
+        queries.select(col(qId).as("id"), col(qVec).as("v")),
+        centroids, math.max(1, nprobe))
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
     val joined = probes
       .join(cells.select(col("cid"), col("id").as("nid"), col("v").as("nv")), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("nsim", cosine(col("qv"), col("nv")))
-    joined.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("nsim").desc, col("nid").asc)))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("nsim").as("sim"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    rankTopK(joined, k)
   }
 
   /** Element-wise centroid means: posexplode vector positions, average

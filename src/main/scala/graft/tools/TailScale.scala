@@ -25,6 +25,13 @@ object TailScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // TypedImperativeAggregate maps (TopKByAgg rank stage) fall back
+      // to SORT-based aggregation after 128 distinct keys by default —
+      // which re-materializes every ANN candidate row into the very
+      // sort the aggregate exists to avoid. Per-task key counts are
+      // bounded by qids-per-partition (~N·nprobe/partitions), so a
+      // generous threshold keeps the map resident at MB scale.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
