@@ -657,6 +657,42 @@ class FunctionsSpec extends SparkSpec {
     assert(lens === Set(4))
   }
 
+  test("TopKByAgg equals the row_number window, including ties and NaN ordering") {
+    import graft.functions.TopK
+    import org.apache.spark.sql.expressions.Window
+    // adversarial scores: duplicates (tie-break by id), NaN (Spark
+    // total order: greatest), negative zero
+    val rows = for (q <- 0L until 7L; n <- 0L until 23L) yield {
+      val sim = (n % 5) match {
+        case 0 => 0.5
+        case 1 => 0.5 // tie
+        case 2 => Double.NaN
+        case 3 => -0.0
+        case _ => (q * 31 + n * 17 % 13).toDouble / 13.0
+      }
+      (q, n, sim)
+    }
+    val df = rows.toDF("qid", "nid", "sim")
+    val win = df.withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"sim".desc, $"nid".asc)))
+      .filter($"rank" <= 4)
+      .select($"qid", $"rank", $"nid", $"sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val agg = df.groupBy($"qid").agg(TopK.topKBy($"sim", $"nid", 4).as("tk"))
+      .select($"qid", posexplode($"tk").as(Seq("p", "e")))
+      .select($"qid", ($"p" + 1).cast("int").as("rank"),
+        $"e.id".as("nid"), $"e.sim".as("sim"))
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // NaN-safe comparison: compare bit patterns for sims
+    def key(r: (Long, Int, Long, Double)) =
+      (r._1, r._2, r._3, java.lang.Double.doubleToLongBits(r._4))
+    assert(agg.map(key) === win.map(key))
+    // partial-aggregation plan shape: buffers cross the exchange
+    val plan = df.groupBy($"qid").agg(TopK.topKBy($"sim", $"nid", 4))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("persisted IVF index: parquet round-trip serves bit-identical results to the fused path") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val fused = Similarity.ivfTopK(emb, "vec_id", "embedding",
