@@ -99,12 +99,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bucketed ANN topK computes partial top-k below the rank shuffle") {
-    // WindowGroupLimit(Partial) trims each partition to k rows per query
-    // BEFORE the exchange — at corpus scale this is the difference
-    // between shuffling k·|Q| rows and shuffling every candidate pair
+    // partial_top_k_by (TopKByAgg map-side phase) collapses each
+    // partition to k entries per query BEFORE the exchange — at corpus
+    // scale this is the difference between shuffling tasks·k rows and
+    // shuffling every candidate pair. (Previously WindowGroupLimit
+    // gave the same guarantee but still SORTED candidates inside each
+    // partition; the aggregate replaced it after the sort's spill
+    // killed the 2M-vector decade — SCALE.md.)
     for (q <- Seq("q_embed_topk", "q_embed_ivf")) {
       val p = plan(q)
-      assert(p.contains("WindowGroupLimit"), s"$q lost the rank pushdown:\n$p")
+      assert(p.contains("partial_top_k_by"), s"$q lost the map-side top-k:\n$p")
+      assert(p.indexOf("partial_top_k_by") > p.indexOf("Exchange"),
+        s"$q: partial agg should appear BELOW (after, in plan text) the exchange:\n$p")
     }
   }
 
