@@ -18,6 +18,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.functions.TopK.FallbackConf,
+        graft.functions.TopK.RequiredFallbackThreshold.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

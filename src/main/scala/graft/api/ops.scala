@@ -196,8 +196,12 @@ object ops {
         trainId, trainVec, eval.ds.toDF(), evalId, evalVec,
         threshold, targetBucket, tables))
 
+  // target default matches Multimodal.nearDupAssets and
+  // StreamingDedup.nearDupAssets (49 → 48-bit sigs): the SAME logical
+  // operator must produce the SAME signatures from every API layer,
+  // or mixed batch/stream pipelines silently stop colocating
   def assetNearDup(id: String, up: Stream[Row], idCol: String, blobCol: String,
-      target: Int = 64, maxHamming: Int = 6): Stream[Row] =
+      target: Int = 49, maxHamming: Int = 6): Stream[Row] =
     step(up.flow, id, "asset_near_dup", up.stepId)(
       graft.functions.Multimodal.nearDupAssets(up.ds.toDF(), idCol, blobCol,
         target, maxHamming))

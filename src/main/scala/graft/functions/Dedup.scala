@@ -191,8 +191,12 @@ object Dedup {
     // write), ⌈num·sz/10⁶⌉ = (num·sz + 10⁶ − 1) div 10⁶. A double
     // ceil can land one ulp ABOVE an integer (0.1·30 → 3.0000…4 →
     // ceil 4) and silently SHORTEN the prefix — a completeness bug,
-    // not a precision nit.
-    val tNum = math.round(threshold * 1000000L)
+    // not a precision nit. The rational snaps DOWN (floor, not round):
+    // an effective t' ≤ t can only LENGTHEN the prefix, which is
+    // always complete; rounding UP would shorten it and silently miss
+    // pairs with jaccard in [t, t'). The final verify filters on the
+    // caller's exact threshold either way.
+    val tNum = math.floor(threshold * 1000000.0).toLong
     val ceilTSz = GraftExpr.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         GraftExpr.expression(col("sz").cast("long") * lit(tNum) + lit(999999L)),

@@ -84,14 +84,25 @@ object Similarity {
     * exchange carries <= tasks·k rows per query instead of EVERY
     * candidate: the window sort's spill at the third embeddings decade
     * (5.6e9 candidate rows, 66+ GB, disk death — SCALE.md) becomes a
-    * partial-aggregated shuffle of k-entry buffers.
+    * partial-aggregated shuffle of k-entry buffers. Null-sim rows
+    * (null input vectors) are excluded from the top-k — see [[TopK]]'s
+    * null-score contract.
+    *
+    * The ranker OWNS its ObjectHashAggregate capacity: Spark's default
+    * fallback threshold (128 distinct keys/task) silently reverts this
+    * aggregate to the very candidate sort it replaces, so every call
+    * raises the session threshold first ([[TopK.ensureHashAggCapacity]]
+    * — raise-only, idempotent). A fresh default session gets the scale
+    * behavior without knowing the conf exists.
     */
-  private[functions] def rankTopK(joined: DataFrame, k: Int): DataFrame =
+  private[functions] def rankTopK(joined: DataFrame, k: Int): DataFrame = {
+    TopK.ensureHashAggCapacity(joined.sparkSession)
     joined.groupBy(col("qid"))
       .agg(TopK.topKBy(col("sim"), col("nid"), k).as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("p", "e")))
       .select(col("qid"), (col("p") + 1).cast("int").as("rank"),
         col("e.id").as("nid"), col("e.sim").as("sim"))
+  }
 
   /** Same-bucket pairs (i<j) with cosine ≥ threshold under the
     * sign-bit bucket — the scale-safe replacement for [[cosinePairs]]:
@@ -397,11 +408,9 @@ object Similarity {
       Pq.pq_encode(col("v"), model).as("codes"))
     val queries = bucketed.select(col("bucket"), col("id").as("qid"), col("v").as("qv"))
     val joined = queries.join(corpus, Seq("bucket")).filter(col("qid") =!= col("nid"))
-      .withColumn("adc", Pq.adc_score(col("qv"), col("codes"), model))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+      .withColumn("sim", Pq.adc_score(col("qv"), col("codes"), model))
+    rankTopK(joined, k).select(col("qid"), col("rank"), col("nid"),
+      col("sim").as("adc"))
   }
 
   /** [[pqTopK]] with a trained model and corpus-derived LSH bucketing:
@@ -441,11 +450,9 @@ object Similarity {
       .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
 
     val joined = probes.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
-      .withColumn("adc", Pq.adc_score(col("qv"), col("codes"), model))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+      .withColumn("sim", Pq.adc_score(col("qv"), col("codes"), model))
+    rankTopK(joined, k).select(col("qid"), col("rank"), col("nid"),
+      col("sim").as("adc"))
   }
 
   /** [[ivfPqTopK]] with the corpus-derived sizing of [[ivfTopKAuto]]

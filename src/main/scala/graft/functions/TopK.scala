@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftExpr}
+import org.apache.spark.sql.{Column, GraftExpr, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -28,11 +28,58 @@ import org.apache.spark.sql.types._
   * .compare — NaN greatest), ties by ascending id; eval() returns the
   * entries best-first, so `posexplode` position + 1 IS the
   * row_number() rank.
+  *
+  * NULL-score contract: rows whose score (or id) is null are EXCLUDED
+  * from the top-k — a null similarity means a null input vector, and a
+  * null vector is not a neighbor. (The row_number window this replaced
+  * ranked null scores last, so a group with fewer than k non-null
+  * candidates could emit null-sim tail rows; that behavior was an
+  * artifact of the formulation, not a semantic.)
   */
 object TopK {
   def topKBy(score: Column, id: Column, k: Int): Column =
     GraftExpr.column(TopKByAgg(GraftExpr.expression(score),
       GraftExpr.expression(id), k).toAggregateExpression())
+
+  /** The conf whose DEFAULT silently defeats this aggregate at scale:
+    * ObjectHashAggregateExec falls back to SORT-based aggregation once
+    * a task sees more than this many distinct group keys (Spark
+    * default 128) — and per-task qid counts in any real ANN workload
+    * are thousands, so under default config the map-side top-k
+    * re-materializes every candidate row into exactly the sort spill
+    * it exists to kill (measured: the 2M-vector run re-spilled the
+    * same 66 GB; at 4M it holds ~17 MB of k-entry buffers per task and
+    * finishes — SCALE.md).
+    */
+  val FallbackConf = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  /** Keys-per-task ceiling the rankers guarantee themselves. Memory at
+    * the ceiling is bounded by ROWS per task, not keys: a task holds
+    * at most (its input rows) buffers of ≤ k (id, sim) entries — 16·k
+    * bytes each — and ANN tasks see N·nprobe/partitions candidate rows
+    * whose distinct qids are far fewer; 4M keys × k=10 would still be
+    * ~640 MB worst-case, far below the sort spill it replaces.
+    */
+  val RequiredFallbackThreshold = 4000000L
+
+  /** Raise [[FallbackConf]] to [[RequiredFallbackThreshold]] on this
+    * session if it is lower — called by every ranker that plans a
+    * [[TopKByAgg]], so a FRESH DEFAULT session gets the scale behavior
+    * the operator is designed for without knowing the conf exists.
+    * Raise-only: a caller who set it HIGHER keeps their value. The set
+    * is session-scoped (Spark reads it at planning time, and per-query
+    * scoping can't reach a lazily-planned DataFrame); the only effect
+    * on unrelated queries is that their ObjectHashAggregates also stay
+    * hash-based longer, which is the direction Spark itself moved
+    * (SPARK-36645 raised map-side thresholds for the same reason).
+    */
+  def ensureHashAggCapacity(spark: SparkSession): Unit = {
+    val cur =
+      try spark.conf.get(FallbackConf, "128").toLong
+      catch { case _: NumberFormatException => 128L }
+    if (cur < RequiredFallbackThreshold)
+      spark.conf.set(FallbackConf, RequiredFallbackThreshold.toString)
+  }
 }
 
 object TopKImpl {

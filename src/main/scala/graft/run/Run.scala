@@ -42,6 +42,11 @@ object Run {
         sys.props.getOrElse("spark.master", "local[*]")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the ANN rankers' map-side top-k must stay hash-based past
+      // Spark's 128-keys/task default (TopK.ensureHashAggCapacity
+      // also raises it lazily, but the session default documents it)
+      .config(graft.functions.TopK.FallbackConf,
+        graft.functions.TopK.RequiredFallbackThreshold.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val flow = Class.forName(clsName).getDeclaredConstructor().newInstance().asInstanceOf[GraftFlow]

@@ -348,6 +348,15 @@ object StreamingDedup {
     val spark = df.sparkSession
     import spark.implicits._
     val m = if (blocks > 0) blocks else maxHamming + 1
+    // same validation as the batch operator (Dedup.hammingPairs): a
+    // block count above the populated sig bits yields zero-width
+    // CONSTANT block keys — full-corpus buckets, silent N²/2
+    // degeneration instead of the batch path's require
+    val sigBits = target - 1
+    require(maxHamming >= 0 && maxHamming < 63, "maxHamming must be in [0, 62]")
+    require(sigBits >= 2 && sigBits <= 64, s"target-1 (sig bits) must be in [2, 64], got $sigBits")
+    require(m > maxHamming && m <= sigBits,
+      s"blocks must be in (maxHamming, target-1], got $m for target=$target")
     val prepared = df
       .select(col(idCol).cast("long").as("id"),
         graft.functions.Multimodal.dhash(col(blobCol).cast("binary"), target).as("sig"))

@@ -174,6 +174,70 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ANN rankers keep the top-k aggregate HASH-based above 128 groups/task") {
+    // Spark's ObjectHashAggregate silently reverts to sort-based
+    // aggregation at 128 distinct keys per task (the default
+    // fallbackThreshold) — for the ANN rankers that re-materializes
+    // every candidate row into the very sort TopKByAgg exists to kill
+    // (measured 66 GB re-spill at the 2M-vector decade, SCALE.md).
+    // rankTopK must OWN the conf: a fresh default session calling any
+    // public ranker gets zero fallback tasks.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Similarity, TopK}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(allNodes)
+    }
+    def fallbackTasks(df: org.apache.spark.sql.DataFrame): Long = {
+      // collect() drives df's OWN QueryExecution (a write would plan a
+      // separate one whose metrics this plan never sees)
+      df.collect()
+      val aggs = allNodes(df.queryExecution.executedPlan)
+        .collect { case o: ObjectHashAggregateExec => o }
+      assert(aggs.nonEmpty, "expected an ObjectHashAggregate in the plan")
+      aggs.map(_.metrics("numTasksFallBacked").value).sum
+    }
+    // 2000 query groups, all in ONE partition — far past the 128 default
+    val joined = spark.range(2000).selectExpr("id % 2000 as qid")
+      .crossJoin(spark.range(8).selectExpr("id as nid"))
+      .selectExpr("qid", "nid", "cast(qid * 8 + nid as double) as sim")
+      .repartition(1)
+    val prev = spark.conf.getOption(TopK.FallbackConf)
+    try {
+      // negative control: at the Spark default the metric DOES fire —
+      // proving the assertion below can actually detect the regression
+      spark.conf.set(TopK.FallbackConf, "128")
+      val bare = joined.groupBy(col("qid"))
+        .agg(TopK.topKBy(col("sim"), col("nid"), 3).as("tk"))
+      assert(fallbackTasks(bare) > 0, "negative control: expected sort fallback at threshold 128")
+
+      // fresh-default-session behavior: reset to the default, then go
+      // through a PUBLIC ranker — it must raise the conf itself and
+      // plan a zero-fallback aggregate
+      spark.conf.set(TopK.FallbackConf, "128")
+      val vecs = spark.range(1200).select(col("id"),
+        array((col("id") % 7).cast("double"), (col("id") % 5).cast("double"),
+          (col("id") % 3).cast("double"), lit(1.0)).as("v"))
+      val ranked = Similarity.lshTopK(vecs.toDF(), "id", "v", k = 3, bits = 2)
+      assert(spark.conf.get(TopK.FallbackConf).toLong >= TopK.RequiredFallbackThreshold,
+        "ranker did not raise the fallback threshold on a default session")
+      assert(fallbackTasks(ranked) === 0L,
+        "ranker's top-k aggregate fell back to sort-based aggregation")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(TopK.FallbackConf, v)
+        case None    => spark.conf.unset(TopK.FallbackConf)
+      }
+    }
+  }
+
   test("TtlCache expires entries and isolates operator instances") {
     val a = TtlCache.instance[String, Int]("op-a", ttlMillis = 50)
     val b = TtlCache.instance[String, Int]("op-b", ttlMillis = 50)
