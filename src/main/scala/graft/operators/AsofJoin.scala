@@ -201,6 +201,41 @@ object AsofJoin {
       .select(leftOut ++ rightOut: _*)
   }
 
+  /** [[asofGlobal]] with the bin width derived from axis statistics.
+    * The width trades the in-bin candidate join (Σ_bin l_b·r_b ≈
+    * L·R·w/span — shrinks with w) against the BIN-table prefix scan
+    * (span/w rows through one single-partition ordered window — grows
+    * as w shrinks). Holding right rows per bin at a constant
+    * `targetPerBin` makes the candidate term ≈ L·targetPerBin (linear
+    * in the left side, independent of R) while the bin table stays
+    * R/targetPerBin rows; the bin count is additionally clamped to
+    * [32, 2²⁰] so the single-partition scan never exceeds ~1M
+    * metadata rows whatever the corpus (at the cap the candidate term
+    * degrades gracefully to L·R/2²⁰ — still six orders below naive).
+    * One tiny stats aggregation per side.
+    */
+  def asofGlobalAuto(
+      left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String,
+      targetPerBin: Int = 64): DataFrame = {
+    require(targetPerBin > 0, "targetPerBin must be positive")
+    val rst = right.filter(col(rightTime).isNotNull)
+      .agg(count(lit(1)), min(col(rightTime)), max(col(rightTime))).head()
+    val lst = left.filter(col(leftTime).isNotNull)
+      .agg(min(col(leftTime)), max(col(leftTime))).head()
+    require(rst.getLong(0) > 0, "asofGlobalAuto: empty right side")
+    // an all-null/empty left contributes no extent (result is empty
+    // anyway, but the stats pass must not NPE)
+    val (lmn, lmx) =
+      if (lst.isNullAt(0)) (rst.getLong(1), rst.getLong(2))
+      else (lst.getLong(0), lst.getLong(1))
+    val span = math.max(1L,
+      math.max(rst.getLong(2), lmx) - math.min(rst.getLong(1), lmn) + 1)
+    val bins = math.min(1L << 20, math.max(32L, rst.getLong(0) / targetPerBin))
+    val binWidth = math.max(1L, (span + bins - 1) / bins)
+    asofGlobal(left, leftTime, right, rightTime, binWidth)
+  }
+
   private implicit class FieldOps(c: Column) {
     def apply(field: String): Column = c.getField(field)
   }

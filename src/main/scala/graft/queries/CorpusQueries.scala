@@ -162,14 +162,36 @@ object CorpusQueries {
 
     // edit-distance verify tier: near-dup candidates from the shingle
     // index, confirmed by exact Levenshtein — both engines implement
-    // the classic DP metric, so the distances pin exactly
+    // the classic DP metric, so the distances pin exactly. This gate
+    // uses the full-metric REPORTING form (unbounded distances are
+    // what DuckDB defines identically); production verify tiers use
+    // the banded editVerifyPairs, gated by q_dedup_chunk_edit below.
     "q_dedup_edit" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
         n = 3, threshold = 0.5)
-      pairs.join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
-        .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
-        .select(col("i"), col("j"), levenshtein(col("ta"), col("tb")).cast("long").as("edit"))
+      Dedup.editDistancePairs(pairs.select(col("i"), col("j")), docs,
+        col("doc_id"), col("text"))
+        .select(col("i"), col("j"), col("edit"))
+    },
+
+    // the bounded-unit verify COMPOSITION: long docs chunked into
+    // 32-token windows (the bounded quadratic unit), chunk-level
+    // candidates from the shingle index, then the BANDED edit verify
+    // (levenshtein with threshold — O(min·k) per pair, the production
+    // default) — one oracle over the whole pipeline. DuckDB has no
+    // banded metric, but below the bound banded == full, so the oracle
+    // computes the full distance and filters at the same bound.
+    "q_dedup_chunk_edit" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val chunks = Text.chunkDocs(docs, col("doc_id"), col("text"),
+          chunkTokens = 32, stride = 16)
+        .select((col("id") * 1000 + col("chunk_idx")).as("cid"), col("chunk_text"))
+      val cands = Dedup.ngramJaccardPairs(chunks, col("cid"), col("chunk_text"),
+        n = 3, threshold = 0.5)
+      Dedup.editVerifyPairs(cands.select(col("i"), col("j")), chunks,
+        col("cid"), col("chunk_text"), maxEdit = 4)
+        .select(col("i"), col("j"), col("edit"))
     },
 
     // sketch-suite capstone: ONE grouped pass computes four sketches
@@ -648,6 +670,34 @@ object CorpusQueries {
         |FROM cand c
         |JOIN documents da ON da.doc_id = c.i
         |JOIN documents db ON db.doc_id = c.j""".stripMargin,
+
+    "q_dedup_chunk_edit" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS n FROM tok),
+        |c AS (SELECT doc_id, w, n,
+        |    CASE WHEN n <= 32 THEN 1 ELSE ((n - 32 + 16 - 1) // 16) + 1 END AS nc
+        |  FROM n),
+        |x AS (SELECT doc_id, w, n, UNNEST(range(0, nc)) AS ci FROM c),
+        |ch AS (SELECT doc_id * 1000 + ci AS cid,
+        |    array_to_string(w[ci*16 + 1 : LEAST(ci*16 + 32, n)], ' ') AS ctext
+        |  FROM x),
+        |cw AS (SELECT cid, ctext, string_split(ctext, ' ') AS cwd FROM ch),
+        |sh AS (SELECT DISTINCT cid, s FROM (
+        |  SELECT cid, cwd[i] || ' ' || cwd[i+1] || ' ' || cwd[i+2] AS s
+        |  FROM cw, UNNEST(generate_series(1, len(cwd)-2)) t(i))),
+        |cnt AS (SELECT cid, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.cid AS i, b.cid AS j, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.cid < b.cid GROUP BY 1, 2),
+        |cand AS (SELECT i, j FROM pairs
+        |         JOIN cnt ca ON ca.cid = i JOIN cnt cb ON cb.cid = j
+        |         WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5)
+        |SELECT c.i, c.j, CAST(levenshtein(a.ctext, b.ctext) AS BIGINT) AS edit
+        |FROM cand c
+        |JOIN ch a ON a.cid = c.i
+        |JOIN ch b ON b.cid = c.j
+        |WHERE levenshtein(a.ctext, b.ctext) <= 4""".stripMargin,
 
     "q_text_spandup" ->
       """WITH tok AS (SELECT doc_id,

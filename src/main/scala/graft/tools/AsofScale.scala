@@ -86,6 +86,34 @@ object AsofScale {
       RangeJoin.pointInInterval(pPt, "p_us", cIv, "lo", "hi", binH * hUs)
         .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
     }
+    // width sweep (comma-separated minutes) + the auto: the κ
+    // calibration for pointInIntervalAuto — run on the organic sf0.1
+    // axis and a densified scale-up to bracket the optimum in both
+    // regimes, then check the auto lands within ~1.2× of the best
+    // hand point
+    sys.env.get("SPARK_GRAFT_BIN_SWEEP").foreach { sweep =>
+      val mUs = 60L * 1000000L
+      sweep.split(",").map(_.trim.toLong).foreach { mins =>
+        time(s"range_sweep_${mins}m") {
+          RangeJoin.pointInInterval(pPt, "p_us", cIv, "lo", "hi", mins * mUs)
+            .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+        }
+      }
+      time("range_auto") {
+        RangeJoin.pointInIntervalAuto(pPt, "p_us", cIv, "lo", "hi")
+          .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+      }
+      // the keyless as-of auto on the same axes
+      val pOne = pPt.groupBy(col("p_us")).agg(count(lit(1)).as("w"))
+      time("asof_global_12h") {
+        AsofJoin.asofGlobal(cIv.select(col("event_id"), col("c_us")), "c_us",
+          pOne, "p_us", 12L * hUs)
+      }
+      time("asof_global_auto") {
+        AsofJoin.asofGlobalAuto(cIv.select(col("event_id"), col("c_us")), "c_us",
+          pOne, "p_us")
+      }
+    }
     if (rangeNaive) time("range_naive_bnlj") {
       pPt.join(cIv, col("p_us") >= col("lo") && col("p_us") <= col("hi"))
         .groupBy(col("event_id")).agg(count(lit(1)).as("n"))

@@ -108,6 +108,19 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofGlobalAuto matches the explicit-width result (width is pure performance)") {
+    val lRows = Seq((1L, 10L), (2L, 3L), (3L, 64L), (4L, 200L), (5L, 1L))
+    val rRows = Seq((9L, 1.0), (15L, 2.0), (63L, 3.0), (64L, 4.0), (130L, 5.0))
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"rt").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    val explicit = render(AsofJoin.asofGlobal(
+      lRows.toDF("id", "lt"), "lt", rRows.toDF("rt", "v"), "rt", 5L))
+    val auto = render(AsofJoin.asofGlobalAuto(
+      lRows.toDF("id", "lt"), "lt", rRows.toDF("rt", "v"), "rt"))
+    assert(auto === explicit)
+  }
+
   test("asofGlobal preserves duplicate-content left rows") {
     val l = Seq((1L, 10L), (1L, 10L), (2L, 10L)).toDF("id", "lt")
     val r = Seq((5L, 1.0)).toDF("rt", "v")

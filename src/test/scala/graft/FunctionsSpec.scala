@@ -1070,6 +1070,27 @@ class FunctionsSpec extends SparkSpec {
     assert(leaked.size <= 2, s"leaked ${leaked.size} checkpoint RDDs (expected <= 1 final star set per call)")
   }
 
+  test("editVerifyPairs (banded) equals the full metric filtered at the bound") {
+    // the banded default must change NO kept row vs the full DP: below
+    // the bound the Ukkonen band computes the exact distance; above it
+    // both formulations reject (the band via -1, the full via filter)
+    val docs = Tables.load(spark, sf0001, "documents")
+    val cands = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.3)
+      .select(col("i"), col("j"))
+    for (bound <- Seq(0, 5, 60)) {
+      val banded = Dedup.editVerifyPairs(cands, docs, col("doc_id"), col("text"), bound)
+        .select("i", "j", "edit").as[(Long, Long, Long)].collect().sorted.toSeq
+      val full = Dedup.editDistancePairs(cands, docs, col("doc_id"), col("text"))
+        .filter(col("edit") <= bound)
+        .select("i", "j", "edit").as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(banded === full, s"bound=$bound")
+    }
+    // and the bound actually rejects at this corpus (non-vacuous)
+    val all = Dedup.editDistancePairs(cands, docs, col("doc_id"), col("text")).count()
+    val kept = Dedup.editVerifyPairs(cands, docs, col("doc_id"), col("text"), 5).count()
+    assert(kept < all, s"band never rejected ($kept of $all)")
+  }
+
   test("curateClustered drops transitively: shared-dup chains keep only the min") {
     // direct check of keeper-rule semantics on the sf0.001 corpus:
     // every cluster keeps exactly its min surviving-quality id

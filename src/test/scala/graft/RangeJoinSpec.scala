@@ -58,6 +58,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("Join") || plan.contains("join"), plan)
   }
 
+  test("pointInIntervalAuto matches the explicit-width result (width is pure performance)") {
+    val p = pts.toDF("pid", "x")
+    val i = ivs.toDF("iid", "lo", "hi")
+    val auto = RangeJoin.pointInIntervalAuto(p, "x", i, "lo", "hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(auto === want)
+  }
+
   test("self-source sides (same parent DataFrame) resolve unambiguously") {
     val ev = Seq(("c", 1L, 0L), ("c", 2L, 9L), ("p", 3L, 2L), ("p", 4L, 30L))
       .toDF("kind", "id", "t")
