@@ -815,7 +815,20 @@ object Dedup {
         .as(Seq("t", "bucket")))
     val cands = keyed(t, "id", "v").join(keyed(e, "eid", "ev"), Seq("t", "bucket"))
       .select(col("id"), col("eid")).distinct()
-    cands
+    // int8 prefilter before the float verify (the same construction as
+    // Similarity.verifyCandidatesExact, cross-corpus form): candidates
+    // join 4×-smaller codes first — the train-side code join is the
+    // heavy exchange — and only survivors touch the float relations at
+    // the exact threshold. Kills the measured fixed-core spill on the
+    // float verify joins (decontam_sem_auto 21×/decade at 2M vectors,
+    // SCALE.md); margin exactness argument at Similarity.Int8VerifyMargin.
+    val tc = t.select(col("id"), Int8.int8Codes(col("v")).as("__tc"))
+    val ec = e.select(col("eid"), Int8.int8Codes(col("ev")).as("__ec"))
+    val pre = cands.join(tc, "id").join(ec, "eid")
+      .filter(Int8.int8Cosine(col("__tc"), col("__ec")) >=
+        threshold - Similarity.Int8VerifyMargin)
+      .select(col("id"), col("eid"))
+    pre
       .join(t, "id")
       .join(e, "eid")
       .filter(Similarity.cosine(col("v"), col("ev")) >= threshold)

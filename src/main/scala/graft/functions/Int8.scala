@@ -88,6 +88,38 @@ object Int8 {
       targetBucket: Int = 64): DataFrame =
     int8TopK(df, idCol, vecCol, k, Similarity.autoBits(df.count(), targetBucket))
 
+  /** PERSISTABLE int8 index — the build-once/serve-many contract at
+    * the scalar-quantization tier: (bucket, id, codes), 4× smaller
+    * than the float corpus, model-free (nothing to version except
+    * `bits`; quantization is a pure per-vector function, so
+    * incremental drops encode independently and append). Persist
+    * partitioned by bucket for cell pruning at serve time.
+    */
+  def int8Index(df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame =
+    df.select(
+      Similarity.lshBucket(col(vecCol), bits).as("bucket"),
+      col(idCol).as("id"),
+      int8Codes(col(vecCol)).as("c"))
+
+  /** Query a persisted [[int8Index]]: queries bucket + quantize with
+    * the SAME `bits`, join the index on bucket, score by exact-integer
+    * int8 cosine, rank via the map-side top-k. Bit-identical to the
+    * one-shot [[int8TopK]] at the same bits (spec-pinned).
+    */
+  def int8QueryIndex(queries: DataFrame, qId: String, qVec: String,
+      bits: Int, index: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      Similarity.lshBucket(col(qVec), bits).as("bucket"),
+      col(qId).as("qid"),
+      int8Codes(col(qVec)).as("qc"))
+    val joined = q
+      .join(index.select(col("bucket"), col("id").as("nid"), col("c").as("nc")),
+        Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", int8Cosine(col("qc"), col("nc")))
+    rankTopK(joined, k)
+  }
+
   private def rankTopK(joined: DataFrame, k: Int): DataFrame =
     Similarity.rankTopK(joined.select(col("qid"), col("nid"), col("sim")), k)
       .select(col("qid"), col("nid"), col("sim"), col("rank"))

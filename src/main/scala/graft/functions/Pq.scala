@@ -127,6 +127,29 @@ object PqModel {
     PqModel(m, ksub, dim, cs)
   }
 
+  /** Render the model as a 1-row relation (m, ksub, dim, centroids) —
+    * the persistence half of the build-once/serve-many contract for
+    * the compressed tiers: a trained codebook writes to parquet next
+    * to its code relations and later jobs decode candidates WITHOUT
+    * retraining (retraining would silently invalidate every stored
+    * code). Doubles round-trip parquet bit-exactly, so served ADC
+    * scores are bit-identical to the building job's (spec-pinned).
+    */
+  def toDF(model: PqModel, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((model.m, model.ksub, model.dim, model.centroids.toSeq))
+      .toDF("m", "ksub", "dim", "centroids")
+  }
+
+  /** Read a model back from [[toDF]]'s layout (1 collected row — a
+    * model fit, dim·ksub doubles regardless of corpus size).
+    */
+  def fromDF(df: DataFrame): PqModel = {
+    val r = df.select(col("m").cast("int"), col("ksub").cast("int"),
+      col("dim").cast("int"), col("centroids").cast(ArrayType(DoubleType))).head()
+    PqModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3).toArray)
+  }
+
   private def nearestSub(v: Array[Double], off: Int, subdim: Int,
       cent: Array[Array[Double]]): Int = {
     var best = 0; var bestDist = Double.MaxValue

@@ -114,18 +114,68 @@ object Similarity {
       threshold: Double, bits: Int): DataFrame =
     bucketedCosinePairs(df, idCol, vecCol, threshold, signBucket(col(vecCol), bits))
 
+  /** Margin for the int8 verify prefilter: a candidate pair is only
+    * pre-rejected when its int8-code cosine falls below
+    * `threshold - Int8VerifyMargin`, so the margin must dominate the
+    * quantization error |cos₈ − cos|. MEASURED envelope on the test
+    * embeddings (tools/Int8Err, 62k pairs, dim 64): max 0.0057, avg
+    * 0.0008, p99.9 0.0036 — 0.05 is ~9× the observed max. The error
+    * shrinks with dimension for dense embeddings (per-element
+    * round-to-nearest error ≤ maxabs/254 concentrates as 1/√dim in
+    * the normalized dot), so the envelope is widest exactly where it
+    * was measured. Exactness of the composed verify is additionally
+    * spec-pinned against the float-only formulation (FunctionsSpec).
+    */
+  val Int8VerifyMargin = 0.05
+
+  /** Exact-cosine verification of id-keyed candidate pairs with an
+    * int8 prefilter — the shared verify tail of the pair family. The
+    * candidates first join 4×-smaller int8 codes and anything with
+    * int8 cosine < threshold − [[Int8VerifyMargin]] is rejected BEFORE
+    * any float vector moves; survivors re-verify on floats at the
+    * exact caller threshold, so the output is identical to the direct
+    * float verify while the heavy exchange (candidate count × vector
+    * payload) shrinks 4× and the float joins process only survivors.
+    * This is the fix for the measured third-decade wall: the
+    * fixed-core shuffle spill on ~0.5 GB float-vector verify joins
+    * drove `decontam_sem_auto` to 21×/decade at 2M vectors (SCALE.md).
+    */
+  private[functions] def verifyCandidatesExact(data: DataFrame,
+      cands: DataFrame, threshold: Double): DataFrame = {
+    val codes = data.select(col("id"), Int8.int8Codes(col("v")).as("c"))
+    val pre = cands
+      .join(codes.select(col("id").as("i"), col("c").as("ci")), "i")
+      .join(codes.select(col("id").as("j"), col("c").as("cj")), "j")
+      .filter(Int8.int8Cosine(col("ci"), col("cj")) >= threshold - Int8VerifyMargin)
+      .select(col("i"), col("j"))
+    pre
+      .join(data.select(col("id").as("i"), col("v").as("vi")), "i")
+      .join(data.select(col("id").as("j"), col("v").as("vj")), "j")
+      .filter(cosine(col("vi"), col("vj")) >= threshold)
+      .select(col("i"), col("j"))
+  }
+
   /** Generic bucketed pair engine: same-bucket pairs under any bucket
-    * expression ([[signBucket]], [[lshBucket]], an IVF cell id…).
+    * expression ([[signBucket]], [[lshBucket]], an IVF cell id…). The
+    * bucket join itself runs on int8 CODES (4× smaller than the float
+    * vectors it used to carry) with the margin prefilter inline, and
+    * only surviving pairs touch the float relation — see
+    * [[verifyCandidatesExact]] for the exactness argument.
     */
   def bucketedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bucket: Column): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      bucket.as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("i"), col("v").as("vi"))
-    val b = bucketed.select(col("bucket"), col("id").as("j"), col("v").as("vj"))
-    a.join(b, Seq("bucket")).filter(col("i") < col("j"))
-      .withColumn("sim", cosine(col("vi"), col("vj")))
-      .filter(col("sim") >= threshold)
+    val coded = df.select(col(idCol).as("id"), bucket.as("bucket"),
+      Int8.int8Codes(col(vecCol)).as("c"))
+    val a = coded.select(col("bucket"), col("id").as("i"), col("c").as("ci"))
+    val b = coded.select(col("bucket"), col("id").as("j"), col("c").as("cj"))
+    val pre = a.join(b, Seq("bucket")).filter(col("i") < col("j"))
+      .filter(Int8.int8Cosine(col("ci"), col("cj")) >= threshold - Int8VerifyMargin)
+      .select(col("i"), col("j"))
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pre
+      .join(data.select(col("id").as("i"), col("v").as("vi")), "i")
+      .join(data.select(col("id").as("j"), col("v").as("vj")), "j")
+      .filter(cosine(col("vi"), col("vj")) >= threshold)
       .select(col("i"), col("j"))
   }
 
@@ -165,12 +215,7 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    cands
-      .join(data.select(col("id").as("i"), col("v").as("vi")), "i")
-      .join(data.select(col("id").as("j"), col("v").as("vj")), "j")
-      .withColumn("sim", cosine(col("vi"), col("vj")))
-      .filter(col("sim") >= threshold)
-      .select(col("i"), col("j"))
+    verifyCandidatesExact(data, cands, threshold)
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
@@ -450,6 +495,42 @@ object Similarity {
       .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
 
     val joined = probes.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
+      .withColumn("sim", Pq.adc_score(col("qv"), col("codes"), model))
+    rankTopK(joined, k).select(col("qid"), col("rank"), col("nid"),
+      col("sim").as("adc"))
+  }
+
+  /** PERSISTABLE IVF-PQ index — [[ivfCentroids]]/[[ivfAssign]]'s
+    * build-once/serve-many contract extended to the compressed tier
+    * (IVFADC serving): the cell relation carries m-BYTE CODES instead
+    * of dim-float vectors, so the stored index is 32× smaller at
+    * dim=64/m=8 — the difference between a billion-vector corpus
+    * fitting cluster memory or not. Persist `centroids`,
+    * `Pq.toDF(model)`, and this relation (partitioned by cid);
+    * incremental drops encode against the SAME frozen model +
+    * centroids, so stored codes never invalidate.
+    */
+  def ivfPqAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, model: PqModel): DataFrame =
+    rankedFused(df.select(col(idCol).as("id"), col(vecCol).as("v")), centroids, 1)
+      .select(col("cid"), col("id"), Pq.pq_encode(col("v"), model).as("codes"))
+
+  /** Query a persisted IVF-PQ index ([[ivfPqAssign]] cells + the
+    * [[Pq.fromDF]] model): probe nprobe nearest centroids with the raw
+    * query vector, ADC-score the candidate codes in-codegen, rank via
+    * the map-side top-k. Bit-identical to the one-shot [[ivfPqTopK]]
+    * on the same centroids/model (spec-pinned).
+    */
+  def ivfPqQueryIndex(queries: DataFrame, qId: String, qVec: String,
+      centroids: DataFrame, cells: DataFrame, model: PqModel,
+      nprobe: Int, k: Int): DataFrame = {
+    val probes = rankedFused(
+        queries.select(col(qId).as("id"), col(qVec).as("v")),
+        centroids, math.max(1, nprobe))
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
+    val joined = probes
+      .join(cells.select(col("cid"), col("id").as("nid"), col("codes")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
       .withColumn("sim", Pq.adc_score(col("qv"), col("codes"), model))
     rankTopK(joined, k).select(col("qid"), col("rank"), col("nid"),
       col("sim").as("adc"))

@@ -28,10 +28,13 @@ object TailScale {
       // TypedImperativeAggregate maps (TopKByAgg rank stage) fall back
       // to SORT-based aggregation after 128 distinct keys by default —
       // which re-materializes every ANN candidate row into the very
-      // sort the aggregate exists to avoid. Per-task key counts are
-      // bounded by qids-per-partition (~N·nprobe/partitions), so a
-      // generous threshold keeps the map resident at MB scale.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+      // sort the aggregate exists to avoid. Since round 9 the rankers
+      // raise the threshold THEMSELVES (TopK.ensureHashAggCapacity);
+      // SPARK_GRAFT_DEFAULT_CONF=1 leaves the session at Spark
+      // defaults to prove exactly that on the third-decade run.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        if (sys.env.get("SPARK_GRAFT_DEFAULT_CONF").contains("1")) "128"
+        else "4000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -122,6 +125,24 @@ object TailScale {
           emb.filter(c("vec_id") % 50 =!= 0), "vec_id", "embedding",
           emb.filter(c("vec_id") % 50 === 0), "vec_id", "embedding",
           threshold = 0.9)
+      // the float-only verify the int8 prefilter replaced — kept as a
+      // same-machine A/B for the SCALE.md rows
+      case "decontam_sem_float" =>
+        import org.apache.spark.sql.functions.{col, count, lit, posexplode}
+        val emb = graft.Tables.load(spark, dir, "embeddings")
+        val S = graft.functions.Similarity
+        val t = emb.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id").as("id"), col("embedding").as("v"))
+        val e = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("eid"), col("embedding").as("ev"))
+        val bits = S.autoBits(t.count(), 64)
+        def keyed(df: org.apache.spark.sql.DataFrame, id: String, v: String) =
+          df.select(col(id), posexplode(S.lshSketch(col(v), bits, 8)).as(Seq("t", "bucket")))
+        keyed(t, "id", "v").join(keyed(e, "eid", "ev"), Seq("t", "bucket"))
+          .select(col("id"), col("eid")).distinct()
+          .join(t, "id").join(e, "eid")
+          .filter(S.cosine(col("v"), col("ev")) >= 0.9)
+          .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
       // simhash with widened pigeonhole blocks — the documented knob
       // once N approaches 2^(r·64/m) per dedup domain (the gate's
       // m=maxHamming+1=8 gives 8-bit keys: saturated at 500k docs)
@@ -165,8 +186,12 @@ object TailScale {
     // Warm up JVM/codegen/parquet footers before the first timed rep —
     // without this the run's FIRST gate absorbs ~6 s of startup (and
     // median-of-2 reports the max), which round 7 caught inflating a
-    // first-listed gate 8×.
-    graft.Tables.load(spark, dir, "documents").write.format("noop")
+    // first-listed gate 8×. Embeddings-only scale dirs (sf100e) have
+    // no documents table; warm with whatever exists.
+    val warmTable =
+      if (new java.io.File(s"$dir/documents.parquet").exists()) "documents"
+      else "embeddings"
+    graft.Tables.load(spark, dir, warmTable).write.format("noop")
       .mode("overwrite").save()
     for (name <- names) {
       val secs = (1 to reps).map { _ =>

@@ -719,6 +719,52 @@ class FunctionsSpec extends SparkSpec {
     dropCells.select($"cid").as[Long].collect().foreach(c => assert(validCids(c)))
   }
 
+  test("persisted IVF-PQ index: parquet round-trip (cells + model) serves bit-identical ADC results") {
+    import graft.functions.{Pq, PqModel}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = PqModel.train(emb, $"vec_id", $"embedding", m = 4, ksub = 16)
+    val oneShot = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        k = 3, model, nlist = 16, nprobe = 2, iterations = 1)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iterations = 1)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    PqModel.toDF(model, spark).write.mode("overwrite").parquet(s"$dir/model")
+    Similarity.ivfPqAssign(emb, "vec_id", "embedding", centroids, model)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+    // a LATER JOB: read everything back — codes, codebook, centroids
+    val c2 = spark.read.parquet(s"$dir/centroids")
+    val m2 = PqModel.fromDF(spark.read.parquet(s"$dir/model"))
+    assert((m2.m, m2.ksub, m2.dim) === ((model.m, model.ksub, model.dim)))
+    assert(m2.centroids.toSeq === model.centroids.toSeq,
+      "PqModel centroids did not round-trip bit-exactly")
+    val cells2 = spark.read.parquet(s"$dir/cells")
+    val served = Similarity.ivfPqQueryIndex(emb, "vec_id", "embedding",
+        c2, cells2, m2, nprobe = 2, k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(served === oneShot)
+    // incremental drop: encode against the FROZEN model + centroids
+    val dropCells = Similarity.ivfPqAssign(emb.limit(20), "vec_id", "embedding", c2, m2)
+    assert(dropCells.columns.toSeq === Seq("cid", "id", "codes"))
+    assert(dropCells.count() === 20)
+  }
+
+  test("persisted int8 index: parquet round-trip serves bit-identical results") {
+    import graft.functions.Int8
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val oneShot = Int8.int8TopK(emb, "vec_id", "embedding", k = 3, bits = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("int8_idx").toString
+    Int8.int8Index(emb, "vec_id", "embedding", bits = 3)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/codes")
+    val idx = spark.read.parquet(s"$dir/codes")
+    val served = Int8.int8QueryIndex(emb, "vec_id", "embedding", bits = 3, idx, k = 3)
+      .select($"qid", $"nid", $"sim", $"rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(served === oneShot)
+  }
+
   test("int8: quantization round-trips within one step; cosine near-exact; topK recall high") {
     import graft.functions.Int8
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -1068,6 +1114,53 @@ class FunctionsSpec extends SparkSpec {
       "pipeline leaked cached relations into the cache manager")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
     assert(leaked.size <= 2, s"leaked ${leaked.size} checkpoint RDDs (expected <= 1 final star set per call)")
+  }
+
+  test("int8-prefiltered verify is exactly the float-only verify (both pair engines)") {
+    // the prefilter may only REJECT pairs whose int8 cosine sits below
+    // threshold - margin; with margin ~9x the measured quantization
+    // envelope no true pair can be lost — pinned here against the
+    // direct float formulations at a mid and a high threshold, on the
+    // sf0.1 corpus (2000 dim-64 vectors, the widest-error regime)
+    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    def floatBucketPairs(threshold: Double, bucket: org.apache.spark.sql.Column) = {
+      val bucketed = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+        bucket.as("bucket"))
+      bucketed.select(col("bucket"), col("id").as("i"), col("v").as("vi"))
+        .join(bucketed.select(col("bucket"), col("id").as("j"), col("v").as("vj")),
+          Seq("bucket"))
+        .filter(col("i") < col("j"))
+        .filter(Similarity.cosine(col("vi"), col("vj")) >= threshold)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+    }
+    for (th <- Seq(0.3, 0.9)) {
+      val got = Similarity.bucketedCosinePairs(emb, "vec_id", "embedding", th,
+          Similarity.signBucket(col("embedding"), 4))
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(got === floatBucketPairs(th, Similarity.signBucket(col("embedding"), 4)),
+        s"threshold $th")
+      assert(got.nonEmpty || th > 0.5, s"vacuous at $th")
+    }
+    // the cross-corpus decontam verify: prefiltered operator vs an
+    // inline float-only recomputation of the same candidate set
+    val train = emb.filter(col("vec_id") % 50 =!= 0)
+    val eval = emb.filter(col("vec_id") % 50 === 0)
+    val got = graft.functions.Dedup.decontaminateSemantic(
+        train, "vec_id", "embedding", eval, "vec_id", "embedding",
+        threshold = 0.3, bits = 4, tables = 2)
+      .select("id", "n_hits").as[(Long, Long)].collect().toSet
+    val t = train.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val e = eval.select(col("vec_id").as("eid"), col("embedding").as("ev"))
+    def keyed(df: org.apache.spark.sql.DataFrame, id: String, v: String) =
+      df.select(col(id), posexplode(Similarity.lshSketch(col(v), 4, 2)).as(Seq("t", "bucket")))
+    val want = keyed(t, "id", "v").join(keyed(e, "eid", "ev"), Seq("t", "bucket"))
+      .select(col("id"), col("eid")).distinct()
+      .join(t, "id").join(e, "eid")
+      .filter(Similarity.cosine(col("v"), col("ev")) >= 0.3)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+      .select("id", "n_hits").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
   }
 
   test("editVerifyPairs (banded) equals the full metric filtered at the bound") {
