@@ -53,6 +53,19 @@ import graft.functions.{Dedup, MinHash}
   * O(bucket); with the cap it is O(maxBucketSize) verify work per
   * (doc, band)). Requires the RocksDB state store provider, the same
   * requirement as every transformWithState operator here.
+  *
+  * Throughput tuning (profiled on tools/DedupStreamBench, round 9):
+  * set `spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows
+  * =false` (per-put row counting forces a read-before-write on every
+  * ListState append the operators never use — ~15% on the asset
+  * path) and keep changelog checkpointing on. The dominant remaining
+  * cost is a FIXED ~0.4 s/micro-batch TWS+RocksDB commit floor
+  * (per-partition commit file-sync ≈ 52 ms, invariant to checkpoint
+  * AND local-dir filesystem — machinery latency, not disk), so
+  * docs/s scales with trigger batch size: 780/s at 500-doc batches →
+  * 1268/s at 2500 (pair-set parity exact at every point). Size the
+  * trigger for ≥1k-row micro-batches per state partition; per-asset
+  * marginal cost is ~0.6 ms at cap 128.
   */
 object StreamingDedup {
 

@@ -28,19 +28,26 @@ object DedupStreamBench {
     val cap = if (args.length > 2) args(2).toInt else 128
     val mode = if (args.length > 3) args(3) else "corpus"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
+    val spark = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .fold(builder0)(d => builder0.config("spark.local.dir", d))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PROVIDER",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
       // changelog checkpointing: commit uploads the batch's delta, not
       // a full RocksDB snapshot — the production setting for any
       // high-frequency trigger (pairs with the ListState append path:
       // an arrival is one merge record in the changelog)
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         sys.env.getOrElse("SPARK_GRAFT_STREAM_CHANGELOG", "true"))
+      // per-put row counting forces a RocksDB read-before-write on every
+      // ListState append; the operator never reads the row count
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_TRACKROWS", "false"))
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -78,7 +85,8 @@ object DedupStreamBench {
           maxBucketSize = cap)
     val q = out.toDF("i", "j", "jac").writeStream
       .format("memory").queryName("dedup_stream_bench").outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-dedupstream-${System.nanoTime()}")
+      .option("checkpointLocation",
+        s"${sys.env.getOrElse("SPARK_GRAFT_STREAM_CKPT", "/tmp")}/graft-dedupstream-${System.nanoTime()}")
       .start()
     val t0 = System.nanoTime()
     docs.grouped(batchSize).foreach { g =>
@@ -88,6 +96,25 @@ object DedupStreamBench {
     val streamSec = (System.nanoTime() - t0) / 1e9
     val streamPairs = spark.table("dedup_stream_bench")
       .select(col("i"), col("j")).distinct().count()
+    // duration breakdown across micro-batches (where does the fixed
+    // per-batch overhead go?) — stderr, not part of the JSON contract
+    val durs = q.recentProgress.flatMap(_.durationMs.entrySet().toArray
+      .map(_.asInstanceOf[java.util.Map.Entry[String, java.lang.Long]])
+      .map(e => e.getKey -> e.getValue.toLong))
+      .groupBy(_._1).view.mapValues(v => v.map(_._2).sum).toMap
+    System.err.println(s"[streambench] durationMs totals: " +
+      durs.toSeq.sortBy(-_._2).map { case (k, v) => s"$k=$v" }.mkString(" "))
+    val stateTotals = q.recentProgress.flatMap(_.stateOperators).flatMap { so =>
+      Seq("allUpdatesTimeMs" -> so.allUpdatesTimeMs,
+        "commitTimeMs" -> so.commitTimeMs,
+        "allRemovalsTimeMs" -> so.allRemovalsTimeMs) ++
+        so.customMetrics.entrySet().toArray
+          .map(_.asInstanceOf[java.util.Map.Entry[String, java.lang.Long]])
+          .map(e => e.getKey -> e.getValue.toLong)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    System.err.println(s"[streambench] state totals: " +
+      stateTotals.toSeq.sortBy(-_._2).take(12)
+        .map { case (k, v) => s"$k=$v" }.mkString(" "))
     q.stop()
 
     val t1 = System.nanoTime()
