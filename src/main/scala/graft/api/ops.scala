@@ -129,10 +129,36 @@ object ops {
         direction, tolerance))
 
   def rangeJoin(id: String, points: Stream[Row], intervals: Stream[Row],
-      point: String, lo: String, hi: String, binWidth: Long): Stream[Row] =
+      point: String, lo: String, hi: String, binWidth: Long = 0L): Stream[Row] =
     step(points.flow, id, "range_join", points.stepId, intervals.stepId)(
-      RangeJoin.pointInInterval(points.ds.toDF(), point,
-        intervals.ds.toDF(), lo, hi, binWidth))
+      if (binWidth > 0)
+        RangeJoin.pointInInterval(points.ds.toDF(), point,
+          intervals.ds.toDF(), lo, hi, binWidth)
+      else // <= 0: derive the width from axis stats (the measured auto)
+        RangeJoin.pointInIntervalAuto(points.ds.toDF(), point,
+          intervals.ds.toDF(), lo, hi))
+
+  /** Keyless global as-of (see [[AsofJoin.asofGlobal]]); binWidth <= 0
+    * derives the width from axis stats ([[AsofJoin.asofGlobalAuto]]).
+    */
+  def asofGlobal(id: String, left: Stream[Row], right: Stream[Row],
+      leftTime: String, rightTime: String, binWidth: Long = 0L): Stream[Row] =
+    step(left.flow, id, "asof_global", left.stepId, right.stepId)(
+      if (binWidth > 0)
+        AsofJoin.asofGlobal(left.ds.toDF(), leftTime, right.ds.toDF(), rightTime, binWidth)
+      else
+        AsofJoin.asofGlobalAuto(left.ds.toDF(), leftTime, right.ds.toDF(), rightTime))
+
+  /** Banded edit-distance verify over candidate pairs
+    * ([[graft.functions.Dedup.editVerifyPairs]] — the production
+    * verify tier; pairs' first two columns are the endpoints).
+    */
+  def editVerify(id: String, pairs: Stream[Row], docs: Stream[Row],
+      idCol: String, textCol: String, maxEdit: Int): Stream[Row] =
+    step(pairs.flow, id, "edit_verify", pairs.stepId, docs.stepId)(
+      graft.functions.Dedup.editVerifyPairs(pairs.ds.toDF(), docs.ds.toDF(),
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(textCol), maxEdit))
 
   /** Keyed event-time interval join — streaming inputs route through
     * Structured Streaming's watermark-bounded symmetric hash join,
