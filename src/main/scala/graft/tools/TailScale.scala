@@ -52,6 +52,25 @@ object TailScale {
       case "ann_pairs_auto" =>
         graft.functions.Similarity.bucketedCosinePairsAuto(
           graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 0.9)
+      // float-only verify (the pre-round-9 formulation) — same-machine
+      // A/B for the int8 prefilter on the pair path
+      case "ann_pairs_float" =>
+        import org.apache.spark.sql.functions.{col, posexplode}
+        val S = graft.functions.Similarity
+        val emb = graft.Tables.load(spark, dir, "embeddings")
+        val data = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+        val bits = S.autoBits(data.count(), 64)
+        val keyed = data.select(col("id"),
+          posexplode(S.lshSketch(col("v"), bits, 8)).as(Seq("t", "bucket")))
+        val cands = keyed.as("a").join(keyed.as("b"),
+            col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+        cands
+          .join(data.select(col("id").as("i"), col("v").as("vi")), "i")
+          .join(data.select(col("id").as("j"), col("v").as("vj")), "j")
+          .filter(S.cosine(col("vi"), col("vj")) >= 0.9)
+          .select(col("i"), col("j"))
       // production int8 serving scan (gate pins tiny dims for oracle)
       case "ann_int8_auto" =>
         graft.functions.Int8.int8TopKAuto(
