@@ -222,6 +222,21 @@ object ops {
         trainId, trainVec, eval.ds.toDF(), evalId, evalVec,
         threshold, targetBucket, tables))
 
+  def classifierFilter(id: String, up: Stream[Row], idCol: String,
+      textCol: String, model: graft.functions.Classify.NbModel,
+      label: String, minMargin: Double = 0.0): Stream[Row] =
+    step(up.flow, id, "classifier_filter", up.stepId)(
+      graft.functions.Classify.classifierFilter(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(textCol), model, label, minMargin))
+
+  def nbPredict(id: String, up: Stream[Row], idCol: String, textCol: String,
+      model: graft.functions.Classify.NbModel): Stream[Row] =
+    step(up.flow, id, "nb_predict", up.stepId)(
+      graft.functions.Classify.nbPredict(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(textCol), model))
+
   // target default matches Multimodal.nearDupAssets and
   // StreamingDedup.nearDupAssets (49 → 48-bit sigs): the SAME logical
   // operator must produce the SAME signatures from every API layer,

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document classification as RELATIONS — the
+  * FineWeb-Edu / DCLM-style curation step the rule filters
+  * ([[Text.gopherRules]]) and the LM scorer ([[Text.lmScore]]) don't
+  * cover: a trained classifier that labels or scores every document
+  * (domain routing, educational-quality gating, language ID beyond
+  * the stopword vote).
+  *
+  * The model is a multinomial Naive Bayes over whitespace tokens
+  * (the fastText-tier linear baseline those pipelines actually
+  * deploy at crawl scale), and like [[Text.LmModel]] it lives
+  * entirely as count RELATIONS: a per-class relation (label, n_docs,
+  * n_tok) and a per-(label, token) count relation. Nothing
+  * corpus-sized ever reaches the driver; the relations persist as
+  * parquet and join distributively, so the same model trains on one
+  * corpus and scores any number of later drops.
+  *
+  * Scale shape of scoring: one token explode of the scored corpus
+  * collapsed immediately to per-doc term frequencies (map-side
+  * partial — repeated tokens combine BEFORE the k-class fanout),
+  * one k-row broadcast fanout, one broadcast hash join against the
+  * vocabulary-sized word relation, one per-(doc, class) aggregation.
+  * The only corpus-sized exchanges carry (id, token, tf) and
+  * (id, label) rows — never text.
+  */
+object Classify {
+
+  /** Multinomial NB model as relations.
+    *
+    * @param classes   (label, n_docs: long, n_tok: long) — one row per class
+    * @param words     (label, t, c: long) — token counts per class
+    * @param totalDocs Σ n_docs (bounded scalar fit, [[Text.lmTrain]] precedent)
+    * @param vocabSize distinct tokens across classes (the add-one
+    *                  smoothing denominator's V)
+    */
+  final case class NbModel(classes: DataFrame, words: DataFrame,
+      totalDocs: Long, vocabSize: Long)
+
+  /** Train [[NbModel]]: one token explode with two hash aggregations
+    * (map-side partials) + two bounded scalar aggregates. Labels come
+    * from a column, so "training data" is just any labeled corpus
+    * slice — a human-rated sample, a distilled LLM rating, an
+    * existing lang column.
+    */
+  def nbTrain(df: DataFrame, labelCol: Column, text: Column): NbModel = {
+    val tok = df.select(labelCol.as("label"), Text.tokens(text).as("w"))
+    val words = tok.select(col("label"), explode(col("w")).as("t"))
+      .groupBy("label", "t").agg(count(lit(1)).as("c"))
+    val classes = tok.groupBy("label").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("w")).cast("long")).as("n_tok"))
+    val totals = classes.agg(sum(col("n_docs")), count(lit(1))).collect()(0)
+    val vocab = words.select(col("t")).distinct().count()
+    NbModel(classes, words, totals.getLong(0), vocab)
+  }
+
+  /** Per-(doc, class) smoothed log-likelihood:
+    * ll(d, l) = ln(n_docs_l / totalDocs)
+    *          + Σ_t tf(d,t) · ln((c(l,t) + 1) / (n_tok_l + V)).
+    * Docs with zero tokens produce no row (the [[Text.lmScore]]
+    * under-2-token precedent). Output: (id, label, n_pos, n_hit, ll).
+    */
+  def nbScore(df: DataFrame, idCol: Column, text: Column,
+      model: NbModel): DataFrame = {
+    val j = scoreJoin(df, idCol, text, model)
+    j.groupBy(col("id"), col("label")).agg(
+      sum(col("tf")).as("n_pos"),
+      sum(when(col("c").isNotNull, col("tf")).otherwise(0L)).as("n_hit"),
+      (first(col("lprior")) + sum(col("tf").cast("double") *
+        (log(coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) -
+          log(col("n_tok").cast("double") + lit(model.vocabSize.toDouble)))))
+        .as("ll"))
+  }
+
+  /** The exact-integer face of [[nbScore]] for cross-engine pinning:
+    * per (doc, class), the count sums that fully determine every
+    * model lookup — n_pos = Σ tf, n_hit = Σ tf over vocabulary hits,
+    * sum_c = Σ tf·c(l,t) — plus the class constants. The ln()s stay
+    * spec-side (libm last-ulp, the q_text_tfidf / q_text_lm
+    * precedent).
+    */
+  def nbScoreCounts(df: DataFrame, idCol: Column, text: Column,
+      model: NbModel): DataFrame = {
+    val j = scoreJoin(df, idCol, text, model)
+    j.groupBy(col("id"), col("label")).agg(
+      sum(col("tf")).as("n_pos"),
+      sum(when(col("c").isNotNull, col("tf")).otherwise(0L)).as("n_hit"),
+      sum(col("tf") * coalesce(col("c"), lit(0L))).as("sum_c"),
+      first(col("n_docs")).as("class_docs"),
+      first(col("n_tok")).as("class_tok"))
+  }
+
+  /** argmax over [[nbScore]]: (id, label_pred, ll, margin) where
+    * margin = ll_best − ll_runnerUp (null for single-class models).
+    * Exact-equal scores tie-break on label descending (struct max) so
+    * re-runs are deterministic.
+    */
+  def nbPredict(df: DataFrame, idCol: Column, text: Column,
+      model: NbModel): DataFrame = {
+    val scored = nbScore(df, idCol, text, model)
+    val byScore = struct(col("ll"), col("label"))
+    scored.groupBy(col("id")).agg(
+      max(byScore).as("best"),
+      count(lit(1)).as("k"),
+      sort_array(collect_list(col("ll")), asc = false).as("lls"))
+      .select(col("id"),
+        col("best.label").as("label_pred"),
+        col("best.ll").as("ll"),
+        when(col("k") > 1, col("best.ll") - element_at(col("lls"), 2))
+          .as("margin"))
+  }
+
+  /** Keep only documents the model assigns `label` with
+    * margin ≥ minMargin — the FineWeb-Edu-style classifier gate
+    * (e.g. label = "hi" quality class, margin as confidence).
+    */
+  def classifierFilter(df: DataFrame, idCol: Column, text: Column,
+      model: NbModel, label: String, minMargin: Double = 0.0): DataFrame = {
+    val keep = nbPredict(df, idCol, text, model)
+      .filter(col("label_pred") === label &&
+        coalesce(col("margin"), lit(Double.MaxValue)) >= minMargin)
+      .select(col("id").as("__keep_id"))
+    df.join(keep, idCol === col("__keep_id"), "left_semi")
+  }
+
+  /** Shared scoring join: per-doc term frequencies × k classes, left
+    * join against the word relation. tf collapse happens BEFORE the
+    * class fanout, so the shuffled row count is distinct tokens per
+    * doc, not positions × k.
+    */
+  private def scoreJoin(df: DataFrame, idCol: Column, text: Column,
+      model: NbModel): DataFrame = {
+    val tf = df.select(idCol.as("id"), explode(Text.tokens(text)).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val classes = model.classes.select(col("label"), col("n_docs"), col("n_tok"),
+      (log(col("n_docs").cast("double")) -
+        lit(math.log(model.totalDocs.toDouble))).as("lprior"))
+    tf.crossJoin(broadcast(classes))
+      .join(broadcast(model.words), Seq("label", "t"), "left")
+  }
+}

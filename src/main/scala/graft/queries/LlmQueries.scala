@@ -159,6 +159,19 @@ object LlmQueries {
       Text.lmScoreCounts(docs, $"doc_id", $"text", model)
     },
 
+    // model-based classification (FineWeb-Edu/DCLM-style), exact-integer
+    // face: multinomial NB trained on the even-doc split with lang as the
+    // class label, every doc scored against every class. The count sums
+    // pin every model lookup (the ln()s stay spec-side — the q_text_lm
+    // precedent); odd docs exercise the unseen-token smoothing path.
+    "q_text_classify" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.functions.Classify.nbTrain(
+        docs.filter($"doc_id" % 2 === 0), $"lang", $"text")
+      graft.functions.Classify.nbScoreCounts(docs, $"doc_id", $"text", model)
+    },
+
     // Gopher-rule quality filter: per-rule booleans + keep, every
     // comparison exact-integer (per-mille thresholds). Thresholds
     // chosen so each rule is differentially live on this corpus
@@ -1322,6 +1335,26 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN c2 IS NOT NULL AND c1p IS NOT NULL THEN c1p ELSE 0 END) AS BIGINT) AS sum_c1prev,
         |  CAST(SUM(CASE WHEN c2 IS NOT NULL AND c1p IS NOT NULL THEN 0 ELSE COALESCE(c1t, 0) END) AS BIGINT) AS sum_c1backoff
         |FROM j GROUP BY doc_id""".stripMargin,
+    "q_text_classify" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w FROM documents),
+        |train AS (SELECT lang AS label, w FROM tok WHERE doc_id % 2 = 0),
+        |words AS (SELECT label, t, COUNT(*) AS c FROM (
+        |  SELECT label, UNNEST(w) AS t FROM train) GROUP BY label, t),
+        |cls AS (SELECT label, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) AS n_tok FROM train GROUP BY label),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, UNNEST(w) AS t FROM tok) GROUP BY doc_id, t),
+        |j AS (SELECT tf.doc_id, cls.label, tf.tf, words.c, cls.n_docs, cls.n_tok
+        |  FROM tf CROSS JOIN cls
+        |  LEFT JOIN words ON words.label = cls.label AND words.t = tf.t)
+        |SELECT doc_id AS id, label,
+        |  CAST(SUM(tf) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN c IS NOT NULL THEN tf ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(tf * COALESCE(c, 0)) AS BIGINT) AS sum_c,
+        |  CAST(ANY_VALUE(n_docs) AS BIGINT) AS class_docs,
+        |  CAST(ANY_VALUE(n_tok) AS BIGINT) AS class_tok
+        |FROM j GROUP BY doc_id, label""".stripMargin,
     // every rule re-derived in exact integer arithmetic — the same
     // per-mille comparisons as Text.gopherRules, no doubles anywhere
     "q_text_gopher" ->

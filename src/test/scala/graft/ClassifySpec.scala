@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Classify
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tinyModel = {
+    // 2 classes, hand-computable counts:
+    //   spam: "buy now", "buy buy cheap"  → n_docs 2, n_tok 5
+    //         words: buy→3, now→1, cheap→1, V contribution {buy,now,cheap}
+    //   ham:  "hello dear friend"          → n_docs 1, n_tok 3
+    //         words: hello→1, dear→1, friend→1
+    // vocab = {buy, now, cheap, hello, dear, friend} → V = 6
+    val train = Seq(
+      ("spam", "buy now"), ("spam", "buy buy cheap"),
+      ("ham", "hello dear friend")).toDF("label", "text")
+    Classify.nbTrain(train, $"label", $"text")
+  }
+
+  test("nbTrain counts match hand computation") {
+    val m = tinyModel
+    assert(m.totalDocs === 3L)
+    assert(m.vocabSize === 6L)
+    val byLabel = m.classes.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLabel("spam") === ((2L, 5L)))
+    assert(byLabel("ham") === ((1L, 3L)))
+    val w = m.words.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w(("spam", "buy")) === 3L)
+    assert(w(("spam", "now")) === 1L)
+    assert(w(("ham", "friend")) === 1L)
+    assert(w.size === 6)
+  }
+
+  test("nbScore log-likelihood matches the closed form exactly") {
+    val m = tinyModel
+    val doc = Seq((1L, "buy cheap cheap pills")).toDF("id", "text")
+    val got = Classify.nbScore(doc, $"id", $"text", m)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // spam: prior ln(2/3); tokens buy(c=3) tf1, cheap(c=1) tf2, pills(c=0) tf1
+    //   ll = ln(2/3) + ln(4/11) + 2·ln(2/11) + ln(1/11)
+    val spam = math.log(2.0 / 3) + math.log(4.0 / 11) +
+      2 * math.log(2.0 / 11) + math.log(1.0 / 11)
+    // ham: prior ln(1/3); all unseen except none; n_tok+V = 9
+    //   ll = ln(1/3) + 4·ln(1/9)  (buy,cheap×2,pills all c=0)
+    val ham = math.log(1.0 / 3) + 4 * math.log(1.0 / 9)
+    assert(math.abs(got("spam")._3 - spam) < 1e-12)
+    assert(math.abs(got("ham")._3 - ham) < 1e-12)
+    assert(got("spam")._1 === 4L && got("spam")._2 === 3L) // n_pos, n_hit
+    assert(got("ham")._2 === 0L)
+  }
+
+  test("nbPredict picks argmax with runner-up margin; zero-token docs emit no row") {
+    val m = tinyModel
+    val docs = Seq((1L, "buy cheap now"), (2L, "dear hello friend hello"),
+      (3L, "   ")).toDF("id", "text")
+    val got = Classify.nbPredict(docs, $"id", $"text", m)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3))).toMap
+    assert(got(1L)._1 === "spam")
+    assert(got(2L)._1 === "ham")
+    assert(got(1L)._2 > 0) // margin strictly positive, not a tie
+    assert(!got.contains(3L))
+  }
+
+  test("planted two-distribution corpus: held-out accuracy > 0.95") {
+    // documents.parquet's lang column is random METADATA (same vocab for
+    // every lang — verified; the q_text_langid gate computes votes, it
+    // never claims recoverability), so learnability needs a planted
+    // corpus: two vocab mixtures with different skews.
+    val rnd = new scala.util.Random(42)
+    val vocabA = Vector("alpha", "beta", "gamma", "delta", "shared", "common")
+    val vocabB = Vector("omega", "sigma", "lambda", "kappa", "shared", "common")
+    def doc(v: Vector[String]) = Seq.fill(30)(v(rnd.nextInt(v.size))).mkString(" ")
+    val rows = (0 until 400).map { i =>
+      val a = i % 2 == 0
+      (i.toLong, if (a) "A" else "B", doc(if (a) vocabA else vocabB))
+    }
+    val df = rows.toDF("id", "label", "text")
+    val m = Classify.nbTrain(df.filter($"id" < 200), $"label", $"text")
+    val held = df.filter($"id" >= 200)
+    val pred = Classify.nbPredict(held, $"id", $"text", m)
+    val joined = pred.join(held.select($"id", $"label"), "id")
+    val n = joined.count()
+    val hit = joined.filter($"label_pred" === $"label").count()
+    assert(n === 200L)
+    assert(hit.toDouble / n > 0.95, s"accuracy ${hit.toDouble / n} on $n docs")
+  }
+
+  test("classifierFilter keeps exactly the predicted-label docs above margin") {
+    val m = tinyModel
+    val docs = Seq((1L, "buy cheap now"), (2L, "dear hello friend")).toDF("id", "text")
+    val kept = Classify.classifierFilter(docs, $"id", $"text", m, "spam")
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+    // an unsatisfiable margin keeps nothing
+    val none = Classify.classifierFilter(docs, $"id", $"text", m, "spam", minMargin = 1e9)
+      .count()
+    assert(none === 0L)
+  }
+}
