@@ -210,6 +210,25 @@ object AnalyticQueries {
         .select(col("l_returnflag"),
           coalesce(col("O"), lit(0L)).as("n_o"),
           coalesce(col("F"), lit(0L)).as("n_f"))
+    },
+
+    // entity resolution on STRUCTURED records (RecordLink): multi-pass
+    // blocking — candidates share (nation, segment) OR the name's
+    // hundreds prefix — verified by exact levenshtein on the name.
+    // score = 2 − edit ≥ 0 ⇔ edit ≤ 2; the second blocking pass finds
+    // cross-nation links the first one can't see (digit-tail typo pairs),
+    // so the union + distinct candidate plumbing is differentially live.
+    "q_er_customer" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.load(s, dir, "customer")
+      graft.functions.RecordLink.linkPairs(c, $"c_custkey",
+        blocks = Seq(
+          concat_ws("|", $"c_nationkey", $"c_mktsegment"),
+          substring($"c_name", 10, 7)),
+        payload = Seq($"c_name".as("name")),
+        score = (a, b) =>
+          (lit(2) - levenshtein(a.getField("name"), b.getField("name"))).cast("long"),
+        minScore = lit(0L))
     })
 
   /** Left = clicks, right = purchases pre-aggregated unique per
@@ -352,7 +371,22 @@ object AnalyticQueries {
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
         |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f
-        |FROM lineitem GROUP BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_er_customer" ->
+      """WITH cand AS (
+        |  SELECT a.c_custkey AS i, b.c_custkey AS j,
+        |         a.c_name AS an, b.c_name AS bn
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey < b.c_custkey
+        |  UNION
+        |  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+        |  FROM customer a JOIN customer b
+        |    ON substring(a.c_name, 10, 7) = substring(b.c_name, 10, 7)
+        |   AND a.c_custkey < b.c_custkey)
+        |SELECT i, j, CAST(2 - levenshtein(an, bn) AS BIGINT) AS score
+        |FROM cand WHERE 2 - levenshtein(an, bn) >= 0""".stripMargin)
 
   private def asofPre: String =
     """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
