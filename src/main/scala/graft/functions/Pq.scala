@@ -79,13 +79,27 @@ object PqModel {
     * emptied cluster keeps its previous centroid.
     */
   def train(df: DataFrame, idCol: Column, vecCol: Column, m: Int, ksub: Int,
-      iterations: Int = 4, sampleN: Int = 16384, seed: Long = 0L): PqModel = {
-    val sample = df
-      .select(vecCol.cast(ArrayType(DoubleType)).as("v"),
+      iterations: Int = 4, sampleN: Int = 16384, seed: Long = 0L): PqModel =
+    trainFromSample(sampleVectors(df, idCol, vecCol, sampleN, seed),
+      m, ksub, iterations)
+
+  /** The bounded deterministic sample [[train]] fits on: the `sampleN`
+    * vectors with the lowest `splitmix64(id ⊕ seed)` (distributed
+    * top-k, retry/partition-stable membership).
+    */
+  private[functions] def sampleVectors(df: DataFrame, idCol: Column,
+      vecCol: Column, sampleN: Int, seed: Long): Array[Array[Double]] =
+    df.select(vecCol.cast(ArrayType(DoubleType)).as("v"),
         Sampling.splitmix64(lit(seed).bitwiseXOR(idCol)).as("k"))
       .orderBy(col("k")).limit(sampleN)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+
+  /** Per-subspace Lloyd over an in-memory sample — shared by [[train]]
+    * and the OPQ trainer (which rotates the same sample first).
+    */
+  private[functions] def trainFromSample(sample: Array[Array[Double]],
+      m: Int, ksub: Int, iterations: Int): PqModel = {
     require(sample.nonEmpty, "pq train: empty input")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must be a multiple of m $m")
