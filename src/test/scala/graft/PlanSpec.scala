@@ -238,6 +238,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("classifier scoring broadcasts the model relations; ER links without cartesian") {
+    // nbScoreCounts: the class relation (k rows) and word relation
+    // (vocabulary-sized) must broadcast — a shuffled join against
+    // corpus-sized tf rows would re-exchange the corpus per model
+    // relation
+    val pc = plan("q_text_classify")
+    assert(pc.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 1, pc)
+    assert(pc.contains("BroadcastNestedLoopJoin") || pc.contains("BroadcastHashJoin"), pc)
+    assert(!pc.contains("CartesianProduct"), pc)
+    // recordLink: blocking self-join is an equi-join on (bi, bk) —
+    // never a cartesian/BNLJ; payload joins are equi on i/j
+    val pe = plan("q_er_customer")
+    assert(!pe.contains("CartesianProduct"), pe)
+    assert(!pe.contains("BroadcastNestedLoopJoin"), pe)
+  }
+
   test("TtlCache expires entries and isolates operator instances") {
     val a = TtlCache.instance[String, Int]("op-a", ttlMillis = 50)
     val b = TtlCache.instance[String, Int]("op-b", ttlMillis = 50)
