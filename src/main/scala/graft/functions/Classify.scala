@@ -1,7 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftExpr}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Model-based document classification as RELATIONS — the
   * FineWeb-Edu / DCLM-style curation step the rule filters
@@ -142,4 +148,152 @@ object Classify {
     tf.crossJoin(broadcast(classes))
       .join(broadcast(model.words), Seq("label", "t"), "left")
   }
+
+  // ── zero-shuffle fused path ────────────────────────────────────────
+
+  /** The relational model materialized as a driver-side scoring
+    * table for the ZERO-SHUFFLE path: token → per-label
+    * ln((c+1)/(n_tok_l+V)), plus per-label priors and unseen-token
+    * floors. Bounded by the VOCABULARY (Zipf-shaped, the measured
+    * BPE-training curve), not the corpus — the [[nbTrain]] count
+    * relations stay the scale-default; this is the serving-optimized
+    * face for when the table fits comfortably in a broadcast
+    * (~vocab × k × 8 bytes).
+    */
+  final case class NbBroadcastModel(labels: Array[String],
+      priors: Array[Double], floors: Array[Double],
+      table: java.util.HashMap[String, Array[Double]]) extends Serializable {
+    def k: Int = labels.length
+  }
+
+  /** Collect the count relations into an [[NbBroadcastModel]]
+    * (labels ascending; a bounded model fit like [[Text.lmTrain]]'s
+    * total — vocabulary-sized, never corpus-sized).
+    */
+  def broadcastModel(model: NbModel): NbBroadcastModel = {
+    val cls = model.classes.orderBy(col("label"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val labels = cls.map(_._1)
+    val idx = labels.zipWithIndex.toMap
+    val priors = cls.map { case (_, nd, _) =>
+      math.log(nd.toDouble) - math.log(model.totalDocs.toDouble) }
+    val denom = cls.map { case (_, _, nt) =>
+      math.log(nt.toDouble + model.vocabSize.toDouble) }
+    val floors = denom.map(d => -d) // ln(1) − ln(n_tok_l + V)
+    val table = new java.util.HashMap[String, Array[Double]]()
+    model.words.collect().foreach { r =>
+      val (label, t, c) = (r.getString(0), r.getString(1), r.getLong(2))
+      val row = table.computeIfAbsent(t, _ => floors.clone())
+      val i = idx(label)
+      row(i) = math.log(c.toDouble + 1.0) - denom(i)
+    }
+    NbBroadcastModel(labels, priors, floors, table)
+  }
+
+  /** Fused per-doc prediction — struct(label_pred, ll, margin) from
+    * ONE codegen'd text scan ([[NbPredictExpr]]): tokenize, look up,
+    * and argmax without any exchange. A pure stateless projection, so
+    * it runs UNCHANGED on streaming DataFrames (the streaming
+    * classify path — no foreachBatch, no state store). Ties break on
+    * label descending like [[nbPredict]]; margin is null for k = 1;
+    * zero-token docs score prior-only here (the relational path
+    * emits no row for them — its join has nothing to hang one on).
+    */
+  def nbPredictFusedCol(text: Column, model: NbBroadcastModel): Column = {
+    val raw = GraftExpr.column(
+      NbPredictExpr(GraftExpr.expression(text), model))
+    struct(
+      element_at(typedLit(model.labels.toSeq), raw.getField("label_idx") + 1)
+        .as("label_pred"),
+      raw.getField("ll").as("ll"),
+      raw.getField("margin").as("margin"))
+  }
+
+  /** [[nbPredict]]'s frame shape on the fused path: (id, label_pred,
+    * ll, margin), batch or streaming.
+    */
+  def nbPredictFused(df: DataFrame, idCol: Column, text: Column,
+      model: NbBroadcastModel): DataFrame = {
+    val p = nbPredictFusedCol(text, model)
+    df.select(idCol.as("id"), p.getField("label_pred").as("label_pred"),
+      p.getField("ll").as("ll"), p.getField("margin").as("margin"))
+  }
+
+  /** [[classifierFilter]] on the fused path: one scan predicate, no
+    * joins — composes with parquet pushdown and runs on streams.
+    */
+  def classifierFilterFused(df: DataFrame, text: Column,
+      model: NbBroadcastModel, label: String,
+      minMargin: Double = 0.0): DataFrame = {
+    val p = nbPredictFusedCol(text, model)
+    df.filter(p.getField("label_pred") === label &&
+      coalesce(p.getField("margin"), lit(Double.MaxValue)) >= minMargin)
+  }
+}
+
+object ClassifyImpl {
+  /** One fused scan: tokenize ([[TokenScanImpl.isWs]] whitespace
+    * semantics), accumulate per-label log-likelihoods from the
+    * broadcast table, argmax with label-descending tie-break (labels
+    * are sorted ascending, so a tie resolves to the LARGEST index —
+    * the struct-max behavior of the relational nbPredict).
+    */
+  def predict(model: Classify.NbBroadcastModel, s: UTF8String): InternalRow = {
+    val k = model.k
+    val acc = model.priors.clone()
+    val str = s.toString
+    var start = -1
+    var i = 0
+    while (i <= str.length) {
+      val ws = i == str.length || TokenScanImpl.isWs(str.charAt(i))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        val row = model.table.get(str.substring(start, i))
+        val add = if (row == null) model.floors else row
+        var l = 0
+        while (l < k) { acc(l) += add(l); l += 1 }
+        start = -1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < k) { if (acc(l) >= acc(best)) best = l; l += 1 }
+    var second = Double.NegativeInfinity
+    l = 0
+    while (l < k) { if (l != best && acc(l) > second) second = acc(l); l += 1 }
+    val margin: Any = if (k > 1) Double.box(acc(best) - second) else null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, acc(best), margin))
+  }
+}
+
+/** Fused NB prediction over a text column —
+  * struct(label_idx, ll, margin) in one codegen'd scan; the broadcast
+  * model rides into generated code as a plan reference object (the
+  * [[PqEncodeExpr]] pattern).
+  */
+case class NbPredictExpr(child: Expression, model: Classify.NbBroadcastModel)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("label_idx", IntegerType, nullable = false),
+    StructField("ll", DoubleType, nullable = false),
+    StructField("margin", DoubleType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nb_predict requires string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ClassifyImpl.predict(model, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nbModel", model,
+      "graft.functions.Classify.NbBroadcastModel")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ClassifyImpl.predict($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NbPredictExpr =
+    copy(child = newChild)
 }

@@ -116,7 +116,7 @@ case class NgramStatsExpr(child: Expression, n: Int) extends TextScanExpr {
 
 object TokenScanImpl {
   // Java regex \s character class (non-unicode mode)
-  private def isWs(c: Char): Boolean =
+  private[functions] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   def tokenCount(s: UTF8String): Int = {

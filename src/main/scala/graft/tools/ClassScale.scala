@@ -59,6 +59,21 @@ object ClassScale {
             best = math.min(best, sec); out = r
           }
           println(f"nb dir=$dir docs=$n scored_rows=$out sec=$best%.2f")
+          // fused zero-shuffle A/B: same train, prediction via the
+          // broadcast-table scan (includes broadcastModel build time)
+          var bestF = Double.MaxValue
+          var outF = 0L
+          for (_ <- 1 to 2) {
+            val (r, sec) = time {
+              val m = Classify.nbTrain(docs.filter(col("doc_id") % 2 === 0),
+                col("lang"), col("text"))
+              val bm = Classify.broadcastModel(m)
+              Classify.nbPredictFused(docs, col("doc_id"), col("text"), bm)
+                .agg(count(lit(1)), sum(col("ll"))).collect()(0).getLong(0)
+            }
+            bestF = math.min(bestF, sec); outF = r
+          }
+          println(f"nbx dir=$dir docs=$n predicted=$outF sec=$bestF%.2f")
         case "er" =>
           val c = Tables.load(spark, dir, "customer")
           val n = c.count()

@@ -89,6 +89,76 @@ class ClassifySpec extends SparkSpec {
     assert(hit.toDouble / n > 0.95, s"accuracy ${hit.toDouble / n} on $n docs")
   }
 
+  test("fused zero-shuffle path matches the relational path (scores, labels, margins)") {
+    val m = tinyModel
+    val bm = graft.functions.Classify.broadcastModel(m)
+    val docs = Seq((1L, "buy cheap now"), (2L, "dear hello friend hello"),
+      (3L, "buy now pills unseen"), (4L, "shared vocab words none")).toDF("id", "text")
+    val rel = Classify.nbPredict(docs, $"id", $"text", m)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3))).toMap
+    val fus = Classify.nbPredictFused(docs, $"id", $"text", bm)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(fus.keySet === rel.keySet)
+    rel.foreach { case (id, (lbl, ll, mg)) =>
+      assert(fus(id)._1 === lbl, s"label for $id")
+      // float sums run in different orders (token order vs agg order)
+      assert(math.abs(fus(id)._2 - ll) < 1e-9, s"ll for $id")
+      assert(math.abs(fus(id)._3 - mg) < 1e-9, s"margin for $id")
+    }
+  }
+
+  test("fused path on a planted corpus: held-out accuracy matches the relational path") {
+    val rnd = new scala.util.Random(43)
+    val vocabA = Vector("alpha", "beta", "gamma", "shared")
+    val vocabB = Vector("omega", "sigma", "lambda", "shared")
+    def doc(v: Vector[String]) = Seq.fill(20)(v(rnd.nextInt(v.size))).mkString(" ")
+    val rows = (0 until 200).map { i =>
+      val a = i % 2 == 0
+      (i.toLong, if (a) "A" else "B", doc(if (a) vocabA else vocabB))
+    }
+    val df = rows.toDF("id", "label", "text")
+    val m = Classify.nbTrain(df.filter($"id" < 100), $"label", $"text")
+    val bm = graft.functions.Classify.broadcastModel(m)
+    val held = df.filter($"id" >= 100)
+    val rel = Classify.nbPredict(held, $"id", $"text", m)
+      .select($"id", $"label_pred").as[(Long, String)].collect().toMap
+    val fus = Classify.nbPredictFused(held, $"id", $"text", bm)
+      .select($"id", $"label_pred").as[(Long, String)].collect().toMap
+    assert(fus === rel)
+  }
+
+  test("fused filter is a stateless streaming operator with batch parity") {
+    val m = tinyModel
+    val bm = graft.functions.Classify.broadcastModel(m)
+    val batch = Seq((1L, "buy cheap now"), (2L, "dear hello friend"),
+      (3L, "buy buy buy")).toDF("id", "text")
+    val expected = Classify.classifierFilterFused(batch, $"text", bm, "spam")
+      .select($"id").as[Long].collect().toSet
+
+    val src = graft.connectors.Testing.testingSource[(Long, String)](spark)
+    src.addBatch((1L, "buy cheap now"), (2L, "dear hello friend"))
+    src.addBatch((3L, "buy buy buy"))
+    val filtered = Classify.classifierFilterFused(
+      src.toDS().toDF("id", "text"), $"text", bm, "spam")
+    assert(filtered.isStreaming, "fused filter must preserve streaming-ness")
+    val got = graft.streaming.StreamingOps.runToMemory(
+      filtered.select($"id"), "cls_fused_out")
+      .as[Long].collect().toSet
+    assert(got === expected)
+    assert(expected === Set(1L, 3L))
+  }
+
+  test("fused path scores zero-token docs prior-only (documented divergence)") {
+    val m = tinyModel
+    val bm = graft.functions.Classify.broadcastModel(m)
+    val docs = Seq((1L, "   ")).toDF("id", "text")
+    val fus = Classify.nbPredictFused(docs, $"id", $"text", bm).collect()
+    assert(fus.length === 1)
+    // prior-only: spam prior ln(2/3) > ham prior ln(1/3)
+    assert(fus(0).getString(1) === "spam")
+    assert(math.abs(fus(0).getDouble(2) - math.log(2.0 / 3)) < 1e-12)
+  }
+
   test("classifierFilter keeps exactly the predicted-label docs above margin") {
     val m = tinyModel
     val docs = Seq((1L, "buy cheap now"), (2L, "dear hello friend")).toDF("id", "text")
