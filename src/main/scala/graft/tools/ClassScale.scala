@@ -22,7 +22,7 @@ object ClassScale {
     val mode = if (args.nonEmpty) args(0) else "nb"
     val dirs =
       if (args.length > 1) args.drop(1).toSeq
-      else if (mode == "nb")
+      else if (mode == "nb" || mode == "lm")
         Seq("/root/testdata/sf0.1", "/root/repo/data/sf1", "/root/repo/data/sf10")
       else
         Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "/root/repo/data/sf1")
@@ -74,6 +74,29 @@ object ClassScale {
             bestF = math.min(bestF, sec); outF = r
           }
           println(f"nbx dir=$dir docs=$n predicted=$outF sec=$bestF%.2f")
+        case "lm" =>
+          val docs = Tables.load(spark, dir, "documents")
+          val n = docs.count()
+          var bestR = Double.MaxValue
+          var bestF = Double.MaxValue
+          for (_ <- 1 to 2) {
+            val (_, secR) = time {
+              val m = graft.functions.Text.lmTrain(
+                docs.filter(col("doc_id") % 2 === 0), col("text"))
+              graft.functions.Text.lmScore(docs, col("doc_id"), col("text"), m)
+                .agg(count(lit(1)), sum(col("ll"))).collect()(0).getLong(0)
+            }
+            bestR = math.min(bestR, secR)
+            val (_, secF) = time {
+              val m = graft.functions.Text.lmTrain(
+                docs.filter(col("doc_id") % 2 === 0), col("text"))
+              val bm = graft.functions.LmFused.broadcastModel(m)
+              graft.functions.LmFused.lmScoreFused(docs, col("doc_id"), col("text"), bm)
+                .agg(count(lit(1)), sum(col("ll"))).collect()(0).getLong(0)
+            }
+            bestF = math.min(bestF, secF)
+          }
+          println(f"lm dir=$dir docs=$n relational=$bestR%.2f fused=$bestF%.2f")
         case "er" =>
           val c = Tables.load(spark, dir, "customer")
           val n = c.count()
