@@ -13,6 +13,33 @@ import graft.windowing._
 object Examples {
 
   // ------------------------------------------------------------------
+  // The whole model-based quality gate as ONE parquet scan — the
+  // 100 TB curation-pass shape: Gopher rules (fused rule projection),
+  // LM perplexity (fused LmScoreExpr over broadcast count tables), and
+  // the NB classifier (fused NbPredictExpr) compose into a single
+  // filter predicate with ZERO exchanges, joins, or state — the plan
+  // is scan → whole-stage-codegen'd filter, so it rides predicate
+  // pipelining, survives streaming unchanged, and touches each
+  // document's text exactly three scans inside one codegen span.
+  // Spec-pinned: output ≡ the intersection of the three stand-alone
+  // filters; plan has no Exchange and no Join (ExamplesSpec).
+  // ------------------------------------------------------------------
+  def qualityGateFused(docs: DataFrame, text: Column,
+      stopwords: Seq[String],
+      nb: graft.functions.Classify.NbBroadcastModel, keepLabel: String,
+      lm: graft.functions.LmFused.LmBroadcastModel, maxPpl: Double,
+      gopherT: graft.functions.Text.GopherThresholds =
+        graft.functions.Text.GopherThresholds()): DataFrame = {
+    val rules = graft.functions.Text.gopherRules(text, stopwords, gopherT)
+    val cls = graft.functions.Classify.nbPredictFusedCol(text, nb)
+    val ppl = graft.functions.LmFused.lmScoreFusedCol(text, lm)
+    docs.filter(
+      rules.getField("keep") &&
+      cls.getField("label_pred") === keepLabel &&
+      (ppl.getField("n_scored") === 0L || ppl.getField("ppl") <= maxPpl))
+  }
+
+  // ------------------------------------------------------------------
   // search_session (reference examples/search_session.py): sessionize a
   // clickstream per user with gap-based windows, then compute per-
   // session click-through rate (searches with >=1 click / searches).

@@ -7,6 +7,46 @@ import graft.examples.Examples.{ClickEvent, Reading}
 class ExamplesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("qualityGateFused ≡ intersection of the three filters, in one exchange-free scan") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Classify, LmFused, Text}
+    val docs = Tables.load(spark, sf0001, "documents")
+    val stop = Text.langStopwords.head._2
+    val nbm = Classify.broadcastModel(
+      Classify.nbTrain(docs.filter($"doc_id" % 2 === 0), $"lang", $"text"))
+    val lmm = LmFused.broadcastModel(
+      Text.lmTrain(docs.filter($"doc_id" % 2 === 0), $"text"))
+    val t = Text.GopherThresholds(minTokens = 20, meanLenMinPm = 4000L)
+    // median ppl so every leg of the gate is differentially live
+    val ppls = LmFused.lmScoreFused(docs, $"doc_id", $"text", lmm)
+      .select($"ppl").as[Double].collect().sorted
+    val maxPpl = ppls(ppls.length / 2)
+
+    val gate = Examples.qualityGateFused(docs, $"text", stop,
+      nbm, "en", lmm, maxPpl, t)
+    val got = gate.select($"doc_id").as[Long].collect().toSet
+
+    val a = Text.gopherFilter(docs, $"text", stop, t)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Classify.classifierFilterFused(docs, $"text", nbm, "en",
+      minMargin = Double.NegativeInfinity)
+      .select($"doc_id").as[Long].collect().toSet
+    val c = LmFused.perplexityFilter(docs, $"text", lmm, maxPpl)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === (a intersect b intersect c))
+    assert(got.nonEmpty && got.size < docs.count())
+    // every leg must cut something, or the composition proves nothing
+    assert(a.size < docs.count() && b.size < docs.count() && c.size < docs.count())
+
+    // plan shape: scan → filter, zero exchanges / joins / aggregates
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Aggregate"), plan)
+    // executedPlan.toString marks whole-stage-codegen with a "*(n)" prefix
+    assert(plan.contains("*(1) Filter"), plan)
+  }
+
   private def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:${s % 60}%02d").
     asInstanceOf[Timestamp]
 
