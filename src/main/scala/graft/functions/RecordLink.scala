@@ -68,6 +68,67 @@ object RecordLink {
       .select(col("i"), col("j"), score(col("a"), col("b")).as("score"))
       .filter(col("score") >= minScore)
 
+  /** Two-table candidates: probe records against a REFERENCE table
+    * (master-data matching — incoming records vs the entity table)
+    * under the same multi-pass blocking. Returns (i, j, a, b) with
+    * i from `probe`, j from `ref`; no i<j dedupe (the sides are
+    * distinct universes). The reference side's keyed rows build once
+    * — mark the ref DataFrame cached/bucketed for serve-many.
+    *
+    * STREAMING-NATIVE: when `probe` is a streaming DataFrame this is
+    * a stream-static equi-join on (bi, bk) + a stateless verify — no
+    * state store, no foreachBatch, exactly Spark's intended
+    * stream-static shape (spec-pinned batch/stream parity).
+    * Hot-key pruning uses the REFERENCE side's block sizes (the
+    * probe side is unbounded in streams; a runaway reference block
+    * is the n² risk either way).
+    */
+  def candidatePairsAgainst(probe: DataFrame, probeId: Column,
+      ref: DataFrame, refId: Column, blocks: Seq[Column],
+      payload: Seq[Column], maxBlockSize: Int = 10000): DataFrame = {
+    require(blocks.nonEmpty, "at least one blocking key")
+    def keyed(df: DataFrame, id: Column) =
+      df.select(id.as("id"), struct(payload: _*).as("p"),
+        array(blocks.map(_.cast("string")): _*).as("bks"))
+        .select(col("id"), col("p"), col("bks"),
+          posexplode(col("bks")).as(Seq("bi", "bk")))
+        .filter(col("bk").isNotNull)
+    val refKeyed = keyed(ref, refId)
+    val hot = refKeyed.groupBy("bi", "bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlockSize).select(col("bi"), col("bk"))
+    val refSide = refKeyed.join(hot, Seq("bi", "bk"), "left_anti")
+      .select(col("bi"), col("bk"), col("id").as("j"), col("p").as("b"),
+        col("bks").as("jbks"))
+    val probeSide = keyed(probe, probeId)
+      .select(col("bi"), col("bk"), col("id").as("i"), col("p").as("a"),
+        col("bks").as("ibks"))
+    probeSide.join(refSide, Seq("bi", "bk"))
+      // first-shared-key rule instead of a dedupe: keep the join row
+      // only if NO earlier key index is shared — at most one row per
+      // pair by construction, so no dropDuplicates (which would be a
+      // STATEFUL operator on a stream). A pair whose first shared key
+      // was hot-pruned is dropped entirely — the same documented
+      // capped-space semantics as the n-gram df cap.
+      .filter(!exists(
+        zip_with(slice(col("ibks"), lit(1), col("bi")),
+          slice(col("jbks"), lit(1), col("bi")),
+          (x, y) => x.isNotNull && y.isNotNull && x === y),
+        v => v))
+      .select(col("i"), col("j"), col("a"), col("b"))
+  }
+
+  /** Blocked + verified two-table links: (i, j, score). Streaming
+    * probe supported (see [[candidatePairsAgainst]]); re-arrivals
+    * across micro-batches are the source's at-least-once contract.
+    */
+  def linkAgainst(probe: DataFrame, probeId: Column,
+      ref: DataFrame, refId: Column, blocks: Seq[Column],
+      payload: Seq[Column], score: (Column, Column) => Column,
+      minScore: Column, maxBlockSize: Int = 10000): DataFrame =
+    candidatePairsAgainst(probe, probeId, ref, refId, blocks, payload, maxBlockSize)
+      .select(col("i"), col("j"), score(col("a"), col("b")).as("score"))
+      .filter(col("score") >= minScore)
+
   /** Entity ids: transitively close the link graph
     * ([[Dedup.connectedComponents]] — alternating-star, O(log² n)
     * rounds) so a↔b↔c resolves to ONE entity even when a↔c never
