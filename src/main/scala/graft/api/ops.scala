@@ -222,12 +222,45 @@ object ops {
         trainId, trainVec, eval.ds.toDF(), evalId, evalVec,
         threshold, targetBucket, tables))
 
+  def perplexityFilter(id: String, up: Stream[Row], textCol: String,
+      model: graft.functions.LmFused.LmBroadcastModel,
+      maxPpl: Double): Stream[Row] =
+    step(up.flow, id, "perplexity_filter", up.stepId)(
+      graft.functions.LmFused.perplexityFilter(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(textCol), model, maxPpl))
+
+  def recordLink(id: String, up: Stream[Row], idCol: String,
+      blocks: Seq[Column], payload: Seq[Column],
+      score: (Column, Column) => Column, minScore: Column,
+      maxBlockSize: Int = 10000): Stream[Row] =
+    step(up.flow, id, "record_link", up.stepId)(
+      graft.functions.RecordLink.linkPairs(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(idCol), blocks, payload,
+        score, minScore, maxBlockSize))
+
+  def recordLinkAgainst(id: String, probe: Stream[Row], ref: Stream[Row],
+      probeId: String, refId: String, blocks: Seq[Column],
+      payload: Seq[Column], score: (Column, Column) => Column,
+      minScore: Column, maxBlockSize: Int = 10000): Stream[Row] =
+    step(probe.flow, id, "record_link_against", probe.stepId, ref.stepId)(
+      graft.functions.RecordLink.linkAgainst(probe.ds.toDF(),
+        org.apache.spark.sql.functions.col(probeId), ref.ds.toDF(),
+        org.apache.spark.sql.functions.col(refId), blocks, payload,
+        score, minScore, maxBlockSize))
+
   def classifierFilter(id: String, up: Stream[Row], idCol: String,
       textCol: String, model: graft.functions.Classify.NbModel,
       label: String, minMargin: Double = 0.0): Stream[Row] =
     step(up.flow, id, "classifier_filter", up.stepId)(
       graft.functions.Classify.classifierFilter(up.ds.toDF(),
         org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(textCol), model, label, minMargin))
+
+  def classifierFilterFused(id: String, up: Stream[Row], textCol: String,
+      model: graft.functions.Classify.NbBroadcastModel, label: String,
+      minMargin: Double = 0.0): Stream[Row] =
+    step(up.flow, id, "classifier_filter_fused", up.stepId)(
+      graft.functions.Classify.classifierFilterFused(up.ds.toDF(),
         org.apache.spark.sql.functions.col(textCol), model, label, minMargin))
 
   def nbPredict(id: String, up: Stream[Row], idCol: String, textCol: String,

@@ -141,6 +141,29 @@ class PropertySpec extends SparkSpec {
     check(prop, tests = 5)
   }
 
+  test("round-9 facade ops wire through the flow graph (classify/lm/record-link)") {
+    import graft.functions.{Classify, LmFused, RecordLink, Text}
+    val flow = graft.api.Flow("r9")
+    val docs = graft.api.ops.input("docs", flow, spark, s"$sf0001/documents.parquet")
+    val nbm = Classify.broadcastModel(Classify.nbTrain(
+      docs.ds.toDF().filter(col("doc_id") % 2 === 0), col("lang"), col("text")))
+    val lmm = LmFused.broadcastModel(Text.lmTrain(
+      docs.ds.toDF().filter(col("doc_id") % 2 === 0), col("text")))
+    val kept = graft.api.ops.classifierFilterFused("cls", docs, "text", nbm, "en")
+    val scored = graft.api.ops.perplexityFilter("ppl", kept, "text", lmm, 1e18)
+    assert(scored.ds.count() > 0)
+    val cust = graft.api.ops.input("cust", flow, spark, s"$sf0001/customer.parquet")
+    val links = graft.api.ops.recordLink("er", cust, "c_custkey",
+      Seq(concat_ws("|", col("c_nationkey"), col("c_mktsegment"))),
+      Seq(col("c_name").as("name")),
+      (a, b) => (lit(2) - levenshtein(a.getField("name"), b.getField("name"))).cast("long"),
+      lit(0L))
+    assert(links.ds.count() > 0)
+    val mm = flow.toMermaid
+    assert(mm.contains("docs --> cls") && mm.contains("cls --> ppl"))
+    assert(mm.contains("cust --> er"))
+  }
+
   test("flow graph renders recorded steps as mermaid and json") {
     val flow = graft.api.Flow("viz")
     val inp = graft.api.ops.input("in", flow, spark, s"$sf0001/region.parquet")
