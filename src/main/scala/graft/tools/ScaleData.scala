@@ -37,7 +37,12 @@ import org.apache.spark.sql.functions._
   * where scaling 100× of lineitem would only burn disk.
   */
 object ScaleData {
-  private val Offset = 100000000L
+  // Override when RE-scaling an already-scaled dir: the second pass's
+  // shifts must clear the first pass's whole id range or replica ids
+  // collide (measured: sf10 -> x10 at the default offset left only
+  // 545k distinct doc_ids out of 5M rows).
+  private val Offset =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_OFFSET", "100000000").toLong
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
@@ -58,7 +63,10 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def write(df: DataFrame, name: String, parts: Int): Unit =
+    // df is by-name: with SPARK_GRAFT_SCALE_TABLES restricting output,
+    // the source dir may not even CONTAIN the skipped tables (e.g.
+    // scaling sf10's documents-only dir), so nothing may touch them
+    def write(df: => DataFrame, name: String, parts: Int): Unit =
       if (wanted(name))
         df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
@@ -85,7 +93,7 @@ object ScaleData {
       "lineitem", 16)
     write(rekeyed(read("events"), "event_id", "user_id"), "events", 8)
 
-    val docs = replicate(read("documents"))
+    lazy val docs = replicate(read("documents"))
       .withColumn("doc_id", col("doc_id") + col("rep") * Offset)
       // Suffix every token with 4 hex chars of md5(word, replica): the
       // suffix varies per WORD, not just per replica, so cross-replica
@@ -111,7 +119,7 @@ object ScaleData {
     // artifacts at factor > 64. Shift by rep mod dim and flip the sign
     // on every wrap — shift+negation yields 2·dim distinct transforms,
     // all essentially uncorrelated directions for random embeddings.
-    val emb = replicate(read("embeddings"))
+    lazy val emb = replicate(read("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("rep") * Offset)
       .withColumn("embedding", {
         val e = col("embedding")
