@@ -53,7 +53,10 @@ object Classify {
     * existing lang column.
     */
   def nbTrain(df: DataFrame, labelCol: Column, text: Column): NbModel = {
-    val tok = df.select(labelCol.as("label"), Text.tokens(text).as("w"))
+    // null-labeled rows are ignored (they'd otherwise become a null
+    // CLASS in the relational path and NPE the broadcast collect)
+    val tok = df.filter(labelCol.isNotNull)
+      .select(labelCol.as("label"), Text.tokens(text).as("w"))
     val words = tok.select(col("label"), explode(col("w")).as("t"))
       .groupBy("label", "t").agg(count(lit(1)).as("c"))
     val classes = tok.groupBy("label").agg(
@@ -217,6 +220,8 @@ object Classify {
     val p = nbPredictFusedCol(text, model)
     df.select(idCol.as("id"), p.getField("label_pred").as("label_pred"),
       p.getField("ll").as("ll"), p.getField("margin").as("margin"))
+      // null text → null struct; no row, matching the relational path
+      .filter(col("label_pred").isNotNull)
   }
 
   /** [[classifierFilter]] on the fused path: one scan predicate, no

@@ -77,7 +77,10 @@ object LmFused {
   def perplexityFilter(df: DataFrame, text: Column,
       model: LmBroadcastModel, maxPpl: Double): DataFrame = {
     val s = lmScoreFusedCol(text, model)
-    df.filter(s.getField("n_scored") === 0L || s.getField("ppl") <= maxPpl)
+    // null text scores null — unscorable docs (null, empty, single
+    // token) are KEPT uniformly; perplexity only cuts what it can read
+    df.filter(s.isNull || s.getField("n_scored") === 0L ||
+      s.getField("ppl") <= maxPpl)
   }
 }
 

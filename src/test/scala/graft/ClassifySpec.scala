@@ -159,6 +159,22 @@ class ClassifySpec extends SparkSpec {
     assert(math.abs(fus(0).getDouble(2) - math.log(2.0 / 3)) < 1e-12)
   }
 
+  test("null edges: null-label rows ignored in training; null text scores no row on either path") {
+    val train = Seq(
+      (Some("spam"), "buy now"), (None, "phantom class"),
+      (Some("ham"), "hello friend")).map { case (l, t) => (l.orNull, t) }
+      .toDF("label", "text")
+    val m = Classify.nbTrain(train, $"label", $"text")
+    assert(m.classes.count() === 2L)
+    val bm = Classify.broadcastModel(m) // NPE without the null guard
+    assert(bm.labels.toSeq === Seq("ham", "spam"))
+    val docs = Seq((1L, "buy now"), (2L, null.asInstanceOf[String])).toDF("id", "text")
+    assert(Classify.nbPredict(docs, $"id", $"text", m)
+      .select($"id").as[Long].collect().toSet === Set(1L))
+    assert(Classify.nbPredictFused(docs, $"id", $"text", bm)
+      .select($"id").as[Long].collect().toSet === Set(1L))
+  }
+
   test("classifierFilter keeps exactly the predicted-label docs above margin") {
     val m = tinyModel
     val docs = Seq((1L, "buy cheap now"), (2L, "dear hello friend")).toDF("id", "text")

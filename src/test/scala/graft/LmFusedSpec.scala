@@ -57,12 +57,13 @@ class LmFusedSpec extends SparkSpec {
   test("docs under 2 tokens: no scored row, but the filter keeps them") {
     val model = Text.lmTrain(Seq("the cat sat").toDF("text"), $"text")
     val bm = LmFused.broadcastModel(model)
-    val docs = Seq((1L, "single"), (2L, ""), (3L, "the cat")).toDF("id", "text")
+    val docs = Seq((1L, "single"), (2L, ""), (3L, "the cat"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
     val scored = LmFused.lmScoreFused(docs, $"id", $"text", bm)
       .select($"id").as[Long].collect().toSet
     assert(scored === Set(3L))
     val kept = LmFused.perplexityFilter(docs, $"text", bm, maxPpl = 1e18)
       .select($"id").as[Long].collect().toSet
-    assert(kept === Set(1L, 2L, 3L))
+    assert(kept === Set(1L, 2L, 3L, 4L)) // null text = unscorable = kept
   }
 }
