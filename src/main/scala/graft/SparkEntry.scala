@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, CoreQueries, CorpusQueries, LlmQueries, StatefulQueries, WindowQueries}
+import graft.queries.{AnalyticQueries, CoreQueries, CorpusQueries, LlmQueries, SearchQueries, StatefulQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY §2 is exercised by one entry
@@ -17,7 +17,8 @@ object SparkEntry {
       (WindowQueries.queries, WindowQueries.oracle),
       (LlmQueries.queries, LlmQueries.oracle),
       (AnalyticQueries.queries, AnalyticQueries.oracle),
-      (CorpusQueries.queries, CorpusQueries.oracle))
+      (CorpusQueries.queries, CorpusQueries.oracle),
+      (SearchQueries.queries, SearchQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

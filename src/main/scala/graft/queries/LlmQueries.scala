@@ -780,13 +780,10 @@ object LlmQueries {
         frameSize = 64, everyNth = 3).toDF()
     })
 
-  /** DuckDB rendering of [[Similarity.signBucket]] with bits=4 (lists
-    * are 1-indexed in both engines' element_at semantics; float sign is
-    * representation-exact, so the bucket ids agree bit-for-bit).
+  /** DuckDB rendering of [[Similarity.signBucket]] with bits=4 —
+    * shared with the SearchQueries hybrid gate via [[OracleSql]].
     */
-  private val signBucketSql =
-    (0 until 4).map(b => s"(CASE WHEN embedding[${b + 1}] >= 0 THEN ${1L << b} ELSE 0 END)")
-      .mkString("(", " + ", ")")
+  private val signBucketSql = OracleSql.signBucket(4)
 
   /** DuckDB rendering of the fixed-codebook PQ gate
     * ([[graft.functions.PqModel.fixed]] m=4, ksub=4, dim=64, seed=7):

@@ -56,4 +56,12 @@ private[queries] object OracleSql {
   def toSigned(u: String): String =
     s"(CAST($u AS HUGEINT) - CASE WHEN $u >= 9223372036854775808::UBIGINT " +
       s"THEN ${M64}::HUGEINT ELSE 0::HUGEINT END)"
+
+  /** DuckDB rendering of [[graft.functions.Similarity.signBucket]]
+    * (lists are 1-indexed in both engines' element_at semantics; float
+    * sign is representation-exact, so bucket ids agree bit-for-bit).
+    */
+  def signBucket(bits: Int, vec: String = "embedding"): String =
+    (0 until bits).map(b => s"(CASE WHEN $vec[${b + 1}] >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("(", " + ", ")")
 }

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Search, Similarity, Text}
+
+/** Retrieval gates: the BM25 inverted-index match face and hybrid
+  * (lexical ⊕ semantic) reciprocal-rank fusion. Queries derive from
+  * the corpus itself (every 20th doc's tokens 3..6), so the gates are
+  * self-contained and differential: common terms fan out to many
+  * docs, rare terms to few, and short docs exercise the empty-slice
+  * edge. The BM25 `ln()` stays spec-side (SearchSpec pins the scored
+  * form by hand — the q_text_lm / q_text_tfidf libm precedent); the
+  * gates pin every posting join, df lookup, and the fused rrf double,
+  * which IS oracle-exact (one IEEE division per list + one add).
+  */
+object SearchQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the exact-integer match face of BM25: per (query, doc) the
+    // distinct-matched-term count, tf and df sums, and doc length —
+    // every input to the score pinned except the spec-side ln()
+    "q_search_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val idx = Search.buildIndex(docs, $"doc_id", $"text")
+      val qt = docs.filter($"doc_id" % 20 === 0)
+        .select($"doc_id".as("qid"),
+          explode(array_distinct(slice(Text.tokens($"text"), 3, 4))).as("term"))
+      Search.matchCounts(idx, qt)
+    },
+
+    // hybrid retrieval: a lexical ranking (coordination-level order —
+    // n_terms, tf_sum, id — exactly encodable in integers, so the
+    // ranks agree cross-engine with no ln()) RRF-fused with the
+    // sign-bucket cosine ANN ranking of q_embed_topk. The rrf double
+    // itself is pinned (1/(60+r) is one exact-operand IEEE division,
+    // the sum one fixed-order add). Production routes bm25TopK ⊕
+    // ivfQueryIndex through the same rrfFuse (hybridTopK).
+    "q_search_rrf" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Search.buildIndex(docs, $"doc_id", $"text")
+      val qt = docs.filter($"doc_id" % 20 === 0)
+        .select($"doc_id".as("qid"),
+          explode(array_distinct(slice(Text.tokens($"text"), 3, 4))).as("term"))
+      val counts = Search.matchCounts(idx, qt).filter($"doc_id" =!= $"qid")
+      // (n_terms, tf_sum) lexicographic order encoded exactly in a
+      // double: both < 2^32, composite < 2^53
+      val lex = Search.rankCandidates(
+        counts.select($"qid", $"doc_id".as("nid"),
+          ($"n_terms".cast("double") * lit(4294967296.0) +
+            $"tf_sum".cast("double")).as("sim")), 10)
+        .select($"qid", $"nid", $"rank")
+      val sem = Similarity.bucketTopK(emb, "vec_id", "embedding", 10,
+          Similarity.signBucket($"embedding", 4))
+        .filter($"qid" % 20 === 0)
+        .select($"qid", $"nid", $"rank")
+      Search.rrfFuse(lex, sem, k = 5, k0 = 60)
+    })
+
+  private val tokSql =
+    """tok AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |post AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, UNNEST(w) AS term FROM tok),
+      |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+      |       FROM post GROUP BY 1, 2),
+      |lex AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT doc_id AS qid, UNNEST(list_distinct(w[3:6])) AS term
+      |      FROM tok WHERE doc_id % 20 = 0)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_search_bm25" ->
+      s"""WITH $tokSql
+         |SELECT q.qid, t.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM(t.tf) AS BIGINT) AS tf_sum,
+         |  CAST(SUM(l.df) AS BIGINT) AS df_sum,
+         |  MIN(t.dl) AS dl
+         |FROM q JOIN tf t USING (term) JOIN lex l USING (term)
+         |GROUP BY 1, 2""".stripMargin,
+    "q_search_rrf" ->
+      s"""WITH $tokSql,
+         |cnt AS (SELECT q.qid, t.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(t.tf) AS BIGINT) AS tf_sum
+         |  FROM q JOIN tf t USING (term) WHERE t.doc_id <> q.qid GROUP BY 1, 2),
+         |lexr AS (SELECT qid, doc_id AS nid,
+         |  ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY n_terms DESC, tf_sum DESC, doc_id) AS r
+         |  FROM cnt QUALIFY r <= 10),
+         |semr AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS r
+         |  FROM (SELECT vec_id, embedding, ${OracleSql.signBucket(4)} AS bkt
+         |        FROM embeddings WHERE vec_id % 20 = 0) a
+         |  JOIN (SELECT vec_id, embedding, ${OracleSql.signBucket(4)} AS bkt
+         |        FROM embeddings) b
+         |    ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+         |  QUALIFY r <= 10),
+         |fused AS (SELECT COALESCE(l.qid, s.qid) AS qid, COALESCE(l.nid, s.nid) AS nid,
+         |  COALESCE(CAST(1 AS DOUBLE) / CAST(60 + l.r AS DOUBLE), CAST(0 AS DOUBLE)) +
+         |  COALESCE(CAST(1 AS DOUBLE) / CAST(60 + s.r AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lexr l FULL OUTER JOIN semr s ON l.qid = s.qid AND l.nid = s.nid)
+         |SELECT qid, rank, nid, rrf FROM (
+         |  SELECT qid, nid, rrf,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
+         |  FROM fused)
+         |WHERE rank <= 5""".stripMargin)
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Search, Text}
+
+/** BM25 retrieval + RRF fusion: hand-computed score parity (the ln()
+  * the gates keep spec-side), index relation counts, persistence
+  * round-trip with term-pushdown serving, doc-disjoint merge ≡ direct
+  * build, and fusion edges (one-sided docs, tie-break).
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat"),
+    (2L, "a cat and a dog"),
+    (3L, "quantum flux capacitor"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("buildIndex relations: postings, lexicon, stats") {
+    val idx = Search.buildIndex(corpus, $"doc_id", $"text")
+    // doc 0: the×2, cat, sat, on, mat -> 5 postings; doc 2: a×2, cat,
+    // and, dog -> 4; doc 4: none
+    assert(idx.postings.count() === 5L + 3L + 4L + 3L)
+    assert(idx.postings.filter($"term" === "the" && $"doc_id" === 0L)
+      .select($"tf", $"dl").as[(Long, Long)].head() === ((2L, 6L)))
+    assert(idx.lexicon.filter($"term" === "the").select($"df").as[Long].head() === 2L)
+    assert(idx.nDocs === 5L)
+    assert(idx.totalTokens === 6L + 3L + 5L + 3L + 0L)
+    assert(math.abs(idx.avgdl - 17.0 / 5.0) < 1e-15)
+  }
+
+  test("bm25TopK matches the hand-computed Okapi/Lucene formula") {
+    val idx = Search.buildIndex(corpus, $"doc_id", $"text")
+    val q = Seq((100L, "cat dog")).toDF("qid", "qtext")
+    val got = Search.bm25TopK(idx, q, $"qid", $"qtext", k = 10)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    val n = 5.0; val avgdl = 17.0 / 5.0; val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, df: Double, dl: Double) =
+      idf(df) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    // cat: df 2 (docs 0,2); dog: df 2 (docs 1,2)
+    val exp = Map(
+      0L -> w(1, 2, 6), 1L -> w(1, 2, 3), 2L -> (w(1, 2, 5) + w(1, 2, 5)))
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (id, e) => assert(math.abs(got(id) - e) < 1e-12, s"doc $id") }
+    // both-term doc 2 outranks the single-term docs
+    val ranks = Search.bm25TopK(idx, q, $"qid", $"qtext", k = 10)
+      .select($"rank", $"doc_id").as[(Long, Long)].collect().toMap
+    assert(ranks(1L) === 2L)
+  }
+
+  test("edges: unknown-term query scores nothing; query tf collapses to distinct") {
+    val idx = Search.buildIndex(corpus, $"doc_id", $"text")
+    val q = Seq((1L, "warp core"), (2L, "cat cat cat")).toDF("qid", "qtext")
+    val got = Search.bm25TopK(idx, q, $"qid", $"qtext", k = 10)
+      .select($"qid", $"doc_id", $"score").as[(Long, Long, Double)].collect()
+    assert(got.forall(_._1 === 2L)) // qid 1 matches nothing
+    // "cat cat cat" scores identically to "cat" (distinct-term query semantics)
+    val single = Search.bm25TopK(idx, Seq((9L, "cat")).toDF("qid", "qtext"),
+      $"qid", $"qtext", k = 10).select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    got.foreach { case (_, d, s) => assert(s === single(d)) }
+  }
+
+  test("persisted index round-trips bit-identically, with term pushdown reaching parquet") {
+    val idx = Search.buildIndex(corpus, $"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchidx").toString
+    Search.writeIndex(idx, dir)
+    val q = Seq((7L, "cat sat quantum")).toDF("qid", "qtext")
+    val direct = Search.bm25TopK(idx, q, $"qid", $"qtext", k = 10)
+      .select($"qid", $"rank", $"doc_id", $"score").as[(Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    val served = Search.bm25TopKIndexed(spark, dir, q, $"qid", $"qtext", k = 10)
+    val servedRows = served.select($"qid", $"rank", $"doc_id", $"score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(servedRows.toSeq === direct.toSeq) // bit-identical incl. the score doubles
+    // the term filter reached the postings parquet scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"expected term pushdown in:\n$plan")
+  }
+
+  test("doc-disjoint merge serves identically to a direct build over the union") {
+    val extra = Seq((10L, "the cat returned"), (11L, "flux dog")).toDF("doc_id", "text")
+    val merged = Search.mergeIndexes(
+      Search.buildIndex(corpus, $"doc_id", $"text"),
+      Search.buildIndex(extra, $"doc_id", $"text"))
+    val direct = Search.buildIndex(corpus.unionByName(extra), $"doc_id", $"text")
+    assert(merged.nDocs === direct.nDocs && merged.totalTokens === direct.totalTokens)
+    val q = Seq((1L, "cat flux the")).toDF("qid", "qtext")
+    def rows(i: Search.SearchIndex) =
+      Search.bm25TopK(i, q, $"qid", $"qtext", k = 20)
+        .select($"rank", $"doc_id", $"score").as[(Long, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    assert(rows(merged) === rows(direct))
+  }
+
+  test("rrfFuse: one-sided docs, both-sided sum, nid tie-break") {
+    val a = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("qid", "nid", "rank")
+    val b = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("qid", "nid", "rank")
+    val got = Search.rrfFuse(a, b, k = 10, k0 = 60)
+      .select($"rank", $"nid", $"rrf").as[(Long, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    val e100 = 1.0 / 61; val e101 = 1.0 / 62 + 1.0 / 61; val e102 = 1.0 / 62
+    assert(got === Seq((1L, 101L, e101), (2L, 100L, e100), (3L, 102L, e102)))
+    // identical scores break by ascending nid
+    val t1 = Seq((1L, 5L, 1L), (1L, 3L, 2L)).toDF("qid", "nid", "rank")
+    val t2 = Seq((1L, 3L, 1L), (1L, 5L, 2L)).toDF("qid", "nid", "rank")
+    val tied = Search.rrfFuse(t1, t2, k = 10)
+      .select($"rank", $"nid").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(tied === Seq((1L, 3L), (2L, 5L)))
+  }
+
+  test("hybridTopK composes bm25 + ivf serving through rrf on real tables") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val idx = Search.buildIndex(docs, $"doc_id", $"text")
+    val centroids = graft.functions.Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val cells = graft.functions.Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val q = docs.filter($"doc_id" % 100 === 0)
+      .join(emb, $"doc_id" === $"vec_id")
+      .select($"doc_id".as("qid"), array_join(slice(Text.tokens($"text"), 3, 4), " ").as("qtext"),
+        $"embedding".as("qv"))
+    val fused = Search.hybridTopK(idx, q, $"qid", $"qtext", $"qv",
+      centroids, cells, k = 5)
+    val rows = fused.select($"qid", $"rank", $"nid", $"rrf")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val perQ = rows.groupBy(_._1)
+    perQ.values.foreach { rs =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq)
+      // fused scores are non-increasing in rank
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}
