@@ -190,6 +190,71 @@ object Sampling {
       .drop("__stratum", "__t")
   }
 
+  /** Semantic cluster-balanced sampling — the "flatten the topic
+    * distribution" curation step (SemDeDup-adjacent: cluster the
+    * embedding space, then draw UNIFORMLY ACROSS clusters instead of
+    * uniformly across docs, so head topics stop dominating the mix):
+    * assign each vector to its nearest centroid (broadcast argmin via
+    * [[Similarity.ivfAssign]] — one corpus scan against the nlist-row
+    * centroid relation, no shuffle) and draw exactly
+    * `min(perCluster, |cluster|)` members per cluster by the
+    * [[takePerStratum]] permutation. Returns the id-keyed `(id, cid)`
+    * relation (the embed-family shape — payloads join back by id).
+    * Centroids come from [[Similarity.ivfCentroids]] (frozen-model
+    * contract: re-runs and incremental drops sample against the SAME
+    * cluster structure).
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, perCluster: Int, seed: Long = 0L): DataFrame =
+    takePerStratum(
+      Similarity.ivfAssign(df, idCol, vecCol, centroids)
+        .select(col("id"), col("cid")),
+      col("id"), col("cid"), perCluster, seed)
+
+  /** Per-stratum keep rates for TEMPERATURE-scaled mixing: expected
+    * kept mass per stratum ∝ n_c^α, total ≈ `targetTotal` (α = 1 is
+    * proportional sampling, α = 0 a uniform per-stratum budget — the
+    * multilingual-corpus balancing rule, Conneau & Lample '19). Rates
+    * clamp at 1 (a stratum smaller than its allocation keeps
+    * everything; the total then undershoots rather than oversampling
+    * elsewhere — re-run with a larger α or explicit [[mixToBudget]]
+    * shares when exact totals matter).
+    */
+  def temperatureRates(counts: Map[Long, Long], alpha: Double,
+      targetTotal: Long): Map[Long, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(targetTotal > 0, s"targetTotal must be positive, got $targetTotal")
+    val z = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    counts.collect { case (c, n) if n > 0 =>
+      c -> math.min(1.0, targetTotal.toDouble * math.pow(n.toDouble, alpha) / (z * n.toDouble))
+    }
+  }
+
+  /** [[temperatureRates]] applied as one codegen'd CASE filter over an
+    * integral stratum column (cluster id, language bucket, …). The
+    * stratum counts come from one aggregation collected to the driver
+    * — strata-sized (clusters ≈ √N, languages ≈ dozens), the bounded
+    * model fit of the √N-centroid precedent, never corpus-sized.
+    * Membership is the same splitmix64 hash as every sampler here:
+    * retry-stable, partition-invariant, disjoint under distinct salts.
+    */
+  def temperatureMix(df: DataFrame, idCol: Column, stratumCol: Column,
+      alpha: Double, targetTotal: Long, salt: Long = 0L): DataFrame = {
+    val counts = df.groupBy(stratumCol.cast("long").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rates = temperatureRates(counts, alpha, targetTotal)
+    val u = shiftrightunsigned(splitmix64(lit(salt).bitwiseXOR(idCol)), 1)
+    def keep(rate: Double): Column =
+      if (rate >= 1.0) lit(true)
+      else if (rate <= 0.0) lit(false)
+      else u < lit(threshold(rate))
+    val pred = rates.foldLeft(lit(false)) { case (els, (c, r)) =>
+      when(stratumCol.cast("long") === lit(c), keep(r)).otherwise(els)
+    }
+    df.filter(pred)
+  }
+
   /** Stratified sampling / corpus mixing: per-stratum keep rates (the
     * "20% of web, 100% of books" recipe), `defaultRate` for strata not
     * listed. One pass, one codegen'd CASE over the stratum column —

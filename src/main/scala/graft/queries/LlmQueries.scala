@@ -107,6 +107,20 @@ object LlmQueries {
         .select($"doc_id", $"stratum")
     },
 
+    // semantic cluster-balanced sampling: nearest-seed-centroid
+    // assignment (the q_embed_ivf coarse quantizer, SQL-expressible) +
+    // an exactly-5-per-cluster permutation draw — the flatten-the-
+    // topic-distribution mixing step; production trains centroids
+    // (Lloyd) and the temperature-rate variant is spec-side (pow())
+    "q_sample_cluster" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        nlist = 16, iterations = 0)
+      Sampling.clusterBalancedSample(emb, "vec_id", "embedding", cents,
+        perCluster = 5, seed = 7L)
+    },
+
     // deterministic corpus shuffle + sharding: one hash-partition
     // shuffle + in-partition sort; (shard, pos) is a pure function of
     // (id, seed) — the retry-stable replacement for sort(rand())
@@ -1252,6 +1266,18 @@ object LlmQueries {
          |      ORDER BY (${smix64Sql("xor(CAST(doc_id AS UBIGINT), 7::UBIGINT)")} >> 1),
          |        doc_id) AS r
          |  FROM documents) WHERE r <= 40""".stripMargin,
+    "q_sample_cluster" ->
+      s"""WITH seeds AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |               FROM embeddings ORDER BY vec_id LIMIT 16),
+         |asgn AS (SELECT e.vec_id AS id, s.cid,
+         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC, s.cid) AS rn
+         |  FROM embeddings e, seeds s),
+         |cells AS (SELECT id, cid FROM asgn WHERE rn = 1)
+         |SELECT id, cid FROM (
+         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY cid
+         |    ORDER BY (${smix64Sql("xor(CAST(id AS UBIGINT), 7::UBIGINT)")} >> 1), id) AS r
+         |  FROM cells) WHERE r <= 5""".stripMargin,
     // the 63-bit key makes UBIGINT mod/order here agree with the Scala
     // side's signed-long mod/order for any shard count; doc_id breaks
     // key ties so ROW_NUMBER is deterministic

@@ -920,6 +920,56 @@ class FunctionsSpec extends SparkSpec {
       k = 25, seed = 8L).select("doc_id").as[Long].collect().toSet)
   }
 
+  test("clusterBalancedSample: exact per-cluster quota over frozen centroids, layout-stable") {
+    import graft.functions.Sampling
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iterations = 0)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.clusterBalancedSample(d, "vec_id", "embedding", cents,
+        perCluster = 3, seed = 7L)
+    val a = run(emb).select($"id", $"cid").as[(Long, Long)].collect()
+    // every sampled id carries its argmax-cosine assignment
+    val asg = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select($"id", $"cid").as[(Long, Long)].collect()
+    val asgMap = asg.toMap
+    assert(a.forall { case (id, cid) => asgMap(id) == cid })
+    // exactly min(3, |cluster|) per non-empty cluster
+    val cellSizes = asg.groupBy(_._2).map { case (c, m) => c -> m.length }
+    a.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.length === math.min(3, cellSizes(c)), s"cluster $c")
+    }
+    // membership is a pure function of (id, centroids, seed)
+    assert(run(emb.repartition(5)).select($"id").as[Long].collect().toSet ===
+      a.map(_._1).toSet)
+  }
+
+  test("temperatureRates/temperatureMix: alpha endpoints, clamping, determinism") {
+    import graft.functions.Sampling
+    val counts = Map(0L -> 400L, 1L -> 80L, 2L -> 20L)
+    // alpha=0: per-stratum budget target/k, clamped where the stratum
+    // is smaller than its allocation
+    val r0 = Sampling.temperatureRates(counts, 0.0, 90L)
+    assert(math.abs(r0(0L) - 30.0 / 400) < 1e-12)
+    assert(math.abs(r0(1L) - 30.0 / 80) < 1e-12)
+    assert(r0(2L) === 1.0)
+    // alpha=1: proportional — one uniform rate target/N
+    val r1 = Sampling.temperatureRates(counts, 1.0, 100L)
+    assert(r1.values.forall(r => math.abs(r - 100.0 / 500) < 1e-12))
+    val rows = (0 until 400).map(i => (i.toLong, 0L)) ++
+      (0 until 80).map(i => (1000L + i, 1L)) ++
+      (0 until 20).map(i => (2000L + i, 2L))
+    val df = rows.toDF("id", "c")
+    val kept = Sampling.temperatureMix(df, $"id", $"c", 0.0, 90L, salt = 3L)
+      .select($"id").as[Long].collect().toSet
+    // retry/partition stability
+    assert(Sampling.temperatureMix(df.repartition(7), $"id", $"c", 0.0, 90L, salt = 3L)
+      .select($"id").as[Long].collect().toSet === kept)
+    // the clamped stratum keeps everything; the head stratum is cut hard
+    assert(kept.count(_ >= 2000L) === 20)
+    assert(kept.count(_ < 400L) < 100)
+  }
+
   test("shuffleShardsAuto sizes the shard count from the session parallelism") {
     import graft.functions.Sampling
     val docs = Tables.load(spark, sf001, "documents").select(col("doc_id"))
