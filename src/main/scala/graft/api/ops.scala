@@ -279,4 +279,32 @@ object ops {
     step(up.flow, id, "asset_near_dup", up.stepId)(
       graft.functions.Multimodal.nearDupAssets(up.ds.toDF(), idCol, blobCol,
         target, maxHamming))
+
+  def bm25TopK(id: String, queries: Stream[Row],
+      index: graft.functions.Search.SearchIndex, qidCol: String,
+      qtextCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): Stream[Row] =
+    step(queries.flow, id, "bm25_top_k", queries.stepId)(
+      graft.functions.Search.bm25TopK(index, queries.ds.toDF(),
+        org.apache.spark.sql.functions.col(qidCol),
+        org.apache.spark.sql.functions.col(qtextCol), k, k1, b))
+
+  def rrfFuse(id: String, a: Stream[Row], b: Stream[Row], k: Int,
+      k0: Int = 60): Stream[Row] =
+    step(a.flow, id, "rrf_fuse", a.stepId, b.stepId)(
+      graft.functions.Search.rrfFuse(a.ds.toDF(), b.ds.toDF(), k, k0))
+
+  def clusterBalancedSample(id: String, up: Stream[Row], idCol: String,
+      vecCol: String, centroids: DataFrame, perCluster: Int,
+      seed: Long = 0L): Stream[Row] =
+    step(up.flow, id, "cluster_balanced_sample", up.stepId)(
+      graft.functions.Sampling.clusterBalancedSample(up.ds.toDF(), idCol,
+        vecCol, centroids, perCluster, seed))
+
+  def temperatureMix(id: String, up: Stream[Row], idCol: String,
+      stratumCol: String, alpha: Double, targetTotal: Long,
+      salt: Long = 0L): Stream[Row] =
+    step(up.flow, id, "temperature_mix", up.stepId)(
+      graft.functions.Sampling.temperatureMix(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(stratumCol), alpha, targetTotal, salt))
 }

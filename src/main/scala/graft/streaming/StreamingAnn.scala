@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.functions.{Int8, Similarity}
+import org.apache.spark.sql.functions.col
+import graft.functions.{Int8, Search, Similarity}
 
 /** Streaming ANN serving: a STREAM of query vectors probing a
   * build-once/serve-many index (the persisted IVF / IVF-PQ / int8
@@ -62,6 +63,36 @@ object StreamingAnn {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     run(queries, sink, checkpoint, trigger) { batch =>
       Similarity.ivfPqQueryIndex(batch, qId, qVec, centroids, cells, model, nprobe, k)
+    }
+
+  /** Serve a streaming query DataFrame against a persisted BM25
+    * inverted index ([[Search.writeIndex]] relations) — the LEXICAL
+    * face of the online serving contract, same foreachBatch rationale
+    * as the ANN tiers (per-query top-k has nothing to watermark by; a
+    * micro-batch is a complete query set). The index relations are
+    * static; each micro-batch is one broadcast-terms probe join.
+    */
+  def serveBm25(queries: DataFrame, qId: String, qText: String,
+      index: Search.SearchIndex, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      sink: (DataFrame, Long) => Unit = (_, _) => (),
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    run(queries, sink, checkpoint, trigger) { batch =>
+      Search.bm25TopK(index, batch, col(qId), col(qText), k, k1, b)
+    }
+
+  /** Hybrid online serving: BM25 ⊕ persisted-IVF cosine, RRF-fused
+    * per micro-batch ([[Search.hybridTopK]]).
+    */
+  def serveHybrid(queries: DataFrame, qId: String, qText: String,
+      qVec: String, index: Search.SearchIndex, centroids: DataFrame,
+      cells: DataFrame, k: Int, nprobe: Int = 2,
+      sink: (DataFrame, Long) => Unit = (_, _) => (),
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    run(queries, sink, checkpoint, trigger) { batch =>
+      Search.hybridTopK(index, batch, col(qId), col(qText), col(qVec),
+        centroids, cells, k, nprobe = nprobe)
     }
 
   private def run(queries: DataFrame, sink: (DataFrame, Long) => Unit,

@@ -255,6 +255,20 @@ class PlanSpec extends SparkSpec {
     assert(!pe.contains("BroadcastNestedLoopJoin"), pe)
   }
 
+  test("bm25 serving broadcasts the query side; rrf fuses without cartesian") {
+    // the corpus-scale postings relation must stream through a
+    // BroadcastHashJoin against the KB-scale query terms — a shuffled
+    // join would exchange the whole postings relation per query batch
+    val pb = plan("q_search_bm25")
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    assert(!pb.contains("CartesianProduct"), pb)
+    // the fused ranking ranks through the map-side top-k aggregate,
+    // not a window sort over every candidate
+    val pr = plan("q_search_rrf")
+    assert(pr.contains("top_k_by"), pr)
+    assert(!pr.contains("CartesianProduct"), pr)
+  }
+
   test("TtlCache expires entries and isolates operator instances") {
     val a = TtlCache.instance[String, Int]("op-a", ttlMillis = 50)
     val b = TtlCache.instance[String, Int]("op-b", ttlMillis = 50)

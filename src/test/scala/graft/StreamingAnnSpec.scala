@@ -76,6 +76,36 @@ class StreamingAnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("streaming BM25 serve ≡ batch serve over the persisted inverted index") {
+    import graft.functions.Search
+    val docs = Tables.load(spark, sf0001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("sbm25").toString
+    Search.writeIndex(Search.buildIndex(docs, $"doc_id", $"text"), dir)
+    val index = Search.readIndex(spark, dir)
+
+    val qs = docs.limit(20)
+      .select($"doc_id",
+        array_join(slice(graft.functions.Text.tokens($"text"), 3, 4), " "))
+      .as[(Long, String)].collect()
+    val expected = Search.bm25TopK(index, qs.toSeq.toDF("qid", "qtext"),
+      $"qid", $"qtext", k = 5).collect().toSet
+
+    val src = Testing.testingSource[(Long, String)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveBm25(src.toDS().toDF("qid", "qtext"),
+      "qid", "qtext", index, k = 5,
+      sink = (out, _) => collectRows(out, buf),
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      qs.grouped(7).foreach { batch =>
+        src.addBatch(batch.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(buf.toSet === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("serve* rejects a non-streaming query frame") {
     val e = intercept[IllegalArgumentException] {
       StreamingAnn.serveInt8(corpus, "id", "v",
