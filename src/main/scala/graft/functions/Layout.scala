@@ -112,6 +112,47 @@ object Layout {
       .sortBy(key, extraSortCols: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction — the routine corpus-maintenance pass a
+    * streaming-ingested 100 TB corpus needs: micro-batch sinks write
+    * one file per trigger per partition, and a scan later pays a file
+    * open + footer read + scheduler task per tiny file (at 10k files
+    * per TB-day the metadata overhead dwarfs the data). This rewrites
+    * `inDir` into `ceil(totalBytes / targetFileBytes)` files: the
+    * target count comes from the EXACT on-disk byte total (listed from
+    * the filesystem — compression carries over since it is the same
+    * data re-encoded), the rewrite is one `repartition` exchange, and
+    * `sortCols` optionally re-establishes an in-file ordering
+    * (z-order / term-sorted layouts survive compaction — without it a
+    * round-robin repartition destroys min/max pruning).
+    *
+    * Returns the output file count. `outDir` must differ from `inDir`
+    * (a parquet read cannot overwrite its own input); swap is the
+    * caller's atomic-rename step, matching [[graft.functions.Dedup]]'s
+    * snapshot-maintenance contract.
+    */
+  def compactDir(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetFileBytes: Long,
+      sortCols: Seq[Column] = Nil): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    require(new org.apache.hadoop.fs.Path(inDir) !=
+      new org.apache.hadoop.fs.Path(outDir), "compactDir: outDir must differ from inDir")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val numFiles = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val arranged =
+      if (sortCols.isEmpty) df.repartition(numFiles)
+      else df.repartition(numFiles).sortWithinPartitions(sortCols: _*)
+    arranged.write.mode("overwrite").parquet(outDir)
+    numFiles
+  }
 }
 
 object LayoutImpl {

@@ -91,6 +91,51 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactDir collapses a small-file dir to the byte-derived count, rows identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+    // simulate a micro-batch-sinked dir: 40 tiny files
+    docs.repartition(40).write.parquet(s"$base/in")
+    val p = new org.apache.hadoop.fs.Path(s"$base/in")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def files(dir: String) = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0; var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+      }
+      (n, bytes)
+    }
+    val (nIn, bytesIn) = files(s"$base/in")
+    assert(nIn === 40)
+    val target = bytesIn / 4 + 1
+    val nOut = Layout.compactDir(spark, s"$base/in", s"$base/out", target,
+      sortCols = Seq($"doc_id"))
+    assert(nOut === ((bytesIn + target - 1) / target).toInt)
+    assert(files(s"$base/out")._1 === nOut)
+    assert(nOut < nIn)
+    // content survives byte-for-byte as rows
+    val a = spark.read.parquet(s"$base/in").orderBy($"doc_id").collect()
+    val b = spark.read.parquet(s"$base/out").orderBy($"doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+    // the in-file sort is re-established (min/max pruning survives):
+    // within each output file, doc_id is non-decreasing
+    import org.apache.spark.sql.functions.{input_file_name, col => c}
+    val perFile = spark.read.parquet(s"$base/out")
+      .select(input_file_name().as("f"), c("doc_id"))
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { rows =>
+      val ids = rows.map(_.getLong(1)).toSeq
+      assert(ids === ids.sorted)
+    }
+    // self-overwrite refused
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactDir(spark, s"$base/in", s"$base/in", target)
+    }
+    assert(e.getMessage.contains("differ"))
+  }
+
   test("z-value interleave round-trips bucketed dims (locality sanity)") {
     // neighbors in both dims land within a bounded z-distance window:
     // the curve maps each 1x1 bucket step to a bounded bit change
