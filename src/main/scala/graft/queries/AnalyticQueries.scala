@@ -120,6 +120,20 @@ object AnalyticQueries {
           expr("max(p_us) div 1000").as("last_ms"))
     },
 
+    // salted equi-join: the hot-key fix for join→same-key-agg
+    // pipelines, where AQE skew-join declines to split (measured,
+    // tools/SkewProbe: 2.1× at 100M rows/40% hot key). Salting is
+    // invisible in the OUTPUT — the oracle is the plain join — so the
+    // gate pins row-identity of the rewrite, integer-exact
+    "q_skew_join" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("w", pmod(col("user_id"), lit(97L)))
+      graft.operators.SkewJoin.saltedJoin(ev, dim, Seq("user_id"), salt = 8)
+        .groupBy(col("user_id"), col("w"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_eid"))
+    },
+
     // exact quantiles + exact distinct counts per group (single
     // shuffle; percentile is Spark's exact sort-based aggregate)
     "q_quantiles" -> { (s, dir) =>
@@ -320,6 +334,12 @@ object AnalyticQueries {
         |FROM c JOIN p
         |  ON p.p_ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts + INTERVAL 6 HOUR
         |GROUP BY 1""".stripMargin,
+    "q_skew_join" ->
+      """WITH dim AS (SELECT DISTINCT user_id, user_id % 97 AS w FROM events)
+        |SELECT e.user_id, d.w, COUNT(*) AS n,
+        |  CAST(SUM(e.event_id) AS BIGINT) AS sum_eid
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS q25,
