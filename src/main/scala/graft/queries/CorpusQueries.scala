@@ -291,6 +291,24 @@ object CorpusQueries {
           md5(when(col("doc_id") % 11 === 0, upper(col("text")))
             .otherwise(col("text"))).as("fp"))
       Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
+    },
+
+    // CDC apply: a change batch with replacements (every 0-mod-5 doc
+    // rewritten), tombstone deletes (0 mod 15), and inserts (0-mod-7
+    // docs re-keyed past the id space) applied in one pass — all
+    // three classes differentially live
+    "q_upsert" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val changes = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"),
+          (col("doc_id") % 15 === 0).as("del"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit(false).as("del")))
+      graft.functions.Maintain.upsert(docs, changes, "doc_id", Some("del"))
+        .select(col("doc_id"), md5(col("text")).as("fp"))
     })
 
   /** DuckDB rendering of [[graft.functions.BpeTrain.train]], the `v`
@@ -778,5 +796,18 @@ object CorpusQueries {
         |         ELSE 'unchanged' END AS status,
         |    old_fp, new_fp
         |  FROM o FULL OUTER JOIN n ON o.id = n.id)
-        |SELECT id, status, old_fp, new_fp FROM j WHERE status <> 'unchanged'""".stripMargin)
+        |SELECT id, status, old_fp, new_fp FROM j WHERE status <> 'unchanged'""".stripMargin,
+
+    "q_upsert" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text || ' v2' AS text, doc_id % 15 = 0 AS del
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, FALSE
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, md5(text) AS fp FROM (
+        |  SELECT b.doc_id, b.text FROM documents b
+        |  WHERE b.doc_id NOT IN (SELECT doc_id FROM ch)
+        |  UNION ALL
+        |  SELECT doc_id, text FROM ch WHERE NOT del)""".stripMargin)
 }
