@@ -62,4 +62,92 @@ object Maintain {
       .filter(col("__graft_rn") === 1).drop("__graft_rn", versionCol)
     upsert(base, latest, keyCol, deleteCol)
   }
+
+  private val VerCol = "__graft_ver"
+  private val DelCol = "__graft_del"
+
+  /** Merge-on-read change log — the continuously-maintained-snapshot
+    * layout without a table format: `dir/base` holds the last
+    * compacted snapshot, `dir/log` accumulates APPEND-ONLY change
+    * batches (each write is one new parquet file set; nothing is
+    * rewritten on ingest, so a streaming `foreachBatch` can call
+    * [[appendChanges]] per micro-batch), and readers resolve
+    * base ⊎ log latest-wins at scan time ([[readSnapshot]]). When the
+    * log grows past taste, [[compactSnapshot]] folds it into a fresh
+    * base — the LSM shape, with the swap left to the caller's atomic
+    * rename (the [[Layout.compactDir]] contract).
+    *
+    * `version` must be strictly increasing across batches (the
+    * batchId of a streaming sink, a ScaleData-style epoch — any
+    * monotone long): two batches sharing a version have no defined
+    * order between their changes to the same key beyond the
+    * tombstone-on-tie rule.
+    */
+  def appendChanges(changes: DataFrame, dir: String, version: Long,
+      deleteCol: Option[String] = None): Unit = {
+    val norm = changes
+      .withColumn(DelCol,
+        deleteCol.map(d => coalesce(col(d), lit(false))).getOrElse(lit(false)))
+      .withColumn(VerCol, lit(version))
+    deleteCol.fold(norm)(d => norm.drop(d))
+      .write.mode("append").parquet(s"$dir/log")
+  }
+
+  /** Resolve the current snapshot: base rows superseded by any logged
+    * change drop out, the latest change per key wins (tombstones
+    * delete). Without a base (a log-only dir) the log alone resolves.
+    * This is a PLAN, not a copy — scans prune columns/filters into
+    * both parquet legs as usual.
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyCol: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hasBase = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base"))
+    val hasLog = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/log"))
+    require(hasBase || hasLog, s"readSnapshot: neither $dir/base nor $dir/log exists")
+    if (!hasLog) return spark.read.parquet(s"$dir/base")
+    val log = spark.read.parquet(s"$dir/log")
+    val base =
+      if (hasBase) spark.read.parquet(s"$dir/base")
+      else log.drop(VerCol, DelCol).filter(lit(false))
+    upsertLatest(base, log, keyCol, VerCol, Some(DelCol))
+  }
+
+  /** Streaming CDC ingestion: append each micro-batch to the change
+    * log with its batchId as the version (monotone by construction).
+    * Recovery replays re-append a batch under the SAME version with
+    * identical content, and latest-wins resolution collapses the
+    * duplicates to the same snapshot — replay-idempotent in effect,
+    * provided the batch derivation is deterministic (the planner
+    * replays the same source offsets).
+    */
+  def upsertStream(changes: DataFrame, dir: String, keyCol: String,
+      deleteCol: Option[String] = None,
+      checkpoint: Option[String] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(changes.isStreaming, "upsertStream: changes must be a streaming DataFrame")
+    val w0 = changes.writeStream.trigger(trigger)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          appendChanges(batch.toDF(), dir, batchId, deleteCol)
+          ()
+      }
+    checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
+  }
+
+  /** Fold the log into a fresh compacted base at `outDir/base` (the
+    * resolved snapshot, no metadata columns). The caller swaps
+    * `outDir` for `dir` atomically and drops the old log — compaction
+    * never mutates the live layout, so readers racing a compaction
+    * keep resolving the old base ⊎ log consistently.
+    */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyCol: String, outDir: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(dir) !=
+      new org.apache.hadoop.fs.Path(outDir), "compactSnapshot: outDir must differ")
+    readSnapshot(spark, dir, keyCol).write.mode("overwrite").parquet(s"$outDir/base")
+  }
 }

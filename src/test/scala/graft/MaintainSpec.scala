@@ -48,6 +48,59 @@ class MaintainSpec extends SparkSpec {
       Seq((1L, "v3"), (3L, "three"), (4L, "inserted")))
   }
 
+  test("merge-on-read log: append-only batches resolve latest-wins; compaction is read-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    // seed a base
+    base.write.parquet(s"$dir/base")
+    // batch 1: replace k=1, insert k=4; batch 2: delete k=4, replace k=2
+    Maintain.appendChanges(Seq((1L, "one'", false), (4L, "four", false))
+      .toDF("k", "v", "del"), dir, version = 1L, deleteCol = Some("del"))
+    Maintain.appendChanges(Seq((4L, "x", true), (2L, "two'", false))
+      .toDF("k", "v", "del"), dir, version = 2L, deleteCol = Some("del"))
+    val resolved = rows(Maintain.readSnapshot(spark, dir, "k"))
+    assert(resolved === Seq((1L, "one'"), (2L, "two'"), (3L, "three")))
+    // metadata columns never leak into the resolved snapshot
+    assert(Maintain.readSnapshot(spark, dir, "k").columns.toSeq === Seq("k", "v"))
+    // compaction folds base + log into a fresh base, read-identical
+    Maintain.compactSnapshot(spark, dir, "k", s"$dir-compacted")
+    assert(rows(Maintain.readSnapshot(spark, s"$dir-compacted", "k")) === resolved)
+    // post-compaction appends keep resolving against the new base
+    Maintain.appendChanges(Seq((3L, "three'", false)).toDF("k", "v", "del"),
+      s"$dir-compacted", version = 3L, deleteCol = Some("del"))
+    assert(rows(Maintain.readSnapshot(spark, s"$dir-compacted", "k")) ===
+      Seq((1L, "one'"), (2L, "two'"), (3L, "three'")))
+  }
+
+  test("merge-on-read log without a base: the log alone resolves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mor-nobase").toString
+    Maintain.appendChanges(Seq((7L, "seven")).toDF("k", "v"), dir, version = 1L)
+    Maintain.appendChanges(Seq((7L, "seven'"), (8L, "eight")).toDF("k", "v"),
+      dir, version = 2L)
+    assert(rows(Maintain.readSnapshot(spark, dir, "k")) ===
+      Seq((7L, "seven'"), (8L, "eight")))
+    val e = intercept[IllegalArgumentException] {
+      Maintain.readSnapshot(spark, "/tmp/graft-definitely-missing-dir", "k")
+    }
+    assert(e.getMessage.contains("neither"))
+  }
+
+  test("streaming CDC ingestion: micro-batches land in the log, snapshot resolves latest-wins") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-mor-stream").toString
+    base.write.parquet(s"$dir/base")
+    val src = graft.connectors.Testing.testingSource[(Long, String, Boolean)](spark)
+    val q = Maintain.upsertStream(src.toDS().toDF("k", "v", "del"),
+      dir, "k", deleteCol = Some("del"), trigger = Trigger.ProcessingTime(0))
+    try {
+      src.addBatch((1L, "one'", false), (4L, "four", false))
+      q.processAllAvailable()
+      src.addBatch((4L, "x", true), (2L, "two'", false))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(Maintain.readSnapshot(spark, dir, "k")) ===
+      Seq((1L, "one'"), (2L, "two'"), (3L, "three")))
+  }
+
   test("upsertLatest version tie prefers the tombstone (arrival-order independent)") {
     val a = Seq((1L, "up", 5L, false), (1L, "x", 5L, true)).toDF("k", "v", "ver", "del")
     val b = Seq((1L, "x", 5L, true), (1L, "up", 5L, false)).toDF("k", "v", "ver", "del")
