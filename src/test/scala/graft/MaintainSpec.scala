@@ -71,6 +71,17 @@ class MaintainSpec extends SparkSpec {
       Seq((1L, "one'"), (2L, "two'"), (3L, "three'")))
   }
 
+  test("readSnapshot's anti-join broadcasts (the base never shuffles for a small log)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mor-plan").toString
+    Tables.load(spark, sf001, "documents").select($"doc_id", $"text")
+      .write.parquet(s"$dir/base")
+    Maintain.appendChanges(
+      Seq((1L, "changed")).toDF("doc_id", "text"), dir, version = 1L)
+    val plan = Maintain.readSnapshot(spark, dir, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
   test("merge-on-read log without a base: the log alone resolves") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mor-nobase").toString
     Maintain.appendChanges(Seq((7L, "seven")).toDF("k", "v"), dir, version = 1L)
