@@ -307,4 +307,16 @@ object ops {
       graft.functions.Sampling.temperatureMix(up.ds.toDF(),
         org.apache.spark.sql.functions.col(idCol),
         org.apache.spark.sql.functions.col(stratumCol), alpha, targetTotal, salt))
+
+  def saltedJoin(id: String, fact: Stream[Row], dim: Stream[Row],
+      keys: Seq[String], salt: Int = 16, joinType: String = "inner"): Stream[Row] =
+    step(fact.flow, id, "salted_join", fact.stepId, dim.stepId)(
+      graft.operators.SkewJoin.saltedJoin(fact.ds.toDF(), dim.ds.toDF(),
+        keys, salt, joinType))
+
+  def upsert(id: String, base: Stream[Row], changes: Stream[Row],
+      keyCol: String, deleteCol: Option[String] = None): Stream[Row] =
+    step(base.flow, id, "upsert", base.stepId, changes.stepId)(
+      graft.functions.Maintain.upsert(base.ds.toDF(), changes.ds.toDF(),
+        keyCol, deleteCol))
 }

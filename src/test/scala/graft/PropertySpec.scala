@@ -164,6 +164,32 @@ class PropertySpec extends SparkSpec {
     assert(mm.contains("cust --> er"))
   }
 
+  test("segment-two facade ops wire through the flow graph (search/sample/join/upsert)") {
+    import graft.functions.{Search, Similarity}
+    val flow = graft.api.Flow("r9b")
+    val docsDf = Tables.load(spark, sf0001, "documents")
+    val idx = Search.buildIndex(docsDf, col("doc_id"), col("text"))
+    val qs = graft.api.ops.input("qs", flow, spark, s"$sf0001/documents.parquet")
+    val q2 = graft.api.ops.map("qtext", qs, col("doc_id").as("qid"),
+      array_join(slice(graft.functions.Text.tokens(col("text")), 3, 4), " ").as("qtext"))
+    val hits = graft.api.ops.bm25TopK("bm25", q2, idx, "qid", "qtext", k = 3)
+    assert(hits.ds.count() > 0)
+    val emb = graft.api.ops.input("emb", flow, spark, s"$sf0001/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(emb.ds.toDF(), "vec_id", "embedding",
+      nlist = 4, iterations = 0)
+    val sampled = graft.api.ops.clusterBalancedSample("cbs", emb, "vec_id",
+      "embedding", cents, perCluster = 2)
+    assert(sampled.ds.count() > 0)
+    val fact = graft.api.ops.input("fact", flow, spark, s"$sf0001/events.parquet")
+    val dimStream = graft.api.ops.input("ev2", flow, spark, s"$sf0001/events.parquet")
+      .thenDo("dim", d => d.select(col("user_id")).distinct())
+    val joined = graft.api.ops.saltedJoin("sj", fact, dimStream, Seq("user_id"), salt = 4)
+    assert(joined.ds.count() === Tables.load(spark, sf0001, "events").count())
+    val mm = flow.toMermaid
+    assert(mm.contains("qtext --> bm25") && mm.contains("emb --> cbs"))
+    assert(mm.contains("fact --> sj") && mm.contains("dim --> sj"))
+  }
+
   test("flow graph renders recorded steps as mermaid and json") {
     val flow = graft.api.Flow("viz")
     val inp = graft.api.ops.input("in", flow, spark, s"$sf0001/region.parquet")
