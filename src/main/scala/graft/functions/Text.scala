@@ -100,6 +100,64 @@ object Text {
         least(n - col("chunk_idx") * stride, lit(chunkTokens.toLong)).as("n_tokens"))
   }
 
+  /** Inference-serving batch planner — the pad-to-max dual of
+    * [[packSequences]] (training packs CONCAT docs to a budget;
+    * inference batches PAD docs to the batch max, and padding is pure
+    * waste): group docs of similar length, then cut fixed-count
+    * batches in length order so each batch's max ≈ its members.
+    *
+    * Scale shape (the packSequences lesson applied): a global
+    * length-sort rank would serialize into one range-sorted window —
+    * instead docs land in FIXED-GRID length bins
+    * (`bin = n_tokens div binWidth`, integer-exact, no stats pass —
+    * the histSketch philosophy), and ranking/batching runs
+    * per-bin (`PARTITION BY bin`), embarrassingly parallel. Per-doc
+    * padding is bounded by `binWidth - 1` regardless of corpus shape,
+    * so the knob trades waste against bin parallelism explicitly.
+    * Returns (id, n_tokens, bin, batch) — batch numbered within bin;
+    * (bin, batch) is the servable unit.
+    */
+  def lengthBatches(df: org.apache.spark.sql.DataFrame, idCol: Column, text: Column,
+      batchSize: Int, binWidth: Int): org.apache.spark.sql.DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("n_tokens"), col("id"))
+    df.select(idCol.as("id"), tokenCount(text).cast("long").as("n_tokens"))
+      .withColumn("bin", expr(s"n_tokens div $binWidth"))
+      .withColumn("batch",
+        ((org.apache.spark.sql.functions.row_number().over(w) - 1)
+          / batchSize).cast("long"))
+  }
+
+  /** [[lengthBatches]] rolled up to the audit face a serving owner
+    * reads: per (bin, batch) the member count, the batch max (= the
+    * padded length every member pays), and the total padding waste.
+    */
+  def lengthBatchReport(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      text: Column, batchSize: Int, binWidth: Int): org.apache.spark.sql.DataFrame =
+    lengthBatches(df, idCol, text, batchSize, binWidth)
+      .groupBy(col("bin"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        (max(col("n_tokens")) * count(lit(1)) - sum(col("n_tokens"))).as("pad_tokens"))
+
+  /** [[lengthBatches]] with the bin width derived from the corpus: one
+    * cheap max-length aggregate, width sized so ~2× the session
+    * parallelism bins cover the length range (every core gets bins to
+    * rank; waste stays ≤ width − 1 per doc).
+    */
+  def lengthBatchesAuto(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      text: Column, batchSize: Int): org.apache.spark.sql.DataFrame = {
+    val maxLen = df.select(max(tokenCount(text)).cast("long")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val bins = math.max(1, df.sparkSession.sparkContext.defaultParallelism * 2)
+    lengthBatches(df, idCol, text, batchSize,
+      math.max(1L, (maxLen + bins) / bins).toInt)
+  }
+
   /** Training-sequence assembly — the step after [[packSequences]]:
     * concatenate each pack's documents (id-ordered, space-joined)
     * into one sequence row (bucket, pack, seq_text, n_docs,

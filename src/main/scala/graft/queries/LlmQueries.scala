@@ -51,6 +51,17 @@ object LlmQueries {
       Text.packSequences(docs, $"doc_id", $"text", budget = 512, buckets = 8)
     },
 
+    // inference-serving batch planner (pad-to-max dual of the pack
+    // gate): fixed-grid length bins, per-bin length-rank batching —
+    // the report face pins assignment + padding arithmetic in exact
+    // integers
+    "q_text_batch" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Text.lengthBatchReport(docs, $"doc_id", $"text",
+        batchSize = 8, binWidth = 16)
+    },
+
     // deterministic hash-based down-sampling: membership is a pure
     // function of (id, salt) — retry-stable and re-runnable, unlike
     // rand(seed) which is seeded per partition
@@ -1229,6 +1240,15 @@ object LlmQueries {
          |  COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM (SELECT doc_id, $ntok AS n_tokens FROM documents))""".stripMargin,
+    "q_text_batch" ->
+      s"""WITH t AS (SELECT doc_id, CAST($ntok AS BIGINT) AS n_tokens FROM documents),
+         |a AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bin,
+         |  (ROW_NUMBER() OVER (PARTITION BY n_tokens // 16
+         |     ORDER BY n_tokens, doc_id) - 1) // 8 AS batch
+         |  FROM t)
+         |SELECT bin, batch, COUNT(*) AS n_docs, MAX(n_tokens) AS max_tokens,
+         |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS pad_tokens
+         |FROM a GROUP BY 1, 2""".stripMargin,
     "q_sample" ->
       s"""SELECT doc_id FROM documents
          |WHERE ${sampleKeepSql(7L, s"${Sampling.threshold(0.25)}::UBIGINT")}""".stripMargin,

@@ -459,6 +459,59 @@ class CorpusSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---- Length batching (inference serving) ----
+
+  test("lengthBatches: full batches except per-bin tails, padding bounded by the bin width") {
+    val docs = (1 to 200).map(i => (i.toLong, (1 to (i % 37 + 1)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batchSize = 8; val binWidth = 16
+    val assign = Text.lengthBatches(docs, col("doc_id"), col("text"), batchSize, binWidth)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bin"), r.getAs[Long]("batch")))
+    assert(assign.length === 200)
+    // bin arithmetic is exact
+    assert(assign.forall { case (_, n, b, _) => b == n / binWidth })
+    val perBatch = assign.groupBy(t => (t._3, t._4))
+    perBatch.foreach { case ((bin, batch), members) =>
+      assert(members.length <= batchSize)
+      // only the LAST batch of a bin may be short
+      val maxBatch = perBatch.keys.filter(_._1 == bin).map(_._2).max
+      if (batch < maxBatch) assert(members.length === batchSize)
+      // within a batch, pad per member < binWidth
+      val mx = members.map(_._2).max
+      assert(members.forall(m => mx - m._2 < binWidth))
+    }
+    // the report face agrees with the assignment
+    val rep = Text.lengthBatchReport(docs, col("doc_id"), col("text"), batchSize, binWidth)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("batch")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("max_tokens"), r.getAs[Long]("pad_tokens"))).toMap
+    perBatch.foreach { case (k, members) =>
+      val mx = members.map(_._2).max
+      assert(rep(k) === ((members.length.toLong, mx, members.map(m => mx - m._2).sum)))
+    }
+  }
+
+  test("length-sorted batching cuts padding waste vs id-hash batching") {
+    val docs = (1 to 512).map(i => (i.toLong, (1 to (i % 97 + 1)).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sortedPad = Text.lengthBatchReport(docs, col("doc_id"), col("text"), 8, 16)
+      .agg(sum(col("pad_tokens"))).head().getLong(0)
+    // strawman: batch by id order regardless of length
+    val straw = docs.select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("batch", expr("(doc_id - 1) div 8"))
+      .groupBy(col("batch"))
+      .agg((max(col("n")) * count(lit(1)) - sum(col("n"))).as("pad"))
+      .agg(sum(col("pad"))).head().getLong(0)
+    assert(sortedPad < straw / 4, s"sorted=$sortedPad straw=$straw")
+  }
+
+  test("lengthBatchesAuto handles empty input and derives a positive width") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Text.lengthBatchesAuto(empty, col("doc_id"), col("text"), 8).count() === 0L)
+    val docs = Seq((1L, "a b c"), (2L, "a")).toDF("doc_id", "text")
+    assert(Text.lengthBatchesAuto(docs, col("doc_id"), col("text"), 8).count() === 2L)
+  }
+
   // ---- Chunking ----
 
   test("chunkDocs covers every token, overlaps by chunk-stride, remainder chunk correct") {
