@@ -35,9 +35,14 @@ object Search {
   /** The relational inverted index. `avgdl` derives from the two
     * scalar stats; both are captured at build time (one 2-scalar
     * aggregate — bounded model fit, the √N-centroid precedent).
+    * `lowercase` is the ANALYZER FLAG and lives in the index, not the
+    * call site: an index whose postings were case-folded must fold
+    * its queries too, and persisting the flag beside the stats makes
+    * an analyzer mismatch between build time and serve time
+    * impossible by construction.
     */
   final case class SearchIndex(postings: DataFrame, lexicon: DataFrame,
-      nDocs: Long, totalTokens: Long) {
+      nDocs: Long, totalTokens: Long, lowercase: Boolean = false) {
     def avgdl: Double = totalTokens.toDouble / math.max(nDocs, 1L).toDouble
   }
 
@@ -48,9 +53,11 @@ object Search {
     * `avgdl` denominator (they are real corpus members; BM25's N is
     * corpus size, not posting-bearing size).
     */
-  def buildIndex(docs: DataFrame, idCol: Column, textCol: Column): SearchIndex = {
+  def buildIndex(docs: DataFrame, idCol: Column, textCol: Column,
+      lowercase: Boolean = false): SearchIndex = {
+    val src = if (lowercase) lower(textCol) else textCol
     val toks = docs.select(idCol.cast("long").as("doc_id"),
-      Text.tokens(textCol).as("w"))
+      Text.tokens(src).as("w"))
     val postings = toks
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
         explode(col("w")).as("term"))
@@ -63,7 +70,7 @@ object Search {
     val stats = toks.agg(count(lit(1)).as("n"),
       sum(coalesce(size(col("w")), lit(0)).cast("long")).as("t")).head()
     SearchIndex(postings, lexicon, stats.getLong(0),
-      if (stats.isNullAt(1)) 0L else stats.getLong(1))
+      if (stats.isNullAt(1)) 0L else stats.getLong(1), lowercase)
   }
 
   /** Merge indexes over DOC-DISJOINT corpora (the incremental-build
@@ -71,12 +78,17 @@ object Search {
     * the old corpus). Postings union as-is (doc-disjoint means no
     * posting collides); df and the scalar stats are additive.
     */
-  def mergeIndexes(a: SearchIndex, b: SearchIndex): SearchIndex =
+  def mergeIndexes(a: SearchIndex, b: SearchIndex): SearchIndex = {
+    require(a.lowercase == b.lowercase,
+      s"analyzer mismatch: cannot merge a lowercase=${a.lowercase} index " +
+        s"with a lowercase=${b.lowercase} one (their postings disagree on " +
+        "term identity; rebuild one side with the other's analyzer)")
     SearchIndex(
       a.postings.unionByName(b.postings),
       a.lexicon.unionByName(b.lexicon)
         .groupBy(col("term")).agg(sum(col("df")).as("df")),
-      a.nDocs + b.nDocs, a.totalTokens + b.totalTokens)
+      a.nDocs + b.nDocs, a.totalTokens + b.totalTokens, a.lowercase)
+  }
 
   /** Persist the index: postings hash-partitioned on term and sorted
     * by (term, doc_id) within partitions, so a term-selective serve
@@ -92,25 +104,36 @@ object Search {
     index.lexicon.write.mode("overwrite").parquet(s"$dir/lexicon")
     val spark = index.postings.sparkSession
     import spark.implicits._
-    Seq((index.nDocs, index.totalTokens)).toDF("n_docs", "total_tokens")
+    Seq((index.nDocs, index.totalTokens, index.lowercase))
+      .toDF("n_docs", "total_tokens", "lowercase")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  /** Read a persisted index back as serve-ready relations. */
+  /** Read a persisted index back as serve-ready relations. The analyzer
+    * flag rides in the stats relation (absent in pre-flag indexes →
+    * false, which was their build-time behavior).
+    */
   def readIndex(spark: SparkSession, dir: String): SearchIndex = {
-    val stats = spark.read.parquet(s"$dir/stats").head()
+    val statsDf = spark.read.parquet(s"$dir/stats")
+    val stats = statsDf.head()
+    val lc = statsDf.columns.contains("lowercase") &&
+      stats.getAs[Boolean]("lowercase")
     SearchIndex(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/lexicon"),
-      stats.getAs[Long]("n_docs"), stats.getAs[Long]("total_tokens"))
+      stats.getAs[Long]("n_docs"), stats.getAs[Long]("total_tokens"), lc)
   }
 
   /** Per-query DISTINCT terms — `(qid, term)`. Query tf is dropped
     * (the short-query convention: Robertson's k3 saturation at qtf=1),
-    * which also makes the match face exact-count semantics.
+    * which also makes the match face exact-count semantics. `lowercase`
+    * follows the INDEX's analyzer flag — never a caller choice.
     */
-  private def queryTerms(queries: DataFrame, qidCol: Column, qtextCol: Column): DataFrame =
+  private def queryTerms(queries: DataFrame, qidCol: Column,
+      qtextCol: Column, lowercase: Boolean): DataFrame = {
+    val src = if (lowercase) lower(qtextCol) else qtextCol
     queries.select(qidCol.cast("long").as("qid"),
-        explode(array_distinct(Text.tokens(qtextCol))).as("term"))
+      explode(array_distinct(Text.tokens(src))).as("term"))
+  }
 
   /** The BM25 per-(term, doc) contribution:
     * `idf(df) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with the
@@ -139,7 +162,7 @@ object Search {
   def bm25TopK(index: SearchIndex, queries: DataFrame, qidCol: Column,
       qtextCol: Column, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, b in [0,1]; got k1=$k1 b=$b")
-    val qt = queryTerms(queries, qidCol, qtextCol)
+    val qt = queryTerms(queries, qidCol, qtextCol, index.lowercase)
     val qdf = index.lexicon.join(broadcast(qt), Seq("term"))
     val joined = index.postings.join(broadcast(qdf), Seq("term"))
     val perDoc = joined
@@ -169,7 +192,7 @@ object Search {
       qidCol: Column, qtextCol: Column, k: Int, k1: Double = 1.2,
       b: Double = 0.75, pushdownMaxTerms: Int = 4096): DataFrame = {
     val index = readIndex(spark, dir)
-    val qt = queryTerms(queries, qidCol, qtextCol)
+    val qt = queryTerms(queries, qidCol, qtextCol, index.lowercase)
     val distinctTerms =
       qt.select(col("term")).distinct().limit(pushdownMaxTerms + 1).collect()
     val pruned =
@@ -187,7 +210,9 @@ object Search {
     * the differential-gate face: every posting join, df lookup, and dl
     * is pinned in exact integers while the `ln()` of the final score
     * stays spec-side (libm last-ulp divergence — the q_text_lm /
-    * q_text_tfidf precedent).
+    * q_text_tfidf precedent). `qterms` is caller-built `(qid, term)`;
+    * a caller probing a `lowercase` index must fold its terms the same
+    * way (the packaged rankers do this via the index flag).
     */
   def matchCounts(index: SearchIndex, qterms: DataFrame): DataFrame = {
     val qdf = index.lexicon.join(broadcast(qterms), Seq("term"))

@@ -96,6 +96,41 @@ class SearchSpec extends SparkSpec {
     assert(rows(merged) === rows(direct))
   }
 
+  test("lowercase analyzer flag: folds build AND serve sides, persists, guards merge") {
+    val mixed = Seq(
+      (0L, "The CAT sat"),
+      (1L, "the dog SAT"),
+      (2L, "Quantum Flux")).toDF("doc_id", "text")
+    val folded = Search.buildIndex(mixed, $"doc_id", $"text", lowercase = true)
+    // postings are case-folded: "The" and "the" are one term
+    assert(folded.lexicon.filter($"term" === "the").select($"df").as[Long].head() === 2L)
+    assert(folded.lexicon.filter($"term" === "The").count() === 0L)
+    // a mixed-case QUERY hits the folded index (the flag drives query folding)
+    val q = Seq((1L, "CAT Sat")).toDF("qid", "qtext")
+    val hits = Search.bm25TopK(folded, q, $"qid", $"qtext", k = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(hits === Set(0L, 1L)) // sat matches both, cat matches doc 0
+    // the default index stays case-sensitive (back-compat pinned):
+    // "CAT" appears verbatim in doc 0, "cAt"/"saT" appear nowhere
+    val exact = Search.buildIndex(mixed, $"doc_id", $"text")
+    assert(Search.bm25TopK(exact, q, $"qid", $"qtext", k = 10)
+      .select($"doc_id").as[Long].collect().toSet === Set(0L))
+    val qOdd = Seq((1L, "cAt saT")).toDF("qid", "qtext")
+    assert(Search.bm25TopK(exact, qOdd, $"qid", $"qtext", k = 10).count() === 0L)
+    // the flag survives the parquet round-trip and drives indexed serving
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchlc").toString
+    Search.writeIndex(folded, dir)
+    assert(Search.readIndex(spark, dir).lowercase)
+    val served = Search.bm25TopKIndexed(spark, dir, q, $"qid", $"qtext", k = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(served === Set(0L, 1L))
+    // merging mismatched analyzers is a hard error
+    val ex = intercept[IllegalArgumentException] {
+      Search.mergeIndexes(folded, exact)
+    }
+    assert(ex.getMessage.contains("analyzer mismatch"))
+  }
+
   test("rrfFuse: one-sided docs, both-sided sum, nid tie-break") {
     val a = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("qid", "nid", "rank")
     val b = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("qid", "nid", "rank")
