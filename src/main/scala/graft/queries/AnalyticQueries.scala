@@ -243,6 +243,25 @@ object AnalyticQueries {
         score = (a, b) =>
           (lit(2) - levenshtein(a.getField("name"), b.getField("name"))).cast("long"),
         minScore = lit(0L))
+    },
+
+    // data-quality validation: five constraint kinds over lineitem in
+    // ONE aggregate/scan + a referential-integrity row against a
+    // deliberately-holed orders parent. bounds + unique + foreign_key
+    // rows carry LIVE violations (quantities run past 25, orders have
+    // many lines, the 0-mod-3 parent keys are removed), not_null /
+    // in_set / pattern pass — both verdict polarities exercised.
+    "q_validate" -> { (s, dir) =>
+      import graft.functions.Validate
+      val li = Tables.load(s, dir, "lineitem")
+      val ords = Tables.load(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0)
+      Validate.report(li, Seq(
+          Validate.NotNull("l_returnflag"),
+          Validate.Unique("l_orderkey"),
+          Validate.Bounds("l_quantity", 1.0, 25.0),
+          Validate.InSet("l_returnflag", Seq("A", "N", "R")),
+          Validate.Pattern("l_linestatus", "^[OF]$")))
+        .unionByName(Validate.fkReport(li, "l_orderkey", ords, "o_orderkey"))
     })
 
   /** Left = clicks, right = purchases pre-aggregated unique per
@@ -406,7 +425,31 @@ object AnalyticQueries {
         |    ON substring(a.c_name, 10, 7) = substring(b.c_name, 10, 7)
         |   AND a.c_custkey < b.c_custkey)
         |SELECT i, j, CAST(2 - levenshtein(an, bn) AS BIGINT) AS score
-        |FROM cand WHERE 2 - levenshtein(an, bn) >= 0""".stripMargin)
+        |FROM cand WHERE 2 - levenshtein(an, bn) >= 0""".stripMargin,
+    "q_validate" ->
+      """WITH t AS (SELECT
+        |    COUNT(*) AS total,
+        |    COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS v_nn,
+        |    COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS v_u,
+        |    COUNT(CASE WHEN l_quantity < 1.0 OR l_quantity > 25.0 THEN 1 END) AS v_b,
+        |    COUNT(CASE WHEN l_returnflag IS NOT NULL
+        |               AND l_returnflag NOT IN ('A','N','R') THEN 1 END) AS v_s,
+        |    COUNT(CASE WHEN l_linestatus IS NOT NULL
+        |               AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 END) AS v_p
+        |  FROM lineitem),
+        |fk AS (SELECT COUNT(*) AS total,
+        |    COUNT(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+        |          THEN 1 END) AS v
+        |  FROM lineitem l LEFT JOIN (
+        |    SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0) o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT 'not_null' AS kind, 'l_returnflag' AS col_name,
+        |  v_nn AS violations, total, v_nn = 0 AS passed FROM t
+        |UNION ALL SELECT 'unique', 'l_orderkey', v_u, total, v_u = 0 FROM t
+        |UNION ALL SELECT 'bounds', 'l_quantity', v_b, total, v_b = 0 FROM t
+        |UNION ALL SELECT 'in_set', 'l_returnflag', v_s, total, v_s = 0 FROM t
+        |UNION ALL SELECT 'pattern', 'l_linestatus', v_p, total, v_p = 0 FROM t
+        |UNION ALL SELECT 'foreign_key', 'l_orderkey', v, total, v = 0 FROM fk""".stripMargin)
 
   private def asofPre: String =
     """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
