@@ -138,6 +138,53 @@ object Maintain {
     checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
   }
 
+  /** Incrementally maintain a GROUPED AGGREGATE under a change batch —
+    * the materialized-rollup companion to [[upsert]]: given the
+    * aggregate over the previous snapshot (`prevAgg`), the previous
+    * snapshot itself, and a key-unique change batch, produce the
+    * aggregate over the NEW snapshot by recomputing ONLY the touched
+    * groups. Touched = the groups change rows land in (their new group
+    * values) ∪ the groups changed keys leave (their old group values
+    * from `base` — a replacement can MOVE a row between groups, and
+    * both sides must refresh). Untouched groups pass through from
+    * `prevAgg` by identity; a group whose last row was deleted
+    * disappears, exactly as a full recompute would drop it.
+    *
+    * `aggs` are recomputed from the new snapshot's rows within touched
+    * groups, so ANY aggregate is maintainable — min/max/count-distinct
+    * included, not just the mergeable ones. The price is one scan of
+    * the snapshot filtered to touched groups; the win over a full
+    * recompute is the SHUFFLE: only touched-group rows enter the
+    * aggregation exchange, and `prevAgg` (group-cardinality-sized)
+    * never re-aggregates. With a group-partitioned or z-ordered base
+    * layout ([[Layout]]) the semi-join prunes the scan itself via
+    * dynamic partition pruning; the touched-group relation is
+    * change-batch-bounded and broadcasts.
+    *
+    * `prevAgg`'s schema must be `groupCols ++ aggs` aliases (i.e. the
+    * output of the same groupBy/agg over the previous snapshot — the
+    * self-consistency a maintained rollup carries by construction).
+    */
+  def refreshAgg(prevAgg: DataFrame, base: DataFrame, changes: DataFrame,
+      keyCol: String, groupCols: Seq[String], aggs: Seq[Column],
+      deleteCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "refreshAgg: no group columns")
+    require(aggs.nonEmpty, "refreshAgg: no aggregates")
+    val gcols = groupCols.map(col)
+    val changedKeys = changes.select(col(keyCol)).distinct()
+    val arrive = deleteCol
+      .map(d => changes.filter(!coalesce(col(d), lit(false))))
+      .getOrElse(changes)
+      .select(gcols: _*)
+    val depart = base.join(changedKeys, Seq(keyCol), "left_semi")
+      .select(gcols: _*)
+    val touched = arrive.unionByName(depart).distinct()
+    val snap = upsert(base, changes, keyCol, deleteCol)
+    val fresh = snap.join(touched, groupCols, "left_semi")
+      .groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+    prevAgg.join(touched, groupCols, "left_anti").unionByName(fresh)
+  }
+
   /** Fold the log into a fresh compacted base at `outDir/base` (the
     * resolved snapshot, no metadata columns). The caller swaps
     * `outDir` for `dir` atomically and drops the old log — compaction

@@ -309,6 +309,30 @@ object CorpusQueries {
             lit(false).as("del")))
       graft.functions.Maintain.upsert(docs, changes, "doc_id", Some("del"))
         .select(col("doc_id"), md5(col("text")).as("fp"))
+    },
+
+    // incremental rollup maintenance: per-customer order count + spend
+    // maintained under a change batch with replacements that MOVE rows
+    // between groups (0-mod-5 orders re-priced AND re-homed to the
+    // next customer), tombstone deletes (0 mod 15), and inserts
+    // (0-mod-7 re-keyed). Only touched groups recompute; the oracle is
+    // the full aggregate over the upserted snapshot — maintained ≡
+    // recomputed is exactly the operator's contract.
+    "q_agg_maintain" -> { (s, dir) =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val changes = ords.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") + 1L).as("o_custkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          (col("o_orderkey") % 15 === 0).as("del"))
+        .unionByName(ords.filter(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"), lit(false).as("del")))
+      val aggs = Seq(count(lit(1)).as("n"),
+        CoreQueries.decDouble(sum(col("o_totalprice").cast("decimal(12,2)"))).as("spend"))
+      val prev = ords.groupBy(col("o_custkey")).agg(aggs.head, aggs.tail: _*)
+      graft.functions.Maintain.refreshAgg(prev, ords, changes,
+        "o_orderkey", Seq("o_custkey"), aggs, Some("del"))
     })
 
   /** DuckDB rendering of [[graft.functions.BpeTrain.train]], the `v`
@@ -809,5 +833,23 @@ object CorpusQueries {
         |  SELECT b.doc_id, b.text FROM documents b
         |  WHERE b.doc_id NOT IN (SELECT doc_id FROM ch)
         |  UNION ALL
-        |  SELECT doc_id, text FROM ch WHERE NOT del)""".stripMargin)
+        |  SELECT doc_id, text FROM ch WHERE NOT del)""".stripMargin,
+
+    "q_agg_maintain" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey + 1 AS o_custkey,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderkey % 15 = 0 AS del
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, FALSE
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |snap AS (
+        |  SELECT b.o_custkey, b.o_totalprice FROM orders b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice FROM ch WHERE NOT del)
+        |SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+        |    AS spend
+        |FROM snap GROUP BY o_custkey""".stripMargin)
 }

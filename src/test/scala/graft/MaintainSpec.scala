@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{lit, when}
 import graft.functions.Maintain
 
 /** CDC apply semantics: replace/insert/delete in one pass, versioned
@@ -119,5 +120,50 @@ class MaintainSpec extends SparkSpec {
       assert(rows(Maintain.upsertLatest(base, ch, "k", "ver", Some("del"))) ===
         Seq((2L, "two"), (3L, "three")))
     }
+  }
+
+  // ---- refreshAgg: incremental rollup maintenance ----
+
+  // groups: g1 = {k1, k2}, g2 = {k3}, g3 = {k4}, g4 = {k5} (untouched)
+  private def aggBase = Seq(
+    (1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L),
+    (4L, "g3", 40L), (5L, "g4", 50L)).toDF("k", "g", "v")
+  private def aggCols = Seq(
+    org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"),
+    org.apache.spark.sql.functions.sum($"v").as("s"),
+    org.apache.spark.sql.functions.max($"v").as("mx"))
+
+  test("refreshAgg ≡ full recompute: group move, group vanish, new group, untouched") {
+    // k1 MOVES g1→g2 (both refresh), k3's replacement stays in g2,
+    // k4 deleted → g3 VANISHES, k9 inserts NEW group g9
+    val changes = Seq(
+      (1L, "g2", 11L, false), (3L, "g2", 31L, false),
+      (4L, "g3", 0L, true), (9L, "g9", 90L, false))
+      .toDF("k", "g", "v", "del")
+    val prev = aggBase.groupBy($"g").agg(aggCols.head, aggCols.tail: _*)
+    val got = Maintain.refreshAgg(prev, aggBase, changes, "k", Seq("g"), aggCols, Some("del"))
+      .select($"g", $"n", $"s", $"mx").as[(String, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val full = Maintain.upsert(aggBase, changes, "k", Some("del"))
+      .groupBy($"g").agg(aggCols.head, aggCols.tail: _*)
+      .select($"g", $"n", $"s", $"mx").as[(String, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === full)
+    // g2 = moved k1 (11) + replaced k3 (31); k3's old row is superseded
+    assert(got === Seq(("g1", 1L, 20L, 20L), ("g2", 2L, 11L + 31L, 31L),
+      ("g4", 1L, 50L, 50L), ("g9", 1L, 90L, 90L)))
+  }
+
+  test("refreshAgg reuses untouched groups BY IDENTITY (the incremental proof)") {
+    // poison the untouched group g4's prior aggregate: if refreshAgg
+    // recomputed it, the poison would heal — it must survive instead
+    val changes = Seq((1L, "g1", 99L, false)).toDF("k", "g", "v", "del")
+    val prev = aggBase.groupBy($"g").agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("s", when($"g" === "g4", lit(-777L)).otherwise($"s"))
+    val got = Maintain.refreshAgg(prev, aggBase, changes, "k", Seq("g"), aggCols, Some("del"))
+      .select($"g", $"s").as[(String, Long)].collect().toMap
+    assert(got("g4") === -777L)       // passed through, not recomputed
+    assert(got("g1") === 99L + 20L)   // touched group IS fresh
   }
 }
