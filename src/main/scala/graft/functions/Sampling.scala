@@ -149,6 +149,49 @@ object Sampling {
       .filter(col("__take_rank") <= k).drop("__take_rank")
   }
 
+  /** Leakage-safe split assignment — train/val/test membership as a
+    * PURE HASH OF A GROUP KEY, never the row: pass a duplicate-cluster
+    * representative ([[Dedup.connectedComponents]] rep), a domain, or
+    * any other "these rows must not straddle splits" key as `groupCol`
+    * and every member lands on the same side by construction — the
+    * eval-set contamination that row-level `randomSplit` produces when
+    * near-duplicates exist is impossible, and the assignment is
+    * retry/AQE/re-run stable for the same reason [[hashKeep]] is.
+    *
+    * Mechanics: `h = splitmix64(group ⊕ salt) >>> 1` ∈ [0, 2⁶³);
+    * split i owns `[threshold(cum_{i-1}), threshold(cum_i))` — the
+    * same exact-integer thresholds as [[hashKeep]], so an oracle can
+    * render the assignment bit-exactly. Fractions must be positive;
+    * when they sum to 1 (±1e-9) the last split is the catch-all
+    * (`rate-1.0 boundary ids` included — the [[threshold]] endpoint
+    * rule); when they sum to less, rows past the last threshold get a
+    * NULL split (held out entirely).
+    */
+  def splitAssign(groupCol: Column, fractions: Seq[(String, Double)],
+      salt: Long = 0L): Column = {
+    require(fractions.nonEmpty, "splitAssign: no fractions")
+    require(fractions.map(_._1).distinct.length == fractions.length,
+      s"splitAssign: duplicate split names in ${fractions.map(_._1)}")
+    fractions.foreach { case (n, f) =>
+      require(f > 0.0, s"splitAssign: fraction for '$n' must be > 0, got $f") }
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"splitAssign: fractions sum to $total > 1")
+    val closed = total >= 1.0 - 1e-9
+    val h = shiftrightunsigned(splitmix64(lit(salt).bitwiseXOR(groupCol)), 1)
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    val tail: Column =
+      if (closed) lit(fractions.last._1) else lit(null).cast("string")
+    val cases = if (closed) fractions.zip(cums).init else fractions.zip(cums)
+    cases.foldRight(tail) { case (((name, _), cum), els) =>
+      when(h < lit(threshold(cum)), lit(name)).otherwise(els)
+    }
+  }
+
+  /** [[splitAssign]] as a `split` column on the frame. */
+  def groupSplit(df: DataFrame, groupCol: Column,
+      fractions: Seq[(String, Double)], salt: Long = 0L): DataFrame =
+    df.withColumn("split", splitAssign(groupCol, fractions, salt))
+
   /** Corpus mixing to a TOKEN BUDGET: down-sample each stratum
     * (source) so the expected kept token mass is
     * `min(T_s, sharePm_s/1000 · targetTotal)` — the "assemble a

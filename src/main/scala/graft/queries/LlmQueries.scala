@@ -722,6 +722,25 @@ object LlmQueries {
       Dedup.connectedComponents(pairs.select($"i", $"j"))
     },
 
+    // leakage-safe train/val/test split: membership is a pure hash of
+    // the DUP-CLUSTER representative (un-clustered docs are their own
+    // group), so near-duplicates can never straddle a split — the
+    // eval-contamination failure of row-level randomSplit. Composes
+    // the q_dedup_cluster CC fixpoint with the q_sample threshold
+    // arithmetic; 80/10/10 sums to 1, so 'test' is the catch-all arm.
+    "q_split_cluster" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", n = 3,
+        threshold = 0.5, maxDocFreq = 1000)
+      val cc = Dedup.connectedComponents(pairs.select($"i", $"j"))
+      val grouped = docs.select($"doc_id")
+        .join(cc, docs("doc_id") === cc("id"), "left")
+        .select($"doc_id", coalesce($"rep", $"doc_id").as("grp"))
+      Sampling.groupSplit(grouped, $"grp",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 13L)
+    },
+
     // curation with the transitively-closed keeper rule: quality gate →
     // near-dup pairs → connected components → keep each cluster's min.
     // Differs from q_curate exactly where transitivity matters (docs
@@ -1683,6 +1702,30 @@ object LlmQueries {
          |         WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
          |$componentsSql
          |SELECT id, MIN(r) AS rep FROM reach GROUP BY id""".stripMargin,
+    "q_split_cluster" -> {
+      val h = smix64Sql("xor(CAST(grp AS UBIGINT), 13::UBIGINT)")
+      val t1 = Sampling.threshold(0.8)
+      val t2 = Sampling.threshold(0.8 + 0.1)
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (SELECT i, j FROM pairs
+         |         JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |         WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
+         |$componentsSql,
+         |assign AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+         |g AS (SELECT d.doc_id, COALESCE(a.rep, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN assign a ON d.doc_id = a.id)
+         |SELECT doc_id, grp,
+         |  CASE WHEN ($h >> 1) < ${t1}::UBIGINT THEN 'train'
+         |       WHEN ($h >> 1) < ${t2}::UBIGINT THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM g""".stripMargin
+    },
     "q_dedup_report" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, s FROM (

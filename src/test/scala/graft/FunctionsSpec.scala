@@ -899,6 +899,66 @@ class FunctionsSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("groupSplit: exact thresholds vs the JVM reference, catch-all and open forms") {
+    import graft.functions.{Sampling, SamplingImpl}
+    val ids = (0L until 1000L).toDF("g")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.groupSplit(ids, col("g"), fr, salt = 13L)
+      .select($"g", $"split").as[(Long, String)].collect().toMap
+    val t1 = Sampling.threshold(0.8); val t2 = Sampling.threshold(0.8 + 0.1)
+    (0L until 1000L).foreach { g =>
+      val h = SamplingImpl.splitmix64(13L ^ g) >>> 1
+      val exp = if (h < t1) "train" else if (h < t2) "val" else "test"
+      assert(got(g) === exp, s"group $g")
+    }
+    assert(got.values.toSet === Set("train", "val", "test"))
+    // OPEN split (sum < 1): rows past the last threshold are held out (null)
+    val open = Sampling.groupSplit(ids, col("g"), Seq("a" -> 0.3, "b" -> 0.2), salt = 13L)
+      .select($"g", $"split").as[(Long, Option[String])].collect().toMap
+    val ta = Sampling.threshold(0.3); val tb = Sampling.threshold(0.3 + 0.2)
+    (0L until 1000L).foreach { g =>
+      val h = SamplingImpl.splitmix64(13L ^ g) >>> 1
+      val exp = if (h < ta) Some("a") else if (h < tb) Some("b") else None
+      assert(open(g) === exp, s"group $g")
+    }
+    assert(open.values.exists(_.isEmpty))
+    // validation: duplicate names, non-positive fraction, sum > 1
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(col("g"), Seq("a" -> 0.5, "a" -> 0.5)) }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(col("g"), Seq("a" -> 0.0)) }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(col("g"), Seq("a" -> 0.7, "b" -> 0.4)) }
+  }
+
+  test("groupSplit is leakage-safe: near-dup cluster members never straddle splits") {
+    import graft.functions.{Dedup, Sampling}
+    val docs = Tables.load(spark, sf001, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", n = 3,
+      threshold = 0.5, maxDocFreq = 1000)
+    val cc = Dedup.connectedComponents(pairs.select($"i", $"j"))
+    val grouped = docs.select($"doc_id")
+      .join(cc, docs("doc_id") === cc("id"), "left")
+      .select($"doc_id", coalesce($"rep", $"doc_id").as("grp"))
+    val split = Sampling.groupSplit(grouped, $"grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 13L)
+    // every near-dup pair lands on one side — zero straddlers
+    val straddle = pairs.select($"i", $"j")
+      .join(split.select($"doc_id".as("i"), $"split".as("si")), Seq("i"))
+      .join(split.select($"doc_id".as("j"), $"split".as("sj")), Seq("j"))
+      .filter($"si" =!= $"sj").count()
+    assert(straddle === 0L)
+    assert(pairs.count() > 0L) // the property is not vacuous
+    // and the row-level split DOES straddle (the failure groupSplit prevents)
+    val rowSplit = Sampling.groupSplit(grouped, $"doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 13L)
+    val rowStraddle = pairs.select($"i", $"j")
+      .join(rowSplit.select($"doc_id".as("i"), $"split".as("si")), Seq("i"))
+      .join(rowSplit.select($"doc_id".as("j"), $"split".as("sj")), Seq("j"))
+      .filter($"si" =!= $"sj").count()
+    assert(rowStraddle > 0L)
+  }
+
   test("takePerStratum draws an exact per-stratum quota, stable and uniform-ish") {
     import graft.functions.Sampling
     val docs = Tables.load(spark, sf001, "documents")
