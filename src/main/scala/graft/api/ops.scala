@@ -319,4 +319,23 @@ object ops {
     step(base.flow, id, "upsert", base.stepId, changes.stepId)(
       graft.functions.Maintain.upsert(base.ds.toDF(), changes.ds.toDF(),
         keyCol, deleteCol))
+
+  def refreshAgg(id: String, prevAgg: Stream[Row], base: Stream[Row],
+      changes: Stream[Row], keyCol: String, groupCols: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column],
+      deleteCol: Option[String] = None): Stream[Row] =
+    step(base.flow, id, "refresh_agg", prevAgg.stepId, base.stepId, changes.stepId)(
+      graft.functions.Maintain.refreshAgg(prevAgg.ds.toDF(), base.ds.toDF(),
+        changes.ds.toDF(), keyCol, groupCols, aggs, deleteCol))
+
+  def validateReport(id: String, up: Stream[Row],
+      checks: Seq[graft.functions.Validate.Check]): Stream[Row] =
+    step(up.flow, id, "validate_report", up.stepId)(
+      graft.functions.Validate.report(up.ds.toDF(), checks))
+
+  def groupSplit(id: String, up: Stream[Row], groupCol: String,
+      fractions: Seq[(String, Double)], salt: Long = 0L): Stream[Row] =
+    step(up.flow, id, "group_split", up.stepId)(
+      graft.functions.Sampling.groupSplit(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(groupCol), fractions, salt))
 }

@@ -185,6 +185,71 @@ object Maintain {
     prevAgg.join(touched, groupCols, "left_anti").unionByName(fresh)
   }
 
+  /** Delta-maintained rollup for MERGEABLE aggregates (count + sums) —
+    * the incremental-view-maintenance shape, and the one that actually
+    * wins at scale: [[refreshAgg]] recomputes touched groups from the
+    * snapshot (any aggregate, but a second base pass + an aggregation
+    * exchange over touched rows); this variant never re-aggregates ANY
+    * base rows wholesale. Departing rows (base rows whose key is in the
+    * change batch) enter with weight −1, arriving rows (non-delete
+    * changes) with +1; one change-batch-bounded aggregate produces the
+    * per-group deltas, and the new rollup is `prevAgg ⟗ delta` with
+    * count/sum columns added (groups whose count reaches 0 drop, new
+    * groups appear). Cost: ONE base scan semi-filtered by the
+    * broadcast changed-key set, one tiny delta exchange, one
+    * group-cardinality-sized merge join — no corpus-wide aggregation
+    * exchange, which is the term that dominates a 100 TB full
+    * recompute.
+    *
+    * Exactness: the merge is only correct for aggregates where
+    * add/subtract round-trips — counts, integer sums, DECIMAL sums.
+    * Each summed column is computed in the dtype of `prevAgg`'s
+    * matching column, which for decimals is exact; refuse double sums
+    * upstream (subtraction re-orders the float reduction). min/max are
+    * not delta-maintainable (a deleted extremum needs a group rescan):
+    * use [[refreshAgg]] for those.
+    *
+    * `prevAgg` schema: `groupCols ++ countAlias ++ sums.map(_._2)`.
+    */
+  def refreshAggDelta(prevAgg: DataFrame, base: DataFrame, changes: DataFrame,
+      keyCol: String, groupCols: Seq[String], sums: Seq[(String, String)],
+      countAlias: String = "n", deleteCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "refreshAggDelta: no group columns")
+    val prevTypes = prevAgg.schema.fields.map(f => f.name -> f.dataType).toMap
+    sums.foreach { case (_, alias) =>
+      val dt = prevTypes.getOrElse(alias,
+        throw new IllegalArgumentException(s"refreshAggDelta: prevAgg lacks '$alias'"))
+      require(!dt.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
+        !dt.isInstanceOf[org.apache.spark.sql.types.FloatType],
+        s"refreshAggDelta: '$alias' is $dt — float sums don't subtract exactly; " +
+          "carry the rollup in decimal/integer")
+    }
+    val gcols = groupCols.map(col)
+    val changedKeys = changes.select(col(keyCol)).distinct()
+    val departing = base.join(changedKeys, Seq(keyCol), "left_semi")
+      .select(gcols ++ sums.map { case (c, a) => col(c).as(a) } :+
+        lit(-1L).as("__w"): _*)
+    val arriving = deleteCol
+      .map(d => changes.filter(!coalesce(col(d), lit(false))))
+      .getOrElse(changes)
+      .select(gcols ++ sums.map { case (c, a) => col(c).as(a) } :+
+        lit(1L).as("__w"): _*)
+    val delta = departing.unionByName(arriving)
+      .groupBy(gcols: _*)
+      .agg(sum(col("__w")).as("__dn"),
+        sums.map { case (_, a) =>
+          sum((col(a) * col("__w")).cast(prevTypes(a))).as(s"__d_$a") }: _*)
+    val merged = prevAgg.join(delta, groupCols, "full_outer")
+      .select(gcols ++
+        Seq((coalesce(col(countAlias), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(countAlias)) ++
+        sums.map { case (_, a) =>
+          (coalesce(col(a), lit(0).cast(prevTypes(a))) +
+            coalesce(col(s"__d_$a"), lit(0).cast(prevTypes(a))))
+            .cast(prevTypes(a)).as(a) }: _*)
+    merged.filter(col(countAlias) > 0L)
+  }
+
   /** Fold the log into a fresh compacted base at `outDir/base` (the
     * resolved snapshot, no metadata columns). The caller swaps
     * `outDir` for `dir` atomically and drops the old log — compaction

@@ -319,21 +319,48 @@ object CorpusQueries {
     // the full aggregate over the upserted snapshot — maintained ≡
     // recomputed is exactly the operator's contract.
     "q_agg_maintain" -> { (s, dir) =>
-      val ords = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val changes = ords.filter(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey"), (col("o_custkey") + 1L).as("o_custkey"),
-          (col("o_totalprice") + 1000.0).as("o_totalprice"),
-          (col("o_orderkey") % 15 === 0).as("del"))
-        .unionByName(ords.filter(col("o_orderkey") % 7 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-            col("o_custkey"), col("o_totalprice"), lit(false).as("del")))
+      val (ords, changes) = aggMaintainInputs(s, dir)
       val aggs = Seq(count(lit(1)).as("n"),
         CoreQueries.decDouble(sum(col("o_totalprice").cast("decimal(12,2)"))).as("spend"))
       val prev = ords.groupBy(col("o_custkey")).agg(aggs.head, aggs.tail: _*)
       graft.functions.Maintain.refreshAgg(prev, ords, changes,
         "o_orderkey", Seq("o_custkey"), aggs, Some("del"))
+    },
+
+    // the DELTA-maintained form of the same rollup (incremental view
+    // maintenance: −departing +arriving, no base re-aggregation) —
+    // same oracle as q_agg_maintain, so two structurally different
+    // maintenance algorithms must land on the full recompute's
+    // fixpoint. The rollup rides in exact decimal and is rendered to
+    // double only at the output face.
+    "q_agg_maintain_delta" -> { (s, dir) =>
+      val (ords, changes) = aggMaintainInputs(s, dir)
+      val prev = ords.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).as("spend"))
+      graft.functions.Maintain.refreshAggDelta(prev, ords, changes,
+          "o_orderkey", Seq("o_custkey"), Seq(("o_totalprice", "spend")),
+          "n", Some("del"))
+        .select(col("o_custkey"), col("n"),
+          CoreQueries.decDouble(col("spend")).as("spend"))
     })
+
+  /** Shared inputs of the two rollup-maintenance gates: the orders
+    * projection and a change batch with group-moving replacements,
+    * tombstones, and inserts.
+    */
+  private def aggMaintainInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val changes = ords.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), (col("o_custkey") + 1L).as("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        (col("o_orderkey") % 15 === 0).as("del"))
+      .unionByName(ords.filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), lit(false).as("del")))
+    (ords, changes)
+  }
 
   /** DuckDB rendering of [[graft.functions.BpeTrain.train]], the `v`
     * merge iterations unrolled as CTEs. The greedy leftmost merge is
@@ -836,6 +863,25 @@ object CorpusQueries {
         |  SELECT doc_id, text FROM ch WHERE NOT del)""".stripMargin,
 
     "q_agg_maintain" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey + 1 AS o_custkey,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderkey % 15 = 0 AS del
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, FALSE
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |snap AS (
+        |  SELECT b.o_custkey, b.o_totalprice FROM orders b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice FROM ch WHERE NOT del)
+        |SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+        |    AS spend
+        |FROM snap GROUP BY o_custkey""".stripMargin,
+
+    // the delta-maintained rollup must land on the SAME fixpoint
+    "q_agg_maintain_delta" ->
       """WITH ch AS (
         |  SELECT o_orderkey, o_custkey + 1 AS o_custkey,
         |    o_totalprice + 1000.0 AS o_totalprice, o_orderkey % 15 = 0 AS del

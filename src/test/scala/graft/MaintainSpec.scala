@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{lit, when}
+import org.apache.spark.sql.functions.{count, lit, sum, when}
 import graft.functions.Maintain
 
 /** CDC apply semantics: replace/insert/delete in one pass, versioned
@@ -153,6 +153,41 @@ class MaintainSpec extends SparkSpec {
     // g2 = moved k1 (11) + replaced k3 (31); k3's old row is superseded
     assert(got === Seq(("g1", 1L, 20L, 20L), ("g2", 2L, 11L + 31L, 31L),
       ("g4", 1L, 50L, 50L), ("g9", 1L, 90L, 90L)))
+  }
+
+  test("refreshAggDelta ≡ full recompute: move/vanish/new/untouched, exact decimal sums") {
+    val base = aggBase.withColumn("v", $"v".cast("decimal(12,2)"))
+    val changes = Seq(
+      (1L, "g2", 11L, false), (3L, "g2", 31L, false),
+      (4L, "g3", 0L, true), (9L, "g9", 90L, false))
+      .toDF("k", "g", "v", "del").withColumn("v", $"v".cast("decimal(12,2)"))
+    val prev = base.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val got = Maintain.refreshAggDelta(prev, base, changes, "k", Seq("g"),
+        Seq(("v", "s")), "n", Some("del"))
+      .select($"g", $"n", $"s".cast("long")).as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val full = Maintain.upsert(base, changes, "k", Some("del"))
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .select($"g", $"n", $"s".cast("long")).as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === full)
+    // g3 vanished (its only row deleted); g9 is delta-only (new group)
+    assert(!got.exists(_._1 == "g3"))
+    assert(got.exists(_._1 == "g9"))
+    // untouched g4 carried through
+    assert(got.find(_._1 == "g4").get === (("g4", 1L, 50L)))
+  }
+
+  test("refreshAggDelta refuses float rollup columns (subtraction would drift)") {
+    val base = aggBase.withColumn("v", $"v".cast("double"))
+    val prev = base.groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val ex = intercept[IllegalArgumentException] {
+      Maintain.refreshAggDelta(prev, base,
+        Seq((1L, "g1", 1.0, false)).toDF("k", "g", "v", "del"),
+        "k", Seq("g"), Seq(("v", "s")), "n", Some("del"))
+    }
+    assert(ex.getMessage.contains("float sums"))
   }
 
   test("refreshAgg reuses untouched groups BY IDENTITY (the incremental proof)") {
