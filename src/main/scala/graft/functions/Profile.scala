@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiling and snapshot drift — the dataset-card /
+  * monitoring face of the quality family: [[Validate]] answers "does
+  * this snapshot satisfy my constraints", Profile answers "what does
+  * this snapshot LOOK like, and how did it move since the last one".
+  *
+  * One-scan discipline throughout: the whole multi-column profile is
+  * ONE aggregate over ONE pass (a column adds aggregate expressions,
+  * never a pass), distinct counts default to HyperLogLog++
+  * (`approx_count_distinct`, fixed-size sketch — the only
+  * 100 TB-viable distinct; exact mode exists for gate faces and rides
+  * the same aggregate via expand), and drift joins two
+  * column-cardinality-sized profile relations — never the data.
+  *
+  * Distribution drift (PSI) composes the [[Hist]] fixed-grid sketch:
+  * two mergeable histograms → one Population Stability Index per
+  * column, the standard "has this feature shifted" monitor, with the
+  * convention that empty bins contribute 0 when both sides are empty
+  * and get a floor probability otherwise (the usual PSI smoothing).
+  */
+object Profile {
+
+  /** Per-column profile over one scan: `(col_name, dtype, n, nulls,
+    * n_distinct, min_v, max_v, sum_v)` — numeric min/max/sum rendered
+    * as doubles through an exact decimal(38,6) cast (the decDouble
+    * gate convention); non-numeric columns carry null there but keep
+    * completeness + distinct. `exactDistinct=true` swaps the HLL++
+    * estimate for an exact count-distinct (expand rewrite: still one
+    * scan, multiplied exchange rows — the gate face, not the 100 TB
+    * default).
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach(c => require(types.contains(c), s"profile: no column '$c'"))
+    def numeric(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggCols = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap {
+      case (c, i) =>
+        val dist =
+          if (exactDistinct) count_distinct(col(c))
+          else approx_count_distinct(col(c))
+        val base = Seq(
+          count(when(col(c).isNull, 1)).as(s"__nulls$i"),
+          dist.as(s"__dist$i"))
+        if (numeric(types(c))) {
+          val d = col(c).cast("decimal(38,6)")
+          base ++ Seq(
+            min(d).cast("string").cast("double").as(s"__min$i"),
+            max(d).cast("string").cast("double").as(s"__max$i"),
+            sum(d).cast("string").cast("double").as(s"__sum$i"))
+        } else base ++ Seq(
+          lit(null).cast("double").as(s"__min$i"),
+          lit(null).cast("double").as(s"__max$i"),
+          lit(null).cast("double").as(s"__sum$i"))
+    }
+    val row = df.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), lit(types(c).simpleString), col(s"__nulls$i"),
+        col(s"__dist$i"), col(s"__min$i"), col(s"__max$i"), col(s"__sum$i"))
+    }
+    row.select(
+        stack((lit(cols.length) +: stackArgs): _*)
+          .as(Seq("col_name", "dtype", "nulls", "n_distinct",
+            "min_v", "max_v", "sum_v")),
+        col("__n").as("n"))
+      .select(col("col_name"), col("dtype"), col("n"), col("nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
+  }
+
+  /** Drift between two profiles of the SAME schema (old `a`, new `b`):
+    * per column, the null-fraction delta, the distinct-count ratio,
+    * and the range endpoints' movement — a column-cardinality join of
+    * two tiny relations (full outer: columns added/dropped between
+    * snapshots surface as one-sided rows).
+    */
+  def drift(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("col_name"), col("n").as("a_n"),
+      col("nulls").as("a_nulls"), col("n_distinct").as("a_distinct"),
+      col("min_v").as("a_min"), col("max_v").as("a_max"))
+    val r = b.select(col("col_name"), col("n").as("b_n"),
+      col("nulls").as("b_nulls"), col("n_distinct").as("b_distinct"),
+      col("min_v").as("b_min"), col("max_v").as("b_max"))
+    l.join(r, Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        (col("b_nulls").cast("double") / col("b_n") -
+          col("a_nulls").cast("double") / col("a_n")).as("null_frac_delta"),
+        (col("b_distinct").cast("double") /
+          nullif(col("a_distinct").cast("double"), lit(0.0))).as("distinct_ratio"),
+        (col("b_min") - col("a_min")).as("min_shift"),
+        (col("b_max") - col("a_max")).as("max_shift"),
+        (col("a_n").isNull).as("added"),
+        (col("b_n").isNull).as("dropped"))
+  }
+
+  /** Population Stability Index between two [[Hist]] sketches of the
+    * same (lo, hi, nbins) grid: `Σ (p_b − p_a) · ln(p_b / p_a)` over
+    * the nbins+2 slots (underflow/overflow included — mass leaving the
+    * range IS drift). Bins empty on one side only get the standard
+    * `floor = 1/(10·total)` smoothing; bins empty on both contribute
+    * 0. Returns a double column — compose over a per-stratum groupBy
+    * to monitor every source at once. Convention: PSI < 0.1 stable,
+    * 0.1–0.25 moderate shift, > 0.25 investigate.
+    */
+  def psi(histA: Column, histB: Column): Column = {
+    val ta = aggregate(histA, lit(0L), (acc, x) => acc + x).cast("double")
+    val tb = aggregate(histB, lit(0L), (acc, x) => acc + x).cast("double")
+    val terms = zip_with(histA, histB, (ca, cb) => {
+      val pa0 = ca.cast("double") / ta
+      val pb0 = cb.cast("double") / tb
+      val pa = when(ca === 0L, lit(0.1) / ta).otherwise(pa0)
+      val pb = when(cb === 0L, lit(0.1) / tb).otherwise(pb0)
+      when(ca === 0L && cb === 0L, lit(0.0))
+        .otherwise((pb - pa) * log(pb / pa))
+    })
+    aggregate(terms, lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** PSI of `valueCol` between two frames on a shared fixed grid —
+    * each side is one [[Hist.histSketch]] aggregate (fixed-size
+    * buffers, partial-aggregable), the division is 1-row arithmetic.
+    */
+  def psiBetween(a: DataFrame, b: DataFrame, valueCol: Column,
+      lo: Double, hi: Double, nbins: Int): DataFrame = {
+    val ha = a.agg(Hist.histSketch(valueCol, lo, hi, nbins).as("h"))
+    val hb = b.agg(Hist.histSketch(valueCol, lo, hi, nbins).as("hb"))
+    ha.crossJoin(hb) // two 1-row sketch relations — the sketch-probe precedent
+      .select(psi(col("h"), col("hb")).as("psi"))
+  }
+}

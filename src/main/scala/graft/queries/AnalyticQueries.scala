@@ -262,6 +262,17 @@ object AnalyticQueries {
           Validate.InSet("l_returnflag", Seq("A", "N", "R")),
           Validate.Pattern("l_linestatus", "^[OF]$")))
         .unionByName(Validate.fkReport(li, "l_orderkey", ords, "o_orderkey"))
+    },
+
+    // column profile (dataset-card face): one scan, every stat per
+    // column — the gate pins the EXACT face (count-distinct via
+    // expand, decimal-rendered numeric endpoints); production defaults
+    // to the HLL++ distinct, spec-pinned within its error envelope
+    "q_profile" -> { (s, dir) =>
+      val ords = Tables.load(s, dir, "orders")
+      graft.functions.Profile.profile(ords,
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        exactDistinct = true)
     })
 
   /** Left = clicks, right = purchases pre-aggregated unique per
@@ -449,7 +460,28 @@ object AnalyticQueries {
         |UNION ALL SELECT 'bounds', 'l_quantity', v_b, total, v_b = 0 FROM t
         |UNION ALL SELECT 'in_set', 'l_returnflag', v_s, total, v_s = 0 FROM t
         |UNION ALL SELECT 'pattern', 'l_linestatus', v_p, total, v_p = 0 FROM t
-        |UNION ALL SELECT 'foreign_key', 'l_orderkey', v, total, v = 0 FROM fk""".stripMargin)
+        |UNION ALL SELECT 'foreign_key', 'l_orderkey', v, total, v = 0 FROM fk""".stripMargin,
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, 'bigint' AS dtype, COUNT(*) AS n,
+           |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(CAST(MIN(CAST($c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS min_v,
+           |  CAST(CAST(MAX(CAST($c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS max_v,
+           |  CAST(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_v
+           |FROM orders""".stripMargin
+      s"""${num("o_orderkey")}
+         |UNION ALL
+         |${num("o_custkey")}
+         |UNION ALL
+         |${num("o_totalprice").replace("'bigint'", "'double'")}
+         |UNION ALL
+         |SELECT 'o_orderstatus', 'string', COUNT(*),
+         |  COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+         |  COUNT(DISTINCT o_orderstatus),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         |FROM orders""".stripMargin
+    })
 
   private def asofPre: String =
     """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),

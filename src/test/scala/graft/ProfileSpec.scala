@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Hist, Profile}
+
+/** Column profiling + drift: exact stats on planted data, one-scan
+  * plan, HLL-vs-exact distinct envelope, drift deltas, and the PSI
+  * closed form (identical → 0, disjoint → large, hand-pinned value).
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted = Seq(
+    (1L, Option(2.0), Option("a")),
+    (2L, Option(4.0), Option("b")),
+    (3L, Option.empty[Double], Option("a")),
+    (3L, Option(10.0), Option.empty[String])
+  ).toDF("id", "v", "s")
+
+  test("profile: exact face — counts, nulls, distinct, decimal-rendered endpoints") {
+    val p = Profile.profile(planted, Seq("id", "v", "s"), exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = p("id")
+    assert(id.getString(1) === "bigint")
+    assert(id.getLong(2) === 4L && id.getLong(3) === 0L && id.getLong(4) === 3L)
+    assert(id.getDouble(5) === 1.0 && id.getDouble(6) === 3.0 && id.getDouble(7) === 9.0)
+    val v = p("v")
+    assert(v.getString(1) === "double")
+    assert(v.getLong(3) === 1L && v.getLong(4) === 3L)
+    assert(v.getDouble(5) === 2.0 && v.getDouble(6) === 10.0 && v.getDouble(7) === 16.0)
+    val s = p("s")
+    assert(s.getString(1) === "string")
+    assert(s.getLong(3) === 1L && s.getLong(4) === 2L)
+    assert(s.isNullAt(5) && s.isNullAt(6) && s.isNullAt(7))
+  }
+
+  test("profile is ONE scan; approx distinct lands within the HLL envelope") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val exact = Profile.profile(docs, Seq("doc_id", "lang"), exactDistinct = true)
+    val approx = Profile.profile(docs, Seq("doc_id", "lang"))
+    assert(approx.queryExecution.executedPlan.collectLeaves().length === 1)
+    val e = exact.select($"col_name", $"n_distinct").as[(String, Long)].collect().toMap
+    val a = approx.select($"col_name", $"n_distinct").as[(String, Long)].collect().toMap
+    e.foreach { case (c, n) =>
+      assert(math.abs(a(c) - n).toDouble / n < 0.1, s"$c: exact=$n approx=${a(c)}")
+    }
+  }
+
+  test("drift: null-frac delta, distinct ratio, range shifts, added/dropped columns") {
+    val a = Profile.profile(planted, Seq("id", "v"), exactDistinct = true)
+    val b = Profile.profile(
+      Seq((5L, Option(20.0)), (6L, Option.empty[Double])).toDF("id", "v")
+        .withColumn("extra", lit(1L)),
+      Seq("id", "v", "extra"), exactDistinct = true)
+    val d = Profile.drift(a, b).collect().map(r => r.getString(0) -> r).toMap
+    val v = d("v")
+    // null frac 1/4 → 1/2: delta 0.25; distinct 3 → 1: ratio 1/3
+    assert(math.abs(v.getDouble(1) - 0.25) < 1e-12)
+    assert(math.abs(v.getDouble(2) - 1.0 / 3.0) < 1e-12)
+    assert(v.getDouble(3) === 18.0 && v.getDouble(4) === 10.0) // min 2→20, max 10→20
+    assert(d("extra").getBoolean(5)) // added
+    assert(!d("id").getBoolean(6))
+  }
+
+  test("psi: 0 on identical histograms, hand-pinned value on a shift, large when disjoint") {
+    def hist(vs: Seq[Double]) = vs.toDF("x")
+      .agg(Hist.histSketch($"x", 0.0, 10.0, 2).as("h"))
+    def psiOf(a: Seq[Double], b: Seq[Double]): Double =
+      hist(a).crossJoin(hist(b).withColumnRenamed("h", "hb"))
+        .select(Profile.psi($"h", $"hb")).as[Double].head()
+    assert(psiOf(Seq(1, 2, 7, 8), Seq(1, 2, 7, 8)) === 0.0)
+    // a: 3 low 1 high; b: 1 low 3 high → psi = 2 · 0.5·ln(3) (symmetric terms)
+    val got = psiOf(Seq(1, 1, 1, 7), Seq(1, 7, 7, 7))
+    assert(math.abs(got - 2 * 0.5 * math.log(3.0)) < 1e-12, s"got $got")
+    // fully disjoint mass is a big number (smoothed, not infinite)
+    val dj = psiOf(Seq(1, 1, 1, 1), Seq(7, 7, 7, 7))
+    assert(dj > 2.0 && java.lang.Double.isFinite(dj))
+    // psiBetween wires the same arithmetic end-to-end
+    val pb = Profile.psiBetween(Seq(1.0, 1.0, 1.0, 7.0).toDF("x"),
+      Seq(1.0, 7.0, 7.0, 7.0).toDF("x"), $"x", 0.0, 10.0, 2)
+      .as[Double].head()
+    assert(math.abs(pb - got) < 1e-15)
+  }
+}
