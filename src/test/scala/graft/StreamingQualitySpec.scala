@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.connectors.Testing
+import graft.functions.{Profile, Validate}
+import graft.streaming.StreamingQuality
+
+/** Streaming quality monitors: per-batch constraint reports ≡ the
+  * batch operator on each batch's rows, and the PSI drift monitor ≡
+  * batch psiBetween against the frozen reference.
+  */
+class StreamingQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("validateStream: per-batch reports ≡ batch Validate.report on those rows") {
+    val src = Testing.testingSource[(Long, Option[String], Double)](spark)
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+    val q = StreamingQuality.validateStream(
+      src.toDS().toDF("id", "name", "score"),
+      Seq(Validate.NotNull("name"), Validate.Bounds("score", 0.0, 10.0)),
+      onReport = (rep, bid) => reports.synchronized {
+        reports ++= rep.collect().map(bid -> _)
+      },
+      trigger = Trigger.ProcessingTime(0))
+    val b1 = Seq((1L, Option("a"), 5.0), (2L, Option.empty[String], 99.0))
+    val b2 = Seq((3L, Option("c"), 3.0))
+    try {
+      src.addBatch(b1: _*); q.processAllAvailable()
+      src.addBatch(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch 0: one null name, one out-of-range score; batch 1: clean
+    def rep(bid: Long, kind: String) = reports
+      .find(r => r._1 == bid && r._2.getString(0) == kind).get._2
+    assert(rep(0, "not_null").getLong(2) === 1L && !rep(0, "not_null").getBoolean(4))
+    assert(rep(0, "bounds").getLong(2) === 1L)
+    assert(rep(1, "not_null").getLong(2) === 0L && rep(1, "not_null").getBoolean(4))
+    assert(rep(1, "bounds").getLong(2) === 0L)
+    // parity: each streamed report row ≡ the batch operator on that batch
+    val batchRep = Validate.report(b1.toDF("id", "name", "score"),
+      Seq(Validate.NotNull("name"), Validate.Bounds("score", 0.0, 10.0)))
+      .withColumn("batch_id", lit(0L)).collect().toSet
+    assert(reports.filter(_._1 == 0L).map(_._2).toSet === batchRep)
+  }
+
+  test("driftMonitor: per-batch PSI ≡ batch psiBetween vs the frozen reference") {
+    val ref = Seq(1.0, 1.0, 1.0, 7.0).toDF("x")
+    val refHist = StreamingQuality.referenceHist(ref, "x", 0.0, 10.0, 2)
+    assert(refHist.length === 4 && refHist.sum === 4L)
+
+    val src = Testing.testingSource[Double](spark)
+    val readings = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = StreamingQuality.driftMonitor(src.toDS().toDF("x"), "x",
+      refHist, 0.0, 10.0, 2,
+      onReading = (bid, n, psi) => readings.synchronized {
+        readings += ((bid, n, psi)); ()
+      },
+      trigger = Trigger.ProcessingTime(0))
+    val b1 = Seq(1.0, 1.0, 1.0, 7.0) // same shape as ref → psi 0
+    val b2 = Seq(1.0, 7.0, 7.0, 7.0) // shifted
+    try {
+      src.addBatch(b1: _*); q.processAllAvailable()
+      src.addBatch(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(readings.map(r => (r._1, r._2)).toSeq === Seq((0L, 4L), (1L, 4L)))
+    assert(readings(0)._3 === 0.0)
+    val expected = Profile.psiBetween(ref, b2.toDF("x"), $"x", 0.0, 10.0, 2)
+      .as[Double].head()
+    assert(math.abs(readings(1)._3 - expected) < 1e-15)
+    assert(readings(1)._3 > 0.5) // the shift reads as drift
+  }
+}
