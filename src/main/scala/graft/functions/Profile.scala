@@ -76,6 +76,32 @@ object Profile {
         col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
   }
 
+  /** Order-invariant dataset fingerprint — `(n, fp)` where `fp` is the
+    * decimal SUM of a per-row md5-derived 60-bit integer (rendered as
+    * a string: the digits are exact where a double would round at
+    * corpus scale). Content identity for snapshots: the same ROWS in
+    * any order, any partitioning, any file layout produce the same
+    * fingerprint; one changed/added/dropped row changes it (mod the
+    * 2⁶⁰ hash space). ADDITIVE across disjoint shards — `fp(a ⊎ b) =
+    * fp(a) + fp(b)` — so per-shard fingerprints roll up without
+    * re-reading (the mergeable-sketch contract), and an incremental
+    * pipeline can maintain the corpus fingerprint from a change
+    * batch's arrivals−departures exactly like [[Maintain
+    * .refreshAggDelta]] maintains sums.
+    *
+    * Nulls are disambiguated with a \u0000 sentinel per column
+    * (`concat_ws` alone would collide (null,"x") with ("x",null)).
+    * Pass integer/string columns; render floats/timestamps to strings
+    * yourself if cross-engine digits matter.
+    */
+  def fingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint: no columns")
+    val parts = cols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    val rowH = conv(substring(md5(concat_ws("\u0001", parts: _*)), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.agg(count(lit(1)).as("n"), sum(rowH).cast("string").as("fp"))
+  }
+
   /** Drift between two profiles of the SAME schema (old `a`, new `b`):
     * per column, the null-fraction delta, the distinct-count ratio,
     * and the range endpoints' movement — a column-cardinality join of

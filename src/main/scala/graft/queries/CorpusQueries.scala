@@ -327,6 +327,15 @@ object CorpusQueries {
         "o_orderkey", Seq("o_custkey"), aggs, Some("del"))
     },
 
+    // order-invariant corpus fingerprint: snapshot content identity
+    // as an additive md5-derived decimal sum — the same digits from
+    // any row order, partitioning, or engine
+    "q_fingerprint" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.functions.Profile.fingerprint(docs,
+        Seq("doc_id", "text", "lang", "source"))
+    },
+
     // the DELTA-maintained form of the same rollup (incremental view
     // maintenance: −departing +arriving, no base re-aggregation) —
     // same oracle as q_agg_maintain, so two structurally different
@@ -879,6 +888,17 @@ object CorpusQueries {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
         |    AS spend
         |FROM snap GROUP BY o_custkey""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST('0x' || substring(md5(
+        |    concat_ws(chr(1),
+        |      COALESCE(CAST(doc_id AS VARCHAR), chr(0)),
+        |      COALESCE(text, chr(0)),
+        |      COALESCE(lang, chr(0)),
+        |      COALESCE(source, chr(0)))), 1, 15) AS UBIGINT) AS HUGEINT))
+        |    AS VARCHAR) AS fp
+        |FROM documents""".stripMargin,
 
     // the delta-maintained rollup must land on the SAME fixpoint
     "q_agg_maintain_delta" ->

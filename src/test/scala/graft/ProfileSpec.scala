@@ -62,6 +62,32 @@ class ProfileSpec extends SparkSpec {
     assert(!d("id").getBoolean(6))
   }
 
+  test("fingerprint: order/layout invariant, change-sensitive, null-safe, shard-additive") {
+    val docs = Tables.load(spark, sf001, "documents")
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, BigInt) = {
+      val r = graft.functions.Profile
+        .fingerprint(df, Seq("doc_id", "text")).head()
+      (r.getLong(0), BigInt(r.getString(1)))
+    }
+    val a = fp(docs)
+    assert(a === fp(docs.repartition(17)))                    // layout-invariant
+    assert(a === fp(docs.orderBy($"text")))                   // order-invariant
+    val mutated = docs.withColumn("text",
+      when($"doc_id" === 0L, concat($"text", lit("!"))).otherwise($"text"))
+    assert(a !== fp(mutated))                                 // change-sensitive
+    assert(a !== fp(docs.filter($"doc_id" =!= 0L)))           // drop-sensitive
+    // shard-additive: fp(a ⊎ b) = fp(a) + fp(b)
+    val l = fp(docs.filter($"doc_id" % 2 === 0))
+    val r = fp(docs.filter($"doc_id" % 2 =!= 0))
+    assert(l._1 + r._1 === a._1 && l._2 + r._2 === a._2)
+    // null disambiguation: (null, "x") and ("x", null) differ
+    import spark.implicits._
+    val p = Seq((Option.empty[String], Option("x"))).toDF("a", "b")
+    val q = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+    assert(graft.functions.Profile.fingerprint(p, Seq("a", "b")).head().getString(1) !==
+      graft.functions.Profile.fingerprint(q, Seq("a", "b")).head().getString(1))
+  }
+
   test("psi: 0 on identical histograms, hand-pinned value on a shift, large when disjoint") {
     def hist(vs: Seq[Double]) = vs.toDF("x")
       .agg(Hist.histSketch($"x", 0.0, 10.0, 2).as("h"))
