@@ -172,17 +172,25 @@ object Maintain {
     require(aggs.nonEmpty, "refreshAgg: no aggregates")
     val gcols = groupCols.map(col)
     val changedKeys = changes.select(col(keyCol)).distinct()
-    val arrive = deleteCol
-      .map(d => changes.filter(!coalesce(col(d), lit(false))))
+    // upsert's semantics, inlined to reuse changedKeys (the operator
+    // would otherwise plan the same distinct over the change batch twice)
+    val keep = deleteCol
+      .map(d => changes.filter(!coalesce(col(d), lit(false))).drop(d))
       .getOrElse(changes)
-      .select(gcols: _*)
+    val snap = base.join(changedKeys, Seq(keyCol), "left_anti").unionByName(keep)
+    val arrive = keep.select(gcols: _*)
     val depart = base.join(changedKeys, Seq(keyCol), "left_semi")
       .select(gcols: _*)
+    // NULL is a legal group value: all membership tests against the
+    // touched set are null-safe (<=>), or a touched NULL group would
+    // neither recompute (semi) nor displace its stale row (anti)
     val touched = arrive.unionByName(depart).distinct()
-    val snap = upsert(base, changes, keyCol, deleteCol)
-    val fresh = snap.join(touched, groupCols, "left_semi")
+      .toDF(groupCols.map(g => s"__t_$g"): _*)
+    def touchedCond(d: DataFrame): Column =
+      groupCols.map(g => d(g) <=> touched(s"__t_$g")).reduce(_ && _)
+    val fresh = snap.join(touched, touchedCond(snap), "left_semi")
       .groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
-    prevAgg.join(touched, groupCols, "left_anti").unionByName(fresh)
+    prevAgg.join(touched, touchedCond(prevAgg), "left_anti").unionByName(fresh)
   }
 
   /** Delta-maintained rollup for MERGEABLE aggregates (count + sums) —
@@ -207,7 +215,14 @@ object Maintain {
     * matching column, which for decimals is exact; refuse double sums
     * upstream (subtraction re-orders the float reduction). min/max are
     * not delta-maintainable (a deleted extremum needs a group rescan):
-    * use [[refreshAgg]] for those.
+    * use [[refreshAgg]] for those. NULL semantics: prev+delta equals
+    * the full recompute's sum whenever the group retains at least one
+    * non-null value (nulls never enter either side's sum), and an
+    * all-null-values group stays NULL; the one undetectable edge is a
+    * group whose LAST non-null value departs while null-valued rows
+    * remain — delta arithmetic reads 0 where a recompute reads NULL.
+    * If your value columns are nullable and that distinction matters,
+    * use [[refreshAgg]].
     *
     * `prevAgg` schema: `groupCols ++ countAlias ++ sums.map(_._2)`.
     */
@@ -239,14 +254,26 @@ object Maintain {
       .agg(sum(col("__w")).as("__dn"),
         sums.map { case (_, a) =>
           sum((col(a) * col("__w")).cast(prevTypes(a))).as(s"__d_$a") }: _*)
-    val merged = prevAgg.join(delta, groupCols, "full_outer")
-      .select(gcols ++
+      // NULL is a legal group value: the prev⟗delta merge must match
+      // NULL groups (a plain equi full-outer would emit the prev row
+      // stale AND the delta row as a second NULL group)
+      .toDF(groupCols.map(g => s"__g_$g") ++ Seq("__dn") ++
+        sums.map { case (_, a) => s"__d_$a" }: _*)
+    val cond = groupCols.map(g => prevAgg(g) <=> delta(s"__g_$g")).reduce(_ && _)
+    val merged = prevAgg.join(delta, cond, "full_outer")
+      .select(groupCols.map(g =>
+          when(col("__dn").isNotNull, col(s"__g_$g")).otherwise(col(g)).as(g)) ++
         Seq((coalesce(col(countAlias), lit(0L)) + coalesce(col("__dn"), lit(0L)))
           .as(countAlias)) ++
         sums.map { case (_, a) =>
-          (coalesce(col(a), lit(0).cast(prevTypes(a))) +
-            coalesce(col(s"__d_$a"), lit(0).cast(prevTypes(a))))
-            .cast(prevTypes(a)).as(a) }: _*)
+          // both sides null → null (an all-null-values group stays
+          // NULL, matching the full recompute); one side null → the
+          // other carries the exact sum
+          when(col(a).isNull && col(s"__d_$a").isNull,
+              lit(null).cast(prevTypes(a)))
+            .otherwise((coalesce(col(a), lit(0).cast(prevTypes(a))) +
+              coalesce(col(s"__d_$a"), lit(0).cast(prevTypes(a))))
+              .cast(prevTypes(a))).as(a) }: _*)
     merged.filter(col(countAlias) > 0L)
   }
 

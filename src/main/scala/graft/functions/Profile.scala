@@ -117,8 +117,9 @@ object Profile {
       col("min_v").as("b_min"), col("max_v").as("b_max"))
     l.join(r, Seq("col_name"), "full_outer")
       .select(col("col_name"),
-        (col("b_nulls").cast("double") / col("b_n") -
-          col("a_nulls").cast("double") / col("a_n")).as("null_frac_delta"),
+        (col("b_nulls").cast("double") / nullif(col("b_n").cast("double"), lit(0.0)) -
+          col("a_nulls").cast("double") / nullif(col("a_n").cast("double"), lit(0.0)))
+          .as("null_frac_delta"),
         (col("b_distinct").cast("double") /
           nullif(col("a_distinct").cast("double"), lit(0.0))).as("distinct_ratio"),
         (col("b_min") - col("a_min")).as("min_shift"),
@@ -147,7 +148,13 @@ object Profile {
       when(ca === 0L && cb === 0L, lit(0.0))
         .otherwise((pb - pa) * log(pb / pa))
     })
-    aggregate(terms, lit(0.0), (acc, x) => acc + x)
+    // an EMPTY histogram (an all-null micro-batch is exactly the
+    // incident a drift monitor exists to catch) must read as maximal
+    // drift, not kill the query with a smoothing-floor divide-by-zero
+    // (ANSI mode throws); empty vs empty is no evidence of drift
+    when(ta === 0.0 && tb === 0.0, lit(0.0))
+      .when(ta === 0.0 || tb === 0.0, lit(Double.PositiveInfinity))
+      .otherwise(aggregate(terms, lit(0.0), (acc, x) => acc + x))
   }
 
   /** PSI of `valueCol` between two frames on a shared fixed grid —

@@ -181,10 +181,16 @@ object Sampling {
     val cums = fractions.scanLeft(0.0)(_ + _._2).tail
     val tail: Column =
       if (closed) lit(fractions.last._1) else lit(null).cast("string")
-    val cases = if (closed) fractions.zip(cums).init else fractions.zip(cums)
-    cases.foldRight(tail) { case (((name, _), cum), els) =>
-      when(h < lit(threshold(cum)), lit(name)).otherwise(els)
-    }
+    val body = (if (closed) fractions.zip(cums).init else fractions.zip(cums))
+      .foldRight(tail) { case (((name, _), cum), els) =>
+        when(h < lit(threshold(cum)), lit(name)).otherwise(els)
+      }
+    // a NULL group key gets a NULL split in BOTH forms — without the
+    // guard the closed form's catch-all arm would silently pour every
+    // unknown-linkage row into the last split (the null comparisons
+    // all read falsy); null groups are a caller bug to surface, not
+    // bias to absorb
+    when(groupCol.isNull, lit(null).cast("string")).otherwise(body)
   }
 
   /** [[splitAssign]] as a `split` column on the frame. */

@@ -922,6 +922,14 @@ class FunctionsSpec extends SparkSpec {
       assert(open(g) === exp, s"group $g")
     }
     assert(open.values.exists(_.isEmpty))
+    // a NULL group gets a NULL split in BOTH forms (never the catch-all)
+    val nulls = Seq(Option(1L), Option.empty[Long]).toDF("g")
+    val closedNull = Sampling.groupSplit(nulls, col("g"), fr, salt = 13L)
+      .select($"g", $"split").as[(Option[Long], Option[String])].collect().toMap
+    assert(closedNull(None) === None && closedNull(Some(1L)).nonEmpty)
+    val openNull = Sampling.groupSplit(nulls, col("g"), Seq("a" -> 0.3), salt = 13L)
+      .select($"g", $"split").as[(Option[Long], Option[String])].collect().toMap
+    assert(openNull(None) === None)
     // validation: duplicate names, non-positive fraction, sum > 1
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(col("g"), Seq("a" -> 0.5, "a" -> 0.5)) }

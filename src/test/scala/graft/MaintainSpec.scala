@@ -190,6 +190,42 @@ class MaintainSpec extends SparkSpec {
     assert(ex.getMessage.contains("float sums"))
   }
 
+  test("refreshAgg + refreshAggDelta: NULL is a legal group value (null-safe membership)") {
+    // k1 lives in the NULL group; k2 in g1; change replaces k1 in-place
+    val base = Seq((1L, Option.empty[String], 10L), (2L, Option("g1"), 20L))
+      .toDF("k", "g", "v").withColumn("v", $"v".cast("decimal(12,2)"))
+    val changes = Seq((1L, Option.empty[String], 11L, false))
+      .toDF("k", "g", "v", "del").withColumn("v", $"v".cast("decimal(12,2)"))
+    val prev = base.groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"g", $"n", $"s".cast("long")).as[(Option[String], Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val full = rows(Maintain.upsert(base, changes, "k", Some("del"))
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    assert(full === Seq((None, 1L, 11L), (Some("g1"), 1L, 20L)))
+    val inc = rows(Maintain.refreshAgg(prev, base, changes, "k", Seq("g"),
+      Seq(count(lit(1)).as("n"), sum($"v").as("s")), Some("del")))
+    assert(inc === full) // the stale NULL-group row must NOT survive
+    val delta = rows(Maintain.refreshAggDelta(prev, base, changes, "k",
+      Seq("g"), Seq(("v", "s")), "n", Some("del")))
+    assert(delta === full) // and the delta merge must not emit two NULL rows
+  }
+
+  test("refreshAggDelta: an all-null-values group keeps a NULL sum (untouched and touched)") {
+    val base = Seq(
+      (1L, "g1", Option.empty[Long]),
+      (2L, "g2", Option(5L))).toDF("k", "g", "v")
+      .withColumn("v", $"v".cast("decimal(12,2)"))
+    val changes = Seq((2L, "g2", Option(7L), false)).toDF("k", "g", "v", "del")
+      .withColumn("v", $"v".cast("decimal(12,2)"))
+    val prev = base.groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val got = Maintain.refreshAggDelta(prev, base, changes, "k", Seq("g"),
+        Seq(("v", "s")), "n", Some("del"))
+      .select($"g", $"s").collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(got("g1")) // untouched all-null group: NULL, not coalesced to 0
+    assert(!got("g2"))
+  }
+
   test("refreshAgg reuses untouched groups BY IDENTITY (the incremental proof)") {
     // poison the untouched group g4's prior aggregate: if refreshAgg
     // recomputed it, the poison would heal — it must survive instead

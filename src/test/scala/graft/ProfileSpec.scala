@@ -106,5 +106,22 @@ class ProfileSpec extends SparkSpec {
       Seq(1.0, 7.0, 7.0, 7.0).toDF("x"), $"x", 0.0, 10.0, 2)
       .as[Double].head()
     assert(math.abs(pb - got) < 1e-15)
+    // an EMPTY side (all-null batch — the incident a monitor exists to
+    // catch) reads as +Inf, never a smoothing-floor divide-by-zero;
+    // empty vs empty is 0 (no evidence)
+    val empty = Seq(Option.empty[java.lang.Double]).toDF("x")
+    val inf = Profile.psiBetween(Seq(1.0, 7.0).toDF("x"),
+      empty, $"x", 0.0, 10.0, 2).as[Double].head()
+    assert(inf.isPosInfinity)
+    val zz = Profile.psiBetween(empty, empty, $"x", 0.0, 10.0, 2)
+      .as[Double].head()
+    assert(zz === 0.0)
+  }
+
+  test("drift against an empty-snapshot profile yields null deltas, not a throw") {
+    val a = Profile.profile(planted, Seq("id"), exactDistinct = true)
+    val b = Profile.profile(planted.filter(lit(false)), Seq("id"), exactDistinct = true)
+    val row = Profile.drift(a, b).collect().head
+    assert(row.isNullAt(1)) // null_frac_delta: b_n = 0 → null, no ANSI error
   }
 }
