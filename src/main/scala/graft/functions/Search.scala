@@ -39,10 +39,14 @@ object Search {
     * call site: an index whose postings were case-folded must fold
     * its queries too, and persisting the flag beside the stats makes
     * an analyzer mismatch between build time and serve time
-    * impossible by construction.
+    * impossible by construction. `docs` is the `(doc_id, dl)` corpus
+    * membership relation — EVERY member including posting-less empty
+    * docs (they count in BM25's N and the avgdl denominator), which is
+    * what lets [[updateIndex]] adjust the scalars exactly under CDC.
     */
   final case class SearchIndex(postings: DataFrame, lexicon: DataFrame,
-      nDocs: Long, totalTokens: Long, lowercase: Boolean = false) {
+      docs: DataFrame, nDocs: Long, totalTokens: Long,
+      lowercase: Boolean = false) {
     def avgdl: Double = totalTokens.toDouble / math.max(nDocs, 1L).toDouble
   }
 
@@ -67,9 +71,11 @@ object Search {
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val lexicon = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val members = toks.select(col("doc_id"),
+      coalesce(size(col("w")), lit(0)).cast("long").as("dl"))
     val stats = toks.agg(count(lit(1)).as("n"),
       sum(coalesce(size(col("w")), lit(0)).cast("long")).as("t")).head()
-    SearchIndex(postings, lexicon, stats.getLong(0),
+    SearchIndex(postings, lexicon, members, stats.getLong(0),
       if (stats.isNullAt(1)) 0L else stats.getLong(1), lowercase)
   }
 
@@ -87,6 +93,7 @@ object Search {
       a.postings.unionByName(b.postings),
       a.lexicon.unionByName(b.lexicon)
         .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      a.docs.unionByName(b.docs),
       a.nDocs + b.nDocs, a.totalTokens + b.totalTokens, a.lowercase)
   }
 
@@ -102,6 +109,7 @@ object Search {
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$dir/postings")
     index.lexicon.write.mode("overwrite").parquet(s"$dir/lexicon")
+    index.docs.write.mode("overwrite").parquet(s"$dir/docs")
     val spark = index.postings.sparkSession
     import spark.implicits._
     Seq((index.nDocs, index.totalTokens, index.lowercase))
@@ -111,16 +119,67 @@ object Search {
 
   /** Read a persisted index back as serve-ready relations. The analyzer
     * flag rides in the stats relation (absent in pre-flag indexes →
-    * false, which was their build-time behavior).
+    * false, which was their build-time behavior); a pre-docs index
+    * reconstructs membership from the postings (losing only
+    * posting-less empty docs — their contribution to the persisted
+    * scalars is intact; [[updateIndex]] precision on replacing an
+    * EMPTY doc is all that degrades).
     */
   def readIndex(spark: SparkSession, dir: String): SearchIndex = {
     val statsDf = spark.read.parquet(s"$dir/stats")
     val stats = statsDf.head()
     val lc = statsDf.columns.contains("lowercase") &&
       stats.getAs[Boolean]("lowercase")
-    SearchIndex(spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/lexicon"),
+    val postings = spark.read.parquet(s"$dir/postings")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val docs =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/docs")))
+        spark.read.parquet(s"$dir/docs")
+      else postings.select(col("doc_id"), col("dl")).distinct()
+    SearchIndex(postings, spark.read.parquet(s"$dir/lexicon"), docs,
       stats.getAs[Long]("n_docs"), stats.getAs[Long]("total_tokens"), lc)
+  }
+
+  /** Apply a CDC change batch to the index WITHOUT re-indexing the
+    * corpus — the retrieval face of [[Maintain.upsert]]: changed ids'
+    * postings drop (one postings scan against the broadcast changed-id
+    * set — unchanged docs are never re-tokenized), the surviving
+    * change docs index alone (change-batch-sized work), document
+    * frequencies adjust by exact ±counts (vocabulary-sized merge), and
+    * the scalar stats move by the departed members' exact count/token
+    * mass (one 2-scalar aggregate over the docs relation — the bounded
+    * model-fit precedent). Output ≡ [[buildIndex]] over the upserted
+    * corpus; the gate pins that equivalence differentially.
+    */
+  def updateIndex(index: SearchIndex, changes: DataFrame, idCol: Column,
+      textCol: Column, deleteCol: Option[String] = None): SearchIndex = {
+    val ids = changes.select(idCol.cast("long").as("doc_id")).distinct()
+    val keep = deleteCol
+      .map(d => changes.filter(!coalesce(col(d), lit(false))))
+      .getOrElse(changes)
+    val fresh = buildIndex(keep, idCol, textCol, index.lowercase)
+    val postings2 = index.postings.join(ids, Seq("doc_id"), "left_anti")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .unionByName(fresh.postings)
+    val removed = index.postings.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("__r"))
+    val lexicon2 = index.lexicon
+      .join(removed, Seq("term"), "full_outer")
+      .join(fresh.lexicon.withColumnRenamed("df", "__a"), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) - coalesce(col("__r"), lit(0L)) +
+          coalesce(col("__a"), lit(0L))).as("df"))
+      .filter(col("df") > 0L)
+    val dep = index.docs.join(ids, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    val depN = dep.getLong(0)
+    val depT = if (dep.isNullAt(1)) 0L else dep.getLong(1)
+    val docs2 = index.docs.join(ids, Seq("doc_id"), "left_anti")
+      .unionByName(fresh.docs)
+    SearchIndex(postings2, lexicon2, docs2,
+      index.nDocs - depN + fresh.nDocs,
+      index.totalTokens - depT + fresh.totalTokens, index.lowercase)
   }
 
   /** Per-query DISTINCT terms — `(qid, term)`. Query tf is dropped

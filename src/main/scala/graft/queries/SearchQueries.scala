@@ -32,6 +32,31 @@ object SearchQueries {
       Search.matchCounts(idx, qt)
     },
 
+    // CDC-updated index ≡ rebuild over the upserted corpus: the same
+    // match face as q_search_bm25, but served from updateIndex over
+    // the q_upsert change classes (re-written 0-mod-5 docs grow a
+    // " v2" token, 0-mod-15 deleted, 0-mod-7 re-keyed inserts) — the
+    // dropped postings, ±df merge, and scalar adjustments are all
+    // differentially live while the oracle indexes the snapshot
+    // from scratch
+    "q_search_update" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val changes = docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", concat($"text", lit(" v2")).as("text"),
+          ($"doc_id" % 15 === 0).as("del"))
+        .unionByName(docs.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text",
+            lit(false).as("del")))
+      val idx = Search.updateIndex(
+        Search.buildIndex(docs, $"doc_id", $"text"),
+        changes, $"doc_id", $"text", Some("del"))
+      val qt = docs.filter($"doc_id" % 20 === 0)
+        .select($"doc_id".as("qid"),
+          explode(array_distinct(slice(Text.tokens($"text"), 3, 4))).as("term"))
+      Search.matchCounts(idx, qt)
+    },
+
     // hybrid retrieval: a lexical ranking (coordination-level order —
     // n_terms, tf_sum, id — exactly encodable in integers, so the
     // ranks agree cross-engine with no ln()) RRF-fused with the
@@ -73,9 +98,46 @@ object SearchQueries {
       |q AS (SELECT doc_id AS qid, UNNEST(list_distinct(w[3:6])) AS term
       |      FROM tok WHERE doc_id % 20 = 0)""".stripMargin
 
+  /** The q_search_bm25 relational pipeline over the CDC-upserted
+    * snapshot; query terms still derive from the ORIGINAL corpus (the
+    * queries a user holds don't change when the corpus does).
+    */
+  private val updTokSql =
+    """snap AS (
+      |  SELECT b.doc_id, b.text FROM documents b
+      |  WHERE b.doc_id NOT IN (
+      |    SELECT doc_id FROM (
+      |      SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+      |      UNION ALL
+      |      SELECT doc_id + 1000000 FROM documents WHERE doc_id % 7 = 0))
+      |  UNION ALL
+      |  SELECT doc_id, text || ' v2' FROM documents
+      |  WHERE doc_id % 5 = 0 AND doc_id % 15 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      |tok AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+      |  FROM snap),
+      |post AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, UNNEST(w) AS term FROM tok),
+      |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+      |       FROM post GROUP BY 1, 2),
+      |lex AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT doc_id AS qid,
+      |  UNNEST(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')[3:6])) AS term
+      |      FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_search_bm25" ->
       s"""WITH $tokSql
+         |SELECT q.qid, t.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM(t.tf) AS BIGINT) AS tf_sum,
+         |  CAST(SUM(l.df) AS BIGINT) AS df_sum,
+         |  MIN(t.dl) AS dl
+         |FROM q JOIN tf t USING (term) JOIN lex l USING (term)
+         |GROUP BY 1, 2""".stripMargin,
+    "q_search_update" ->
+      s"""WITH $updTokSql
          |SELECT q.qid, t.doc_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_terms,
          |  CAST(SUM(t.tf) AS BIGINT) AS tf_sum,

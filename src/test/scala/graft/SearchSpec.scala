@@ -81,6 +81,36 @@ class SearchSpec extends SparkSpec {
       s"expected term pushdown in:\n$plan")
   }
 
+  test("updateIndex ≡ rebuild over the upserted corpus (incl. empty-doc replacement)") {
+    val changes = Seq(
+      (0L, "the cat left the mat", false), // replace
+      (1L, "", true),                      // delete
+      (4L, "formerly empty now speaks", false), // EMPTY doc replaced — the docs-relation edge
+      (20L, "a brand new document", false) // insert
+    ).toDF("doc_id", "text", "del")
+    val updated = Search.updateIndex(
+      Search.buildIndex(corpus, $"doc_id", $"text"),
+      changes, $"doc_id", $"text", Some("del"))
+    val rebuilt = Search.buildIndex(
+      graft.functions.Maintain.upsert(corpus, changes, "doc_id", Some("del")),
+      $"doc_id", $"text")
+    // relations agree as SETS and the scalars exactly
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    assert(rows(updated.postings) === rows(rebuilt.postings))
+    assert(rows(updated.lexicon) === rows(rebuilt.lexicon))
+    assert(rows(updated.docs) === rows(rebuilt.docs))
+    assert(updated.nDocs === rebuilt.nDocs)
+    assert(updated.totalTokens === rebuilt.totalTokens)
+    // and serving is bit-identical
+    val q = Seq((1L, "cat mat brand formerly")).toDF("qid", "qtext")
+    def serve(i: Search.SearchIndex) =
+      Search.bm25TopK(i, q, $"qid", $"qtext", k = 20)
+        .select($"rank", $"doc_id", $"score").as[(Long, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    assert(serve(updated) === serve(rebuilt))
+    assert(serve(updated).nonEmpty)
+  }
+
   test("doc-disjoint merge serves identically to a direct build over the union") {
     val extra = Seq((10L, "the cat returned"), (11L, "flux dog")).toDF("doc_id", "text")
     val merged = Search.mergeIndexes(
