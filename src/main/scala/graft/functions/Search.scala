@@ -162,6 +162,21 @@ object Search {
     val postings2 = index.postings.join(ids, Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .unionByName(fresh.postings)
+    val docs2 = index.docs.join(ids, Seq("doc_id"), "left_anti")
+      .unionByName(fresh.docs)
+    val (lexicon2, depN, depT) = adjustedDerived(index, ids, fresh)
+    SearchIndex(postings2, lexicon2, docs2,
+      index.nDocs - depN + fresh.nDocs,
+      index.totalTokens - depT + fresh.totalTokens, index.lowercase)
+  }
+
+  /** The derived state an update must adjust exactly: the ±df lexicon
+    * merge and the departed members' (count, token mass). Shared by
+    * [[updateIndex]] and [[appendIndexUpdate]] — one postings scan,
+    * one docs scan, both against the broadcast changed-id set.
+    */
+  private def adjustedDerived(index: SearchIndex, ids: DataFrame,
+      fresh: SearchIndex): (DataFrame, Long, Long) = {
     val removed = index.postings.join(ids, Seq("doc_id"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("__r"))
     val lexicon2 = index.lexicon
@@ -173,13 +188,103 @@ object Search {
       .filter(col("df") > 0L)
     val dep = index.docs.join(ids, Seq("doc_id"), "left_semi")
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
-    val depN = dep.getLong(0)
-    val depT = if (dep.isNullAt(1)) 0L else dep.getLong(1)
-    val docs2 = index.docs.join(ids, Seq("doc_id"), "left_anti")
-      .unionByName(fresh.docs)
-    SearchIndex(postings2, lexicon2, docs2,
-      index.nDocs - depN + fresh.nDocs,
-      index.totalTokens - depT + fresh.totalTokens, index.lowercase)
+    (lexicon2, dep.getLong(0), if (dep.isNullAt(1)) 0L else dep.getLong(1))
+  }
+
+  /** Merge-on-read index maintenance — the log-structured completion
+    * of [[updateIndex]]: a one-shot update materializes a full new
+    * postings relation (measured: the REWRITE bounds the win at ~1.4×
+    * whatever the update saves in compute — tools/IndexUpdateScale),
+    * so the production loop instead APPENDS each update's fresh
+    * postings/docs under a version and tombstones its changed ids;
+    * readers resolve per doc to the rows of its LATEST touching
+    * version (base = version 0), and only the vocabulary-sized lexicon
+    * and the 1-row stats rewrite eagerly per update. [[Maintain]]'s
+    * LSM shape applied to the index: ingest cost is change-batch-sized
+    * + one resolved-postings scan for the exact df adjustments,
+    * nothing corpus-sized rewrites until [[compactIndex]] folds.
+    */
+  def appendIndexUpdate(spark: SparkSession, dir: String, changes: DataFrame,
+      idCol: Column, textCol: Column, version: Long,
+      deleteCol: Option[String] = None): Unit = {
+    require(version >= 1L, s"appendIndexUpdate: version must be >= 1, got $version")
+    val current = readIndexMor(spark, dir)
+    val ids = changes.select(idCol.cast("long").as("doc_id")).distinct()
+    val keep = deleteCol
+      .map(d => changes.filter(!coalesce(col(d), lit(false))))
+      .getOrElse(changes)
+    // the change batch tokenizes more than once below (postings log,
+    // docs log, lexicon merge) — cache it for the ingest's duration
+    val keptCached = keep.cache()
+    try {
+      val fresh = buildIndex(keptCached, idCol, textCol, current.lowercase)
+      fresh.postings.withColumn("__v", lit(version))
+        .write.mode("append").parquet(s"$dir/postings_log")
+      fresh.docs.withColumn("__v", lit(version))
+        .write.mode("append").parquet(s"$dir/docs_log")
+      ids.withColumn("__v", lit(version))
+        .write.mode("append").parquet(s"$dir/tombstones")
+      // only the vocab-sized lexicon + 1-row stats rewrite eagerly
+      // (delete+rename swap; derived state, rebuildable from the logs)
+      val (lexicon2, depN, depT) = adjustedDerived(current, ids, fresh)
+      lexicon2.write.mode("overwrite").parquet(s"$dir/lexicon_next")
+      swapDir(spark, dir, "lexicon_next", "lexicon")
+      import spark.implicits._
+      Seq((current.nDocs - depN + fresh.nDocs,
+          current.totalTokens - depT + fresh.totalTokens, current.lowercase))
+        .toDF("n_docs", "total_tokens", "lowercase")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_next")
+      swapDir(spark, dir, "stats_next", "stats")
+    } finally keptCached.unpersist()
+  }
+
+  private def swapDir(spark: SparkSession, dir: String, from: String, to: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val src = new org.apache.hadoop.fs.Path(s"$dir/$from")
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/$to")
+    fs.delete(dst, true)
+    fs.rename(src, dst)
+  }
+
+  /** Resolve the merge-on-read index: per doc, the postings/docs rows
+    * of its latest touching version win (base rows are version 0; a
+    * deleted doc's latest version wrote no rows). The resolution is a
+    * PLAN — one left join against the change-history-sized
+    * `(doc_id, max version)` relation (broadcastable for any sane log)
+    * — so term pushdown still reaches both parquet legs.
+    */
+  def readIndexMor(spark: SparkSession, dir: String): SearchIndex = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p"))
+    val base = readIndex(spark, dir)
+    if (!exists("tombstones")) return base
+    val tomb = spark.read.parquet(s"$dir/tombstones")
+      .groupBy(col("doc_id")).agg(max(col("__v")).as("__vmax"))
+    def resolve(baseRel: DataFrame, logPath: String, cols: Seq[String]): DataFrame = {
+      val all = baseRel.withColumn("__v", lit(0L)).unionByName(
+        if (exists(logPath)) spark.read.parquet(s"$dir/$logPath")
+        else baseRel.withColumn("__v", lit(0L)).filter(lit(false)))
+      all.join(broadcast(tomb), Seq("doc_id"), "left")
+        .filter(col("__vmax").isNull || col("__v") === col("__vmax"))
+        .select(cols.map(col): _*)
+    }
+    base.copy(
+      postings = resolve(base.postings, "postings_log",
+        Seq("term", "doc_id", "tf", "dl")),
+      docs = resolve(base.docs, "docs_log", Seq("doc_id", "dl")))
+  }
+
+  /** Fold the log into a fresh full index at `outDir` ([[writeIndex]]
+    * layout, no logs). The caller swaps dirs atomically — racing
+    * readers keep resolving the old base ⊎ log ([[Maintain
+    * .compactSnapshot]] contract).
+    */
+  def compactIndex(spark: SparkSession, dir: String, outDir: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(dir) !=
+      new org.apache.hadoop.fs.Path(outDir), "compactIndex: outDir must differ")
+    writeIndex(readIndexMor(spark, dir), outDir)
   }
 
   /** Per-query DISTINCT terms — `(qid, term)`. Query tf is dropped

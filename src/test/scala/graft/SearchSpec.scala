@@ -111,6 +111,49 @@ class SearchSpec extends SparkSpec {
     assert(serve(updated).nonEmpty)
   }
 
+  test("merge-on-read index: append v1/v2 updates resolve latest-wins, compact folds") {
+    import graft.functions.Maintain
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxmor").toString
+    Search.writeIndex(Search.buildIndex(corpus, $"doc_id", $"text"), dir)
+
+    val ch1 = Seq((0L, "the cat left the mat", false), (1L, "", true),
+      (20L, "a brand new document", false)).toDF("doc_id", "text", "del")
+    Search.appendIndexUpdate(spark, dir, ch1, $"doc_id", $"text", version = 1L,
+      deleteCol = Some("del"))
+    // v2 RE-replaces doc 0 (the vmax path must drop v1's rows) and
+    // deletes the doc v1 inserted
+    val ch2 = Seq((0L, "cat redux", false), (20L, "", true))
+      .toDF("doc_id", "text", "del")
+    Search.appendIndexUpdate(spark, dir, ch2, $"doc_id", $"text", version = 2L,
+      deleteCol = Some("del"))
+
+    val snap = Maintain.upsert(
+      Maintain.upsert(corpus, ch1, "doc_id", Some("del")),
+      ch2, "doc_id", Some("del"))
+    val rebuilt = Search.buildIndex(snap, $"doc_id", $"text")
+    val mor = Search.readIndexMor(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    assert(rows(mor.postings) === rows(rebuilt.postings))
+    assert(rows(mor.docs) === rows(rebuilt.docs))
+    assert(rows(mor.lexicon) === rows(rebuilt.lexicon))
+    assert(mor.nDocs === rebuilt.nDocs && mor.totalTokens === rebuilt.totalTokens)
+
+    // serving through the resolved plan is bit-identical to the rebuild
+    val q = Seq((1L, "cat redux dog")).toDF("qid", "qtext")
+    def serve(i: Search.SearchIndex) =
+      Search.bm25TopK(i, q, $"qid", $"qtext", k = 20)
+        .select($"rank", $"doc_id", $"score").as[(Long, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    assert(serve(mor) === serve(rebuilt) && serve(mor).nonEmpty)
+
+    // compaction folds the log into a plain writeIndex layout
+    val out = java.nio.file.Files.createTempDirectory("graft-idxmor-c").toString
+    Search.compactIndex(spark, dir, out)
+    val compacted = Search.readIndex(spark, out)
+    assert(rows(compacted.postings) === rows(rebuilt.postings))
+    assert(serve(compacted) === serve(rebuilt))
+  }
+
   test("doc-disjoint merge serves identically to a direct build over the union") {
     val extra = Seq((10L, "the cat returned"), (11L, "flux dog")).toDF("doc_id", "text")
     val merged = Search.mergeIndexes(
