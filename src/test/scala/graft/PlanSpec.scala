@@ -269,6 +269,36 @@ class PlanSpec extends SparkSpec {
     assert(!pr.contains("CartesianProduct"), pr)
   }
 
+  test("delta rollup: changed keys broadcast into the base scan; no corpus-wide aggregation") {
+    import org.apache.spark.sql.functions._
+    // production shape: prevAgg is a MATERIALIZED artifact (parquet),
+    // not an inline recompute (the gate recomputes it only to stay
+    // self-contained — that pair must not be mistaken for a base re-agg)
+    val ords = Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-deltaplan").toString
+    ords.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("spend"))
+      .write.parquet(s"$dir/prev")
+    val prev = spark.read.parquet(s"$dir/prev")
+    val changes = ords.filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1.0).as("o_totalprice"))
+    val p = graft.functions.Maintain.refreshAggDelta(prev, ords, changes,
+        "o_orderkey", Seq("o_custkey"), Seq(("o_totalprice", "spend")), "n")
+      .queryExecution.executedPlan.toString
+    // the departing-rows filter is a broadcast LeftSemi against the
+    // changed-key set — a shuffled semi would exchange the whole base
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // exactly one grouped aggregation pair (partial+final over the
+    // ±weighted delta rows): a second pair would mean the base was
+    // re-aggregated wholesale, the exchange this operator exists to kill
+    val aggs = "HashAggregate.*keys=\\[o_custkey".r.findAllIn(p).length
+    assert(aggs === 2, s"expected 1 partial+final delta aggregate pair, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("TtlCache expires entries and isolates operator instances") {
     val a = TtlCache.instance[String, Int]("op-a", ttlMillis = 50)
     val b = TtlCache.instance[String, Int]("op-b", ttlMillis = 50)
