@@ -241,31 +241,59 @@ object Maintain {
     }
     val gcols = groupCols.map(col)
     val changedKeys = changes.select(col(keyCol)).distinct()
-    val departing = base.join(changedKeys, Seq(keyCol), "left_semi")
-      .select(gcols ++ sums.map { case (c, a) => col(c).as(a) } :+
-        lit(-1L).as("__w"): _*)
-    val arriving = deleteCol
+    val departures = base.join(changedKeys, Seq(keyCol), "left_semi")
+      .select(gcols ++ sums.map { case (c, a) => col(c).as(a) }: _*)
+    val arrivals = deleteCol
       .map(d => changes.filter(!coalesce(col(d), lit(false))))
       .getOrElse(changes)
-      .select(gcols ++ sums.map { case (c, a) => col(c).as(a) } :+
-        lit(1L).as("__w"): _*)
-    val delta = departing.unionByName(arriving)
+      .select(gcols ++ sums.map { case (c, a) => col(c).as(a) }: _*)
+    mergeDeltas(prevAgg, arrivals, departures, groupCols,
+      sums.map(_._2), countAlias)
+  }
+
+  /** The ± merge at the core of [[refreshAggDelta]], factored for CDC
+    * streams that carry BEFORE-IMAGES (Debezium-style): when the
+    * change feed already contains each update/delete's old row,
+    * `departures` is those before-images and NO base scan is needed
+    * at all — the rollup maintains itself from the feed alone, which
+    * is what makes [[rollupStream]] a pure per-batch merge. Both
+    * inputs are `groupCols ++ aliases`-shaped row sets (each row one
+    * corpus row's contribution); the same exactness and NULL rules as
+    * [[refreshAggDelta]] apply.
+    */
+  def mergeDeltas(prevAgg: DataFrame, arrivals: DataFrame,
+      departures: DataFrame, groupCols: Seq[String], sumAliases: Seq[String],
+      countAlias: String = "n"): DataFrame = {
+    require(groupCols.nonEmpty, "mergeDeltas: no group columns")
+    val prevTypes = prevAgg.schema.fields.map(f => f.name -> f.dataType).toMap
+    sumAliases.foreach { alias =>
+      val dt = prevTypes.getOrElse(alias,
+        throw new IllegalArgumentException(s"mergeDeltas: prevAgg lacks '$alias'"))
+      require(!dt.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
+        !dt.isInstanceOf[org.apache.spark.sql.types.FloatType],
+        s"mergeDeltas: '$alias' is $dt — float sums don't subtract exactly; " +
+          "carry the rollup in decimal/integer")
+    }
+    val gcols = groupCols.map(col)
+    def side(df: DataFrame, w: Long): DataFrame =
+      df.select(gcols ++ sumAliases.map(col) :+ lit(w).as("__w"): _*)
+    val delta = side(departures, -1L).unionByName(side(arrivals, 1L))
       .groupBy(gcols: _*)
       .agg(sum(col("__w")).as("__dn"),
-        sums.map { case (_, a) =>
+        sumAliases.map { a =>
           sum((col(a) * col("__w")).cast(prevTypes(a))).as(s"__d_$a") }: _*)
       // NULL is a legal group value: the prev⟗delta merge must match
       // NULL groups (a plain equi full-outer would emit the prev row
       // stale AND the delta row as a second NULL group)
       .toDF(groupCols.map(g => s"__g_$g") ++ Seq("__dn") ++
-        sums.map { case (_, a) => s"__d_$a" }: _*)
+        sumAliases.map(a => s"__d_$a"): _*)
     val cond = groupCols.map(g => prevAgg(g) <=> delta(s"__g_$g")).reduce(_ && _)
     val merged = prevAgg.join(delta, cond, "full_outer")
       .select(groupCols.map(g =>
           when(col("__dn").isNotNull, col(s"__g_$g")).otherwise(col(g)).as(g)) ++
         Seq((coalesce(col(countAlias), lit(0L)) + coalesce(col("__dn"), lit(0L)))
           .as(countAlias)) ++
-        sums.map { case (_, a) =>
+        sumAliases.map { a =>
           // both sides null → null (an all-null-values group stays
           // NULL, matching the full recompute); one side null → the
           // other carries the exact sum
@@ -275,6 +303,79 @@ object Maintain {
               coalesce(col(s"__d_$a"), lit(0).cast(prevTypes(a))))
               .cast(prevTypes(a))).as(a) }: _*)
     merged.filter(col(countAlias) > 0L)
+  }
+
+  /** Persist a rollup snapshot at an explicit version (`dir/v=N`). */
+  def writeRollup(agg: DataFrame, dir: String, version: Long): Unit =
+    agg.write.mode("overwrite").parquet(s"$dir/v=$version")
+
+  /** Read the LATEST persisted rollup version → (rollup, version). */
+  def readRollup(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+    require(versions.nonEmpty, s"readRollup: no v=N snapshots under $dir")
+    val v = versions.max
+    (spark.read.parquet(s"$dir/v=$v"), v)
+  }
+
+  /** Continuously-maintained rollup from a CDC stream WITH
+    * BEFORE-IMAGES (Debezium shape): each row carries `opCol` ∈
+    * {"I","U","D"}, the new values in the plain `groupCols`/
+    * `sumAliases` columns (I/U), and the old values under
+    * `oldPrefix`-prefixed names (U/D). Because the feed carries the
+    * departures itself, NO base snapshot is scanned — each micro-batch
+    * is one [[mergeDeltas]] against the rollup (group-cardinality
+    * work, zero corpus scans), which is what a per-key metrics rollup
+    * over a 100 TB corpus's change feed has to look like.
+    *
+    * Recovery contract: batch `bid` reads snapshot `v=bid` and writes
+    * `v=bid+1` — a pure function of (prior snapshot, batch), so a
+    * replayed batch OVERWRITES its own output identically instead of
+    * double-applying (the latest-wins-analogue for arithmetic state).
+    * Seed `v=0` with [[writeRollup]] before starting (an empty
+    * aggregate of the right schema, or the rollup of an existing
+    * corpus). Superseded snapshots older than the batch's input are
+    * pruned after each commit.
+    */
+  def rollupStream(changes: DataFrame, dir: String, groupCols: Seq[String],
+      sumAliases: Seq[String], countAlias: String = "n",
+      opCol: String = "op", oldPrefix: String = "old_",
+      checkpoint: Option[String] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(changes.isStreaming, "rollupStream: changes must be a streaming DataFrame")
+    val w0 = changes.writeStream.trigger(trigger)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val spark = batch.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$bid")),
+            s"rollupStream: missing rollup snapshot v=$bid under $dir " +
+              "(seed v=0 with writeRollup before starting)")
+          val prev = spark.read.parquet(s"$dir/v=$bid")
+          val b = batch.toDF()
+          val arrivals = b.filter(col(opCol).isin("I", "U"))
+            .select((groupCols ++ sumAliases).map(col): _*)
+          val departures = b.filter(col(opCol).isin("U", "D"))
+            .select((groupCols ++ sumAliases).map(c => col(oldPrefix + c).as(c)): _*)
+          writeRollup(
+            mergeDeltas(prev, arrivals, departures, groupCols, sumAliases, countAlias),
+            dir, bid + 1)
+          // prune snapshots this batch's commit superseded (< bid:
+          // v=bid itself stays — it is THIS batch's replay input)
+          fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+            .map(_.getPath).filter(_.getName.startsWith("v="))
+            .filter(_.getName.stripPrefix("v=").toLong < bid)
+            .foreach(p => fs.delete(p, true))
+          ()
+      }
+    checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
   }
 
   /** Fold the log into a fresh compacted base at `outDir/base` (the

@@ -226,6 +226,56 @@ class MaintainSpec extends SparkSpec {
     assert(!got("g2"))
   }
 
+  test("rollupStream: CDC before-image stream maintains the rollup; replay is idempotent") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+    // seed: rollup over an initial corpus {k1:(g1,10), k2:(g2,20)}
+    val seed = Seq(("g1", 1L, 10L), ("g2", 1L, 20L)).toDF("g", "n", "v")
+      .withColumn("v", $"v".cast("decimal(12,2)"))
+    Maintain.writeRollup(seed, dir, 0L)
+
+    val src = graft.connectors.Testing
+      .testingSource[(String, String, Option[Long], Option[String], Option[Long])](spark)
+    val stream = src.toDS().toDF("op", "g", "v", "old_g", "old_v")
+      .select($"op", $"g", $"v".cast("decimal(12,2)").as("v"),
+        $"old_g", $"old_v".cast("decimal(12,2)").as("old_v"))
+    val q = Maintain.rollupStream(stream, dir, Seq("g"), Seq("v"), "n",
+      opCol = "op", oldPrefix = "old_", trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 0: insert k3 into g1; update k2 20→25 staying in g2
+      src.addBatch(("I", "g1", Some(5L), None, None),
+        ("U", "g2", Some(25L), Some("g2"), Some(20L)))
+      q.processAllAvailable()
+      // batch 1: move k1 g1→g2 (U with group change); delete k3
+      src.addBatch(("U", "g2", Some(11L), Some("g1"), Some(10L)),
+        ("D", "", None, Some("g1"), Some(5L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val (rollup, v) = Maintain.readRollup(spark, dir)
+    assert(v === 2L)
+    val got = rollup.select($"g", $"n", $"v".cast("long"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // final rows: k1=(g2,11), k2=(g2,25) → g2 n=2 s=36; g1 empty (dropped)
+    assert(got === Seq(("g2", 2L, 36L)))
+
+    // replay idempotency: re-deriving v=2 from v=1 and batch 1's rows
+    // produces the identical snapshot (pure function of (state, batch))
+    val v1 = spark.read.parquet(s"$dir/v=1")
+    val b1 = Seq(("U", "g2", Option(11L), Option("g1"), Option(10L)),
+      ("D", "", Option.empty[Long], Option("g1"), Option(5L)))
+      .toDF("op", "g", "v", "old_g", "old_v")
+      .select($"op", $"g", $"v".cast("decimal(12,2)").as("v"),
+        $"old_g", $"old_v".cast("decimal(12,2)").as("old_v"))
+    val replayed = Maintain.mergeDeltas(v1,
+        b1.filter($"op".isin("I", "U")).select($"g", $"v"),
+        b1.filter($"op".isin("U", "D")).select($"old_g".as("g"), $"old_v".as("v")),
+        Seq("g"), Seq("v"), "n")
+      .select($"g", $"n", $"v".cast("long")).as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(replayed === got.map { case (g, n, s) => (g, n, s) })
+  }
+
   test("refreshAgg reuses untouched groups BY IDENTITY (the incremental proof)") {
     // poison the untouched group g4's prior aggregate: if refreshAgg
     // recomputed it, the poison would heal — it must survive instead
