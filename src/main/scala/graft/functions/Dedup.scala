@@ -544,7 +544,12 @@ object Dedup {
       eval.select(explode(shingles(evalText, n)).as("s0"))
         .select(xxhash64(col("s0")).as("s")).distinct()
         .cache()) // consumers: count, bloom build, exact verify join
-    val expected = math.max(esh.count(), 1L)
+    val expected = esh.count()
+    // an empty eval set means nothing can be contaminated — and
+    // stat.bloomFilter NPEs on an empty build side
+    if (expected == 0L)
+      return train.select(trainId.as("id")).limit(0)
+        .withColumn("n_shared", lit(0L))
     val bf = esh.stat.bloomFilter("s", expected, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -558,6 +563,58 @@ object Dedup {
       .join(esh, Seq("s"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Novelty / memorization-risk scoring — the SCORE face of
+    * decontamination: per train doc, `(id, n_grams, n_seen)` where
+    * `n_grams` is the doc's distinct n-gram count and `n_seen` how
+    * many of them appear ANYWHERE in the reference corpus (a held-out
+    * benchmark, a previous training run's corpus, a known-memorized
+    * set). `n_seen / n_grams` near 1 marks a doc whose content the
+    * reference already covers; [[decontaminate]] filters at a shared-
+    * count threshold, this reports the full distribution so a pipeline
+    * can gate, stratify, or audit on it.
+    *
+    * One pass over the train shingles: every row is counted toward
+    * `n_grams` map-side, and ONLY rows the broadcast reference Bloom
+    * admits take the exact verify join (false positives die on the
+    * left-join null, so the counts are EXACT — the Bloom narrows the
+    * shuffle, never the answer, the [[decontaminateBloom]] contract).
+    * At 100 TB the join moves the ~overlap + fpp fraction of train
+    * shingles; the final exchange carries two longs per doc.
+    */
+  def noveltyStats(train: DataFrame, trainId: Column, trainText: Column,
+      ref: DataFrame, refText: Column, n: Int, fpp: Double = 0.01,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val esh = scope.track(
+      ref.select(explode(shingles(refText, n)).as("s0"))
+        .select(xxhash64(col("s0")).as("s")).distinct()
+        .cache()) // consumers: count, bloom build, exact verify join
+    val expected = esh.count()
+    // empty reference: every gram is novel (stat.bloomFilter NPEs on
+    // an empty build side, and there is nothing to probe anyway)
+    if (expected == 0L)
+      return shingleRows(train, trainId, trainText, n)
+        .groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+        .withColumn("n_seen", lit(0L))
+    val bf = esh.stat.bloomFilter("s", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftExpr.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), GraftExpr.expression(col("s"))))
+    val probed = shingleRows(train, trainId, trainText, n)
+      .withColumn("__mc", mightContain)
+    val misses = probed.filter(!col("__mc"))
+      .select(col("id"), lit(0L).as("__hit"))
+    val hits = probed.filter(col("__mc"))
+      .join(esh.select(col("s"), lit(1L).as("__h")), Seq("s"), "left")
+      .select(col("id"), coalesce(col("__h"), lit(0L)).as("__hit"))
+    misses.unionByName(hits)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__hit")).as("n_seen"))
   }
 
   /** Connected components over a near-dup pair list — the clustering

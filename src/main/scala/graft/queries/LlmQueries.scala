@@ -598,6 +598,18 @@ object LlmQueries {
         n = 5, minShared = 3)
     },
 
+    // novelty / memorization-risk scoring: the score face of
+    // decontamination — per train doc, distinct 5-grams and how many
+    // the held-out reference already contains. The Bloom prefilter +
+    // exact verify produce the EXACT counts (false positives die on
+    // the left-join null), so the oracle is the plain n-gram join.
+    "q_text_novelty" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.noveltyStats(docs.filter($"doc_id" % 50 =!= 0), $"doc_id", $"text",
+        docs.filter($"doc_id" % 50 === 0), $"text", n = 5)
+    },
+
     // incremental corpus maintenance: new drop (doc_id%3==0) vs kept
     // history — pairs touching the drop, never old×old re-verification
     "q_dedup_incremental" -> { (s, dir) =>
@@ -1515,6 +1527,17 @@ object LlmQueries {
         |SELECT doc_id AS id, COUNT(*) AS n_shared
         |FROM tr JOIN ev USING (s)
         |GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin,
+    "q_text_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |  FROM tok, UNNEST(generate_series(1, len(w)-4)) t(i))),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(ev.s) AS BIGINT) AS n_seen
+        |FROM tr LEFT JOIN ev USING (s)
+        |GROUP BY 1""".stripMargin,
     "q_hll" -> (hllRegSql +
       """SELECT event_type,
         |  md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY idx)) AS regs_md5,

@@ -82,6 +82,13 @@ class DecontamBloomSpec extends SparkSpec {
     got.keys.foreach(id => assert(id % 50 != 0))
   }
 
+  test("empty eval set: nothing contaminated, no bloom-build NPE") {
+    val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val eval = train.filter(org.apache.spark.sql.functions.lit(false))
+    assert(Dedup.decontaminateBloom(train, $"doc_id", $"text",
+      eval, $"text", 5, 3).count() === 0L)
+  }
+
   test("semantic decontam auto sizes bits from the train side and stays verified") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val train = emb.filter($"vec_id" % 50 =!= 0)

@@ -899,6 +899,32 @@ class FunctionsSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("noveltyStats: exact per-doc seen counts via bloom + verify; empty-ref edge") {
+    import graft.functions.Dedup
+    // ref contains "a b c" and "c d e"; n=2 ref grams: {a b, b c, c d, d e}
+    val ref = Seq((100L, "a b c"), (101L, "c d e")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d"),   // grams {a b, b c, c d} all seen → 3/3
+      (2L, "x y z"),     // {x y, y z} none seen → 0/2
+      (3L, "d e q a b")) // {d e, e q, q a, a b} → 2/4
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyStats(train, $"doc_id", $"text", ref, $"text", n = 2)
+      .select($"id", $"n_grams", $"n_seen").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 3L, 3L), (2L, 2L, 0L), (3L, 4L, 2L)))
+    // empty reference: every gram novel, nothing throws
+    val emptyRef = ref.filter(lit(false))
+    val none = Dedup.noveltyStats(train, $"doc_id", $"text", emptyRef, $"text", n = 2)
+      .select($"id", $"n_seen").as[(Long, Long)].collect().toMap
+    assert(none.values.forall(_ === 0L))
+    // real-table smoke: seen counts never exceed gram counts
+    val docs = Tables.load(spark, sf001, "documents")
+    val stats = Dedup.noveltyStats(docs.filter($"doc_id" % 50 =!= 0),
+        $"doc_id", $"text", docs.filter($"doc_id" % 50 === 0), $"text", n = 5)
+      .select($"n_grams", $"n_seen").as[(Long, Long)].collect()
+    assert(stats.nonEmpty && stats.forall { case (g, s) => s >= 0 && s <= g })
+  }
+
   test("groupSplit: exact thresholds vs the JVM reference, catch-all and open forms") {
     import graft.functions.{Sampling, SamplingImpl}
     val ids = (0L until 1000L).toDF("g")
