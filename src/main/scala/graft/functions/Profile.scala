@@ -35,10 +35,20 @@ object Profile {
     * default).
     */
   def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = false): DataFrame =
+    profileBy(df, lit(1), cols, exactDistinct).drop("stratum")
+
+  /** [[profile]] per stratum — the per-source dataset card ("what does
+    * each corpus component look like"): same one-scan discipline, the
+    * aggregate keyed by `stratumCol`, the unpivot per stratum row.
+    * Output: `(stratum, col_name, dtype, n, nulls, n_distinct, min_v,
+    * max_v, sum_v)`.
+    */
+  def profileBy(df: DataFrame, stratumCol: Column, cols: Seq[String],
       exactDistinct: Boolean = false): DataFrame = {
-    require(cols.nonEmpty, "profile: no columns")
+    require(cols.nonEmpty, "profileBy: no columns")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    cols.foreach(c => require(types.contains(c), s"profile: no column '$c'"))
+    cols.foreach(c => require(types.contains(c), s"profileBy: no column '$c'"))
     def numeric(dt: DataType): Boolean = dt match {
       case _: NumericType => true
       case _ => false
@@ -62,18 +72,19 @@ object Profile {
           lit(null).cast("double").as(s"__max$i"),
           lit(null).cast("double").as(s"__sum$i"))
     }
-    val row = df.agg(aggCols.head, aggCols.tail: _*)
+    val grouped = df.groupBy(stratumCol.as("stratum"))
+      .agg(aggCols.head, aggCols.tail: _*)
     val stackArgs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(lit(c), lit(types(c).simpleString), col(s"__nulls$i"),
         col(s"__dist$i"), col(s"__min$i"), col(s"__max$i"), col(s"__sum$i"))
     }
-    row.select(
+    grouped.select(col("stratum"),
         stack((lit(cols.length) +: stackArgs): _*)
           .as(Seq("col_name", "dtype", "nulls", "n_distinct",
             "min_v", "max_v", "sum_v")),
         col("__n").as("n"))
-      .select(col("col_name"), col("dtype"), col("n"), col("nulls"),
-        col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
+      .select(col("stratum"), col("col_name"), col("dtype"), col("n"),
+        col("nulls"), col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
   }
 
   /** Order-invariant dataset fingerprint — `(n, fp)` where `fp` is the

@@ -273,6 +273,15 @@ object AnalyticQueries {
       graft.functions.Profile.profile(ords,
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
         exactDistinct = true)
+    },
+
+    // per-source dataset cards: the same one-scan profile keyed by the
+    // stratum — every corpus component's completeness/cardinality/
+    // range in one aggregate
+    "q_profile_by" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.functions.Profile.profileBy(docs, col("source"),
+        Seq("doc_id", "n_chars", "lang"), exactDistinct = true)
     })
 
   /** Left = clicks, right = purchases pre-aggregated unique per
@@ -481,6 +490,26 @@ object AnalyticQueries {
          |  COUNT(DISTINCT o_orderstatus),
          |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
          |FROM orders""".stripMargin
+    },
+    "q_profile_by" -> {
+      def num(c: String) =
+        s"""SELECT source AS stratum, '$c' AS col_name, 'bigint' AS dtype,
+           |  COUNT(*) AS n,
+           |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(CAST(MIN(CAST($c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS min_v,
+           |  CAST(CAST(MAX(CAST($c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS max_v,
+           |  CAST(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_v
+           |FROM documents GROUP BY source""".stripMargin
+      s"""${num("doc_id")}
+         |UNION ALL
+         |${num("n_chars")}
+         |UNION ALL
+         |SELECT source, 'lang', 'string', COUNT(*),
+         |  COUNT(CASE WHEN lang IS NULL THEN 1 END),
+         |  COUNT(DISTINCT lang),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         |FROM documents GROUP BY source""".stripMargin
     })
 
   private def asofPre: String =

@@ -46,6 +46,25 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("profileBy: per-stratum cards in one grouped scan; profile ≡ single-stratum case") {
+    val df = Seq(
+      ("a", 1L, Option(2.0)), ("a", 2L, Option.empty[Double]),
+      ("b", 3L, Option(9.0))).toDF("src", "id", "v")
+    val by = Profile.profileBy(df, $"src", Seq("id", "v"), exactDistinct = true)
+    assert(by.queryExecution.executedPlan.collectLeaves().length === 1)
+    val rows = by.collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val av = rows(("a", "v"))
+    assert(av.getLong(3) === 2L && av.getLong(4) === 1L && av.getLong(5) === 1L)
+    assert(av.getDouble(6) === 2.0 && av.getDouble(8) === 2.0)
+    val bid = rows(("b", "id"))
+    assert(bid.getLong(3) === 1L && bid.getDouble(6) === 3.0 && bid.getDouble(7) === 3.0)
+    // profile is exactly the single-stratum projection of the same machinery
+    val flat = Profile.profile(df, Seq("id", "v"), exactDistinct = true)
+    assert(flat.columns.toSeq ===
+      Seq("col_name", "dtype", "n", "nulls", "n_distinct", "min_v", "max_v", "sum_v"))
+    assert(flat.filter($"col_name" === "id").select($"n").as[Long].head() === 3L)
+  }
+
   test("drift: null-frac delta, distinct ratio, range shifts, added/dropped columns") {
     val a = Profile.profile(planted, Seq("id", "v"), exactDistinct = true)
     val b = Profile.profile(
