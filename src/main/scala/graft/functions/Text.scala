@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Canonical text normalization — the pre-dedup/pre-fingerprint
+    * step every large pipeline runs so near-duplicates differing only
+    * in case, punctuation, spacing, or numerals collapse onto one
+    * form: lowercase → punctuation→space (word boundaries survive; a
+    * deletion would weld "end.Start" into one token) → optional
+    * digit folding (every digit → 0, so timestamps/ids/counters stop
+    * making boilerplate unique) → whitespace runs collapse → trim.
+    *
+    * All stages are codegen'd built-ins (lower + regexp_replace), one
+    * fused projection in the scan stage. Character classes are
+    * EXPLICIT ASCII ranges, not `\s`/`\p{Punct}` shorthands: Java
+    * regex (Spark) and RE2 (DuckDB and most other engines) disagree
+    * on shorthand membership (e.g. `\s` and \x0B), and a
+    * normalization whose output differs per engine poisons every
+    * downstream fingerprint. Unicode-aware folding (accents, NFKC) is
+    * deliberately out of scope here — it needs a locale-pinned
+    * expression and breaks cross-engine bit-parity.
+    */
+  def normalize(text: Column, lowercase: Boolean = true,
+      stripPunct: Boolean = true, foldDigits: Boolean = false): Column = {
+    val lowered = if (lowercase) lower(text) else text
+    val punct =
+      if (stripPunct) regexp_replace(lowered, "[!-/:-@\\[-`{-~]", " ")
+      else lowered
+    val digits = if (foldDigits) regexp_replace(punct, "[0-9]", "0") else punct
+    trim(regexp_replace(digits, "[ \\t\\n\\r]+", " "))
+  }
+
   /** Whitespace tokens, empty strings dropped (array form — used where
     * the token list itself is needed, e.g. simhash). Fused codegen'd
     * scan ([[TokensExpr]]); the filter(split) composition's lambda

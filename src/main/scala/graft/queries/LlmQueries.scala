@@ -598,6 +598,23 @@ object LlmQueries {
         n = 5, minShared = 3)
     },
 
+    // canonical normalization: case/punct/digit/whitespace noise is
+    // injected deterministically (the corpus itself is already clean,
+    // which would make the gate vacuous), then every doc's normalized
+    // form is pinned by md5 + length — lower → punct→space → digit
+    // fold → whitespace collapse → trim, explicit ASCII classes so
+    // Java regex and RE2 agree byte-for-byte
+    "q_text_normalize" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val noisy = docs.select($"doc_id",
+        concat(when($"doc_id" % 3 === 0, upper($"text")).otherwise($"text"),
+          lit(",  [Sec-9] done!  ")).as("text"))
+      noisy.select($"doc_id",
+        md5(Text.normalize($"text", foldDigits = true)).as("norm_md5"),
+        length(Text.normalize($"text", foldDigits = true)).cast("long").as("n_chars"))
+    },
+
     // novelty / memorization-risk scoring: the score face of
     // decontamination — per train doc, distinct 5-grams and how many
     // the held-out reference already contains. The Bloom prefilter +
@@ -1527,6 +1544,14 @@ object LlmQueries {
         |SELECT doc_id AS id, COUNT(*) AS n_shared
         |FROM tr JOIN ev USING (s)
         |GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS BIGINT) AS n_chars
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(
+        |    (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END) || ',  [Sec-9] done!  '),
+        |    '[!-/:-@\[-`{-~]', ' ', 'g'), '[0-9]', '0', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS norm
+        |FROM documents)""".stripMargin,
     "q_text_novelty" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (

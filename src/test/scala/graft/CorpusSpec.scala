@@ -10,6 +10,40 @@ import graft.functions.{Cms, CmsImpl, CorpusSketch, CorpusSketchImpl, Dedup, His
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- normalization ----
+
+  test("normalize: hand cases, stage toggles, idempotency, dedup composition") {
+    import graft.functions.{Dedup, Text}
+    def norm(s: String, lc: Boolean = true, punct: Boolean = true,
+        digits: Boolean = false): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(Text.normalize($"t", lc, punct, digits)).as[String].head()
+    assert(norm("  Hello,   World!\t42\n") === "hello world 42")
+    assert(norm("  Hello,   World!\t42\n", digits = true) === "hello world 00")
+    // punctuation becomes a boundary, never a weld
+    assert(norm("end.Start") === "end start")
+    assert(norm("end.Start", punct = false) === "end.start")
+    assert(norm("MiXeD", lc = false) === "MiXeD")
+    assert(norm("") === "" && norm("   \t ") === "")
+    // idempotent: a normalized form is its own normalization
+    val docs = Tables.load(spark, sf001, "documents").limit(200)
+      .select(concat(upper($"text"), lit("!  [9]")).as("t"))
+    val once = docs.select(Text.normalize($"t", foldDigits = true).as("n1"))
+    val twice = once.select($"n1",
+      Text.normalize($"n1", foldDigits = true).as("n2"))
+    assert(twice.filter($"n1" =!= $"n2").count() === 0L)
+    // composition: case/punct variants of one doc collapse under
+    // exact dedup only AFTER normalization
+    val variants = Seq((1L, "the cat sat"), (2L, "The cat  sat!"),
+      (3L, "THE CAT SAT."), (4L, "a different doc")).toDF("doc_id", "text")
+    def dupGroups(t: org.apache.spark.sql.Column) =
+      variants.groupBy(md5(t).as("fp"))
+        .agg(count(lit(1)).as("n")).filter($"n" > 1)
+    assert(dupGroups($"text").count() === 0L)
+    assert(dupGroups(Text.normalize($"text"))
+      .select($"n").as[Long].collect().toSeq === Seq(3L))
+  }
+
   // ---- Count-Min sketch ----
 
   private def skewed(n: Int): DataFrame =
