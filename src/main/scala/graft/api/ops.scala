@@ -338,4 +338,27 @@ object ops {
     step(up.flow, id, "group_split", up.stepId)(
       graft.functions.Sampling.groupSplit(up.ds.toDF(),
         org.apache.spark.sql.functions.col(groupCol), fractions, salt))
+
+  def profileBy(id: String, up: Stream[Row], stratumCol: String,
+      cols: Seq[String], exactDistinct: Boolean = false): Stream[Row] =
+    step(up.flow, id, "profile_by", up.stepId)(
+      graft.functions.Profile.profileBy(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(stratumCol), cols, exactDistinct))
+
+  def noveltyStats(id: String, train: Stream[Row], ref: Stream[Row],
+      idCol: String, textCol: String, n: Int): Stream[Row] =
+    step(train.flow, id, "novelty_stats", train.stepId, ref.stepId)(
+      graft.functions.Dedup.noveltyStats(train.ds.toDF(),
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(textCol),
+        ref.ds.toDF(), org.apache.spark.sql.functions.col(textCol), n))
+
+  def normalizeText(id: String, up: Stream[Row], textCol: String,
+      lowercase: Boolean = true, stripPunct: Boolean = true,
+      foldDigits: Boolean = false): Stream[Row] =
+    step(up.flow, id, "normalize_text", up.stepId)(
+      up.ds.toDF().withColumn(textCol,
+        graft.functions.Text.normalize(
+          org.apache.spark.sql.functions.col(textCol),
+          lowercase, stripPunct, foldDigits)))
 }

@@ -565,6 +565,35 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Multi-benchmark contamination report — [[decontaminate]] across
+    * EVERY benchmark in one pass: per (train doc, benchmark), the
+    * shared distinct-n-gram count. A real pipeline holds dozens of
+    * eval suites; running decontaminate per suite re-shingles the
+    * 100 TB train side once per benchmark, while here the train
+    * shingles move ONCE and the benchmark tag rides the (benchmark-
+    * sized) eval relation through the join. Different benchmarks
+    * sharing an n-gram each get their own row (the eval side is
+    * distinct per benchmark, not globally). Filter `n_shared >=
+    * minShared` per suite downstream — thresholds are typically
+    * suite-specific, so the report returns the full counts.
+    */
+  def decontaminateReport(train: DataFrame, trainId: Column,
+      trainText: Column, benchmarks: Seq[(String, DataFrame, Column)],
+      n: Int): DataFrame = {
+    require(benchmarks.nonEmpty, "decontaminateReport: no benchmarks")
+    require(benchmarks.map(_._1).distinct.length == benchmarks.length,
+      "decontaminateReport: duplicate benchmark names")
+    val esh = benchmarks.map { case (name, df, textCol) =>
+      df.select(explode(shingles(textCol, n)).as("s0"))
+        .select(xxhash64(col("s0")).as("s")).distinct()
+        .withColumn("benchmark", lit(name))
+    }.reduce(_.unionByName(_))
+    shingleRows(train, trainId, trainText, n)
+      .join(esh, Seq("s"))
+      .groupBy(col("id"), col("benchmark"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Novelty / memorization-risk scoring — the SCORE face of
     * decontamination: per train doc, `(id, n_grams, n_seen)` where
     * `n_grams` is the doc's distinct n-gram count and `n_seen` how

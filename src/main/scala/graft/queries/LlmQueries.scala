@@ -598,6 +598,20 @@ object LlmQueries {
         n = 5, minShared = 3)
     },
 
+    // multi-benchmark contamination report: two held-out suites
+    // (0-mod-50 and 0-mod-49 docs) against the train remainder in ONE
+    // train-shingle pass — per (doc, benchmark) shared counts; a doc
+    // contaminated by both suites gets two rows
+    "q_decontam_report" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter($"doc_id" % 50 =!= 0 && $"doc_id" % 49 =!= 0)
+      Dedup.decontaminateReport(train, $"doc_id", $"text",
+        Seq(("suiteA", docs.filter($"doc_id" % 50 === 0), $"text"),
+          ("suiteB", docs.filter($"doc_id" % 49 === 0), $"text")),
+        n = 5)
+    },
+
     // canonical normalization: case/punct/digit/whitespace noise is
     // injected deterministically (the corpus itself is already clean,
     // which would make the gate vacuous), then every doc's normalized
@@ -1544,6 +1558,19 @@ object LlmQueries {
         |SELECT doc_id AS id, COUNT(*) AS n_shared
         |FROM tr JOIN ev USING (s)
         |GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin,
+    "q_decontam_report" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |  FROM tok, UNNEST(generate_series(1, len(w)-4)) t(i))),
+        |ev AS (
+        |  SELECT DISTINCT 'suiteA' AS benchmark, s FROM sh WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT DISTINCT 'suiteB', s FROM sh WHERE doc_id % 49 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0 AND doc_id % 49 <> 0)
+        |SELECT tr.doc_id AS id, ev.benchmark, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (s)
+        |GROUP BY 1, 2""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS BIGINT) AS n_chars
         |FROM (SELECT doc_id,

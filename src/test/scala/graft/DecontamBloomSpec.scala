@@ -82,6 +82,32 @@ class DecontamBloomSpec extends SparkSpec {
     got.keys.foreach(id => assert(id % 50 != 0))
   }
 
+  test("decontaminateReport: one train pass, per-benchmark counts ≡ per-suite decontaminate") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val train = docs.filter($"doc_id" % 50 =!= 0 && $"doc_id" % 49 =!= 0)
+    val suiteA = docs.filter($"doc_id" % 50 === 0)
+    val suiteB = docs.filter($"doc_id" % 49 === 0)
+    val report = Dedup.decontaminateReport(train, $"doc_id", $"text",
+        Seq(("suiteA", suiteA, $"text"), ("suiteB", suiteB, $"text")), n = 5)
+      .select($"id", $"benchmark", $"n_shared")
+      .as[(Long, String, Long)].collect().toSet
+    // each benchmark slice of the report must equal the single-suite
+    // operator's counts (minShared = 1 keeps every shared doc)
+    def single(suite: org.apache.spark.sql.DataFrame, name: String) =
+      Dedup.decontaminate(train, $"doc_id", $"text", suite, $"text",
+          n = 5, minShared = 1)
+        .select($"id", $"n_shared").as[(Long, Long)].collect()
+        .map { case (i, c) => (i, name, c) }.toSet
+    assert(report === single(suiteA, "suiteA") ++ single(suiteB, "suiteB"))
+    assert(report.nonEmpty)
+    // both suites are differentially live
+    assert(report.exists(_._2 == "suiteA") && report.exists(_._2 == "suiteB"))
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateReport(train, $"doc_id", $"text",
+        Seq(("x", suiteA, $"text"), ("x", suiteB, $"text")), n = 5)
+    }
+  }
+
   test("empty eval set: nothing contaminated, no bloom-build NPE") {
     val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val eval = train.filter(org.apache.spark.sql.functions.lit(false))
