@@ -620,26 +620,70 @@ object Dedup {
         .select(xxhash64(col("s0")).as("s")).distinct()
         .cache()) // consumers: count, bloom build, exact verify join
     val expected = esh.count()
-    // empty reference: every gram is novel (stat.bloomFilter NPEs on
-    // an empty build side, and there is nothing to probe anyway)
-    if (expected == 0L)
-      return shingleRows(train, trainId, trainText, n)
-        .groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-        .withColumn("n_seen", lit(0L))
-    val bf = esh.stat.bloomFilter("s", expected, fpp)
-    val bytes = {
+    noveltyStatsServe(train, trainId, trainText,
+      NoveltyRef(esh, buildBloomBytes(esh, expected, fpp), n))
+  }
+
+  /** The frozen reference artifact novelty scoring serves against:
+    * the distinct reference n-gram hashes (parquet-persistable) and
+    * their Bloom bytes. Build once from the reference corpus, persist
+    * beside the model, score any number of drops/streams against it —
+    * the IVF-index contract applied to contamination.
+    */
+  final case class NoveltyRef(esh: DataFrame, bloom: Array[Byte], n: Int)
+
+  private def buildBloomBytes(esh: DataFrame, expected: Long, fpp: Double): Array[Byte] =
+    if (expected == 0L) Array.emptyByteArray
+    else {
+      val bf = esh.stat.bloomFilter("s", expected, fpp)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray
     }
+
+  /** Build + persist the frozen novelty reference (`dir/esh` parquet +
+    * `dir/meta` with the bloom bytes and n). */
+  def writeNoveltyRef(ref: DataFrame, refText: Column, n: Int, dir: String,
+      fpp: Double = 0.01): Unit = {
+    val esh = ref.select(explode(shingles(refText, n)).as("s0"))
+      .select(xxhash64(col("s0")).as("s")).distinct()
+      .cache()
+    try {
+      esh.write.mode("overwrite").parquet(s"$dir/esh")
+      val bytes = buildBloomBytes(esh, esh.count(), fpp)
+      val spark = ref.sparkSession
+      import spark.implicits._
+      Seq((n, bytes)).toDF("n", "bloom")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    } finally { esh.unpersist(); () }
+  }
+
+  /** Read a persisted novelty reference back, serve-ready. */
+  def readNoveltyRef(spark: org.apache.spark.sql.SparkSession,
+      dir: String): NoveltyRef = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    NoveltyRef(spark.read.parquet(s"$dir/esh"),
+      meta.getAs[Array[Byte]]("bloom"), meta.getAs[Int]("n"))
+  }
+
+  /** Score against a prebuilt [[NoveltyRef]] — the serve path
+    * [[noveltyStats]] wraps and streaming scoring runs per batch. */
+  def noveltyStatsServe(train: DataFrame, trainId: Column,
+      trainText: Column, ref: NoveltyRef): DataFrame = {
+    // empty reference: every gram is novel (stat.bloomFilter NPEs on
+    // an empty build side, and there is nothing to probe anyway)
+    if (ref.bloom.isEmpty)
+      return shingleRows(train, trainId, trainText, ref.n)
+        .groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+        .withColumn("n_seen", lit(0L))
     val mightContain = GraftExpr.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType), GraftExpr.expression(col("s"))))
-    val probed = shingleRows(train, trainId, trainText, n)
+      Literal(ref.bloom, BinaryType), GraftExpr.expression(col("s"))))
+    val probed = shingleRows(train, trainId, trainText, ref.n)
       .withColumn("__mc", mightContain)
     val misses = probed.filter(!col("__mc"))
       .select(col("id"), lit(0L).as("__hit"))
     val hits = probed.filter(col("__mc"))
-      .join(esh.select(col("s"), lit(1L).as("__h")), Seq("s"), "left")
+      .join(ref.esh.select(col("s"), lit(1L).as("__h")), Seq("s"), "left")
       .select(col("id"), coalesce(col("__h"), lit(0L)).as("__hit"))
     misses.unionByName(hits)
       .groupBy(col("id"))

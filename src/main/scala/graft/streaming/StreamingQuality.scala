@@ -73,6 +73,31 @@ object StreamingQuality {
     checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming novelty scoring: every micro-batch of documents scores
+    * against a FROZEN [[graft.functions.Dedup.NoveltyRef]] (built once
+    * from the reference corpus with `writeNoveltyRef`) — the exact
+    * batch operator per batch, like every serving face here. Being
+    * reference-frozen, the monitor flags arriving content the
+    * benchmark suite already contains BEFORE it lands in a training
+    * shard.
+    */
+  def noveltyMonitor(docs: DataFrame, idCol: String, textCol: String,
+      ref: graft.functions.Dedup.NoveltyRef,
+      onBatch: (DataFrame, Long) => Unit,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(docs.isStreaming, "noveltyMonitor: docs must be a streaming DataFrame")
+    val w0 = docs.writeStream.trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onBatch(
+          graft.functions.Dedup.noveltyStatsServe(batch.toDF(),
+            col(idCol), col(textCol), ref),
+          batchId)
+        ()
+      }
+    checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
+  }
+
   /** Build the frozen reference histogram from the reference corpus —
     * the driver-side `Array[Long]` `driftMonitor` broadcasts via its
     * closure (nbins+2 longs: a bounded model fit, the √N-centroid

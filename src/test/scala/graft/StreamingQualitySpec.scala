@@ -44,6 +44,39 @@ class StreamingQualitySpec extends SparkSpec {
     assert(reports.filter(_._1 == 0L).map(_._2).toSet === batchRep)
   }
 
+  test("noveltyMonitor: persisted ref round-trips; streamed scores ≡ batch operator") {
+    import graft.functions.Dedup
+    val ref = Seq((100L, "a b c"), (101L, "c d e")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-novref").toString
+    Dedup.writeNoveltyRef(ref, $"text", n = 2, dir)
+    val loaded = Dedup.readNoveltyRef(spark, dir)
+    assert(loaded.n === 2 && loaded.bloom.nonEmpty)
+
+    val docs = Seq((1L, "a b c d"), (2L, "x y z"), (3L, "d e q a b"))
+    // persisted serve ≡ the one-shot operator
+    val served = Dedup.noveltyStatsServe(docs.toDF("doc_id", "text"),
+        $"doc_id", $"text", loaded)
+      .select($"id", $"n_grams", $"n_seen").as[(Long, Long, Long)].collect().toSet
+    val oneShot = Dedup.noveltyStats(docs.toDF("doc_id", "text"),
+        $"doc_id", $"text", ref, $"text", n = 2)
+      .select($"id", $"n_grams", $"n_seen").as[(Long, Long, Long)].collect().toSet
+    assert(served === oneShot && served.nonEmpty)
+
+    // streaming union over arbitrary splits ≡ batch
+    val src = Testing.testingSource[(Long, String)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = graft.streaming.StreamingQuality.noveltyMonitor(
+      src.toDS().toDF("doc_id", "text"), "doc_id", "text", loaded,
+      onBatch = (out, _) => buf.synchronized { buf ++= out.collect(); () },
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      src.addBatch(docs.take(2): _*); q.processAllAvailable()
+      src.addBatch(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = buf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === served)
+  }
+
   test("driftMonitor: per-batch PSI ≡ batch psiBetween vs the frozen reference") {
     val ref = Seq(1.0, 1.0, 1.0, 7.0).toDF("x")
     val refHist = StreamingQuality.referenceHist(ref, "x", 0.0, 10.0, 2)
