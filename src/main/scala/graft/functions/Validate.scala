@@ -52,6 +52,26 @@ object Validate {
       count(col(column)) - count_distinct(col(column))
   }
 
+  /** Composite-key uniqueness: no two rows share the same tuple of
+    * `columns` values — the real primary-key check (single-column
+    * [[Unique]] is the degenerate case; most fact tables key on a
+    * tuple, e.g. (orderkey, linenumber)). Scope: rows where EVERY key
+    * part is non-null (SQL distinct treats NULLs as equal, which would
+    * report legitimate null rows as duplicates); completeness of the
+    * parts is [[NotNull]]'s job. Violations = excess rows beyond one
+    * per distinct tuple.
+    */
+  final case class UniqueTuple(columns: Seq[String]) extends Check {
+    require(columns.nonEmpty, "UniqueTuple: no columns")
+    val kind = "unique_tuple"
+    def column: String = columns.mkString(",")
+    private[functions] def violations: Column = {
+      val allSet = columns.map(c => col(c).isNotNull).reduce(_ && _)
+      val tuple = struct(columns.map(col): _*)
+      count(when(allSet, 1)) - count_distinct(when(allSet, tuple))
+    }
+  }
+
   /** Range: non-null values must satisfy `lo <= column <= hi`. Nulls
     * are not violations here ([[NotNull]] owns completeness), matching
     * SQL three-valued logic.

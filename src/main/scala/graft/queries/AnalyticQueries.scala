@@ -258,6 +258,7 @@ object AnalyticQueries {
       Validate.report(li, Seq(
           Validate.NotNull("l_returnflag"),
           Validate.Unique("l_orderkey"),
+          Validate.UniqueTuple(Seq("l_orderkey", "l_linenumber")),
           Validate.Bounds("l_quantity", 1.0, 25.0),
           Validate.InSet("l_returnflag", Seq("A", "N", "R")),
           Validate.Pattern("l_linestatus", "^[OF]$")))
@@ -451,6 +452,11 @@ object AnalyticQueries {
         |    COUNT(*) AS total,
         |    COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS v_nn,
         |    COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS v_u,
+        |    COUNT(CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |          THEN 1 END)
+        |      - COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+        |            AND l_linenumber IS NOT NULL
+        |          THEN struct_pack(a := l_orderkey, b := l_linenumber) END) AS v_ut,
         |    COUNT(CASE WHEN l_quantity < 1.0 OR l_quantity > 25.0 THEN 1 END) AS v_b,
         |    COUNT(CASE WHEN l_returnflag IS NOT NULL
         |               AND l_returnflag NOT IN ('A','N','R') THEN 1 END) AS v_s,
@@ -466,6 +472,7 @@ object AnalyticQueries {
         |SELECT 'not_null' AS kind, 'l_returnflag' AS col_name,
         |  v_nn AS violations, total, v_nn = 0 AS passed FROM t
         |UNION ALL SELECT 'unique', 'l_orderkey', v_u, total, v_u = 0 FROM t
+        |UNION ALL SELECT 'unique_tuple', 'l_orderkey,l_linenumber', v_ut, total, v_ut = 0 FROM t
         |UNION ALL SELECT 'bounds', 'l_quantity', v_b, total, v_b = 0 FROM t
         |UNION ALL SELECT 'in_set', 'l_returnflag', v_s, total, v_s = 0 FROM t
         |UNION ALL SELECT 'pattern', 'l_linestatus', v_p, total, v_p = 0 FROM t

@@ -276,6 +276,39 @@ class MaintainSpec extends SparkSpec {
     assert(replayed === got.map { case (g, n, s) => (g, n, s) })
   }
 
+  test("rollupStream survives stop/restart without double-applying (checkpointed)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-rollup-rec").toString
+    val ckpt = Files.createTempDirectory("graft-rollup-ckpt").toString
+    Maintain.writeRollup(
+      Seq(("g1", 1L, 10L)).toDF("g", "n", "v")
+        .withColumn("v", $"v".cast("decimal(12,2)")), dir, 0L)
+    val src = graft.connectors.Testing
+      .testingSource[(String, String, Option[Long], Option[String], Option[Long])](spark)
+    def stream = src.toDS().toDF("op", "g", "v", "old_g", "old_v")
+      .select($"op", $"g", $"v".cast("decimal(12,2)").as("v"),
+        $"old_g", $"old_v".cast("decimal(12,2)").as("old_v"))
+    def start() = Maintain.rollupStream(stream, dir, Seq("g"), Seq("v"), "n",
+      checkpoint = Some(ckpt), trigger = Trigger.ProcessingTime(0))
+    val q1 = start()
+    try {
+      src.addBatch(("I", "g1", Some(5L), None, None))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint; feed another batch
+    val q2 = start()
+    try {
+      src.addBatch(("U", "g1", Some(6L), Some("g1"), Some(5L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val (rollup, v) = Maintain.readRollup(spark, dir)
+    val got = rollup.select($"g", $"n", $"v".cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    // 10 + insert 5 + (replace 5→6) = 16, n = 2; nothing applied twice
+    assert(got === Seq(("g1", 2L, 16L)), s"v=$v got=$got")
+  }
+
   test("refreshAgg reuses untouched groups BY IDENTITY (the incremental proof)") {
     // poison the untouched group g4's prior aggregate: if refreshAgg
     // recomputed it, the poison would heal — it must survive instead

@@ -37,6 +37,23 @@ class ValidateSpec extends SparkSpec {
       ("pattern", "code", 1L, 5L, false)))  // zz9
   }
 
+  test("unique_tuple: composite-key violations; rows with a null part are out of scope") {
+    val df = Seq(
+      (Option(1L), Option("a")), (Option(1L), Option("a")),  // dup tuple
+      (Option(1L), Option("b")),
+      (Option.empty[Long], Option("a")), (Option.empty[Long], Option("a")) // null part ×2
+    ).toDF("k1", "k2")
+    val rep = Validate.report(df, Seq(UniqueTuple(Seq("k1", "k2"))))
+      .select($"kind", $"col_name", $"violations", $"total", $"passed")
+      .as[(String, String, Long, Long, Boolean)].head()
+    // 3 fully-non-null rows, 2 distinct tuples → 1 violation; the two
+    // null-part rows are NOT counted as duplicates of each other
+    assert(rep === (("unique_tuple", "k1,k2", 1L, 5L, false)))
+    val clean = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("k1", "k2")
+    assert(Validate.report(clean, Seq(UniqueTuple(Seq("k1", "k2"))))
+      .select($"passed").as[Boolean].head())
+  }
+
   test("bounds/in_set/pattern ignore nulls (completeness is not_null's job)") {
     val df = Seq((1L, Option.empty[java.lang.Double], Option.empty[String]))
       .toDF("id", "v", "s")
