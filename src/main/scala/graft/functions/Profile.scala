@@ -38,6 +38,76 @@ object Profile {
       exactDistinct: Boolean = false): DataFrame =
     profileBy(df, lit(1), cols, exactDistinct).drop("stratum")
 
+  /** MERGEABLE per-shard profile — the 100 TB maintenance form:
+    * profile each drop/shard/partition ONCE as it lands, roll the
+    * shard profiles up without ever rescanning old data. Counts/nulls
+    * add, min/max combine, sums carry in exact decimal, and the
+    * distinct count rides as an [[Hll]] sketch (register-wise max
+    * merge — the same mergeable-sketch contract as the corpus
+    * statistics suite). `(col_name, dtype, n, nulls, distinct_sketch,
+    * min_v, max_v, sum_v)`; feed any union of shard profiles to
+    * [[mergeProfiles]].
+    */
+  def profileShard(df: DataFrame, cols: Seq[String], p: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "profileShard: no columns")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach(c => require(types.contains(c), s"profileShard: no column '$c'"))
+    def numeric(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggCols = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap {
+      case (c, i) =>
+        val base = Seq(
+          count(when(col(c).isNull, 1)).as(s"__nulls$i"),
+          // null guard: xxhash64(null) yields the seed, which would
+          // count nulls as one distinct value; the sketch agg skips
+          // null HASH inputs, so gate the hash itself
+          Hll.hllSketch(when(col(c).isNotNull, xxhash64(col(c))), p)
+            .as(s"__sk$i"))
+        if (numeric(types(c))) {
+          val d = col(c).cast("decimal(38,6)")
+          base ++ Seq(
+            min(d).cast("string").cast("double").as(s"__min$i"),
+            max(d).cast("string").cast("double").as(s"__max$i"),
+            sum(d).as(s"__sum$i"))
+        } else base ++ Seq(
+          lit(null).cast("double").as(s"__min$i"),
+          lit(null).cast("double").as(s"__max$i"),
+          lit(null).cast("decimal(38,6)").as(s"__sum$i"))
+    }
+    val row = df.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), lit(types(c).simpleString), col(s"__nulls$i"),
+        col(s"__sk$i"), col(s"__min$i"), col(s"__max$i"), col(s"__sum$i"))
+    }
+    row.select(
+        stack((lit(cols.length) +: stackArgs): _*)
+          .as(Seq("col_name", "dtype", "nulls", "distinct_sketch",
+            "min_v", "max_v", "sum_v")),
+        col("__n").as("n"))
+      .select(col("col_name"), col("dtype"), col("n"), col("nulls"),
+        col("distinct_sketch"), col("min_v"), col("max_v"), col("sum_v"))
+  }
+
+  /** Roll up a union of [[profileShard]] relations into one corpus
+    * profile: one vocabulary-of-columns-sized aggregation, zero data
+    * rescans. Output matches [[profile]]'s shape with `n_distinct`
+    * the HLL estimate of the merged sketch (the estimate of a merge
+    * is exactly the estimate of profiling the union directly — the
+    * sketches are bit-identical by the register-max algebra).
+    */
+  def mergeProfiles(shards: DataFrame): DataFrame =
+    shards.groupBy(col("col_name"), col("dtype"))
+      .agg(sum(col("n")).as("n"), sum(col("nulls")).as("nulls"),
+        Hll.hllMerge(col("distinct_sketch")).as("__sk"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+        sum(col("sum_v")).as("__sum"))
+      .select(col("col_name"), col("dtype"), col("n"), col("nulls"),
+        Hll.hllEstimate(col("__sk")).cast("long").as("n_distinct"),
+        col("min_v"), col("max_v"),
+        col("__sum").cast("string").cast("double").as("sum_v"))
+
   /** [[profile]] per stratum — the per-source dataset card ("what does
     * each corpus component look like"): same one-scan discipline, the
     * aggregate keyed by `stratumCol`, the unpivot per stratum row.

@@ -81,6 +81,44 @@ class ProfileSpec extends SparkSpec {
     assert(!d("id").getBoolean(6))
   }
 
+  test("mergeable profiles: shard roll-up ≡ direct on exact stats; sketch bit-parity; HLL envelope") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val shards = (0 until 4).map(i =>
+      Profile.profileShard(docs.filter($"doc_id" % 4 === i),
+        Seq("doc_id", "n_chars", "lang")))
+    val merged = Profile.mergeProfiles(shards.reduce(_.unionByName(_)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val direct = Profile.profile(docs, Seq("doc_id", "n_chars", "lang"),
+        exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("doc_id", "n_chars", "lang")) {
+      val m = merged(c); val d = direct(c)
+      assert(m.getLong(2) === d.getLong(2), s"$c n")       // counts exact
+      assert(m.getLong(3) === d.getLong(3), s"$c nulls")
+      if (c != "lang") {
+        assert(m.getDouble(5) === d.getDouble(5), s"$c min") // endpoints exact
+        assert(m.getDouble(6) === d.getDouble(6), s"$c max")
+        assert(m.getDouble(7) === d.getDouble(7), s"$c sum") // decimal-carried sum exact
+      }
+      // HLL estimate within envelope of the exact distinct
+      val exact = d.getLong(4).toDouble
+      assert(math.abs(m.getLong(4) - exact) / exact < 0.1, s"$c distinct")
+    }
+    // merged sketch ≡ the sketch of profiling everything at once (register-max algebra)
+    val direct1 = Profile.profileShard(docs, Seq("doc_id"))
+      .select($"distinct_sketch").as[Array[Byte]].head()
+    val merged1 = shards.reduce(_.unionByName(_))
+      .filter($"col_name" === "doc_id")
+      .agg(graft.functions.Hll.hllMerge($"distinct_sketch"))
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(direct1, merged1))
+    // null guard: nulls never enter the distinct sketch
+    val withNulls = Seq(Option("x"), Option("x"), Option.empty[String]).toDF("v")
+    val est = Profile.mergeProfiles(Profile.profileShard(withNulls, Seq("v")))
+      .select($"n_distinct").as[Long].head()
+    assert(est === 1L)
+  }
+
   test("fingerprint: order/layout invariant, change-sensitive, null-safe, shard-additive") {
     val docs = Tables.load(spark, sf001, "documents")
     def fp(df: org.apache.spark.sql.DataFrame): (Long, BigInt) = {
