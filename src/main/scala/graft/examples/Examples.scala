@@ -40,6 +40,37 @@ object Examples {
   }
 
   // ------------------------------------------------------------------
+  // Snapshot admission — the governance checklist a corpus pipeline
+  // runs before a new drop joins the training set, composing the
+  // quality family end-to-end: constraint validation (the refuse
+  // switch), per-stratum dataset cards, the order-invariant content
+  // fingerprint (identity for provenance logs), and profile drift
+  // against the previous snapshot's profile. Everything is
+  // report-shaped — the caller decides what blocks admission; only
+  // `requireValid` throws, and only when asked.
+  // ------------------------------------------------------------------
+
+  final case class Admission(validation: DataFrame, cards: DataFrame,
+      fingerprint: DataFrame, drift: DataFrame)
+
+  def snapshotAdmission(drop: DataFrame,
+      checks: Seq[graft.functions.Validate.Check],
+      stratumCol: Column, profileCols: Seq[String],
+      fingerprintCols: Seq[String],
+      prevProfile: Option[DataFrame] = None,
+      failFast: Boolean = false): Admission = {
+    import graft.functions.{Profile, Validate}
+    if (failFast) Validate.requireValid(drop, checks)
+    val prof = Profile.profile(drop, profileCols)
+    Admission(
+      Validate.report(drop, checks),
+      Profile.profileBy(drop, stratumCol, profileCols),
+      Profile.fingerprint(drop, fingerprintCols),
+      prevProfile.map(p => Profile.drift(p, prof))
+        .getOrElse(Profile.drift(prof, prof)))
+  }
+
+  // ------------------------------------------------------------------
   // search_session (reference examples/search_session.py): sessionize a
   // clickstream per user with gap-based windows, then compute per-
   // session click-through rate (searches with >=1 click / searches).

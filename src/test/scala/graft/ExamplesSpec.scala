@@ -451,4 +451,41 @@ class ExamplesSpec extends SparkSpec {
     assert(wins.forall(_ === 0L))
     assert(sizes.select(countDistinct(col("w"))).as[Long].head() === 10L)
   }
+
+  test("snapshotAdmission: validation + cards + fingerprint + drift in one checklist") {
+    import graft.functions.{Profile, Validate}
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "src0", 10L), (2L, "src0", 20L), (3L, "src1", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val drop = Seq(
+      (4L, "src0", 15L), (5L, "src1", 99999L), // out-of-bounds length
+      (5L, "src1", 25L))                       // duplicate id
+      .toDF("doc_id", "source", "n_chars")
+    val checks = Seq(Validate.NotNull("doc_id"), Validate.Unique("doc_id"),
+      Validate.Bounds("n_chars", 0.0, 1000.0))
+    val adm = Examples.snapshotAdmission(drop, checks, $"source",
+      Seq("doc_id", "n_chars"), Seq("doc_id", "source"),
+      prevProfile = Some(Profile.profile(prev, Seq("doc_id", "n_chars"))))
+    // validation caught both planted defects
+    val failed = adm.validation.filter(!$"passed")
+      .select($"kind").as[String].collect().toSet
+    assert(failed === Set("unique", "bounds"))
+    // per-source cards cover both strata
+    assert(adm.cards.select($"stratum").distinct().as[String].collect().toSet
+      === Set("src0", "src1"))
+    // fingerprint is the standalone operator's value
+    assert(adm.fingerprint.select($"fp").as[String].head() ===
+      Profile.fingerprint(drop, Seq("doc_id", "source"))
+        .select($"fp").as[String].head())
+    // drift vs the previous snapshot surfaces the range blow-up
+    val mx = adm.drift.filter($"col_name" === "n_chars")
+      .select($"max_shift").as[Double].head()
+    assert(mx === 99999.0 - 30.0)
+    // failFast throws on the planted defects
+    intercept[IllegalStateException] {
+      Examples.snapshotAdmission(drop, checks, $"source",
+        Seq("doc_id"), Seq("doc_id"), failFast = true)
+    }
+  }
 }
