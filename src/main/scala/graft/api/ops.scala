@@ -361,4 +361,34 @@ object ops {
         graft.functions.Text.normalize(
           org.apache.spark.sql.functions.col(textCol),
           lowercase, stripPunct, foldDigits)))
+
+  def hardNegatives(id: String, candidates: Stream[Row],
+      positives: Stream[Row], k: Int): Stream[Row] =
+    step(candidates.flow, id, "hard_negatives", candidates.stepId,
+      positives.stepId)(
+      graft.functions.Similarity.hardNegatives(candidates.ds.toDF(),
+        positives.ds.toDF(), k))
+
+  def annRecall(id: String, approx: Stream[Row],
+      exact: Stream[Row]): Stream[Row] =
+    step(approx.flow, id, "ann_recall", approx.stepId, exact.stepId)(
+      graft.functions.Similarity.annRecall(approx.ds.toDF(), exact.ds.toDF()))
+
+  def curateBest(id: String, up: Stream[Row], idCol: String,
+      textCol: String, stopwords: Seq[String], minQuality: Double,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = -1): Stream[Row] =
+    step(up.flow, id, "curate_best", up.stepId)(
+      graft.functions.Dedup.curateClusteredBest(up.ds.toDF(),
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(textCol),
+        stopwords, minQuality, n, numHashes, bands, threshold, maxBucketSize))
+
+  def clusterCards(id: String, assign: Stream[Row], meta: Stream[Row],
+      idCol: String, cidCol: String, metaIdCol: String,
+      byCol: String): Stream[Row] =
+    step(assign.flow, id, "cluster_cards", assign.stepId, meta.stepId)(
+      graft.functions.Profile.clusterCards(assign.ds.toDF(), idCol, cidCol,
+        meta.ds.toDF(), metaIdCol,
+        org.apache.spark.sql.functions.col(byCol)))
 }

@@ -75,6 +75,25 @@ object Connectors {
   def jsonlSink(df: DataFrame, path: String, compression: String = "none"): Unit =
     df.write.mode("overwrite").option("compression", compression).json(path)
 
+  /** ORC source/sink — the other columnar interchange format next to
+    * parquet (ORC ships in spark-sql; Hive-ecosystem corpora arrive in
+    * it). Batch reads self-describe; streaming requires the explicit
+    * schema, like every file stream source. Predicate pushdown and
+    * column pruning reach the ORC reader exactly as for parquet
+    * (`PushedFilters` in the scan — spec-pinned), so the 2-column
+    * projection over a wide corpus never reads the other columns.
+    */
+  def orcSource(spark: SparkSession, path: String, streaming: Boolean = false,
+      schema: Option[StructType] = None): DataFrame =
+    if (streaming) {
+      val s = schema.getOrElse(throw new IllegalArgumentException(
+        "streaming ORC needs an explicit schema"))
+      spark.readStream.schema(s).orc(path)
+    } else spark.read.orc(path)
+
+  def orcSink(df: DataFrame, path: String, compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
   /** FileSink / DirSink (files.py:325-462): line sink; exactly-once via
     * batchId-idempotent `foreachBatch` writes (⇔ the reference's
     * truncate-to-offset resume).

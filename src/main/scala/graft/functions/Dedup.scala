@@ -853,6 +853,62 @@ object Dedup {
       .select(col("id"), col("quality"))
   }
 
+  /** Canonical-representative selection by SCORE: given near-dup
+    * clusters `(id, rep)` from [[connectedComponents]] and a per-doc
+    * score relation, pick each cluster's HIGHEST-scoring member (score
+    * ties → lowest id) as the keeper — the production canonicalization
+    * rule (keep the best-quality copy of a duplicated page), where the
+    * id-min rule of [[curateClustered]] keeps whichever copy crawled
+    * first. Returns (rep, keep_id). Scale shape: one join keyed on id,
+    * one rep-keyed aggregate that collapses MAP-SIDE through the same
+    * [[TopK.topKBy]] aggregate as the ANN rankers (k = 1: each task
+    * holds one (score, id) entry per cluster — cluster size never
+    * reaches the exchange). Members whose score is null are excluded
+    * per [[TopK]]'s null-score contract; a cluster of all-null scores
+    * yields no keeper row.
+    */
+  def bestPerCluster(cc: DataFrame, scores: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    TopK.ensureHashAggCapacity(cc.sparkSession)
+    cc.select(col("id"), col("rep"))
+      .join(scores.select(col(idCol).as("id"),
+        col(scoreCol).cast("double").as("score")), Seq("id"))
+      .groupBy(col("rep"))
+      .agg(TopK.topKBy(col("score"), col("id"), 1).as("tk"))
+      // get() (not getItem): an all-null-score cluster aggregates to an
+      // EMPTY entry array, which must drop as a null row, not raise
+      // ANSI invalidArrayIndex
+      .select(col("rep"), get(col("tk"), lit(0)).getField("id").as("keep_id"))
+      .filter(col("keep_id").isNotNull)
+  }
+
+  /** [[curateClustered]] with the keep-BEST canonical rule: quality
+    * gate → near-dup clusters → keep each cluster's highest-quality
+    * member ([[bestPerCluster]]; ties → lowest id) plus every
+    * unclustered doc. Same plan as curateClustered apart from the
+    * keeper aggregate, and the same (id, quality) output face.
+    */
+  def curateClusteredBest(df: DataFrame, idCol: Column, text: Column,
+      stopwords: Seq[String], minQuality: Double,
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = -1): DataFrame = {
+    val scored = df.select(idCol.as("id"), text.as("text"),
+      Text.qualityScore(text, stopwords).as("quality"))
+    val kept = scored.filter(col("quality") >= minQuality)
+    val scope = new CacheScope
+    val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands,
+      threshold, resolveCap(maxBucketSize, df), scope)
+    val cc = connectedComponents(pairs.select(col("i"), col("j")))
+    scope.close()
+    val keepers = bestPerCluster(cc, kept.select(col("id"), col("quality")),
+      "id", "quality")
+    val drops = cc.join(keepers, Seq("rep"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("drop_id"))
+    kept.join(drops, kept("id") === drops("drop_id"), "left_anti")
+      .select(col("id"), col("quality"))
+  }
+
   /** The full curation pipeline in one call: PII scrub → quality gate
     * → exact dedup (keep lowest id per fingerprint) → MinHash near-dup
     * clustering keeping each cluster's minimum → decontamination

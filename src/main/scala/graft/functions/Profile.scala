@@ -249,4 +249,40 @@ object Profile {
     ha.crossJoin(hb) // two 1-row sketch relations — the sketch-probe precedent
       .select(psi(col("h"), col("hb")).as("psi"))
   }
+
+  /** Cluster cards — the per-cluster face of [[profileBy]] for a
+    * CLUSTERING rather than a stored stratum: given an assignment
+    * `(id, cid)` (k-means cells from `Similarity.ivfAssign`, dup
+    * clusters from `Dedup.connectedComponents` — any id→group map) and
+    * a per-id categorical attribute, emit one card per cluster:
+    *   (cid, n, top_value, top_n)
+    * where top_value is the cluster's dominant attribute value (count
+    * ties → smallest value) and top_n its member count — the purity
+    * face in EXACT integers (purity = top_n / n, left to the reader so
+    * the relation hash-compares cross-engine). Scale shape: one
+    * (cid, value) count aggregate, then a cid-keyed argmax that
+    * collapses map-side via [[TopK.topKBy]] — distinct values per
+    * cluster never reach the exchange whole. `byCol` must cast to
+    * long (labels, bucketed attributes); free-text strata belong to
+    * [[profileBy]].
+    */
+  def clusterCards(assign: DataFrame, idCol: String, cidCol: String,
+      meta: DataFrame, metaIdCol: String, byCol: Column): DataFrame = {
+    TopK.ensureHashAggCapacity(assign.sparkSession)
+    val counts = assign.select(col(idCol).as("id"), col(cidCol).as("cid"))
+      .join(meta.select(col(metaIdCol).as("id"), byCol.cast("long").as("value")), Seq("id"))
+      .groupBy(col("cid"), col("value"))
+      .agg(count(lit(1)).as("n_value"))
+    counts.groupBy(col("cid"))
+      .agg(sum(col("n_value")).as("n"),
+        // argmax by (count desc, value asc): topKBy ranks score desc /
+        // id asc, so score = count and id = value give the tie rule
+        TopK.topKBy(col("n_value").cast("double"), col("value"), 1).as("tk"))
+      .select(col("cid"), col("n"),
+        // get() not getItem: a cluster whose values are ALL null
+        // aggregates to an empty entry array (TopK's null-id contract)
+        // and must card as null, not raise ANSI invalidArrayIndex
+        get(col("tk"), lit(0)).getField("id").as("top_value"),
+        get(col("tk"), lit(0)).getField("sim").cast("long").as("top_n"))
+  }
 }

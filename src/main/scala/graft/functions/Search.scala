@@ -324,20 +324,30 @@ object Search {
     * shape — never a window sort over every candidate).
     */
   def bm25TopK(index: SearchIndex, queries: DataFrame, qidCol: Column,
-      qtextCol: Column, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      qtextCol: Column, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    Similarity.rankTopK(bm25Scores(index, queries, qidCol, qtextCol, k1, b), k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid").as("doc_id"), col("sim").as("score"))
+
+  /** The scored candidate relation behind [[bm25TopK]] — every (qid,
+    * nid, sim) with at least one shared term, BEFORE the top-k cut.
+    * This is the lexical face of `Similarity.ivfCandidates`: feed it
+    * to `Similarity.hardNegatives` for BM25-mined training negatives
+    * (the original DPR recipe — Karpukhin et al. 2020 mined hard
+    * negatives from BM25, not from the dense index), or rank it
+    * directly via `rankCandidates`.
+    */
+  def bm25Scores(index: SearchIndex, queries: DataFrame, qidCol: Column,
+      qtextCol: Column, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, b in [0,1]; got k1=$k1 b=$b")
     val qt = queryTerms(queries, qidCol, qtextCol, index.lowercase)
     val qdf = index.lexicon.join(broadcast(qt), Seq("term"))
-    val joined = index.postings.join(broadcast(qdf), Seq("term"))
-    val perDoc = joined
+    index.postings.join(broadcast(qdf), Seq("term"))
       .withColumn("s", bm25Term(col("tf"), col("df"), col("dl"),
         index.nDocs, index.avgdl, k1, b))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("s")).as("sim"))
       .select(col("qid"), col("doc_id").as("nid"), col("sim"))
-    Similarity.rankTopK(perDoc, k)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("nid").as("doc_id"), col("sim").as("score"))
   }
 
   /** Serve BM25 from a PERSISTED index with term pushdown: when the

@@ -227,18 +227,8 @@ object Similarity {
     * standard coarse-quantization scale path next to [[lshTopK]].
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int, nprobe: Int, iterations: Int = 2): DataFrame = {
-    val data = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val ranked = ivfRanked(data, nlist, nprobe, iterations)
-    val cells = ranked.filter(col("rn") === 1).select(col("id"), col("v"), col("cid"))
-    val probes = ranked.filter(col("rn") <= nprobe)
-      .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
-
-    val joined = probes.join(cells.select(col("cid"), col("id").as("nid"), col("v").as("nv")), Seq("cid"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", cosine(col("qv"), col("nv")))
-    rankTopK(joined, k)
-  }
+      nlist: Int, nprobe: Int, iterations: Int = 2): DataFrame =
+    rankTopK(ivfCandidates(df, idCol, vecCol, nlist, nprobe, iterations), k)
 
   /** Centroid ranking shared by the IVF family: Lloyd-iterated
     * centroids (deterministic seeds = the `nlist` lowest-id vectors),
@@ -355,6 +345,71 @@ object Similarity {
       .withColumn("sim", cosine(col("qv"), col("nv")))
     rankTopK(joined, k)
   }
+
+  /** The candidate relation behind [[ivfTopK]] — one row per (query,
+    * probed-cell member) pair with its exact cosine, BEFORE the top-k
+    * cut: (qid, nid, sim). Exposed because mining operators
+    * ([[hardNegatives]]) must filter the candidate set (drop known
+    * positives) before ranking — an anti-join AFTER a top-k under-fills
+    * k wherever positives rank high, which is exactly where positives
+    * rank. Same plan as [[ivfTopK]] minus the ranking aggregate.
+    */
+  def ivfCandidates(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, nprobe: Int, iterations: Int = 2): DataFrame = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val ranked = ivfRanked(data, nlist, nprobe, iterations)
+    val cells = ranked.filter(col("rn") === 1).select(col("id"), col("v"), col("cid"))
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
+    probes.join(cells.select(col("cid"), col("id").as("nid"), col("v").as("nv")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+  }
+
+  /** Hard-negative mining for retrieval / contrastive training: from a
+    * candidate relation `(qid, nid, sim)` produced by ANY retrieval
+    * scorer ([[ivfCandidates]], a BM25 postings join, a hybrid), remove
+    * the known positives and keep each query's k highest-scoring
+    * survivors — the near-miss negatives that teach a ranker its
+    * decision boundary (Karpukhin et al., DPR 2020: BM25/ANN-mined
+    * negatives beat in-batch random ones). `positives`' first two
+    * columns are the (query, positive) id pairs. The positive filter is
+    * a key-only anti-join (nothing but (qid, nid) shuffles) and runs
+    * before the rank for the under-fill reason on [[ivfCandidates]];
+    * ranking collapses map-side through [[rankTopK]]. When positives
+    * are DERIVED from a per-doc attribute (e.g. "same label"), joining
+    * the k-row attribute relation to both endpoints and filtering is
+    * the cheaper equivalent — this entry point takes the explicit-pair
+    * form because real training positives are curated pairs.
+    */
+  def hardNegatives(candidates: DataFrame, positives: DataFrame, k: Int): DataFrame = {
+    val Array(pq, pn) = positives.columns.take(2)
+    rankTopK(
+      candidates.select(col("qid"), col("nid"), col("sim"))
+        .join(positives.select(col(pq).as("qid"), col(pn).as("nid")),
+          Seq("qid", "nid"), "left_anti"),
+      k)
+  }
+
+  /** Index-quality evaluation: per-query recall of an approximate
+    * ranking against the exact one — `(qid, n_exact, n_hit)` in exact
+    * integers (the recall fraction is n_hit / n_exact, left to the
+    * reader so the relation stays hash-comparable cross-engine).
+    * Inputs are two (qid, nid) rankings over the SAME query set; rows
+    * of `exact` count toward n_exact, rows present in both toward
+    * n_hit. The standard serving workflow measures a SAMPLED query set
+    * (exact top-k via [[bruteForceTopK]] is |sample|·N — linear in the
+    * corpus, constant in sample), then tunes nprobe/bits until the
+    * sampled recall meets target; see the q_ann_recall gate for the
+    * composed shape.
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("qid"), col("nid"))
+      .join(approx.select(col("qid"), col("nid")).withColumn("hit", lit(1L)),
+        Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
 
   /** Element-wise centroid means: posexplode vector positions, average
     * per (cell, position), re-collect position-ordered — fully

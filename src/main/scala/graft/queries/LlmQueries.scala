@@ -536,6 +536,63 @@ object LlmQueries {
         .select($"qid", $"rank".cast("long").as("rank"), $"nid")
     },
 
+    // label-aware hard-negative mining over the IVF candidate set:
+    // the known positives (here rendered as every same-label pair —
+    // real pipelines pass curated (query, positive) training pairs)
+    // are anti-joined out BEFORE the rank, then the top-3 highest-
+    // cosine survivors per query are the DPR-style near-miss
+    // negatives. Rank-only output for oracle float parity; the
+    // iterations=0 coarse quantizer keeps the candidate set
+    // SQL-expressible (q_embed_ivf precedent).
+    "q_embed_hardneg" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val cands = Similarity.ivfCandidates(emb, "vec_id", "embedding",
+        nlist = 16, nprobe = 2, iterations = 0)
+      val lbl = emb.select($"vec_id", $"label")
+      val pos = lbl.as("a").join(lbl.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("qid"), $"b.vec_id".as("nid"))
+      Similarity.hardNegatives(cands, pos, k = 3)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid")
+    },
+
+    // ANN serving recall measured the production way: a sampled query
+    // set (2% of vectors), the exact top-3 from the linear
+    // |sample|·N brute force, the approximate ranking from the
+    // persisted-index serving path (frozen seed centroids + cell
+    // assignment), and per-query hit counts in EXACT integers — the
+    // recall fraction is n_hit / n_exact, left unreduced so the
+    // relation hash-compares cross-engine.
+    "q_ann_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" % 50 === 0)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        nlist = 16, iterations = 0)
+      val cells = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      val approx = Similarity.ivfQueryIndex(queries, "vec_id", "embedding",
+        cents, cells, nprobe = 2, k = 3)
+      val exact = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      Similarity.annRecall(approx.select($"qid", $"nid"),
+        exact.select($"qid", $"nid"))
+    },
+
+    // cluster cards over the k-means cells: per-cluster size +
+    // dominant label with its count — the clustering-purity report in
+    // exact integers (q_embed_ivf's frozen-seed assignment face, so
+    // the oracle renders the same cells).
+    "q_cluster_cards" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        nlist = 16, iterations = 0)
+      val cells = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      graft.functions.Profile.clusterCards(cells, "id", "cid",
+        emb, "vec_id", $"label")
+    },
+
     // embedding-space semantic dedup (SemDeDup-style, Abbas et al.
     // 2023): bucketed cosine near-dup pairs → connected components →
     // one canonical representative per semantic cluster. Pure
@@ -794,6 +851,20 @@ object LlmQueries {
       Dedup.curateClustered(docs, $"doc_id", $"text", stop, minQuality = 0.4,
         n = 3, numHashes = 64, bands = 16, threshold = 0.5,
         maxBucketSize = 1000)
+    },
+
+    // curation with the keep-BEST canonical rule: same clusters as
+    // q_curate_cluster, but each cluster keeps its highest-QUALITY
+    // member (ties → lowest id) instead of the lowest id — the
+    // production rule (keep the best copy of a duplicated page, not
+    // whichever crawled first). Differs from q_curate_cluster exactly
+    // where a cluster's best-scoring member is not its min id.
+    "q_curate_best" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.curateClusteredBest(docs, $"doc_id", $"text", stop,
+        minQuality = 0.4, n = 3, numHashes = 64, bands = 16,
+        threshold = 0.5, maxBucketSize = 1000)
     },
 
     // The capstone: a complete curation pipeline in one query —
@@ -1843,6 +1914,31 @@ object LlmQueries {
          |WHERE doc_id NOT IN (
          |  SELECT id FROM (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
          |  WHERE id <> rep)""".stripMargin,
+    "q_curate_best" ->
+      s"""WITH RECURSIVE q AS (SELECT doc_id, text,
+         |  0.5 * (CAST(${hits(stop)} AS DOUBLE) / GREATEST(CAST($ntok AS DOUBLE), 1.0))
+         |  + 0.3 * (CAST($nalpha AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+         |  + 0.2 * (LEAST(CAST($ntok AS DOUBLE), 100.0) / 100.0) AS quality
+         |FROM documents),
+         |kept AS (SELECT * FROM q WHERE quality >= 0.4),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (SELECT i, j FROM pairs
+         |         JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |         WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
+         |$componentsSql,
+         |assign AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+         |best AS (SELECT a.id, a.rep,
+         |  ROW_NUMBER() OVER (PARTITION BY a.rep
+         |    ORDER BY k.quality DESC, a.id ASC) AS rn
+         |  FROM assign a JOIN kept k ON k.doc_id = a.id)
+         |SELECT doc_id AS id, quality FROM kept
+         |WHERE doc_id NOT IN (SELECT id FROM best WHERE rn > 1)""".stripMargin,
     "q_dedup_minhash_skew" -> cappedMinhashSql(0.5, 50),
     "q_embed_dedup" ->
       s"""WITH RECURSIVE good AS (
@@ -1912,6 +2008,70 @@ object LlmQueries {
          |FROM probes p JOIN cells c ON p.cid = c.cid AND p.qid <> c.id
          |QUALIFY rank <= 3""".stripMargin
     },
+    "q_embed_hardneg" ->
+      """WITH seeds AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |               FROM embeddings ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT e.vec_id AS id, e.embedding, s.cid,
+        |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC, s.cid) AS rn
+        |  FROM embeddings e, seeds s),
+        |cells AS (SELECT id, embedding, cid FROM asgn WHERE rn = 1),
+        |probes AS (SELECT id AS qid, embedding AS qe, cid FROM asgn WHERE rn <= 2),
+        |lbl AS (SELECT vec_id, label FROM embeddings)
+        |SELECT p.qid,
+        |  ROW_NUMBER() OVER (PARTITION BY p.qid
+        |    ORDER BY list_cosine_similarity(CAST(p.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.id) AS rank,
+        |  c.id AS nid
+        |FROM probes p JOIN cells c ON p.cid = c.cid AND p.qid <> c.id
+        |JOIN lbl la ON la.vec_id = p.qid JOIN lbl lb ON lb.vec_id = c.id
+        |WHERE la.label <> lb.label
+        |QUALIFY rank <= 3""".stripMargin,
+    "q_ann_recall" ->
+      """WITH seeds AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |               FROM embeddings ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT e.vec_id AS id, e.embedding, s.cid,
+        |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC, s.cid) AS rn
+        |  FROM embeddings e, seeds s),
+        |cells AS (SELECT id, embedding, cid FROM asgn WHERE rn = 1),
+        |q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe
+        |      FROM embeddings WHERE vec_id % 50 = 0),
+        |probes AS (SELECT qid, qe, cid FROM (
+        |  SELECT q.vec_id AS qid, q.qe, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.qe, s.cv) DESC, s.cid) AS rn
+        |  FROM q, seeds s) WHERE rn <= 2),
+        |approx AS (SELECT p.qid, c.id AS nid,
+        |  ROW_NUMBER() OVER (PARTITION BY p.qid
+        |    ORDER BY list_cosine_similarity(p.qe, CAST(c.embedding AS DOUBLE[])) DESC, c.id) AS rank
+        |  FROM probes p JOIN cells c ON p.cid = c.cid AND p.qid <> c.id
+        |  QUALIFY rank <= 3),
+        |exact AS (SELECT q.vec_id AS qid, b.vec_id AS nid,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.qe, CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        |  FROM q, embeddings b WHERE q.vec_id <> b.vec_id
+        |  QUALIFY rank <= 3)
+        |SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+        |GROUP BY e.qid""".stripMargin,
+    "q_cluster_cards" ->
+      """WITH seeds AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |               FROM embeddings ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT e.vec_id AS id, s.cid,
+        |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC, s.cid) AS rn
+        |  FROM embeddings e, seeds s),
+        |cells AS (SELECT id, cid FROM asgn WHERE rn = 1),
+        |cnt AS (SELECT c.cid, CAST(e.label AS BIGINT) AS value,
+        |               CAST(COUNT(*) AS BIGINT) AS n_value
+        |        FROM cells c JOIN embeddings e ON e.vec_id = c.id GROUP BY 1, 2),
+        |tot AS (SELECT cid, CAST(SUM(n_value) AS BIGINT) AS n FROM cnt GROUP BY cid),
+        |best AS (SELECT cid, value, n_value,
+        |  ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n_value DESC, value ASC) AS rn
+        |  FROM cnt)
+        |SELECT b.cid, t.n, b.value AS top_value, b.n_value AS top_n
+        |FROM best b JOIN tot t USING (cid) WHERE b.rn = 1""".stripMargin,
     "q_multimodal_dhash" ->
       """WITH src AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |p AS (SELECT doc_id, text, n, GREATEST(1, n // 49) AS stride FROM src),

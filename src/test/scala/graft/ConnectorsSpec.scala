@@ -223,6 +223,26 @@ class ConnectorsSpec extends SparkSpec {
     parsed.unpersist()
   }
 
+  test("orc source/sink: round-trip, filter and column pruning reach the scan") {
+    import graft.connectors.Connectors
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val docs = Seq((1L, "alpha text", "src0"), (2L, "beta text", "src1"),
+      (3L, "gamma text", "src0")).toDF("doc_id", "text", "source")
+    Connectors.orcSink(docs, s"$dir/out")
+    val back = Connectors.orcSource(spark, s"$dir/out")
+    assert(back.select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "alpha text", "src0"), (2L, "beta text", "src1"),
+        (3L, "gamma text", "src0")))
+    // the 2-column projection + filter must reach the ORC reader: a
+    // scan that reads all columns for a pruned projection is wrong
+    val q = back.filter($"doc_id" > 1L).select($"doc_id", $"source")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,1)]"), scan)
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,source:string>"), scan)
+    assert(q.as[(Long, String)].collect().toSet === Set((2L, "src1"), (3L, "src0")))
+  }
+
   test("jsonl streaming source reads appended shard files") {
     import graft.connectors.Connectors
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-s").toString

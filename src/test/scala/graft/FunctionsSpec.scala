@@ -1328,6 +1328,71 @@ class FunctionsSpec extends SparkSpec {
     assert(kept < all, s"band never rejected ($kept of $all)")
   }
 
+  test("hardNegatives filters positives BEFORE the rank and keeps top-k by score") {
+    // q1's two best candidates are positives: an after-the-rank filter
+    // would leave it only 1 negative; the operator must refill to k=2
+    val cands = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7), (1L, 13L, 0.6),
+      (2L, 10L, 0.5), (2L, 11L, 0.5)).toDF("qid", "nid", "sim")
+    val pos = Seq((1L, 10L), (1L, 11L)).toDF("qid", "nid")
+    val out = Similarity.hardNegatives(cands, pos, k = 2)
+      .orderBy("qid", "rank").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ===
+      Seq((1L, 1, 12L), (1L, 2, 13L), (2L, 1, 10L), (2L, 2, 11L)))
+    // q2 tie at 0.5: ascending nid breaks it (10 before 11)
+    assert(out.filter(_.getLong(0) == 2L).map(_.getDouble(3)).toSeq === Seq(0.5, 0.5))
+  }
+
+  test("annRecall counts per-query hits in exact integers") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 7L), (2L, 8L), (2L, 9L))
+      .toDF("qid", "nid")
+    val out = Similarity.annRecall(approx, exact).orderBy("qid").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 3L, 2L), (2L, 3L, 0L))) // extra approx rows never inflate hits
+  }
+
+  test("bestPerCluster keeps the max-score member, ties to min id, nulls excluded") {
+    val cc = Seq((1L, 1L), (5L, 1L), (9L, 1L), (2L, 2L), (4L, 2L), (7L, 7L), (8L, 7L))
+      .toDF("id", "rep")
+    val scores = Seq((1L, Some(0.2)), (5L, Some(0.9)), (9L, Some(0.9)),
+      (2L, Some(0.5)), (4L, Some(0.5)), (7L, None), (8L, None))
+      .toDF("id", "score")
+    val out = Dedup.bestPerCluster(cc, scores, "id", "score")
+      .orderBy("rep").collect()
+    // cluster 1: 5 and 9 tie at 0.9 → min id 5; cluster 2: tie → 2;
+    // cluster 7: all-null scores → no keeper row (TopK null contract)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 5L), (2L, 2L)))
+  }
+
+  test("curateClusteredBest keeps each cluster's max-quality member") {
+    val stopEn = Text.langStopwords.head._2
+    val docs = Tables.load(spark, sf0001, "documents")
+    val keptIds = Dedup.curateClusteredBest(docs, col("doc_id"), col("text"),
+        stopEn, 0.4, 3, 64, 16, 0.5)
+      .select("id").as[Long].collect().toSet
+    val scored = docs.select(col("doc_id").as("id"),
+      Text.qualityScore(col("text"), stopEn).as("q"))
+    val quality = scored.filter(col("q") >= 0.4)
+      .as[(Long, Double)].collect().toMap
+    val pairs = Dedup.ngramJaccardPairs(
+        docs.filter(col("doc_id").isin(quality.keySet.toSeq: _*)),
+        col("doc_id"), col("text"), 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect()
+    val comp = unionFind(pairs)
+    val byCluster = quality.keySet.groupBy(id => comp.getOrElse(id, id))
+    val expected = byCluster.values.map(members =>
+      members.minBy(id => (-quality(id), id))).toSet
+    assert(keptIds === expected)
+    assert(keptIds.nonEmpty && keptIds.size < quality.size)
+    // the rule is differentially live on this corpus: at least one
+    // cluster's best-quality member is NOT its min id
+    val minRule = byCluster.values.map(_.min).toSet
+    assert(keptIds !== minRule)
+  }
+
   test("curateClustered drops transitively: shared-dup chains keep only the min") {
     // direct check of keeper-rule semantics on the sf0.001 corpus:
     // every cluster keeps exactly its min surviving-quality id

@@ -80,6 +80,17 @@ class PlanSpec extends SparkSpec {
     assert(!amp.contains("CartesianProduct"), amp)
   }
 
+  test("hard-negative mining: no cartesian, positives anti-joined, map-side top-k") {
+    // the anti-join must shuffle only (qid, nid) keys and the rank must
+    // collapse map-side exactly like the plain ANN rankers — the
+    // positive filter must not break the partial top-k below the
+    // exchange
+    val p = plan("q_embed_hardneg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), s"positives should anti-join:\n$p")
+    assert(p.contains("partial_top_k_by"), s"lost the map-side top-k:\n$p")
+  }
+
   test("tfidf ranks with partial top-k pushdown; decontam joins without cartesian") {
     val p = plan("q_text_tfidf")
     assert(p.contains("WindowGroupLimit"), p) // partial rank limit below the shuffle

@@ -181,4 +181,17 @@ class ProfileSpec extends SparkSpec {
     val row = Profile.drift(a, b).collect().head
     assert(row.isNullAt(1)) // null_frac_delta: b_n = 0 → null, no ANSI error
   }
+
+  test("clusterCards: size, dominant value, count-tie to smallest value") {
+    val assign = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L), (5L, 200L))
+      .toDF("id", "cid")
+    val meta = Seq((1L, 7), (2L, 7), (3L, 5), (4L, 9), (5L, 3))
+      .toDF("mid", "lbl")
+    val out = Profile.clusterCards(assign, "id", "cid", meta, "mid", $"lbl")
+      .orderBy("cid").collect()
+    // cluster 100: 3 members, label 7 dominates (2 of 3);
+    // cluster 200: 1-1 tie between labels 3 and 9 → smallest value wins
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((100L, 3L, 7L, 2L), (200L, 2L, 3L, 1L)))
+  }
 }

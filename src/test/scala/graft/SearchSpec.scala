@@ -204,6 +204,32 @@ class SearchSpec extends SparkSpec {
     assert(ex.getMessage.contains("analyzer mismatch"))
   }
 
+  test("bm25Scores feeds hardNegatives: positives filtered pre-rank, top-k refills") {
+    val idx = Search.buildIndex(corpus, $"doc_id", $"text")
+    val q = Seq((100L, "cat dog")).toDF("qid", "qtext")
+    // unfiltered lexical ranking: docs 0, 1, 2 all share a term
+    val full = Search.bm25TopK(idx, q, $"qid", $"qtext", k = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(full === Set(0L, 1L, 2L))
+    // the known positive is the TOP-ranked doc: mining must drop it
+    // and still return the remaining two negatives (refill property)
+    val top = Search.bm25TopK(idx, q, $"qid", $"qtext", k = 1)
+      .select($"doc_id").as[Long].head()
+    val pos = Seq((100L, top)).toDF("qid", "nid")
+    val negs = graft.functions.Similarity.hardNegatives(
+      Search.bm25Scores(idx, q, $"qid", $"qtext"), pos, k = 3)
+    assert(negs.select($"nid").as[Long].collect().toSet === (full - top))
+    // bm25TopK ≡ rank(bm25Scores): the refactor is a pure extraction
+    val viaScores = Search
+      .rankCandidates(Search.bm25Scores(idx, q, $"qid", $"qtext"), 3)
+      .select($"qid", $"rank".cast("long").as("rank"), $"nid", $"sim")
+      .collect().map(_.toSeq).toSet
+    val direct = Search.bm25TopK(idx, q, $"qid", $"qtext", k = 3)
+      .select($"qid", $"rank", $"doc_id", $"score")
+      .collect().map(_.toSeq).toSet
+    assert(viaScores === direct)
+  }
+
   test("rrfFuse: one-sided docs, both-sided sum, nid tie-break") {
     val a = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("qid", "nid", "rank")
     val b = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("qid", "nid", "rank")
