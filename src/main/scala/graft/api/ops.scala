@@ -391,4 +391,14 @@ object ops {
       graft.functions.Profile.clusterCards(assign.ds.toDF(), idCol, cidCol,
         meta.ds.toDF(), metaIdCol,
         org.apache.spark.sql.functions.col(byCol)))
+
+  def pageRank(id: String, edges: Stream[Row], iterations: Int,
+      dampingPermille: Int = 850): Stream[Row] =
+    step(edges.flow, id, "page_rank", edges.stepId)(
+      graft.functions.Graph.pageRank(edges.ds.toDF(), iterations,
+        dampingPermille))
+
+  def degrees(id: String, edges: Stream[Row]): Stream[Row] =
+    step(edges.flow, id, "degrees", edges.stepId)(
+      graft.functions.Graph.degrees(edges.ds.toDF()))
 }

@@ -134,6 +134,38 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_eid"))
     },
 
+    // link-graph authority scores over the customer↔supplier co-order
+    // graph (symmetrized; supplier ids offset into a disjoint node
+    // space): 3 power iterations in exact micro-unit integer
+    // arithmetic — the oracle unrolls each round in HUGEINT, so the
+    // distributed fixpoint is hash-verified the q_embed_ivf2 way
+    // (fixed iteration count, no recursion needed)
+    "q_graph_pagerank" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      graft.functions.Graph.pageRank(edges, iterations = 3)
+    },
+
+    // degree report on the DIRECTED customer→supplier half (so in/out
+    // are genuinely different: customers out-only, suppliers in-only)
+    "q_graph_degrees" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      graft.functions.Graph.degrees(half)
+    },
+
     // exact quantiles + exact distinct counts per group (single
     // shuffle; percentile is Spark's exact sort-based aggregate)
     "q_quantiles" -> { (s, dir) =>
@@ -380,6 +412,41 @@ object AnalyticQueries {
         |  CAST(SUM(e.event_id) AS BIGINT) AS sum_eid
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q_graph_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |od AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS od FROM edges GROUP BY src),
+        |cst AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |               (1000000000000::HUGEINT * 150 // 1000) // CAST(COUNT(*) AS HUGEINT) AS base,
+        |               1000000000000::HUGEINT // CAST(COUNT(*) AS HUGEINT) AS r0
+        |        FROM nodes),
+        |r0 AS (SELECT id, (SELECT r0 FROM cst) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS id, CAST(SUM(CAST(r.rank // o.od AS DECIMAL(38,0))) AS HUGEINT) AS agg
+        |       FROM edges e JOIN r0 r ON r.id = e.src JOIN od o ON o.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.id, (SELECT base FROM cst)
+        |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON c.id = n.id),
+        |c2 AS (SELECT e.dst AS id, CAST(SUM(CAST(r.rank // o.od AS DECIMAL(38,0))) AS HUGEINT) AS agg
+        |       FROM edges e JOIN r1 r ON r.id = e.src JOIN od o ON o.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.id, (SELECT base FROM cst)
+        |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON c.id = n.id),
+        |c3 AS (SELECT e.dst AS id, CAST(SUM(CAST(r.rank // o.od AS DECIMAL(38,0))) AS HUGEINT) AS agg
+        |       FROM edges e JOIN r2 r ON r.id = e.src JOIN od o ON o.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.id, (SELECT base FROM cst)
+        |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON c.id = n.id)
+        |SELECT id, CAST(rank AS DECIMAL(38,0)) AS rank FROM r3""".stripMargin,
+    "q_graph_degrees" ->
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |o AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e0 GROUP BY 1),
+        |i AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS in_deg FROM e0 GROUP BY 1)
+        |SELECT COALESCE(o.id, i.id) AS id,
+        |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+        |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS q25,

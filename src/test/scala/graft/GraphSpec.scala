@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Graph
+
+/** PageRank / degree report: hand-computed micro-unit fixed points,
+  * dangling-leak semantics, duplicate-edge collapse, and the
+  * partition-invariance the exact-integer formulation exists for.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, BigDecimal] =
+    df.collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+
+  test("pageRank matches the hand-unrolled integer power iteration") {
+    // 1→2, 1→3, 2→3, 3→1; N=3, unit=1e12, d=850/1000:
+    // r0 = 333333333333, base = 50000000000
+    // iter1: r=(333333333333, 191666666666, 474999999999)
+    // iter2: r=(453749999999, 191666666666, 354583333332)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(ranks(Graph.pageRank(e, 0)) ===
+      Map(1L -> BigDecimal(333333333333L), 2L -> BigDecimal(333333333333L),
+        3L -> BigDecimal(333333333333L)))
+    assert(ranks(Graph.pageRank(e, 2)) ===
+      Map(1L -> BigDecimal(453749999999L), 2L -> BigDecimal(191666666666L),
+        3L -> BigDecimal(354583333332L)))
+  }
+
+  test("pageRank: dangling nodes leak mass, duplicate edges collapse") {
+    // 1→2 (duplicated): N=2, r0=5e11, base=75e9; node 2 dangles.
+    // iter1: r(1)=base=75000000000, r(2)=75e9+850*5e11//1000=500000000000
+    // Σ = 575e9 < 1e12 — the documented dangling leak
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("src", "dst")
+    val r = ranks(Graph.pageRank(e, 1))
+    assert(r === Map(1L -> BigDecimal(75000000000L), 2L -> BigDecimal(500000000000L)))
+    assert(r.values.sum < BigDecimal(1000000000000L))
+  }
+
+  test("pageRank is partition-invariant (the point of integer arithmetic)") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val a = ranks(Graph.pageRank(e, iterations = 4))
+    val b = ranks(Graph.pageRank(e.repartition(7), iterations = 4))
+    assert(a === b)
+    // and per-mille endpoints: d=0 → every node sits at base = unit/N
+    val flat = ranks(Graph.pageRank(e, 3, dampingPermille = 0))
+    assert(flat.values.toSet === Set(BigDecimal(333333333333L)))
+  }
+
+  test("degrees: directed counts with zero-fill on one-sided nodes") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val d = Graph.degrees(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d === Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+}
