@@ -398,6 +398,12 @@ object ops {
       graft.functions.Graph.pageRank(edges.ds.toDF(), iterations,
         dampingPermille))
 
+  def trustRank(id: String, edges: Stream[Row], seeds: Stream[Row],
+      iterations: Int, dampingPermille: Int = 850): Stream[Row] =
+    step(edges.flow, id, "trust_rank", edges.stepId, seeds.stepId)(
+      graft.functions.Graph.trustRank(edges.ds.toDF(), seeds.ds.toDF(),
+        iterations, dampingPermille))
+
   def degrees(id: String, edges: Stream[Row]): Stream[Row] =
     step(edges.flow, id, "degrees", edges.stepId)(
       graft.functions.Graph.degrees(edges.ds.toDF()))

@@ -48,12 +48,16 @@ object Graph {
     * Scale shape per iteration: one src-keyed join of the edge
     * relation against the N-row rank relation and one dst-keyed sum —
     * two hash exchanges, both partial-aggregable (decimal sums), no
-    * window, no driver state; the plan nests LINEARLY in iterations
-    * (each round references the previous once), so fixed small
-    * iteration counts (PageRank needs ~10–20) compose as a pure plan.
-    * Edge/degree relations are re-scanned once per round — at corpus
-    * scale persist them (or write the 2-column projection) before
-    * iterating.
+    * window, no driver state. Like [[Dedup.connectedComponents]], the
+    * operator RUNS actions: each round is materialized into a
+    * checkpoint and the superseded round's blocks released — a pure
+    * lazy plan re-derives every previous round per reference, making
+    * the join work QUADRATIC in iterations (measured: the lazy form
+    * spent 3× the per-round cost at 3 rounds). The static edge/node/
+    * degree relations persist for the loop and release on return
+    * (the final round's checkpoint carries the result). With a
+    * session checkpoint dir set, rounds use reliable checkpoints
+    * (executor-loss-safe on a real cluster); otherwise local blocks.
     */
   def pageRank(edges: DataFrame, iterations: Int,
       dampingPermille: Int = 850, unit: Long = 1000000000000L): DataFrame = {
@@ -62,32 +66,131 @@ object Graph {
       s"dampingPermille in [0,1000], got $dampingPermille")
     require(unit > 0, "unit must be positive")
     val Array(cs, cd) = edges.columns.take(2)
-    val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(dec(count(lit(1))).as("od"))
+    val e0 = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+    val nodes0 = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
     // N and the constant per-node base term: a 1-row relation,
     // broadcast into the update — never a driver-side collect
-    val n = nodes.agg(dec(count(lit(1))).as("n"))
+    def consts(nodes: DataFrame) = nodes.agg(dec(count(lit(1))).as("n"))
       .select(col("n"),
         idiv(idiv(dec(lit(unit)) * dec(lit(1000 - dampingPermille)),
           dec(lit(1000))), col("n")).as("base"),
         idiv(dec(lit(unit)), col("n")).as("r0"))
-    var rank = nodes.crossJoin(broadcast(n))
+    def rank0(nodes: DataFrame) = nodes.crossJoin(broadcast(consts(nodes)))
       .select(col("id"), col("r0").as("rank"))
+    if (iterations == 0) return rank0(nodes0)
+    // per-node base/init: the uniform teleport vector, carried as
+    // columns so the loop is shared with the seed-personalized form
+    val based = nodes0.crossJoin(broadcast(consts(nodes0)))
+      .select(col("id"), col("base"), col("r0"))
+    propagate(e0, based, iterations, dampingPermille)
+  }
+
+  /** Seed-personalized PageRank — TrustRank (Gyöngyi et al.,
+    * VLDB'04): teleport mass restricted to `seeds` (first column =
+    * node id), so scores measure LINK-PROXIMITY TO A TRUSTED SET —
+    * the curation move when a vetted sub-corpus exists (Wikipedia-
+    * linked domains, curated feeds) and crawl quality should follow
+    * the link graph outward from it. r₀ = unit/|S| on seeds and 0
+    * elsewhere; the per-round base term likewise lands only on seeds;
+    * nodes unreachable from the seed set score exactly 0. Same exact
+    * micro-unit arithmetic, round lifecycle, and scale shape as
+    * [[pageRank]]. Seeds that are not graph nodes are ignored (they
+    * would hold teleport mass a linkless node can never spread); an
+    * empty effective seed set yields all-zero ranks.
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+      dampingPermille: Int = 850, unit: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille in [0,1000], got $dampingPermille")
+    require(unit > 0, "unit must be positive")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e0 = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+    val nodes0 = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+    val seedIds = seeds.select(col(seeds.columns.head).as("id")).distinct()
+    val flagged = nodes0.join(seedIds.withColumn("s", lit(1)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), lit(0)).as("s"))
+    val n = flagged.agg(dec(sum(col("s"))).as("sn"))
+      .select(col("sn"),
+        when(col("sn") === dec(lit(0)), dec(lit(0)))
+          .otherwise(idiv(idiv(dec(lit(unit)) * dec(lit(1000 - dampingPermille)),
+            dec(lit(1000))), col("sn"))).as("sbase"),
+        when(col("sn") === dec(lit(0)), dec(lit(0)))
+          .otherwise(idiv(dec(lit(unit)), col("sn"))).as("sr0"))
+    val based = flagged.crossJoin(broadcast(n))
+      .select(col("id"),
+        when(col("s") === 1, col("sbase")).otherwise(dec(lit(0))).as("base"),
+        when(col("s") === 1, col("sr0")).otherwise(dec(lit(0))).as("r0"))
+    if (iterations == 0)
+      based.select(col("id"), col("r0").as("rank"))
+    else propagate(e0, based, iterations, dampingPermille)
+  }
+
+  /** The shared power-iteration loop: `based` is (id, base, r0) — the
+    * per-node teleport terms. Like [[Dedup.connectedComponents]] this
+    * RUNS actions: each round materializes into a checkpoint and the
+    * superseded round's blocks are released — a pure lazy plan
+    * re-derives every previous round per reference, making join work
+    * QUADRATIC in iterations (measured: the lazy form spent 3× the
+    * per-round cost at 3 rounds). Static edge/node/degree relations
+    * persist for the loop and release on return (the final round's
+    * checkpoint carries the result). With a session checkpoint dir
+    * set, rounds use reliable checkpoints (executor-loss-safe);
+    * otherwise local blocks.
+    */
+  private def propagate(e0: DataFrame, based0: DataFrame, iterations: Int,
+      dampingPermille: Int): DataFrame = {
+    val sc = e0.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = e0.persist(lvl)
+    val based = based0.persist(lvl)
+    val outdeg = e.groupBy(col("src")).agg(dec(count(lit(1))).as("od")).persist(lvl)
+    // round lifecycle (the connectedComponents pattern): materialize
+    // each round into a checkpoint, release the superseded one; only
+    // the final round's data survives, and the returned DataFrame
+    // reads through it
+    case class Marked(df: DataFrame, cached: Option[DataFrame])
+    def checkpointRddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    def mark(r: DataFrame): Marked =
+      if (reliable) { val p = r.persist(lvl); Marked(p.checkpoint(false), Some(p)) }
+      else Marked(r.localCheckpoint(false), None)
+    def release(m: Marked): Unit = {
+      m.cached.foreach(_.unpersist(false))
+      checkpointRddOf(m.df).foreach { rdd =>
+        if (reliable) rdd.getCheckpointFile.foreach { f =>
+          val path = new org.apache.hadoop.fs.Path(f)
+          path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
+        }
+        else rdd.unpersist(false)
+      }
+    }
+    var cur = mark(based.select(col("id"), col("r0").as("rank")))
+    cur.df.count() // materialize round 0
+    cur.cached.foreach(_.unpersist(false))
     for (_ <- 0 until iterations) {
+      val rank = cur.df
       val contrib = e.join(rank, e("src") === rank("id"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("id"), idiv(col("rank"), col("od")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).cast("decimal(38,0)").as("agg"))
-      rank = nodes.join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(n))
+      val next = mark(based.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (col("base") + idiv(dec(lit(dampingPermille)) *
             coalesce(col("agg"), dec(lit(0))), dec(lit(1000))))
-            .cast("decimal(38,0)").as("rank"))
+            .cast("decimal(38,0)").as("rank")))
+      next.df.count()
+      next.cached.foreach(_.unpersist(false))
+      release(Marked(cur.df, None))
+      cur = next
     }
-    rank
+    e.unpersist(false); based.unpersist(false); outdeg.unpersist(false)
+    cur.df
   }
 
   /** Per-node degree report: (id, out_deg, in_deg) over the

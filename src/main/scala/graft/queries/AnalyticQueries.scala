@@ -153,6 +153,25 @@ object AnalyticQueries {
       graft.functions.Graph.pageRank(edges, iterations = 3)
     },
 
+    // seed-personalized propagation (TrustRank): teleport mass only on
+    // the %10 customer seed set, 2 rounds — suppliers score by link
+    // proximity to trusted customers, customers outside the seed set
+    // only via the symmetrized back-edges
+    "q_graph_trustrank" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = o.select(col("o_custkey").as("id"))
+        .filter(pmod(col("id"), lit(10L)) === 0).distinct()
+      graft.functions.Graph.trustRank(edges, seeds, iterations = 2)
+    },
+
     // degree report on the DIRECTED customer→supplier half (so in/out
     // are genuinely different: customers out-only, suppliers in-only)
     "q_graph_degrees" -> { (s, dir) =>
@@ -439,6 +458,32 @@ object AnalyticQueries {
         |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
         |       FROM nodes n LEFT JOIN c3 c ON c.id = n.id)
         |SELECT id, CAST(rank AS DECIMAL(38,0)) AS rank FROM r3""".stripMargin,
+    "q_graph_trustrank" ->
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |od AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS od FROM edges GROUP BY src),
+        |sd AS (SELECT DISTINCT o_custkey AS id FROM orders WHERE o_custkey % 10 = 0),
+        |fl AS (SELECT n.id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS s
+        |       FROM nodes n LEFT JOIN sd s ON n.id = s.id),
+        |cst AS (SELECT CAST(SUM(s) AS HUGEINT) AS sn,
+        |               (1000000000000::HUGEINT * 150 // 1000) // CAST(SUM(s) AS HUGEINT) AS sbase,
+        |               1000000000000::HUGEINT // CAST(SUM(s) AS HUGEINT) AS sr0
+        |        FROM fl),
+        |r0 AS (SELECT id, CASE WHEN s = 1 THEN (SELECT sr0 FROM cst)
+        |                       ELSE 0::HUGEINT END AS rank FROM fl),
+        |c1 AS (SELECT e.dst AS id, CAST(SUM(CAST(r.rank // o.od AS DECIMAL(38,0))) AS HUGEINT) AS agg
+        |       FROM edges e JOIN r0 r ON r.id = e.src JOIN od o ON o.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT f.id, CASE WHEN f.s = 1 THEN (SELECT sbase FROM cst) ELSE 0::HUGEINT END
+        |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
+        |       FROM fl f LEFT JOIN c1 c ON c.id = f.id),
+        |c2 AS (SELECT e.dst AS id, CAST(SUM(CAST(r.rank // o.od AS DECIMAL(38,0))) AS HUGEINT) AS agg
+        |       FROM edges e JOIN r1 r ON r.id = e.src JOIN od o ON o.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT f.id, CASE WHEN f.s = 1 THEN (SELECT sbase FROM cst) ELSE 0::HUGEINT END
+        |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
+        |       FROM fl f LEFT JOIN c2 c ON c.id = f.id)
+        |SELECT id, CAST(rank AS DECIMAL(38,0)) AS rank FROM r2""".stripMargin,
     "q_graph_degrees" ->
       """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
         |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

@@ -48,6 +48,26 @@ class GraphSpec extends SparkSpec {
     assert(flat.values.toSet === Set(BigDecimal(333333333333L)))
   }
 
+  test("trustRank: teleport mass lands only on seeds, unreachable nodes score 0") {
+    // chain 1→2→3 plus a seedless component 4→5; seeds = {1} (+99,
+    // not a graph node — must be ignored, not hold teleport mass)
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("id")
+    // |S|=1: r0=(1e12,0,0), base=(1.5e11,0,0)
+    // iter1: r=(150000000000, 850000000000, 0)
+    // iter2: r=(150000000000, 127500000000, 722500000000)
+    val r = Graph.trustRank(e, seeds, iterations = 2).collect()
+      .map(x => x.getLong(0) -> BigDecimal(x.getDecimal(1))).toMap
+    assert(r === Map(
+      1L -> BigDecimal(150000000000L), 2L -> BigDecimal(127500000000L),
+      3L -> BigDecimal(722500000000L), 4L -> BigDecimal(0L),
+      5L -> BigDecimal(0L)))
+    // empty effective seed set → all-zero ranks, no division error
+    val z = Graph.trustRank(e, Seq(42L).toDF("id"), 2).collect()
+      .map(x => BigDecimal(x.getDecimal(1))).toSet
+    assert(z === Set(BigDecimal(0)))
+  }
+
   test("degrees: directed counts with zero-fill on one-sided nodes") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val d = Graph.degrees(e).collect()
