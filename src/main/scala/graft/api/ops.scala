@@ -407,4 +407,23 @@ object ops {
   def degrees(id: String, edges: Stream[Row]): Stream[Row] =
     step(edges.flow, id, "degrees", edges.stepId)(
       graft.functions.Graph.degrees(edges.ds.toDF()))
+
+  def funnel(id: String, events: Stream[Row], userCol: String,
+      tsCol: String, typeCol: String, steps: Seq[String],
+      maxSpanUs: Option[Long] = None): Stream[Row] =
+    step(events.flow, id, "funnel", events.stepId)(
+      graft.functions.Events.funnel(events.ds.toDF(), userCol, tsCol,
+        typeCol, steps, maxSpanUs))
+
+  def cohortRetention(id: String, events: Stream[Row], userCol: String,
+      tsCol: String, bucketUs: Long): Stream[Row] =
+    step(events.flow, id, "cohort_retention", events.stepId)(
+      graft.functions.Events.cohortRetention(events.ds.toDF(), userCol,
+        tsCol, bucketUs))
+
+  def sessionize(id: String, events: Stream[Row], userCol: String,
+      tsCol: String, gapUs: Long): Stream[Row] =
+    step(events.flow, id, "sessionize", events.stepId)(
+      graft.functions.Events.sessionize(events.ds.toDF(), userCol,
+        tsCol, gapUs))
 }

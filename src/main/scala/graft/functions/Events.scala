@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Event-sequence analytics: ordered funnels, cohort retention, and
+  * gap-based sessionization — the `windowFunnel`/`retention`/session
+  * primitives of event-analytics engines (ClickHouse, Amplitude), as
+  * declarative Spark plans over an (entity, time, type) event log.
+  *
+  * Scale shape: every operator keys its exchanges on the ENTITY
+  * column only, so a k-step funnel plans k type-sliced scans (the
+  * step predicate pushes down to the parquet scan) whose joins and
+  * aggregations all reuse one hash partitioning; retention is two
+  * entity-keyed aggregations; sessionization is one exchange + an
+  * in-partition sort. Nothing is ever keyed on (entity, time) — state
+  * per entity is a fixed vector of step timestamps, never the event
+  * list.
+  *
+  * All time arithmetic is exact integer microseconds (timestamp
+  * columns are converted via `unix_micros`), so results are
+  * bit-reproducible and oracle-checkable.
+  */
+object Events {
+
+  /** Timestamp or integral column → long microseconds. */
+  private def toUs(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+
+  /** Floor division, exact at any magnitude and sign: long `/` would
+    * round through double above 2^53, SQL `div` truncates toward zero
+    * — cohort buckets must floor toward -inf, so this is the
+    * decimal(38,0) (a − a mod b)/b form (the Graph.idiv pattern). */
+  private def fdiv(us: Column, b: Long): Column = {
+    val d = us.cast("decimal(38,0)")
+    val bd = lit(b).cast("decimal(38,0)")
+    ((d - pmod(d, bd)) / bd).cast("long")
+  }
+
+  /** Ordered funnel, earliest-completion semantics (the ClickHouse
+    * `windowFunnel` contract): per entity, t1 = min time of a step-1
+    * event; tk = min time of a step-k event STRICTLY after t(k-1)
+    * (same-instant events do not advance the funnel), optionally
+    * constrained to t1 + maxSpanUs. Output: one row per entity that
+    * reached step 1 — (user, t1 .. tn) in microseconds, null from the
+    * drop-off step onward (nulls are monotone by construction: step k
+    * candidates join on a non-null t(k-1)).
+    *
+    * Plan: step 1 is one entity-keyed aggregation over the step-1
+    * slice; each later step joins its type slice (predicate pushed to
+    * the scan) against the reached relation on the entity key and
+    * re-aggregates — every exchange keys on `user`, so Catalyst
+    * reuses the partitioning across all k steps and per-step work is
+    * proportional to that step's slice, never the full log. Per-entity
+    * state is the fixed k-vector of step times, never an event list
+    * (the ClickHouse windowFunnel formulation collects per-entity
+    * event arrays — unbounded under key skew).
+    *
+    * Each intermediate reached relation is referenced twice (the step
+    * candidates filter on it AND the drop-off left join keeps it), and
+    * the references pick up different pushed filters, so exchange
+    * reuse can't dedup them — without caching, step 1's slice scan
+    * would re-execute ~k times (read the plan). The intermediates are
+    * therefore LAZILY persisted: tiny entity-keyed relations (k longs
+    * per entity), populated by the caller's first action, released by
+    * `spark.catalog.clearCache()` or session close. Repeated step
+    * types are legal (view→view funnels).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxSpanUs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    maxSpanUs.foreach(sp => require(sp > 0, "maxSpanUs must be positive"))
+    val ev = events.select(col(userCol).as("user"),
+      toUs(events, tsCol).as("us"), col(typeCol).as("et"))
+    var reached = ev.filter(col("et") === steps.head)
+      .groupBy(col("user")).agg(min(col("us")).as("t1"))
+    for (k <- 2 to steps.size) {
+      val prev = reached.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prevT = s"t${k - 1}"
+      val carry =
+        if (prevT == "t1") prev.select(col("user"), col("t1"))
+        else prev.select(col("user"), col("t1"), col(prevT))
+      val within = maxSpanUs.map(sp => col("us") <= col("t1") + lit(sp))
+        .getOrElse(lit(true))
+      val nxt = ev.filter(col("et") === steps(k - 1))
+        .select(col("user"), col("us"))
+        .join(carry, Seq("user"))
+        .filter(col("us") > col(prevT) && within)
+        .groupBy(col("user")).agg(min(col("us")).as(s"t$k"))
+      reached = prev.join(nxt, Seq("user"), "left")
+    }
+    reached
+  }
+
+  /** Funnel conversion report: (step, step_name, users) — users who
+    * reached each step, from ONE funnel pass collapsed to a 1-row
+    * aggregate and unpivoted driver-free. */
+  def funnelReport(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxSpanUs: Option[Long] = None): DataFrame = {
+    val f = funnel(events, userCol, tsCol, typeCol, steps, maxSpanUs)
+    val aggs = steps.indices.map(i =>
+      sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"n${i + 1}"))
+    f.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(steps.indices.map(i =>
+        struct(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+          coalesce(col(s"n${i + 1}"), lit(0L)).as("users"))): _*)).as("s"))
+      .select(col("s.step"), col("s.step_name"), col("s.users"))
+  }
+
+  /** Cohort retention matrix: entities are cohorted by the bucket of
+    * their FIRST event (bucket = floor(us / bucketUs), e.g. a day or
+    * week), and each later-active bucket contributes to
+    * (cohort, offset = bucket − cohort, active_users). Exact
+    * integers; `active_users` needs no count-distinct because the
+    * per-entity bucket SET is distinct by construction.
+    *
+    * Plan: ONE entity-keyed `collect_set` aggregation (the partial
+    * aggregate dedups map-side, so only distinct (entity, bucket)
+    * pairs cross the exchange; per-entity state is bounded by
+    * time-span/bucketUs, never the event count), cohort = array_min
+    * in the same pass, then the small (cohort, offset) aggregation —
+    * two exchanges total where distinct+min+join would take three.
+    * Null-time events are dropped (collect_set skips nulls).
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    events.select(col(userCol).as("user"),
+        fdiv(toUs(events, tsCol), bucketUs).as("bucket"))
+      .groupBy(col("user")).agg(collect_set(col("bucket")).as("buckets"))
+      .select(array_min(col("buckets")).as("cohort"),
+        explode(col("buckets")).as("bucket"))
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** Gap-based sessionization: within each entity's time-ordered
+    * event stream, a new session opens where the gap to the previous
+    * event exceeds gapUs (the first event always opens session 1).
+    * Output: the input columns + `session_idx` (1-based per entity).
+    *
+    * One exchange + in-partition sort (two window functions over the
+    * same frame). Deterministic under timestamp ties: a tied pair has
+    * gap 0 — never a boundary — so both orders of the tie assign the
+    * same session_idx to both rows.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      gapUs: Long): DataFrame = {
+    require(gapUs > 0, "gapUs must be positive")
+    val us = toUs(events, tsCol)
+    val w = Window.partitionBy(col(userCol)).orderBy(us)
+    val opens = when(
+      us - lag(us, 1).over(w) > gapUs || lag(us, 1).over(w).isNull, 1L)
+      .otherwise(0L)
+    events.withColumn("session_idx",
+      sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+}

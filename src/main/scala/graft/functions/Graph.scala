@@ -137,8 +137,11 @@ object Graph {
     * per-round cost at 3 rounds). Static edge/node/degree relations
     * persist for the loop and release on return (the final round's
     * checkpoint carries the result). With a session checkpoint dir
-    * set, rounds use reliable checkpoints (executor-loss-safe);
-    * otherwise local blocks.
+    * set, rounds use reliable checkpoints — set one in production:
+    * checkpoint FILES survive executor loss and cache eviction, while
+    * the fallback local blocks are a truncated lineage whose loss is
+    * unrecoverable (observed once at 126M nodes on an 8 GB heap under
+    * GC-pressure eviction).
     */
   private def propagate(e0: DataFrame, based0: DataFrame, iterations: Int,
       dampingPermille: Int): DataFrame = {

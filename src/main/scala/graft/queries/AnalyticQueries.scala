@@ -334,6 +334,33 @@ object AnalyticQueries {
       val docs = Tables.load(s, dir, "documents")
       graft.functions.Profile.profileBy(docs, col("source"),
         Seq("doc_id", "n_chars", "lang"), exactDistinct = true)
+    },
+
+    // ordered funnel (windowFunnel semantics): first view → strictly
+    // later click → strictly later purchase, all within 24h of the
+    // first view; per-user step timestamps with drop-off nulls
+    // (150 → 60 → 14 at sf0.01 — every step differentially live)
+    "q_events_funnel" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.functions.Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), Some(86400000000L))
+        .select(col("user").as("user_id"), col("t1"), col("t2"), col("t3"))
+    },
+
+    // cohort retention: 6h activity buckets, cohort = first bucket
+    "q_events_cohort" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.functions.Events.cohortRetention(ev, "user_id", "ts",
+        21600000000L)
+    },
+
+    // gap sessionization: 3h inactivity closes a session (~24%
+    // continuation rate at sf0.01 — both polarities live on most users)
+    "q_events_session" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.functions.Events.sessionize(ev, "user_id", "ts",
+        10800000000L)
+        .select(col("event_id"), col("user_id"), col("session_idx"))
     })
 
   /** Left = clicks, right = purchases pre-aggregated unique per
@@ -629,7 +656,43 @@ object AnalyticQueries {
          |  COUNT(DISTINCT lang),
          |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
          |FROM documents GROUP BY source""".stripMargin
-    })
+    },
+
+    "q_events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |            WHERE event_type='view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type='click' AND epoch_us(e.ts) > s1.t1
+        |         AND epoch_us(e.ts) <= s1.t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |                     JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type='purchase' AND epoch_us(e.ts) > s2.t2
+        |         AND epoch_us(e.ts) <= s1.t1 + 86400000000 GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    "q_events_cohort" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |                    epoch_us(ts) // 21600000000 AS bucket FROM events),
+        |coh AS (SELECT user_id, min(bucket) AS cohort FROM act GROUP BY 1)
+        |SELECT c.cohort, a.bucket - c.cohort AS offset,
+        |       count(*) AS active_users
+        |FROM act a JOIN coh c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_events_session" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 10800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |        epoch_us(ts) - lag(epoch_us(ts))
+        |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+        |      FROM events)""".stripMargin)
 
   private def asofPre: String =
     """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),

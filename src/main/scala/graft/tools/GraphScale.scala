@@ -31,6 +31,11 @@ object GraphScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable round checkpoints (the cluster-recommended mode): the
+    // local-block path lost evicted blocks once under 8g-heap GC
+    // pressure at the third decade — checkpoint files don't evict.
+    val ckpt = java.nio.file.Files.createTempDirectory("graphscale-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
 
     val n = nEdges * 2
     val edges = (shape match {

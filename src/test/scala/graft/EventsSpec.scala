@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Events
+
+/** Event-sequence analytics: funnel ordering/span/monotonicity by
+  * hand, cohort floor-bucket closed forms, sessionization boundary
+  * exactness and tie determinism.
+  */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "us", "event_type")
+
+  test("funnel: earliest completion, strict ordering, span cutoff, drop-off") {
+    val e = ev(
+      // user 1 completes inside span 10 of t1=10: view@10, click@15,
+      // purchase@18; the later view@15 and the click@5 BEFORE t1 must
+      // not matter (earliest t1; clicks before t1 don't count)
+      (1L, 10L, "view"), (1L, 15L, "view"), (1L, 5L, "click"),
+      (1L, 15L, "click"), (1L, 18L, "purchase"),
+      // user 2: click at the SAME instant as the view — strictly-after
+      // means no advance; a later click@25 lands outside span 10
+      (2L, 10L, "view"), (2L, 10L, "click"), (2L, 25L, "click"),
+      // user 3: view+click but purchase BEFORE the click — drop-off at
+      // step 3 (purchase@12 is not after click@14)
+      (3L, 10L, "view"), (3L, 14L, "click"), (3L, 12L, "purchase"),
+      // user 4: no view at all — not in the output
+      (4L, 10L, "click"), (4L, 20L, "purchase"))
+    val f = Events.funnel(e, "user_id", "us", "event_type",
+      Seq("view", "click", "purchase"), Some(10L))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(f === Map(
+      1L -> ((Some(10L), Some(15L), Some(18L))),
+      2L -> ((Some(10L), None, None)),
+      3L -> ((Some(10L), Some(14L), None))))
+    // without the span, user 2's click@25 advances step 2
+    val open = Events.funnel(e, "user_id", "us", "event_type",
+      Seq("view", "click", "purchase"))
+      .filter($"user" === 2L).collect().head
+    assert(Option(open.get(2)) === Some(25L))
+  }
+
+  test("funnel: repeated step types need strictly increasing times") {
+    val e = ev((1L, 10L, "view"), (1L, 11L, "view"),
+      (2L, 10L, "view"))
+    val f = Events.funnel(e, "user_id", "us", "event_type",
+      Seq("view", "view")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(f === Map(1L -> Some(11L), 2L -> None))
+  }
+
+  test("funnelReport: per-step reached counts, zero-filled") {
+    val e = ev((1L, 10L, "view"), (1L, 20L, "click"),
+      (2L, 10L, "view"))
+    val r = Events.funnelReport(e, "user_id", "us", "event_type",
+      Seq("view", "click", "purchase")).collect()
+      .map(x => x.getInt(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(r === Map(1 -> (("view", 2L)), 2 -> (("click", 1L)),
+      3 -> (("purchase", 0L))))
+  }
+
+  test("cohortRetention: floor buckets, offsets, distinct-per-bucket counts") {
+    val e = ev(
+      // user 1: first bucket 1 (us 10..19), active in buckets 1 and 3
+      // (two events in bucket 3 count once)
+      (1L, 10L, "x"), (1L, 31L, "x"), (1L, 35L, "x"),
+      // user 2: cohort 1, active only there
+      (2L, 19L, "x"),
+      // user 3: cohort 2
+      (3L, 20L, "x"), (3L, 30L, "x"))
+    val r = Events.cohortRetention(e, "user_id", "us", 10L).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r === Map((1L, 0L) -> 2L, (1L, 2L) -> 1L,
+      (2L, 0L) -> 1L, (2L, 1L) -> 1L))
+  }
+
+  test("sessionize: gap boundary is strict, first event opens, ties stay together") {
+    val e = ev(
+      (1L, 0L, "a"), (1L, 10L, "b"),   // gap == 10 → SAME session
+      (1L, 21L, "c"),                    // gap 11 > 10 → new session
+      (1L, 21L, "d"),                    // tie: same session as c
+      (2L, 5L, "e"))
+    val s = Events.sessionize(e, "user_id", "us", 10L).collect()
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(s === Map("a" -> 1L, "b" -> 1L, "c" -> 2L, "d" -> 2L, "e" -> 1L))
+  }
+}

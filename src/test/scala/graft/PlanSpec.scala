@@ -310,6 +310,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("funnel reuses the entity partitioning; cohort is two exchanges") {
+    // every funnel exchange keys on `user`, so a k-step funnel plans
+    // exactly k hash exchanges (one per type slice — the step-1 agg
+    // plus one join-side shuffle per later step); the reached side,
+    // the per-step aggregations, and the final left joins all reuse
+    // the same partitioning. Disable broadcast so the join shape is
+    // the at-scale one.
+    // a cached subtree prints once per reference, so count DISTINCT
+    // exchange plan_ids, not textual occurrences. Exchanges whose
+    // child is an InMemoryTableScan reshuffle the ENTITY-scale cached
+    // step relation (k longs per entity — AQE hides a cached plan's
+    // partitioning until materialization, so the planner is
+    // pessimistic there); the scale claim is about exchanges that
+    // move DATA-scale rows, i.e. everything else.
+    def shuffles(p: String, dataScaleOnly: Boolean = false): Int = {
+      val lines = p.linesIterator.toVector
+      val ex = """Exchange hashpartitioning[^\n]*plan_id=(\d+)""".r
+      lines.indices.flatMap { i =>
+        ex.findFirstMatchIn(lines(i)).flatMap { m =>
+          // an exchange sits above a single-child chain down to a
+          // leaf: the first scan node below says what it moves
+          val firstScan = lines.drop(i + 1).find(l =>
+            l.contains("FileScan") || l.contains("InMemoryTableScan"))
+          val overCache = firstScan.exists(_.contains("InMemoryTableScan"))
+          if (dataScaleOnly && overCache) None else Some(m.group(1))
+        }
+      }.toSet.size
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val p = plan("q_events_funnel")
+      assert(shuffles(p, dataScaleOnly = true) === 3,
+        s"expected exactly 3 data-scale shuffles for a 3-step funnel:\n$p")
+      // cohort: one user-keyed collect_set exchange (map-side dedup)
+      // + the small (cohort, offset) aggregation — never a third
+      val c = plan("q_events_cohort")
+      assert(shuffles(c) === 2, s"expected exactly 2 shuffles:\n$c")
+      // sessionize: one exchange + in-partition sort, no range sort
+      val s = plan("q_events_session")
+      assert(shuffles(s) === 1, s"expected exactly one shuffle:\n$s")
+      assert(!s.contains("Exchange rangepartitioning"), s)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("TtlCache expires entries and isolates operator instances") {
     val a = TtlCache.instance[String, Int]("op-a", ttlMillis = 50)
     val b = TtlCache.instance[String, Int]("op-b", ttlMillis = 50)
