@@ -404,6 +404,10 @@ object ops {
       graft.functions.Graph.trustRank(edges.ds.toDF(), seeds.ds.toDF(),
         iterations, dampingPermille))
 
+  def hits(id: String, edges: Stream[Row], iterations: Int): Stream[Row] =
+    step(edges.flow, id, "hits", edges.stepId)(
+      graft.functions.Graph.hits(edges.ds.toDF(), iterations))
+
   def degrees(id: String, edges: Stream[Row]): Stream[Row] =
     step(edges.flow, id, "degrees", edges.stepId)(
       graft.functions.Graph.degrees(edges.ds.toDF()))

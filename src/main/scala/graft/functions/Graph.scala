@@ -145,55 +145,143 @@ object Graph {
     */
   private def propagate(e0: DataFrame, based0: DataFrame, iterations: Int,
       dampingPermille: Int): DataFrame = {
-    val sc = e0.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
+    val rounds = new Rounds(e0)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = e0.persist(lvl)
     val based = based0.persist(lvl)
     val outdeg = e.groupBy(col("src")).agg(dec(count(lit(1))).as("od")).persist(lvl)
-    // round lifecycle (the connectedComponents pattern): materialize
-    // each round into a checkpoint, release the superseded one; only
-    // the final round's data survives, and the returned DataFrame
-    // reads through it
-    case class Marked(df: DataFrame, cached: Option[DataFrame])
-    def checkpointRddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    var cur = rounds.mark(based.select(col("id"), col("r0").as("rank")))
+    for (_ <- 0 until iterations) {
+      val rank = cur
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"), idiv(col("rank"), col("od")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).cast("decimal(38,0)").as("agg"))
+      val next = rounds.mark(based.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("base") + idiv(dec(lit(dampingPermille)) *
+            coalesce(col("agg"), dec(lit(0))), dec(lit(1000))))
+            .cast("decimal(38,0)").as("rank")))
+      rounds.release(cur)
+      cur = next
+    }
+    e.unpersist(false); based.unpersist(false); outdeg.unpersist(false)
+    cur
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg, JACM'99) in the same exact
+    * micro-unit arithmetic: h⁰(v) = unit; each iteration computes
+    * a(v) = Σ_{u→v} h(u) then h(v) = Σ_{v→w} a(w), each
+    * sum-normalized back to Σ ≈ unit by exact floor division (the
+    * integer-friendly normalization; classic L2 would leave the
+    * integer lattice). Returns (id, hub, auth) for every node,
+    * zero-filled — on a bipartite graph the two scores live on
+    * opposite sides, which is exactly the curation read (hub =
+    * well-linking page, authority = well-linked page). Duplicate
+    * edges collapse; a structurally-zero total (possible only on a
+    * degenerate normalized-out graph) yields all-zero scores rather
+    * than a division error. Per iteration: two edge⋈score joins and
+    * two partial-aggregable decimal sums (the 1-row normalizers
+    * broadcast); rounds run the same checkpoint lifecycle as
+    * [[pageRank]].
+    */
+  def hits(edges: DataFrame, iterations: Int,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(unit > 0, "unit must be positive")
+    val Array(cs, cd) = edges.columns.take(2)
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+      .persist(lvl)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
+    // sum-normalize a raw score relation to Σ ≈ unit (exact floor);
+    // an all-zero total yields zeros, never a division error
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val total = raw.agg(
+        coalesce(sum(col(c)), dec(lit(0))).cast("decimal(38,0)").as("tot"))
+      raw.crossJoin(broadcast(total))
+        .select(col("id"),
+          when(col("tot") === dec(lit(0)), dec(lit(0)))
+            .otherwise(idiv(col(c) * dec(lit(unit)), col("tot"))).as(c))
+    }
+    var h = rounds.mark(nodes.select(col("id"), dec(lit(unit)).as("hub")))
+    var a = rounds.mark(nodes.select(col("id"), dec(lit(0)).as("auth")))
+    for (_ <- 0 until iterations) {
+      // normalized() references its input twice (total + scaling):
+      // persist the raw relation across the round's materialization
+      // so the edge join runs once, not twice
+      val aRaw = e.join(h, e("src") === h("id"))
+        .groupBy(e("dst").as("id"))
+        .agg(sum(col("hub")).cast("decimal(38,0)").as("auth"))
+        .persist(lvl)
+      val aNext = rounds.mark(normalized(aRaw, "auth"))
+      aRaw.unpersist(false)
+      rounds.release(a)
+      a = aNext
+      val hRaw = e.join(a, e("dst") === a("id"))
+        .groupBy(e("src").as("id"))
+        .agg(sum(col("auth")).cast("decimal(38,0)").as("hub"))
+        .persist(lvl)
+      val hNext = rounds.mark(normalized(hRaw, "hub"))
+      hRaw.unpersist(false)
+      rounds.release(h)
+      h = hNext
+    }
+    val out = nodes.join(h, Seq("id"), "left").join(a, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hub"), dec(lit(0))).as("hub"),
+        coalesce(col("auth"), dec(lit(0))).as("auth"))
+    // the final join must not out-live the released static relations:
+    // materialize it as its own checkpoint, then drop everything else
+    val res = rounds.mark(out)
+    rounds.release(h); rounds.release(a)
+    e.unpersist(false); nodes.unpersist(false)
+    res
+  }
+
+  /** Round-checkpoint lifecycle shared by the iterative operators
+    * (the [[Dedup.connectedComponents]] pattern): `mark` materializes
+    * a round into a checkpoint (EAGER — it runs the round's job),
+    * `release` frees a superseded round's storage. With a session
+    * checkpoint dir set, rounds use reliable checkpoints — set one in
+    * production: checkpoint FILES survive executor loss and cache
+    * eviction, while the fallback local blocks are a truncated
+    * lineage whose loss is unrecoverable (observed once at 126M nodes
+    * on an 8 GB heap under GC-pressure eviction).
+    */
+  private final class Rounds(anchor: DataFrame) {
+    private val sc = anchor.sparkSession.sparkContext
+    private val reliable = sc.getCheckpointDir.isDefined
+    private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    private def checkpointRddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.logical.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
-    def mark(r: DataFrame): Marked =
-      if (reliable) { val p = r.persist(lvl); Marked(p.checkpoint(false), Some(p)) }
-      else Marked(r.localCheckpoint(false), None)
-    def release(m: Marked): Unit = {
-      m.cached.foreach(_.unpersist(false))
-      checkpointRddOf(m.df).foreach { rdd =>
+
+    def mark(r: DataFrame): DataFrame =
+      if (reliable) {
+        val p = r.persist(lvl)
+        val ck = p.checkpoint(false)
+        ck.count()
+        p.unpersist(false)
+        ck
+      } else {
+        val ck = r.localCheckpoint(false)
+        ck.count()
+        ck
+      }
+
+    def release(m: DataFrame): Unit =
+      checkpointRddOf(m).foreach { rdd =>
         if (reliable) rdd.getCheckpointFile.foreach { f =>
           val path = new org.apache.hadoop.fs.Path(f)
           path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
         }
         else rdd.unpersist(false)
       }
-    }
-    var cur = mark(based.select(col("id"), col("r0").as("rank")))
-    cur.df.count() // materialize round 0
-    cur.cached.foreach(_.unpersist(false))
-    for (_ <- 0 until iterations) {
-      val rank = cur.df
-      val contrib = e.join(rank, e("src") === rank("id"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("id"), idiv(col("rank"), col("od")).as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).cast("decimal(38,0)").as("agg"))
-      val next = mark(based.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (col("base") + idiv(dec(lit(dampingPermille)) *
-            coalesce(col("agg"), dec(lit(0))), dec(lit(1000))))
-            .cast("decimal(38,0)").as("rank")))
-      next.df.count()
-      next.cached.foreach(_.unpersist(false))
-      release(Marked(cur.df, None))
-      cur = next
-    }
-    e.unpersist(false); based.unpersist(false); outdeg.unpersist(false)
-    cur.df
   }
 
   /** Per-node degree report: (id, out_deg, in_deg) over the

@@ -172,6 +172,20 @@ object AnalyticQueries {
       graft.functions.Graph.trustRank(edges, seeds, iterations = 2)
     },
 
+    // HITS on the DIRECTED customer→supplier half: customers are
+    // hubs, suppliers authorities — the bipartite case where the two
+    // scores live on opposite sides; 2 sum-normalized rounds
+    "q_graph_hits" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      graft.functions.Graph.hits(half, iterations = 2)
+    },
+
     // degree report on the DIRECTED customer→supplier half (so in/out
     // are genuinely different: customers out-only, suppliers in-only)
     "q_graph_degrees" -> { (s, dir) =>
@@ -511,6 +525,32 @@ object AnalyticQueries {
         |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
         |       FROM fl f LEFT JOIN c2 c ON c.id = f.id)
         |SELECT id, CAST(rank AS DECIMAL(38,0)) AS rank FROM r2""".stripMargin,
+    "q_graph_hits" ->
+      """WITH edges AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        |               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |h0 AS (SELECT id, 1000000000000::HUGEINT AS hub FROM nodes),
+        |a1r AS (SELECT e.dst AS id, CAST(SUM(h.hub) AS HUGEINT) AS auth
+        |        FROM edges e JOIN h0 h ON h.id = e.src GROUP BY 1),
+        |a1 AS (SELECT id, (auth * 1000000000000::HUGEINT)
+        |         // (SELECT CAST(SUM(auth) AS HUGEINT) FROM a1r) AS auth FROM a1r),
+        |h1r AS (SELECT e.src AS id, CAST(SUM(a.auth) AS HUGEINT) AS hub
+        |        FROM edges e JOIN a1 a ON a.id = e.dst GROUP BY 1),
+        |h1 AS (SELECT id, (hub * 1000000000000::HUGEINT)
+        |         // (SELECT CAST(SUM(hub) AS HUGEINT) FROM h1r) AS hub FROM h1r),
+        |a2r AS (SELECT e.dst AS id, CAST(SUM(h.hub) AS HUGEINT) AS auth
+        |        FROM edges e JOIN h1 h ON h.id = e.src GROUP BY 1),
+        |a2 AS (SELECT id, (auth * 1000000000000::HUGEINT)
+        |         // (SELECT CAST(SUM(auth) AS HUGEINT) FROM a2r) AS auth FROM a2r),
+        |h2r AS (SELECT e.src AS id, CAST(SUM(a.auth) AS HUGEINT) AS hub
+        |        FROM edges e JOIN a2 a ON a.id = e.dst GROUP BY 1),
+        |h2 AS (SELECT id, (hub * 1000000000000::HUGEINT)
+        |         // (SELECT CAST(SUM(hub) AS HUGEINT) FROM h2r) AS hub FROM h2r)
+        |SELECT n.id, CAST(COALESCE(h2.hub, 0) AS DECIMAL(38,0)) AS hub,
+        |       CAST(COALESCE(a2.auth, 0) AS DECIMAL(38,0)) AS auth
+        |FROM nodes n LEFT JOIN h2 ON h2.id = n.id
+        |             LEFT JOIN a2 ON a2.id = n.id""".stripMargin,
+
     "q_graph_degrees" ->
       """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
         |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

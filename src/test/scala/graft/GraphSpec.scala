@@ -68,6 +68,32 @@ class GraphSpec extends SparkSpec {
     assert(z === Set(BigDecimal(0)))
   }
 
+  test("hits matches the hand-unrolled sum-normalized iteration") {
+    // 1→3, 2→3, 3→4 at unit=1000:
+    // a_raw = (3: 2000, 4: 1000), total 3000 → a = (3: 666, 4: 333)
+    // h_raw = (1: 666, 2: 666, 3: 333), total 1665
+    //   → h = (1: 400, 2: 400, 3: 200)   (666000/1665 = 400 exactly)
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.hits(e, 1, unit = 1000L).collect()
+      .map(x => x.getLong(0) ->
+        ((BigDecimal(x.getDecimal(1)), BigDecimal(x.getDecimal(2))))).toMap
+    assert(r === Map(
+      1L -> ((BigDecimal(400), BigDecimal(0))),
+      2L -> ((BigDecimal(400), BigDecimal(0))),
+      3L -> ((BigDecimal(200), BigDecimal(666))),
+      4L -> ((BigDecimal(0), BigDecimal(333)))))
+    // iterations = 0: the uniform initial hub vector, zero authority
+    val z = Graph.hits(e, 0, unit = 1000L).collect()
+      .map(x => (BigDecimal(x.getDecimal(1)), BigDecimal(x.getDecimal(2)))).toSet
+    assert(z === Set((BigDecimal(1000), BigDecimal(0))))
+    // duplicate edges collapse: doubling 1→3 changes nothing
+    val dup = Seq((1L, 3L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r2 = Graph.hits(dup, 1, unit = 1000L).collect()
+      .map(x => x.getLong(0) ->
+        ((BigDecimal(x.getDecimal(1)), BigDecimal(x.getDecimal(2))))).toMap
+    assert(r2 === r)
+  }
+
   test("degrees: directed counts with zero-fill on one-sided nodes") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val d = Graph.degrees(e).collect()
