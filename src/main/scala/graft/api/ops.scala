@@ -408,6 +408,11 @@ object ops {
     step(edges.flow, id, "hits", edges.stepId)(
       graft.functions.Graph.hits(edges.ds.toDF(), iterations))
 
+  def labelPropagation(id: String, edges: Stream[Row],
+      iterations: Int): Stream[Row] =
+    step(edges.flow, id, "label_propagation", edges.stepId)(
+      graft.functions.Graph.labelPropagation(edges.ds.toDF(), iterations))
+
   def degrees(id: String, edges: Stream[Row]): Stream[Row] =
     step(edges.flow, id, "degrees", edges.stepId)(
       graft.functions.Graph.degrees(edges.ds.toDF()))

@@ -284,6 +284,52 @@ object Graph {
       }
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection for link-graph curation (domain clustering, spam-farm
+    * discovery): label⁰(v) = v; each round every node adopts the most
+    * frequent label among its IN-neighbors, DETERMINISTIC tie-break
+    * to the smallest label (classic LPA breaks ties randomly, which
+    * is not reproducible run-to-run; the house rule is bit-stable
+    * results). Nodes with no in-edges keep their label. Propagation
+    * follows edge direction — symmetrize (`union` the reversed edges)
+    * for undirected communities.
+    *
+    * The argmax is a plain partial-aggregable `max(struct(cnt,
+    * ~label))`: bitwise NOT is order-reversing and total on Long
+    * (never overflows, unlike negation at MinValue), so maximizing
+    * the struct maximizes count then minimizes label — no window, no
+    * sort. Per round: one edge⋈label join, one (dst, label) count,
+    * one dst-keyed max — two hash exchanges, both partial-aggregable;
+    * rounds run the shared checkpoint lifecycle.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val Array(cs, cd) = edges.columns.take(2)
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+      .persist(lvl)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
+    var lab = rounds.mark(nodes.select(col("id"), col("id").as("label")))
+    for (_ <- 0 until iterations) {
+      val best = e.join(lab, e("src") === lab("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("id"))
+        .agg(max(struct(col("cnt").as("c"),
+          bitwise_not(col("label")).as("nl"))).as("m"))
+        .select(col("id"), bitwise_not(col("m.nl")).as("adopted"))
+      val next = rounds.mark(lab.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("adopted"), col("label")).as("label")))
+      rounds.release(lab)
+      lab = next
+    }
+    e.unpersist(false); nodes.unpersist(false)
+    lab
+  }
+
   /** Per-node degree report: (id, out_deg, in_deg) over the
     * simple-graph edge set — the sanity face next to [[pageRank]]
     * (hubs, dangling nodes, isolated-side checks), two count

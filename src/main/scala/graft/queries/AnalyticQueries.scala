@@ -186,6 +186,22 @@ object AnalyticQueries {
       graft.functions.Graph.hits(half, iterations = 2)
     },
 
+    // synchronous LPA communities on the symmetrized co-order graph,
+    // 2 rounds: 1600 nodes collapse to 7 labels at sf0.01 with 4
+    // fixpoint nodes — adoption, tie-breaks, and keep-own all live
+    "q_graph_lpa" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      graft.functions.Graph.labelPropagation(edges, iterations = 2)
+    },
+
     // degree report on the DIRECTED customer→supplier half (so in/out
     // are genuinely different: customers out-only, suppliers in-only)
     "q_graph_degrees" -> { (s, dir) =>
@@ -550,6 +566,29 @@ object AnalyticQueries {
         |       CAST(COALESCE(a2.auth, 0) AS DECIMAL(38,0)) AS auth
         |FROM nodes n LEFT JOIN h2 ON h2.id = n.id
         |             LEFT JOIN a2 ON a2.id = n.id""".stripMargin,
+
+    "q_graph_lpa" ->
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |l0 AS (SELECT id, id AS label FROM nodes),
+        |b1 AS (SELECT dst AS id, label FROM (
+        |        SELECT e.dst, l.label, count(*) AS cnt,
+        |               row_number() OVER (PARTITION BY e.dst
+        |                 ORDER BY count(*) DESC, l.label ASC) AS rn
+        |        FROM edges e JOIN l0 l ON l.id = e.src
+        |        GROUP BY e.dst, l.label) WHERE rn = 1),
+        |l1 AS (SELECT n.id, COALESCE(b.label, n.id) AS label
+        |       FROM nodes n LEFT JOIN b1 b ON b.id = n.id),
+        |b2 AS (SELECT dst AS id, label FROM (
+        |        SELECT e.dst, l.label, count(*) AS cnt,
+        |               row_number() OVER (PARTITION BY e.dst
+        |                 ORDER BY count(*) DESC, l.label ASC) AS rn
+        |        FROM edges e JOIN l1 l ON l.id = e.src
+        |        GROUP BY e.dst, l.label) WHERE rn = 1)
+        |SELECT l1.id, COALESCE(b.label, l1.label) AS label
+        |FROM l1 LEFT JOIN b2 b ON b.id = l1.id""".stripMargin,
 
     "q_graph_degrees" ->
       """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst

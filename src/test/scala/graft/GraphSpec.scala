@@ -94,6 +94,27 @@ class GraphSpec extends SparkSpec {
     assert(r2 === r)
   }
 
+  test("labelPropagation: majority adoption, min-label ties, keep-own, direction") {
+    // 1→3, 2→3, 4→3: node 3's in-labels {1,2,4} all count 1 → tie
+    // breaks to MIN label 1; nodes 1,2,4 have no in-edges → keep own
+    val e = Seq((1L, 3L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val r1 = Graph.labelPropagation(e, 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L))
+    // majority beats min: {5,5,2} in-labels → 5 wins despite 2 < 5
+    val e2 = Seq((5L, 9L), (6L, 9L), (2L, 9L), (5L, 6L))
+      .toDF("src", "dst")
+    // round 1: 6 adopts 5; 9 sees {5,6,2} → tie → 2
+    // round 2: 9 sees labels of (5,6,2) = {5,5,2} → 5 by majority
+    val r2 = Graph.labelPropagation(e2, 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 === Map(5L -> 5L, 6L -> 5L, 2L -> 2L, 9L -> 5L))
+    // iterations = 0: identity labeling
+    val r0 = Graph.labelPropagation(e, 0).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r0 === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("degrees: directed counts with zero-fill on one-sided nodes") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val d = Graph.degrees(e).collect()
