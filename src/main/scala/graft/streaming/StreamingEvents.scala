@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import graft.streaming.TransformWithStateOps.GraftStatefulLogic
+
+/** Streaming face of the event-sequence analytics family: the funnel
+  * as a transformWithState operator whose per-entity state is the
+  * SAME fixed k-vector of step times as the batch operator — bounded
+  * under key skew, never an event buffer.
+  *
+  * Ordering contract: the batch funnel's earliest-completion
+  * semantics over full history is not incrementally computable from
+  * bounded state under arbitrary arrival order (a late-arriving
+  * EARLIER step-1 event would retroactively rewrite every later
+  * step). The streaming operator therefore processes events in
+  * event-time order WITHIN each micro-batch and assumes in-order
+  * arrival ACROSS micro-batches per entity (the StreamingAsof
+  * posture: order by watermark upstream if the source reorders);
+  * under that contract the final per-entity vector is EXACTLY the
+  * batch funnel's row, for any micro-batch split — spec-pinned. An
+  * out-of-order stray that would have changed an already-taken step
+  * is ignored, never a wrong partial.
+  */
+object StreamingEvents {
+
+  /** Per-entity funnel progress: the times of the reached step
+    * prefix. Emits the updated prefix whenever it advances (the last
+    * emission per entity is the funnel row so far).
+    */
+  private class FunnelLogic(steps: Seq[String], maxSpanUs: Option[Long],
+      ttl: Option[java.time.Duration])
+    extends GraftStatefulLogic[Long, (Long, String), Seq[Long], Seq[Long]] {
+    override def stateTtl: Option[java.time.Duration] = ttl
+    override def onBatch(key: Long, values: Seq[(Long, String)],
+        state: Option[Seq[Long]]): (Option[Seq[Long]], Seq[Seq[Long]]) = {
+      var v = state.getOrElse(Seq.empty[Long]).toVector
+      val before = v.length
+      values.sortBy(_._1).foreach { case (us, et) =>
+        val i = v.length
+        if (i < steps.length && et == steps(i) &&
+            (i == 0 || us > v(i - 1)) &&
+            (i == 0 || maxSpanUs.forall(sp => us <= v.head + sp)))
+          v = v :+ us
+      }
+      if (v.isEmpty) (None, Seq.empty)
+      else (Some(v), if (v.length > before) Seq(v) else Seq.empty)
+    }
+  }
+
+  /** `events` = (entity, (eventTimeUs, eventType)). Output: (entity,
+    * reached-step times) emitted on every advance; the per-entity
+    * LAST output equals the batch [[graft.functions.Events.funnel]]
+    * row (nulls = the missing suffix) under the in-order contract.
+    * `ttl` bounds state for unbounded entity spaces.
+    */
+  def funnelStream(events: Dataset[(Long, (Long, String))],
+      steps: Seq[String], maxSpanUs: Option[Long] = None,
+      ttl: Option[java.time.Duration] = None)(
+      implicit sEnc: Encoder[Seq[Long]],
+      outEnc: Encoder[(Long, Seq[Long])]): Dataset[(Long, Seq[Long])] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    TransformWithStateOps.statefulTws[Long, (Long, String), Seq[Long], Seq[Long]](
+      events, new FunnelLogic(steps, maxSpanUs, ttl))
+  }
+}

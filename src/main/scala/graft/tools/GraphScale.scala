@@ -54,27 +54,52 @@ object GraphScale {
     edges.count()
 
     val unit = 1000000000000L
+    val op = if (args.length > 3) args(3) else "pagerank"
+    def run(ed: org.apache.spark.sql.DataFrame) = op match {
+      case "hits" => graft.functions.Graph.hits(ed, iters)
+      case "lpa" => graft.functions.Graph.labelPropagation(ed, iters)
+      case _ => graft.functions.Graph.pageRank(ed, iters)
+    }
     val t0 = System.nanoTime()
-    val pr = graft.functions.Graph.pageRank(edges, iters).cache()
+    val pr = run(edges).cache()
     val nodes = pr.count()
     val sec = (System.nanoTime() - t0) / 1e9
 
     val nodeCount = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().count()
-    val base = java.math.BigDecimal.valueOf((unit * 150L / 1000L) / nodeCount)
-    val belowBase = pr.filter(col("rank") < lit(base)).count()
-    val total = pr.agg(sum(col("rank")).cast("decimal(38,0)")).head().getDecimal(0)
     val dupIds = pr.groupBy(col("id")).count().filter(col("count") > 1).count()
+    // op-specific mass/range invariants
+    val (badRows, total) = op match {
+      case "hits" =>
+        val bad = pr.filter(col("hub") < 0 || col("auth") < 0).count()
+        val t = pr.agg(greatest(
+          sum(col("hub")).cast("decimal(38,0)"),
+          sum(col("auth")).cast("decimal(38,0)"))).head().getDecimal(0)
+        (bad, t)
+      case "lpa" =>
+        // every label must be a node id (labels only ever copy ids);
+        // set semantics — many nodes legitimately share a label
+        val ids = pr.select(col("id"))
+        val bad = pr.select(col("label").as("id")).distinct()
+          .join(ids, Seq("id"), "left_anti").count()
+        (bad, java.math.BigDecimal.ZERO)
+      case _ =>
+        val base = java.math.BigDecimal.valueOf((unit * 150L / 1000L) / nodeCount)
+        val bad = pr.filter(col("rank") < lit(base)).count()
+        val t = pr.agg(sum(col("rank")).cast("decimal(38,0)")).head().getDecimal(0)
+        (bad, t)
+    }
 
     var mismatch = -1L
     if (nEdges <= 1000000L) {
-      val pr2 = graft.functions.Graph.pageRank(edges.repartition(17), iters)
+      val pr2 = run(edges.repartition(17))
       mismatch = pr.exceptAll(pr2).count() + pr2.exceptAll(pr).count()
     }
 
-    println(f"""{"edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"below_base":$belowBase,"total_rank":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
-    require(nodes == nodeCount && belowBase == 0 && dupIds == 0 &&
-      total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0 &&
+    println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
+    require(nodes == nodeCount && badRows == 0 && dupIds == 0 &&
+      (op == "lpa" ||
+        total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0) &&
       mismatch <= 0, "invariant violation")
     spark.stop()
   }

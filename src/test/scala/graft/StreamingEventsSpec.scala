@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.connectors.Testing
+import graft.functions.Events
+import graft.streaming.StreamingEvents
+
+/** Streaming funnel: batch parity under arbitrary micro-batch splits
+  * of the time-ordered stream, bounded-state advancement, and the
+  * ignored out-of-order stray.
+  */
+class StreamingEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  // the EventsSpec corpus: user 1 completes within span, user 2 stalls
+  // at step 1 (same-instant click; later click outside span), user 3
+  // drops at step 3, user 4 never enters
+  private val rows = Seq(
+    (1L, 10L, "view"), (1L, 15L, "view"), (1L, 5L, "click"),
+    (1L, 15L, "click"), (1L, 18L, "purchase"),
+    (2L, 10L, "view"), (2L, 10L, "click"), (2L, 25L, "click"),
+    (3L, 10L, "view"), (3L, 14L, "click"), (3L, 12L, "purchase"),
+    (4L, 10L, "click"), (4L, 20L, "purchase"))
+  private val steps = Seq("view", "click", "purchase")
+
+  private def lastPerUser(splits: Seq[Seq[(Long, Long, String)]]): Map[Long, Seq[Long]] =
+    withRocksDb {
+      val src = Testing.testingSource[(Long, (Long, String))](spark)
+      val out = StreamingEvents.funnelStream(src.toDS(), steps, Some(10L))
+      val q = out.writeStream.format("memory").queryName("sfunnel")
+        .outputMode("append").start()
+      try {
+        splits.foreach { b =>
+          src.addBatch(b.map(r => (r._1, (r._2, r._3))): _*)
+          q.processAllAvailable()
+        }
+        // last emission per user = deepest prefix (emissions only grow)
+        spark.table("sfunnel").as[(Long, Seq[Long])].collect()
+          .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_.length) }
+      } finally {
+        q.stop(); spark.sql("DROP TABLE IF EXISTS sfunnel")
+      }
+    }
+
+  private def batchExpected: Map[Long, Seq[Long]] =
+    Events.funnel(rows.toDF("user_id", "us", "event_type"),
+      "user_id", "us", "event_type", steps, Some(10L)).collect()
+      .map { r =>
+        r.getLong(0) -> Seq(Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+          .takeWhile(_.isDefined).map(_.get.asInstanceOf[Long])
+      }.toMap
+
+  test("funnelStream: batch parity under two different micro-batch splits") {
+    val ordered = rows.sortBy(r => (r._2, r._1))
+    val oneBig = lastPerUser(Seq(ordered))
+    val perEvent = lastPerUser(ordered.grouped(3).toSeq)
+    val expected = batchExpected
+    assert(oneBig === expected)
+    assert(perEvent === expected)
+  }
+
+  test("funnelStream: an out-of-order stray never rewrites a taken step") {
+    // view@10 then click@15 taken; a LATE view@2 must not move t1
+    val out = lastPerUser(Seq(
+      Seq((7L, 10L, "view"), (7L, 15L, "click")),
+      Seq((7L, 2L, "view")),
+      Seq((7L, 18L, "purchase"))))
+    assert(out === Map(7L -> Seq(10L, 15L, 18L)))
+  }
+}
