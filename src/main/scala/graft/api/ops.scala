@@ -435,4 +435,17 @@ object ops {
     step(events.flow, id, "sessionize", events.stepId)(
       graft.functions.Events.sessionize(events.ds.toDF(), userCol,
         tsCol, gapUs))
+
+  def transitions(id: String, events: Stream[Row], userCol: String,
+      tsCol: String, typeCol: String,
+      tieBreak: Seq[String] = Nil): Stream[Row] =
+    step(events.flow, id, "transitions", events.stepId)(
+      graft.functions.Events.transitions(events.ds.toDF(), userCol,
+        tsCol, typeCol, tieBreak))
+
+  def anomalies(id: String, events: Stream[Row], groupCol: String,
+      valueCol: String, k: Long, unitScale: Long = 1L): Stream[Row] =
+    step(events.flow, id, "anomalies", events.stepId)(
+      graft.functions.Events.anomalies(events.ds.toDF(), groupCol,
+        valueCol, k, unitScale))
 }

@@ -142,6 +142,95 @@ object Events {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Markov transition counts: per entity, time-ordered consecutive
+    * event-type pairs collapsed to (from_type, to_type, n) — the path
+    * matrix behind "what happens after X" analyses. Ordering within an
+    * entity is (time, tieBreak...); pass a unique column (an event id)
+    * as the tie-break when timestamps can collide, or the lag pairing
+    * at a tied instant is partition-order-dependent.
+    *
+    * Plan: one entity-keyed exchange + in-partition sort for the lag,
+    * then the small (from, to) aggregation — transition rows never
+    * outnumber events, and the final aggregate is |types|² at most.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val us = toUs(events, tsCol)
+    val order: Seq[Column] = us +: tieBreak.map(col)
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    events.select(col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-group robust location/spread in EXACT integers: lower median
+    * (the ⌈n/2⌉-th smallest) and MAD (lower median of |x − med|) over
+    * `round(value · unitScale)` micro-units. Output: (group, n, med,
+    * mad), all longs.
+    *
+    * Scale shape — the naive exact median (a whole-partition sort
+    * window per group) serializes each group onto one task; this
+    * operator instead aggregates a VALUE-FREQUENCY histogram first
+    * (one fully-parallel corpus exchange with map-side combine), and
+    * the rank-selection windows ride the per-group distinct-value
+    * relation — metadata-scale for fixed-point metrics (cents,
+    * millis), never row-scale. The MAD histogram derives from the same
+    * value histogram (re-keyed by |u − med| and re-summed), so the
+    * corpus is scanned ONCE for both statistics.
+    */
+  def robustStats(df: DataFrame, groupCol: String, valueCol: String,
+      unitScale: Long = 1L): DataFrame = {
+    require(unitScale > 0, "unitScale must be positive")
+    val u =
+      if (unitScale == 1L) col(valueCol).cast("long")
+      else round(col(valueCol) * lit(unitScale)).cast("long")
+    val hist = df.select(col(groupCol).as("g"), u.as("u"))
+      .filter(col("u").isNotNull)
+      .groupBy(col("g"), col("u")).agg(count(lit(1)).as("c"))
+
+    def lowerMedian(h: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col("u"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("g"))
+      h.select(col("g"), col("u"),
+          sum(col("c")).over(w).as("cum"), sum(col("c")).over(wAll).as("n"))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("g")).agg(min(col("u")).as(out),
+          first(col("n")).as(s"${out}_n"))
+    }
+
+    val med = lowerMedian(hist, "med")
+    val devHist = hist.join(broadcast(med), Seq("g"))
+      .groupBy(col("g"), abs(col("u") - col("med")).as("u"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(devHist, "mad")
+    med.join(broadcast(mad.select(col("g"), col("mad"))), Seq("g"))
+      .select(col("g").as(groupCol), col("med_n").as("n"),
+        col("med"), col("mad"))
+  }
+
+  /** Robust z-score outlier flags: rows whose micro-unit deviation
+    * from the group's lower median exceeds k·MAD. Appends `med`,
+    * `mad` (micro-unit longs) and `is_anomaly`; the comparison is
+    * exact long arithmetic — bit-reproducible and oracle-checkable.
+    * Stats relations are one row per group and broadcast; the data
+    * side never re-shuffles. Null values are never anomalies.
+    */
+  def anomalies(df: DataFrame, groupCol: String, valueCol: String,
+      k: Long, unitScale: Long = 1L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val stats = robustStats(df, groupCol, valueCol, unitScale)
+      .select(col(groupCol), col("med"), col("mad"))
+    val u =
+      if (unitScale == 1L) col(valueCol).cast("long")
+      else round(col(valueCol) * lit(unitScale)).cast("long")
+    df.join(broadcast(stats), Seq(groupCol), "left")
+      .withColumn("is_anomaly",
+        coalesce(abs(u - col("med")) > lit(k) * col("mad"), lit(false)))
+  }
+
   /** Gap-based sessionization: within each entity's time-ordered
     * event stream, a new session opens where the gap to the previous
     * event exceeds gapUs (the first event always opens session 1).

@@ -391,6 +391,27 @@ object AnalyticQueries {
       graft.functions.Events.sessionize(ev, "user_id", "ts",
         10800000000L)
         .select(col("event_id"), col("user_id"), col("session_idx"))
+    },
+
+    // Markov transition matrix: consecutive event-type pairs per user,
+    // event_id tie-break (events DO collide on (user, ts) at whole-us
+    // resolution only if generated so; the tie-break makes the lag
+    // pairing total either way). All 25 type pairs populated at sf0.01.
+    "q_events_transitions" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.functions.Events.transitions(ev, "user_id", "ts",
+        "event_type", Seq("event_id"))
+    },
+
+    // robust z-score anomalies: per-type lower median + MAD in exact
+    // cent units, flag |x − med| > 3·MAD (~230 true / ~1780 false per
+    // type at sf0.01 — both polarities live). The median/MAD selection
+    // rides a value-frequency histogram, never a per-group row sort.
+    "q_events_anomaly" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.functions.Events.anomalies(ev, "event_type", "value", 3L, 100L)
+        .select(col("event_id"), col("event_type"), col("med"),
+          col("mad"), col("is_anomaly"))
     })
 
   /** Left = clicks, right = purchases pre-aggregated unique per
@@ -771,7 +792,39 @@ object AnalyticQueries {
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
         |        epoch_us(ts) - lag(epoch_us(ts))
         |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
-        |      FROM events)""".stripMargin)
+        |      FROM events)""".stripMargin,
+
+    "q_events_transitions" ->
+      """SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT event_type AS to_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts), event_id) AS from_type
+        |      FROM events)
+        |WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH hist AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS u, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |msel AS (SELECT g, u,
+        |    sum(c) OVER (PARTITION BY g ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM hist),
+        |med AS (SELECT g, min(u) AS med FROM msel WHERE cum*2 >= n GROUP BY 1),
+        |dev AS (SELECT h.g, abs(h.u - m.med) AS u, sum(h.c) AS c
+        |  FROM hist h JOIN med m ON h.g = m.g GROUP BY 1, 2),
+        |dsel AS (SELECT g, u,
+        |    sum(c) OVER (PARTITION BY g ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM dev),
+        |mad AS (SELECT g, min(u) AS mad FROM dsel WHERE cum*2 >= n GROUP BY 1)
+        |SELECT e.event_id, e.event_type, m.med, d.mad,
+        |  COALESCE(abs(CAST(round(e.value * 100) AS BIGINT) - m.med)
+        |    > 3 * d.mad, FALSE) AS is_anomaly
+        |FROM events e
+        |LEFT JOIN med m ON e.event_type = m.g
+        |LEFT JOIN mad d ON e.event_type = d.g""".stripMargin)
 
   private def asofPre: String =
     """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),

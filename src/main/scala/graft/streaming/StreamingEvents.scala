@@ -63,4 +63,46 @@ object StreamingEvents {
     TransformWithStateOps.statefulTws[Long, (Long, String), Seq[Long], Seq[Long]](
       events, new FunnelLogic(steps, maxSpanUs, ttl))
   }
+
+  /** Per-entity gap-sessionization state: (last event time, current
+    * session index) — two longs, the same bounded shape as the batch
+    * operator's window state. Each event emits its (time, session)
+    * assignment.
+    */
+  private class SessionLogic(gapUs: Long, ttl: Option[java.time.Duration])
+    extends GraftStatefulLogic[Long, Long, (Long, Long), (Long, Long)] {
+    override def stateTtl: Option[java.time.Duration] = ttl
+    override def onBatch(key: Long, values: Seq[Long],
+        state: Option[(Long, Long)]): (Option[(Long, Long)], Seq[(Long, Long)]) = {
+      var (last, idx) = state.getOrElse((0L, 0L))
+      val out = values.sorted.map { us =>
+        if (idx == 0L || us - last > gapUs) idx += 1
+        last = math.max(last, us)
+        (us, idx)
+      }
+      (Some((last, idx)), out)
+    }
+  }
+
+  /** Streaming gap sessionization: `events` = (entity, eventTimeUs);
+    * output (entity, (us, session_idx)) — one row per input event,
+    * session indices 1-based per entity, boundary strictly greater
+    * than `gapUs` (a gap of exactly gapUs continues the session, the
+    * batch [[graft.functions.Events.sessionize]] contract). Same
+    * in-order-across-batches posture as [[funnelStream]]; within a
+    * micro-batch events are processed in event-time order. Under that
+    * contract the assignment is EXACTLY the batch operator's for any
+    * micro-batch split — spec-pinned. State is two longs per entity;
+    * `ttl` bounds it for unbounded entity spaces (an entity whose
+    * state expires restarts at session 1).
+    */
+  def sessionizeStream(events: Dataset[(Long, Long)], gapUs: Long,
+      ttl: Option[java.time.Duration] = None)(
+      implicit sEnc: Encoder[(Long, Long)],
+      outEnc: Encoder[(Long, (Long, Long))]): Dataset[(Long, (Long, Long))] = {
+    require(gapUs > 0, "gapUs must be positive")
+    import events.sparkSession.implicits._
+    TransformWithStateOps.statefulTws[Long, Long, (Long, Long), (Long, Long)](
+      events, new SessionLogic(gapUs, ttl))
+  }
 }

@@ -87,4 +87,54 @@ class EventsSpec extends SparkSpec {
       .map(r => r.getString(2) -> r.getLong(3)).toMap
     assert(s === Map("a" -> 1L, "b" -> 1L, "c" -> 2L, "d" -> 2L, "e" -> 1L))
   }
+
+  test("transitions: per-user consecutive pairs, tie-break total order") {
+    val e = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "a", 3L),
+      // user 2: tied instant — event_id orders x(4) before y(5)
+      (2L, 10L, "x", 5L), (2L, 10L, "w", 4L), (2L, 20L, "x", 6L),
+      // user 3: single event — no transition
+      (3L, 10L, "a", 7L))
+      .toDF("user_id", "us", "event_type", "eid")
+    val t = Events.transitions(e, "user_id", "us", "event_type", Seq("eid"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(t === Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("w", "x") -> 1L, ("x", "x") -> 1L))
+  }
+
+  test("robustStats: lower median and MAD by hand, odd and even counts") {
+    val e = Seq(("g", 1L), ("g", 3L), ("g", 7L), ("g", 100L),
+      ("h", 5L), ("h", 5L), ("h", 9L))
+      .toDF("grp", "v")
+    val r = Events.robustStats(e, "grp", "v").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    // g sorted 1,3,7,100 (n=4): lower median = 2nd = 3; devs 0,2,4,97
+    //   → MAD = 2nd = 2. h sorted 5,5,9 (n=3): med = 2nd = 5; devs
+    //   0,0,4 → MAD = 0.
+    assert(r === Map("g" -> ((4L, 3L, 2L)), "h" -> ((3L, 5L, 0L))))
+  }
+
+  test("anomalies: exact k·MAD boundary is strict; nulls never flag") {
+    val e = Seq(("g", java.lang.Long.valueOf(1L)),
+      ("g", java.lang.Long.valueOf(3L)), ("g", java.lang.Long.valueOf(7L)),
+      ("g", java.lang.Long.valueOf(100L)), ("g", null.asInstanceOf[java.lang.Long]))
+      .toDF("grp", "v")
+    // med=3, mad=2, k=2 → threshold 4: dev 0,2 keep; dev 4 (v=7) is AT
+    // the boundary — strict > keeps it; dev 97 flags
+    val a = Events.anomalies(e, "grp", "v", 2L).collect()
+      .map(r => Option(r.get(1)).map(_.toString).orNull -> r.getBoolean(4))
+      .toMap
+    assert(a === Map("1" -> false, "3" -> false, "7" -> false,
+      "100" -> true, null.asInstanceOf[String] -> false))
+  }
+
+  test("robustStats: unitScale rounds doubles to micro-units") {
+    val e = Seq(("g", 1.234), ("g", 1.236), ("g", 9.999))
+      .toDF("grp", "v")
+    val r = Events.robustStats(e, "grp", "v", 100L).collect().head
+    // cents: 123, 124, 1000 → med 124; devs 0, 1, 876 → mad 1
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 124L, 1L)))
+  }
 }

@@ -78,4 +78,39 @@ class StreamingEventsSpec extends SparkSpec {
       Seq((7L, 18L, "purchase"))))
     assert(out === Map(7L -> Seq(10L, 15L, 18L)))
   }
+
+  private def sessionStream(splits: Seq[Seq[(Long, Long)]],
+      gapUs: Long): Map[(Long, Long), Long] =
+    withRocksDb {
+      val src = Testing.testingSource[(Long, Long)](spark)
+      val out = StreamingEvents.sessionizeStream(src.toDS(), gapUs)
+      val q = out.writeStream.format("memory").queryName("ssess")
+        .outputMode("append").start()
+      try {
+        splits.foreach { b => src.addBatch(b: _*); q.processAllAvailable() }
+        spark.table("ssess").as[(Long, (Long, Long))].collect()
+          .map { case (u, (us, idx)) => (u, us) -> idx }.toMap
+      } finally {
+        q.stop(); spark.sql("DROP TABLE IF EXISTS ssess")
+      }
+    }
+
+  test("sessionizeStream: batch parity under two different micro-batch splits") {
+    val evs = Seq((1L, 0L), (1L, 10L), (1L, 21L), (2L, 5L), (1L, 40L),
+      (2L, 16L), (1L, 45L), (2L, 100L))
+    val expected = Events.sessionize(
+        evs.toDF("user_id", "us"), "user_id", "us", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ordered = evs.sortBy(_._2)
+    assert(sessionStream(Seq(ordered), 10L) === expected)
+    assert(sessionStream(ordered.grouped(2).toSeq, 10L) === expected)
+  }
+
+  test("sessionizeStream: gap boundary strict across a batch split") {
+    // gap == 10 exactly, straddling two micro-batches → same session;
+    // gap 11 across a split → new session
+    val out = sessionStream(Seq(Seq((1L, 0L)), Seq((1L, 10L)),
+      Seq((1L, 21L))), 10L)
+    assert(out === Map((1L, 0L) -> 1L, (1L, 10L) -> 1L, (1L, 21L) -> 2L))
+  }
 }
