@@ -328,6 +328,17 @@ object ops {
       graft.functions.Maintain.refreshAgg(prevAgg.ds.toDF(), base.ds.toDF(),
         changes.ds.toDF(), keyCol, groupCols, aggs, deleteCol))
 
+  def scd2Apply(id: String, history: Stream[Row], changes: Stream[Row],
+      keyCol: String, attrCols: Seq[String],
+      changeTsCol: String): Stream[Row] =
+    step(history.flow, id, "scd2_apply", history.stepId, changes.stepId)(
+      graft.functions.Maintain.scd2Apply(history.ds.toDF(),
+        changes.ds.toDF(), keyCol, attrCols, changeTsCol))
+
+  def scd2AsOf(id: String, history: Stream[Row], asOfTs: Long): Stream[Row] =
+    step(history.flow, id, "scd2_as_of", history.stepId)(
+      graft.functions.Maintain.scd2AsOf(history.ds.toDF(), asOfTs))
+
   def validateReport(id: String, up: Stream[Row],
       checks: Seq[graft.functions.Validate.Check]): Stream[Row] =
     step(up.flow, id, "validate_report", up.stepId)(

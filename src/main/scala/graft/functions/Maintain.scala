@@ -63,6 +63,78 @@ object Maintain {
     upsert(base, latest, keyCol, deleteCol)
   }
 
+  /** Type-2 slowly-changing-dimension apply: fold a timestamped
+    * change batch into a versioned history table — the metadata face
+    * of corpus maintenance (source/license/domain attributes whose
+    * past values must stay queryable "as of" any time).
+    *
+    * `history` carries (`keyCol`, `attrCols`..., `validFromCol`,
+    * `validToCol`) with a NULL `validToCol` marking each key's
+    * current row; `changes` carries (`keyCol`, `attrCols`...,
+    * `changeTsCol`). Per key, the current row and its changes are
+    * sequenced by (time, current-first, attrs) and consecutive
+    * duplicate attribute tuples collapse (a no-op change never opens
+    * a version); each surviving row's `validToCol` is the next row's
+    * start, the last stays open. New keys insert their first version;
+    * already-closed rows are never touched. The result is a pure
+    * function of (history, changes) — ties between distinct change
+    * tuples at one instant order by the attribute tuple itself, so
+    * arrival order never matters. A change at the exact instant an
+    * open row began yields a zero-width span for the superseded
+    * version (recorded, not lost). Contract: change times must be ≥
+    * their key's current `validFromCol` (the CDC in-order posture);
+    * earlier strays would interleave before the open row rather than
+    * error.
+    *
+    * Scale shape: the changed-key set broadcasts twice — untouched
+    * current rows and all closed rows pass through with ZERO shuffle
+    * (the [[refreshAgg]] touched-group property), and the windowed
+    * sequencing rides |touched current| + |changes| rows, never the
+    * dimension. Both window passes share one key-hash exchange.
+    */
+  def scd2Apply(history: DataFrame, changes: DataFrame, keyCol: String,
+      attrCols: Seq[String], changeTsCol: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Apply needs at least one attribute column")
+    val outCols = (keyCol +: attrCols) :+ validFromCol :+ validToCol
+    val touched = changes.select(col(keyCol)).distinct()
+    val current = history.filter(col(validToCol).isNull)
+    val closed = history.filter(col(validToCol).isNotNull)
+      .select(outCols.map(col): _*)
+    val untouched = current.join(broadcast(touched), Seq(keyCol), "left_anti")
+      .select(outCols.map(col): _*)
+    val attrs = attrCols.map(col)
+    val candCur = current.join(broadcast(touched), Seq(keyCol), "left_semi")
+      .select(col(keyCol) +: attrs :+ col(validFromCol).as("__ts")
+        :+ lit(0).as("__src"): _*)
+    val candChg = changes
+      .select(col(keyCol) +: attrs :+ col(changeTsCol).as("__ts")
+        :+ lit(1).as("__src"): _*)
+    val ord = Seq(col("__ts"), col("__src")) ++ attrs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(ord: _*)
+    val tup = struct(attrs: _*)
+    val kept = candCur.unionByName(candChg)
+      .withColumn("__prev", lag(tup, 1).over(w))
+      .filter(col("__prev").isNull || !(tup <=> col("__prev")))
+      .drop("__prev")
+    val spans = kept
+      .withColumn(validToCol, lead(col("__ts"), 1).over(w))
+      .withColumnRenamed("__ts", validFromCol)
+      .select(outCols.map(col): _*)
+    closed.unionByName(untouched).unionByName(spans)
+  }
+
+  /** Point-in-time read of an SCD2 history: each key's row whose
+    * [valid_from, valid_to) span covers `asOfTs` — one codegen'd
+    * filter, no shuffle. */
+  def scd2AsOf(history: DataFrame, asOfTs: Long,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame =
+    history.filter(col(validFromCol) <= lit(asOfTs) &&
+      (col(validToCol).isNull || col(validToCol) > lit(asOfTs)))
+
   private val VerCol = "__graft_ver"
   private val DelCol = "__graft_del"
 

@@ -311,6 +311,27 @@ object CorpusQueries {
         .select(col("doc_id"), md5(col("text")).as("fp"))
     },
 
+    // SCD2 history apply: customer segments as the dimension (every
+    // 0-mod-10 key seeded with a pre-closed prior version), event
+    // types as the timestamped change stream. Touched keys rebuild
+    // their version chains (consecutive duplicate types collapse —
+    // live), untouched keys and closed rows pass through, and
+    // user_id 0 has no customer row — the insert-new-key path is live
+    "q_scd2" -> { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val cur = cust.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+      val closedRows = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("k"), lit("OLD").as("seg"),
+          lit(-100L).as("valid_from"), lit(0L).as("valid_to"))
+      val ev = Tables.load(s, dir, "events")
+      val changes = ev.select(col("user_id").as("k"),
+        col("event_type").as("seg"), unix_micros(col("ts")).as("ts"))
+      graft.functions.Maintain.scd2Apply(closedRows.unionByName(cur),
+        changes, "k", Seq("seg"), "ts")
+    },
+
     // incremental rollup maintenance: per-customer order count + spend
     // maintained under a change batch with replacements that MOVE rows
     // between groups (0-mod-5 orders re-priced AND re-homed to the
@@ -870,6 +891,32 @@ object CorpusQueries {
         |  WHERE b.doc_id NOT IN (SELECT doc_id FROM ch)
         |  UNION ALL
         |  SELECT doc_id, text FROM ch WHERE NOT del)""".stripMargin,
+
+    "q_scd2" ->
+      """WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM customer),
+        |closedr AS (SELECT c_custkey AS k, 'OLD' AS seg,
+        |    CAST(-100 AS BIGINT) AS valid_from, CAST(0 AS BIGINT) AS valid_to
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |chg AS (SELECT user_id AS k, event_type AS seg, epoch_us(ts) AS ts
+        |  FROM events),
+        |touched AS (SELECT DISTINCT k FROM chg),
+        |unt AS (SELECT * FROM cur WHERE k NOT IN (SELECT k FROM touched)),
+        |cand AS (SELECT k, seg, valid_from AS ts, 0 AS src FROM cur
+        |    WHERE k IN (SELECT k FROM touched)
+        |  UNION ALL SELECT k, seg, ts, 1 FROM chg),
+        |kept AS (SELECT k, seg, ts, src FROM (
+        |    SELECT k, seg, ts, src,
+        |      lag(seg) OVER (PARTITION BY k ORDER BY ts, src, seg) AS pseg
+        |    FROM cand)
+        |  WHERE pseg IS NULL OR seg IS DISTINCT FROM pseg),
+        |spans AS (SELECT k, seg, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY k ORDER BY ts, src, seg) AS valid_to
+        |  FROM kept)
+        |SELECT k, seg, valid_from, valid_to FROM closedr
+        |UNION ALL SELECT k, seg, valid_from, valid_to FROM unt
+        |UNION ALL SELECT k, seg, valid_from, valid_to FROM spans""".stripMargin,
 
     "q_agg_maintain" ->
       """WITH ch AS (

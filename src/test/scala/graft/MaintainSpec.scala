@@ -320,4 +320,61 @@ class MaintainSpec extends SparkSpec {
     assert(got("g4") === -777L)       // passed through, not recomputed
     assert(got("g1") === 99L + 20L)   // touched group IS fresh
   }
+
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"k", $"seg", $"valid_from", $"valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+
+  test("scd2Apply: open/close chains, no-op collapse, insert, closed pass-through") {
+    val hist = Seq(
+      (1L, "Z", -10L, Some(0L)),  // closed — must pass through untouched
+      (1L, "A", 0L, None),        // current, will close at 10
+      (2L, "B", 0L, None))        // untouched key
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val changes = Seq(
+      (1L, "A", 5L),   // no-op (same attrs) — never opens a version
+      (1L, "C", 10L),  // real change
+      (1L, "C", 20L),  // no-op repeat
+      (3L, "N", 7L))   // brand-new key → first version inserts
+      .toDF("k", "seg", "ts")
+    val out = scd2Rows(Maintain.scd2Apply(hist, changes, "k", Seq("seg"), "ts"))
+    assert(out === Seq(
+      (1L, "Z", -10L, Some(0L)),
+      (1L, "A", 0L, Some(10L)),
+      (1L, "C", 10L, None),
+      (2L, "B", 0L, None),
+      (3L, "N", 7L, None)))
+  }
+
+  test("scd2Apply: same-instant supersede keeps a zero-width span; instant ties order by attrs") {
+    val hist = Seq((1L, "A", 0L, None: Option[Long]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val changes = Seq((1L, "B", 0L), (2L, "Y", 5L), (2L, "X", 5L))
+      .toDF("k", "seg", "ts")
+    val out = scd2Rows(Maintain.scd2Apply(hist, changes, "k", Seq("seg"), "ts"))
+    // key 1: current A sorts before the change at the same instant →
+    // A recorded as [0, 0), B open. key 2: two distinct changes at one
+    // instant order by the attribute tuple (X before Y), arrival-order-
+    // independent.
+    assert(out === Seq(
+      (1L, "A", 0L, Some(0L)),
+      (1L, "B", 0L, None),
+      (2L, "X", 5L, Some(5L)),
+      (2L, "Y", 5L, None)))
+  }
+
+  test("scd2AsOf: covering-span point read, open rows cover forever") {
+    val hist = Seq(
+      (1L, "A", 0L, Some(10L)), (1L, "C", 10L, None),
+      (2L, "B", 0L, None))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val at5 = scd2Rows(Maintain.scd2AsOf(hist, 5L))
+    assert(at5.map(t => (t._1, t._2)) === Seq((1L, "A"), (2L, "B")))
+    // boundary: valid_to is exclusive, valid_from inclusive
+    val at10 = scd2Rows(Maintain.scd2AsOf(hist, 10L))
+    assert(at10.map(t => (t._1, t._2)) === Seq((1L, "C"), (2L, "B")))
+  }
 }
