@@ -314,6 +314,13 @@ object ops {
       graft.operators.SkewJoin.saltedJoin(fact.ds.toDF(), dim.ds.toDF(),
         keys, salt, joinType))
 
+  def bloomReduceJoin(id: String, probe: Stream[Row], build: Stream[Row],
+      keys: Seq[String], joinType: String = "inner",
+      fpp: Double = 0.01): Stream[Row] =
+    step(probe.flow, id, "bloom_reduce_join", probe.stepId, build.stepId)(
+      graft.operators.BloomJoin.bloomReduceJoin(probe.ds.toDF(),
+        build.ds.toDF(), keys, joinType, fpp))
+
   def upsert(id: String, base: Stream[Row], changes: Stream[Row],
       keyCol: String, deleteCol: Option[String] = None): Stream[Row] =
     step(base.flow, id, "upsert", base.stepId, changes.stepId)(

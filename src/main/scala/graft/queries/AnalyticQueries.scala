@@ -134,6 +134,21 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_eid"))
     },
 
+    // bloom-reduced equi-join: the probe side (lineitem) drops
+    // non-matching rows map-side against a broadcast Bloom filter of
+    // the build side's keys ('P'-status orders, ~1/4 of keys) before
+    // the exact join. The filter is pure performance — the oracle is
+    // the PLAIN join, so row-identity of the rewrite is what the gate
+    // pins (false positives survive the prefilter but die in the join)
+    "q_bloom_join" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val ords = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      graft.operators.BloomJoin.bloomReduceJoin(li, ords, Seq("l_orderkey"))
+    },
+
     // link-graph authority scores over the customer↔supplier co-order
     // graph (symmetrized; supplier ids offset into a disjoint node
     // space): 3 power iterations in exact micro-unit integer
@@ -509,6 +524,10 @@ object AnalyticQueries {
         |  CAST(SUM(e.event_id) AS BIGINT) AS sum_eid
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'P'""".stripMargin,
     "q_graph_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
         |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

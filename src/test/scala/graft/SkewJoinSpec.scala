@@ -63,4 +63,48 @@ class SkewJoinSpec extends SparkSpec {
     assert(rows(SkewJoin.saltedJoinAuto(fact, dim, Seq("k"))) ===
       rows(fact.join(dim, Seq("k"))))
   }
+
+  test("bloomReduceJoin ≡ plain join even with a collision-heavy filter") {
+    import graft.operators.BloomJoin
+    // probe 0..999, build = multiples of 7; expectedKeys=2 deliberately
+    // undersizes the filter so false positives are guaranteed — the
+    // exact join must still kill every one of them
+    val probe = spark.range(1000L).select($"id".as("k"),
+      ($"id" * 3L).as("payload"))
+    val build = spark.range(143L).select(($"id" * 7L).as("k"),
+      ($"id" % 5L).as("w"))
+    val plain = probe.join(build, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    for (ek <- Seq(Some(2L), None)) {
+      val got = BloomJoin.bloomReduceJoin(probe, build, Seq("k"),
+          expectedKeys = ek).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got === plain, s"expectedKeys=$ek")
+    }
+  }
+
+  test("reduceByBloom: no false negatives; the prefilter actually drops rows") {
+    import graft.operators.BloomJoin
+    val probe = spark.range(10000L).select($"id".as("k"))
+    val build = spark.range(100L).select(($"id" * 97L).as("k"))
+    val kept = BloomJoin.reduceByBloom(probe, build, Seq("k"))
+      .collect().map(_.getLong(0)).toSet
+    val trueKeys = build.collect().map(_.getLong(0)).filter(_ < 10000L).toSet
+    assert(trueKeys.subsetOf(kept), "a bloom filter must never drop a match")
+    // at 1% fpp over 10k probes the reduction must be near-total
+    assert(kept.size < 1000, s"prefilter kept ${kept.size} of 10000")
+  }
+
+  test("bloomReduceJoin: left_semi supported, outer types rejected") {
+    import graft.operators.BloomJoin
+    val probe = Seq((1L, "a"), (2L, "b"), (9L, "x")).toDF("k", "p")
+    val build = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("k", "w")
+    val semi = BloomJoin.bloomReduceJoin(probe, build, Seq("k"), "left_semi")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(semi === Seq(1L, 2L)) // semi: once per probe row, no dup from build
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.bloomReduceJoin(probe, build, Seq("k"), "left")
+    }
+    assert(e.getMessage.contains("inner/left_semi"))
+  }
 }
