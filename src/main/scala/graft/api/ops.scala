@@ -466,4 +466,11 @@ object ops {
     step(events.flow, id, "anomalies", events.stepId)(
       graft.functions.Events.anomalies(events.ds.toDF(), groupCol,
         valueCol, k, unitScale))
+
+  def resampleLocf(id: String, events: Stream[Row], userCol: String,
+      tsCol: String, valueCol: String, stepUs: Long,
+      tieBreak: Seq[String] = Nil): Stream[Row] =
+    step(events.flow, id, "resample_locf", events.stepId)(
+      graft.functions.Events.resampleLocf(events.ds.toDF(), userCol,
+        tsCol, valueCol, stepUs, tieBreak))
 }

@@ -231,6 +231,47 @@ object Events {
         coalesce(abs(u - col("med")) > lit(k) * col("mad"), lit(false)))
   }
 
+  /** Resample an irregular per-entity series onto a regular grid with
+    * last-observation-carried-forward gap fill — the time-series
+    * normalization step (metric streams, price/sensor series) ahead
+    * of any fixed-step model. Output: one row per (entity, bucket)
+    * for every bucket in [first, last] observed per entity —
+    * `bucket` = floor(time/stepUs), `bucket_us` = bucket·stepUs, and
+    * `valueCol` carried forward from the bucket's LAST observation
+    * (ties broken by `tieBreak`, then the value itself — total, so
+    * the result is arrival-order-independent). Buckets with no
+    * observation inherit the previous bucket's value; the first
+    * bucket per entity is observed by construction.
+    *
+    * Scale shape: the in-bucket "last" is a partial-aggregable
+    * max(struct(time, tie…, value)) — no per-entity sort window, the
+    * heavy reduction happens map-side. The grid explodes
+    * span/stepUs rows per entity (callers own the step; a 1-second
+    * grid over a year is 31M rows PER ENTITY — pick steps that fit
+    * the question), and the forward fill is one entity-keyed window
+    * over GRID rows, not observations.
+    */
+  def resampleLocf(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, stepUs: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    val us = toUs(events, tsCol)
+    val fields = (us.as("__u") +: tieBreak.map(col)) :+ col(valueCol).as("__v")
+    val perBucket = events
+      .groupBy(col(userCol), fdiv(us, stepUs).as("bucket"))
+      .agg(max(struct(fields: _*)).getField("__v").as("__obs"))
+    val grid = perBucket.groupBy(col(userCol))
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col(userCol),
+        explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq(userCol, "bucket"), "left")
+      .select(col(userCol), col("bucket"),
+        (col("bucket") * lit(stepUs)).as("bucket_us"),
+        last(col("__obs"), ignoreNulls = true).over(w).as(valueCol))
+  }
+
   /** Gap-based sessionization: within each entity's time-ordered
     * event stream, a new session opens where the gap to the previous
     * event exceeds gapUs (the first event always opens session 1).

@@ -418,6 +418,19 @@ object AnalyticQueries {
         "event_type", Seq("event_id"))
     },
 
+    // time-series resample onto a 12h grid with LOCF gap fill: the
+    // in-bucket "last" is a partial-aggregable max(struct), the fill
+    // rides grid rows; cent-unit values keep the face exact. Gap
+    // buckets exist at sf0.01 (users go quiet for >12h), so the
+    // carried-forward polarity is live
+    "q_events_resample" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("vc"))
+      graft.functions.Events.resampleLocf(ev, "user_id", "ts", "vc",
+        43200000000L, Seq("event_id"))
+    },
+
     // robust z-score anomalies: per-type lower median + MAD in exact
     // cent units, flag |x − med| > 3·MAD (~230 true / ~1780 false per
     // type at sf0.01 — both polarities live). The median/MAD selection
@@ -821,6 +834,22 @@ object AnalyticQueries {
         |      FROM events)
         |WHERE from_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_events_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT user_id, us // 43200000000 AS bucket, vc,
+        |    row_number() OVER (PARTITION BY user_id, us // 43200000000
+        |      ORDER BY us DESC, event_id DESC, vc DESC) AS rn FROM e),
+        |lastv AS (SELECT user_id, bucket, vc FROM b WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        |  FROM lastv GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+        |  FROM bounds)
+        |SELECT g.user_id, g.bucket, g.bucket * 43200000000 AS bucket_us,
+        |  l.vc AS vc
+        |FROM grid g ASOF LEFT JOIN lastv l
+        |  ON g.user_id = l.user_id AND g.bucket >= l.bucket""".stripMargin,
 
     "q_events_anomaly" ->
       """WITH hist AS (SELECT event_type AS g,

@@ -130,6 +130,29 @@ class EventsSpec extends SparkSpec {
       "100" -> true, null.asInstanceOf[String] -> false))
   }
 
+  test("resampleLocf: grid fill, in-bucket last by (time, tie), negative floor buckets") {
+    val e = Seq(
+      // user 1: bucket 0 has two obs (last at us=9 wins); bucket 1
+      // empty (fills from 0); bucket 2 tie at us=25 → eid breaks it;
+      // bucket 4 observed, bucket 3 fills
+      (1L, 5L, 1L, 50L), (1L, 9L, 2L, 90L),
+      (1L, 25L, 4L, 111L), (1L, 25L, 3L, 222L),
+      (1L, 45L, 5L, 450L),
+      // user 2: single negative-time obs — floor bucket −3, one row
+      (2L, -25L, 6L, 7L))
+      .toDF("user_id", "us", "event_id", "v")
+    val r = graft.functions.Events
+      .resampleLocf(e, "user_id", "us", "v", 10L, Seq("event_id"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r === Map(
+      (1L, 0L) -> ((0L, 90L)), (1L, 1L) -> ((10L, 90L)),
+      (1L, 2L) -> ((20L, 111L)), (1L, 3L) -> ((30L, 111L)),
+      (1L, 4L) -> ((40L, 450L)),
+      (2L, -3L) -> ((-30L, 7L))))
+  }
+
   test("robustStats: unitScale rounds doubles to micro-units") {
     val e = Seq(("g", 1.234), ("g", 1.236), ("g", 9.999))
       .toDF("grp", "v")
