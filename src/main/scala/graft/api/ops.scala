@@ -392,6 +392,13 @@ object ops {
     step(approx.flow, id, "ann_recall", approx.stepId, exact.stepId)(
       graft.functions.Similarity.annRecall(approx.ds.toDF(), exact.ds.toDF()))
 
+  def mmrRerank(id: String, candidates: Stream[Row], qCol: String,
+      idCol: String, relCol: String, vecCol: String, k: Int,
+      lambdaPerMille: Int): Stream[Row] =
+    step(candidates.flow, id, "mmr_rerank", candidates.stepId)(
+      graft.functions.Mmr.mmrRerank(candidates.ds.toDF(), qCol, idCol,
+        relCol, vecCol, k, lambdaPerMille))
+
   def curateBest(id: String, up: Stream[Row], idCol: String,
       textCol: String, stopwords: Seq[String], minQuality: Double,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,

@@ -488,6 +488,27 @@ object LlmQueries {
           Int8.int8Dot($"c", $"qc").as("dot0"))
     },
 
+    // MMR diversified re-rank over int8 codes: greedy top-5 at λ=0.7
+    // in EXACT long arithmetic (rel = int8 dot vs the query, diversity
+    // = int8 dot between candidates), modulo-bucket candidate sets so
+    // the whole greedy recursion unrolls in a DuckDB recursive CTE.
+    // Differential liveness: picks diverge from the pure-relevance
+    // top-5 (the diversity term flips later ranks)
+    "q_embed_mmr" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.{Int8, Mmr}
+      val emb = Tables.load(s, dir, "embeddings")
+      val coded = emb.select($"vec_id", Int8.int8Codes($"embedding").as("c"))
+      val q = coded.filter($"vec_id" % 20 === 0)
+        .select($"vec_id".as("qid"), $"c".as("qc"))
+      val cands = coded.join(q,
+          coded("vec_id") % 5 === q("qid") % 5 && coded("vec_id") =!= q("qid"))
+        .select($"qid", $"vec_id".as("nid"),
+          Int8.int8Dot($"c", $"qc").as("rel"), $"c")
+      Mmr.mmrRerank(cands, "qid", "nid", "rel", "c", 5, 700)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid", $"rel")
+    },
+
     // IVF ANN with deterministic seed centroids (no Lloyd iterations in
     // the gate so the coarse quantizer is SQL-expressible): broadcast
     // centroid assignment, nprobe-cell candidate search, exact in-cell
@@ -1347,7 +1368,42 @@ object LlmQueries {
       |  CAST(list_sum(list_transform(range(1, len(c) + 1), i -> c[i] * qc[i])) AS BIGINT) AS dot0
       |FROM codes, q0""".stripMargin
 
+  private val mmrSql =
+    """WITH RECURSIVE m AS (SELECT vec_id, embedding,
+      |  COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0) AS maxabs
+      |  FROM embeddings),
+      |codes AS (SELECT vec_id,
+      |  CASE WHEN maxabs = 0
+      |       THEN list_transform(embedding, x -> 0::BIGINT)
+      |       ELSE list_transform(embedding, x -> CAST(
+      |         LEAST(GREATEST(floor((CAST(x AS DOUBLE) * 127.0) / maxabs + 0.5), -127), 127)
+      |         AS BIGINT)) END AS c
+      |  FROM m),
+      |q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id % 20 = 0),
+      |cand AS (SELECT q.qid, co.vec_id AS id, co.c AS v,
+      |    CAST(list_sum(list_transform(range(1, len(co.c) + 1), i -> co.c[i] * q.qc[i])) AS BIGINT) AS rel
+      |  FROM q JOIN codes co ON co.vec_id % 5 = q.qid % 5 AND co.vec_id <> q.qid),
+      |sel AS (
+      |  SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS picked
+      |  FROM (SELECT DISTINCT qid FROM cand)
+      |  UNION ALL
+      |  SELECT s.qid, s.step + 1, list_append(s.picked, (
+      |      SELECT c.id FROM cand c
+      |      WHERE c.qid = s.qid AND NOT list_contains(s.picked, c.id)
+      |      ORDER BY 700 * c.rel - 300 * COALESCE((SELECT max(CAST(list_sum(
+      |            list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c2.v[i])) AS BIGINT))
+      |          FROM cand c2 WHERE c2.qid = s.qid AND list_contains(s.picked, c2.id)), 0) DESC,
+      |        c.id ASC
+      |      LIMIT 1))
+      |  FROM sel s WHERE s.step < 5),
+      |fin AS (SELECT qid, picked FROM sel WHERE step = 5),
+      |ranked AS (SELECT qid, CAST(i AS BIGINT) AS rank, picked[i] AS id
+      |  FROM fin, unnest(generate_series(1, 5)) AS t(i))
+      |SELECT r.qid, r.rank, r.id AS nid, c.rel
+      |FROM ranked r JOIN cand c ON c.qid = r.qid AND c.id = r.id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_embed_mmr" -> mmrSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_curate_decontam_sem" -> decontamSemSql,
     "q_embed_int8" -> int8Sql,
