@@ -442,6 +442,12 @@ object ops {
     step(edges.flow, id, "degrees", edges.stepId)(
       graft.functions.Graph.degrees(edges.ds.toDF()))
 
+  def bfsDistance(id: String, edges: Stream[Row], seeds: Stream[Row],
+      maxDepth: Int): Stream[Row] =
+    step(edges.flow, id, "bfs_distance", edges.stepId, seeds.stepId)(
+      graft.functions.Graph.bfsDistance(edges.ds.toDF(), seeds.ds.toDF(),
+        maxDepth))
+
   def funnel(id: String, events: Stream[Row], userCol: String,
       tsCol: String, typeCol: String, steps: Seq[String],
       maxSpanUs: Option[Long] = None): Stream[Row] =

@@ -330,6 +330,55 @@ object Graph {
     lab
   }
 
+  /** Multi-source BFS distances: hop count from a SEED SET along edge
+    * direction (symmetrize for undirected distance) — the frontier
+    * companion to [[trustRank]]: trust scores weight by proximity,
+    * this reports the proximity itself (crawl-frontier depth from
+    * vetted domains, blast-radius of a removal set). Output: (id,
+    * dist) for every node within `maxDepth` hops — seeds at 0
+    * (including seeds absent from the edge set: distance-from-set is
+    * defined on the set), unreached nodes absent.
+    *
+    * Per round: one src-keyed join frontier⋈edges + a distinct + one
+    * anti-join against the discovered set — all hash exchanges, no
+    * windows; rounds run the shared checkpoint lifecycle and the loop
+    * EXITS EARLY when a frontier comes back empty (the count is free:
+    * the round checkpoint already materializes), so `maxDepth` is a
+    * cap, not a cost.
+    */
+  def bfsDistance(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val Array(cs, cd) = edges.columns.take(2)
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+      .persist(lvl)
+    var dist = rounds.mark(seeds.select(col(seeds.columns.head).as("id"))
+      .distinct().withColumn("dist", lit(0L)))
+    var frontier = dist
+    var depth = 1
+    var exhausted = false
+    while (depth <= maxDepth && !exhausted) {
+      val next = rounds.mark(e.join(frontier, e("src") === frontier("id"))
+        .select(e("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth.toLong)))
+      if (next.isEmpty) { rounds.release(next); exhausted = true }
+      else {
+        val acc = rounds.mark(dist.unionByName(next))
+        rounds.release(dist)
+        if (frontier ne dist) rounds.release(frontier)
+        dist = acc
+        frontier = next
+        depth += 1
+      }
+    }
+    if (frontier ne dist) rounds.release(frontier)
+    e.unpersist(false)
+    dist
+  }
+
   /** Per-node degree report: (id, out_deg, in_deg) over the
     * simple-graph edge set — the sanity face next to [[pageRank]]
     * (hubs, dangling nodes, isolated-side checks), two count

@@ -217,6 +217,29 @@ object AnalyticQueries {
       graft.functions.Graph.labelPropagation(edges, iterations = 2)
     },
 
+    // multi-source BFS depth from the %10 customer seed set over the
+    // symmetrized co-order graph, capped at 2 hops: level 1 =
+    // suppliers the seeds order from, level 2 = customers sharing
+    // those suppliers — all three levels populated, the anti-join
+    // (already-discovered nodes never re-level) differentially live.
+    // Seeds come from CUSTOMER, so never-ordering seed keys sit at
+    // distance 0 with no edges (the distance-from-set contract)
+    "q_graph_bfs" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.load(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(10L)) === 0)
+        .select(col("c_custkey").as("id"))
+      graft.functions.Graph.bfsDistance(edges, seeds, maxDepth = 2)
+    },
+
     // degree report on the DIRECTED customer→supplier half (so in/out
     // are genuinely different: customers out-only, suppliers in-only)
     "q_graph_degrees" -> { (s, dir) =>
@@ -642,6 +665,22 @@ object AnalyticQueries {
         |        GROUP BY e.dst, l.label) WHERE rn = 1)
         |SELECT l1.id, COALESCE(b.label, l1.label) AS label
         |FROM l1 LEFT JOIN b2 b ON b.id = l1.id""".stripMargin,
+
+    "q_graph_bfs" ->
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src,
+        |    l.l_suppkey + 1000000 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |d0 AS (SELECT DISTINCT c_custkey AS id FROM customer
+        |  WHERE c_custkey % 10 = 0),
+        |r1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN d0 ON e.src = d0.id
+        |  WHERE e.dst NOT IN (SELECT id FROM d0)),
+        |r2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN r1 ON e.src = r1.id
+        |  WHERE e.dst NOT IN (SELECT id FROM d0)
+        |    AND e.dst NOT IN (SELECT id FROM r1))
+        |SELECT id, CAST(0 AS BIGINT) AS dist FROM d0
+        |UNION ALL SELECT id, CAST(1 AS BIGINT) FROM r1
+        |UNION ALL SELECT id, CAST(2 AS BIGINT) FROM r2""".stripMargin,
 
     "q_graph_degrees" ->
       """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst

@@ -121,4 +121,35 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(d === Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
   }
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      depth: Int): Set[(Long, Long)] =
+    Graph.bfsDistance(edges.toDF("src", "dst"), seeds.toDF("id"), depth)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bfsDistance: chain levels, early exit, unreachable absent, depth cap") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+    // maxDepth far past the diameter — early exit must stop the loop,
+    // and the disconnected 9→10 component stays absent
+    assert(bfs(chain, Seq(1L), 10) ===
+      Set((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+    // the cap truncates levels
+    assert(bfs(chain, Seq(1L), 1) === Set((1L, 0L), (2L, 1L)))
+    assert(bfs(chain, Seq(1L), 0) === Set((1L, 0L)))
+  }
+
+  test("bfsDistance: multi-source min-level, cycles, duplicate and non-node seeds") {
+    // two seeds meet in the middle: 3 is one hop from BOTH; the cycle
+    // back to 1 must not re-level it; seed 99 is not a node → dist 0
+    val e = Seq((1L, 3L), (5L, 3L), (3L, 1L), (3L, 6L))
+    assert(bfs(e, Seq(1L, 5L, 5L, 99L), 5) ===
+      Set((1L, 0L), (5L, 0L), (99L, 0L), (3L, 1L), (6L, 2L)))
+  }
+
+  test("bfsDistance: direction matters; symmetrize for undirected distance") {
+    val e = Seq((2L, 1L)) // edge INTO the seed only
+    assert(bfs(e, Seq(1L), 3) === Set((1L, 0L)))
+    val sym = Seq((2L, 1L), (1L, 2L))
+    assert(bfs(sym, Seq(1L), 3) === Set((1L, 0L), (2L, 1L)))
+  }
 }
