@@ -13,11 +13,23 @@ import org.apache.spark.sql.functions._
   *  - cohort: offsets ≥ 0; offset-0 actives per cohort = cohort sizes
   *  - sessionize: row count preserved; session_idx ≥ 1
   *
-  * args: [events (default 1,000,000)]
+  * Mode `ext` runs the segment-five additions instead (transitions /
+  * robustStats+anomalies / resampleLocf), with their own distributed
+  * invariants:
+  *
+  *  - transitions: Σ n = N − |entities| (every entity's first event
+  *    has no predecessor, everything else is exactly one pair)
+  *  - anomalies: per group, #(v ≤ med)·2 ≥ n and #(v < med)·2 < n
+  *    (the lower-median rank definition, checked against the corpus)
+  *  - resample: rows = Σ (max−min+1) buckets per entity; zero null
+  *    values (first bucket observed ⇒ LOCF total)
+  *
+  * args: [events (default 1,000,000)] [mode: base|ext (default base)]
   */
 object EventScale {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 1000000L
+    val mode = if (args.length > 1) args(1) else "base"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,6 +53,58 @@ object EventScale {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    if (mode == "ext") {
+      import graft.functions.Events
+      val users0 = ev.select(col("user_id")).distinct().count()
+
+      val (tTotal, tSec) = timed {
+        val t = Events.transitions(ev, "user_id", "us", "event_type").cache()
+        val total = t.agg(sum(col("n"))).head().getLong(0)
+        require(total == n - users0,
+          s"transition mass $total != ${n - users0}")
+        t.unpersist(false); total
+      }
+
+      // an integer metric column: hash-valued "latency" per event
+      val evv = ev.withColumn("v", pmod(xxhash64(col("us")), lit(100000L)))
+        .cache()
+      evv.count()
+      val (aCount, aSec) = timed {
+        val stats = Events.robustStats(evv, "event_type", "v").cache()
+        // validate the lower-median rank definition against the corpus
+        val bad = evv.join(stats, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(first(col("n")).as("cnt"),
+            sum(when(col("v") <= col("med"), 1L).otherwise(0L)).as("le"),
+            sum(when(col("v") < col("med"), 1L).otherwise(0L)).as("lt"))
+          .filter(!(col("le") * 2 >= col("cnt") && col("lt") * 2 < col("cnt")))
+          .count()
+        require(bad == 0, "lower-median rank invariant violated")
+        val a = Events.anomalies(evv, "event_type", "v", 3L)
+          .filter(col("is_anomaly")).count()
+        stats.unpersist(false); a
+      }
+
+      val (rRows, rSec) = timed {
+        val step = 6L * 3600L * 1000000L
+        val r = Events.resampleLocf(evv, "user_id", "us", "v", step).cache()
+        val rows = r.count()
+        val nulls = r.filter(col("v").isNull).count()
+        require(nulls == 0, "LOCF left a null after the first bucket")
+        val expected = evv
+          .groupBy(col("user_id"))
+          .agg((max(floor(col("us") / step)) - min(floor(col("us") / step)) + 1)
+            .cast("long").as("b"))
+          .agg(sum(col("b"))).head().getLong(0)
+        require(rows == expected, s"grid rows $rows != $expected")
+        r.unpersist(false); rows
+      }
+
+      println(f"""{"events":$n,"users":$users0,"transitions_sec":$tSec%.1f,"transition_mass":$tTotal,"anomaly_sec":$aSec%.1f,"anomalies":$aCount,"resample_sec":$rSec%.1f,"grid_rows":$rRows}""")
+      spark.stop()
+      return
     }
 
     // funnel: 24h span; force materialization via counts per step
