@@ -340,11 +340,18 @@ object Graph {
     * defined on the set), unreached nodes absent.
     *
     * Per round: one src-keyed join frontier⋈edges + a distinct + one
-    * anti-join against the discovered set — all hash exchanges, no
-    * windows; rounds run the shared checkpoint lifecycle and the loop
-    * EXITS EARLY when a frontier comes back empty (the count is free:
-    * the round checkpoint already materializes), so `maxDepth` is a
-    * cap, not a cost.
+    * anti-join against the discovered set, no windows; rounds run the
+    * shared checkpoint lifecycle and the loop EXITS EARLY when a
+    * frontier comes back empty (the count is free: the round
+    * checkpoint already materializes), so `maxDepth` is a cap, not a
+    * cost. The edge relation is hash-partitioned on `src` ONCE and
+    * persisted — checkpointed frontiers carry no size stats, so the
+    * optimizer won't broadcast them, and without the pinned layout
+    * every round RE-EXCHANGES the full edge set (measured: the 100M-
+    * edge depth-3 run dropped 42.8 s → 32.5 s locally when the
+    * per-round edge shuffle disappeared — and only frontier-sized
+    * relations moving per round is the property that matters on a
+    * cluster, where the exchange is network, not memcpy).
     */
   def bfsDistance(edges: DataFrame, seeds: DataFrame,
       maxDepth: Int): DataFrame = {
@@ -353,7 +360,7 @@ object Graph {
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
-      .persist(lvl)
+      .repartition(col("src")).persist(lvl)
     var dist = rounds.mark(seeds.select(col(seeds.columns.head).as("id"))
       .distinct().withColumn("dist", lit(0L)))
     var frontier = dist

@@ -55,9 +55,12 @@ object GraphScale {
 
     val unit = 1000000000000L
     val op = if (args.length > 3) args(3) else "pagerank"
+    // bfs: a 0.1%-of-id-space seed set, depth capped at `iters`
+    lazy val seeds = spark.range(0L, n, 1000L).select(col("id"))
     def run(ed: org.apache.spark.sql.DataFrame) = op match {
       case "hits" => graft.functions.Graph.hits(ed, iters)
       case "lpa" => graft.functions.Graph.labelPropagation(ed, iters)
+      case "bfs" => graft.functions.Graph.bfsDistance(ed, seeds, iters)
       case _ => graft.functions.Graph.pageRank(ed, iters)
     }
     val t0 = System.nanoTime()
@@ -83,6 +86,20 @@ object GraphScale {
         val bad = pr.select(col("label").as("id")).distinct()
           .join(ids, Seq("id"), "left_anti").count()
         (bad, java.math.BigDecimal.ZERO)
+      case "bfs" =>
+        // parent-level consistency, distributed: every reached
+        // non-seed node's BEST in-neighbor sits exactly one level up
+        // (a closer parent would have discovered it a level earlier)
+        val d1 = pr.select(col("id").as("dst"), col("dist").as("ddist"))
+        val d0 = pr.select(col("id").as("src"), col("dist").as("sdist"))
+        val bad = edges.join(d1, Seq("dst")).join(d0, Seq("src"))
+          .groupBy(col("dst"), col("ddist"))
+          .agg(min(col("sdist")).as("mp"))
+          .filter(col("ddist") > 0 && col("mp") + 1 =!= col("ddist"))
+          .count()
+        val range = pr.filter(col("dist") < 0 || col("dist") > iters).count()
+        val t = pr.agg(max(col("dist")).cast("decimal(38,0)")).head().getDecimal(0)
+        (bad + range, t)
       case _ =>
         val base = java.math.BigDecimal.valueOf((unit * 150L / 1000L) / nodeCount)
         val bad = pr.filter(col("rank") < lit(base)).count()
@@ -97,8 +114,9 @@ object GraphScale {
     }
 
     println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
-    require(nodes == nodeCount && badRows == 0 && dupIds == 0 &&
-      (op == "lpa" ||
+    require((op == "bfs" || nodes == nodeCount) && badRows == 0 &&
+      dupIds == 0 &&
+      (op == "lpa" || op == "bfs" ||
         total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0) &&
       mismatch <= 0, "invariant violation")
     spark.stop()
