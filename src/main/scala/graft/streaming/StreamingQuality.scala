@@ -98,6 +98,53 @@ object StreamingQuality {
     checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
   }
 
+  /** Online outlier flagging against FROZEN robust statistics: build
+    * per-group (median, MAD) once from a reference window with
+    * [[referenceRobustStats]], then flag each arriving row whose
+    * micro-unit deviation from its group's frozen median exceeds
+    * k·MAD — the [[graft.functions.Events.anomalies]] contract with
+    * the stats side frozen (a self-referenced MAD would absorb the
+    * very level shift being monitored, the driftMonitor rationale).
+    * `onBatch` receives the rows with `med`/`mad`/`is_anomaly`
+    * appended; rows in groups absent from the reference never flag.
+    * The stats ride the closure as a small map — one row per group,
+    * the bounded-model-fit shape.
+    */
+  def anomalyMonitor(df: DataFrame, groupCol: String, valueCol: String,
+      stats: Map[String, (Long, Long)], k: Long, unitScale: Long = 1L,
+      onBatch: (DataFrame, Long) => Unit,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(df.isStreaming, "anomalyMonitor: df must be a streaming DataFrame")
+    require(k > 0 && unitScale > 0, "k and unitScale must be positive")
+    val spark = df.sparkSession
+    val w0 = df.writeStream.trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        import spark.implicits._
+        val statsDf = stats.toSeq.map { case (g, (med, mad)) => (g, med, mad) }
+          .toDF(groupCol, "med", "mad")
+        val u =
+          if (unitScale == 1L) col(valueCol).cast("long")
+          else round(col(valueCol) * lit(unitScale)).cast("long")
+        onBatch(batch.toDF().join(broadcast(statsDf), Seq(groupCol), "left")
+          .withColumn("is_anomaly",
+            coalesce(abs(u - col("med")) > lit(k) * col("mad"), lit(false)))
+          .withColumn("batch_id", lit(batchId)), batchId)
+        ()
+      }
+    checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
+  }
+
+  /** Frozen per-group robust stats from a reference window — the
+    * driver-side map [[anomalyMonitor]] broadcasts via its closure
+    * (one (median, MAD) pair per group: a bounded model fit).
+    */
+  def referenceRobustStats(ref: DataFrame, groupCol: String,
+      valueCol: String, unitScale: Long = 1L): Map[String, (Long, Long)] =
+    graft.functions.Events.robustStats(ref, groupCol, valueCol, unitScale)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+
   /** Build the frozen reference histogram from the reference corpus —
     * the driver-side `Array[Long]` `driftMonitor` broadcasts via its
     * closure (nbins+2 longs: a bounded model fit, the √N-centroid

@@ -103,4 +103,34 @@ class StreamingQualitySpec extends SparkSpec {
     assert(math.abs(readings(1)._3 - expected) < 1e-15)
     assert(readings(1)._3 > 0.5) // the shift reads as drift
   }
+
+  test("anomalyMonitor: frozen stats flag across batches; unseen groups never flag") {
+    val ref = Seq(("a", 1L), ("a", 3L), ("a", 7L), ("a", 100L))
+      .toDF("g", "v")
+    val stats = StreamingQuality.referenceRobustStats(ref, "g", "v")
+    assert(stats === Map("a" -> ((3L, 2L)))) // med 3, MAD 2 (EventsSpec case)
+
+    val src = Testing.testingSource[(String, Long)](spark)
+    val flags = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Boolean)]
+    val q = StreamingQuality.anomalyMonitor(src.toDS().toDF("g", "v"),
+      "g", "v", stats, k = 2L,
+      onBatch = (df, bid) => flags.synchronized {
+        flags ++= df.select($"g", $"v", $"is_anomaly").collect()
+          .map(r => (bid, r.getString(0), r.getLong(1), r.getBoolean(2)))
+        ()
+      },
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // k=2 → threshold 4: |7−3|=4 stays (strict >), |100−3| flags.
+      // The frozen median must NOT move with the batch's own values.
+      src.addBatch(("a", 7L), ("a", 100L)); q.processAllAvailable()
+      // a batch that is ALL outliers still flags (self-referenced
+      // stats would absorb it) + an unseen group never flags
+      src.addBatch(("a", 500L), ("a", 600L), ("zzz", 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(flags.sortBy(t => (t._1, t._3)).toSeq === Seq(
+      (0L, "a", 7L, false), (0L, "a", 100L, true),
+      (1L, "zzz", 0L, false), (1L, "a", 500L, true), (1L, "a", 600L, true)))
+  }
 }
