@@ -355,6 +355,52 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("segment-five plans: anomaly broadcast-back, resample join-free, mmr/bloom/scd2 shapes") {
+    // anomalies: the one-row-per-group stats relation joins BACK via
+    // broadcast (the corpus never re-shuffles for the flag), and the
+    // median selection never range-sorts the corpus
+    val a = plan("q_events_anomaly")
+    assert(a.contains("BroadcastHashJoin"), a)
+    assert(!a.contains("Exchange rangepartitioning"), a)
+
+    // resample: the validity-range rewrite has NO join of any kind —
+    // one aggregate, one observation-scale window, one explode
+    val r = plan("q_events_resample")
+    assert(!r.contains("Join"), s"resample must be join-free:\n$r")
+    assert(r.contains("Generate explode"), r)
+    assert(r.contains("Window"), r)
+
+    // mmr: the greedy select is the codegen'd expression over the
+    // packed candidates — present once, no cartesian anywhere in the
+    // candidate construction
+    val m = plan("q_embed_mmr")
+    assert(m.toLowerCase.contains("mmrselect"), m)
+    assert(!m.contains("CartesianProduct"), m)
+
+    // bloom-reduced join: the membership probe is a FILTER on the
+    // probe side (a literal sketch — no sketch relation join), and the
+    // exact join still runs
+    val b = plan("q_bloom_join")
+    assert(b.toLowerCase.contains("bloomcontains"), b)
+    assert(!b.contains("CartesianProduct") && !b.contains("BroadcastNestedLoopJoin"), b)
+
+    // scd2: the touched-key routing broadcasts (semi + anti), and NO
+    // exchange sits over the DIMENSION scans — every hash exchange in
+    // the plan moves change-batch rows (the key distinct, printed once
+    // per reference and AQE-reused at runtime, plus the touched
+    // candidate window); closed and untouched history rows pass
+    // through shuffle-free
+    val s = plan("q_scd2")
+    assert(s.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2, s)
+    val lines = s.linesIterator.toVector
+    val antiIdx = lines.indexWhere(_.contains("LeftAnti"))
+    assert(antiIdx >= 0 &&
+      lines(antiIdx + 1).contains("FileScan") &&
+      lines(antiIdx + 1).contains("customer.parquet"),
+      s"untouched rows must anti-join directly over the dimension scan:\n$s")
+  }
+
   test("TtlCache expires entries and isolates operator instances") {
     val a = TtlCache.instance[String, Int]("op-a", ttlMillis = 50)
     val b = TtlCache.instance[String, Int]("op-b", ttlMillis = 50)
