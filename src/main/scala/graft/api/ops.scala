@@ -207,6 +207,14 @@ object ops {
       graft.functions.Text.gopherFilter(up.ds.toDF(),
         org.apache.spark.sql.functions.col(textCol), stopwords, t))
 
+  def sourceFilter(id: String, up: Stream[Row], sourceCol: String,
+      textCol: String, minMeanTokens: Long,
+      minAlphaPerMille: Long): Stream[Row] =
+    step(up.flow, id, "source_filter", up.stepId)(
+      graft.functions.Text.sourceFilter(up.ds.toDF(), sourceCol,
+        org.apache.spark.sql.functions.col(textCol), minMeanTokens,
+        minAlphaPerMille))
+
   def lmScore(id: String, up: Stream[Row], idCol: String, textCol: String,
       model: graft.functions.Text.LmModel, alpha: Double = 0.4): Stream[Row] =
     step(up.flow, id, "lm_score", up.stepId)(

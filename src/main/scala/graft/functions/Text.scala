@@ -633,6 +633,43 @@ object Text {
       t: GopherThresholds = GopherThresholds()): org.apache.spark.sql.DataFrame =
     df.filter(gopherRules(text, stopwords, t).getField("keep"))
 
+  /** Per-source aggregate quality signals in EXACT integers: (source,
+    * n_docs, tok_sum, alpha_sum, len_sum) from one fused-token-expr
+    * corpus scan — the evidence table behind domain-level curation
+    * (per-doc filters miss the boilerplate farm whose every page is
+    * individually plausible; the SOURCE's aggregates give it away).
+    */
+  def sourceStats(df: org.apache.spark.sql.DataFrame, sourceCol: Column,
+      text: Column): org.apache.spark.sql.DataFrame =
+    df.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(text)).as("tok_sum"),
+        sum(alphaChars(text)).as("alpha_sum"),
+        sum(length(text).cast("long")).as("len_sum"))
+
+  /** Domain-level gate: drop every document whose SOURCE fails the
+    * aggregate thresholds — the computed form of a domain blocklist
+    * (UT1-style lists curate by hand; this derives the block set from
+    * the corpus itself). A source passes iff its mean tokens/doc ≥
+    * `minMeanTokens` and its alpha share ≥ `minAlphaPerMille`, both
+    * as exact integer cross-multiplications (tok_sum ≥ minMean·n;
+    * alpha_sum·1000 ≥ apm·len_sum) — no float means, so pass/fail is
+    * engine-exact at any corpus size. Two corpus scans (stats, then
+    * the semi join); the passing-source relation is source-cardinality
+    * and broadcasts.
+    */
+  def sourceFilter(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+      text: Column, minMeanTokens: Long,
+      minAlphaPerMille: Long): org.apache.spark.sql.DataFrame = {
+    require(minMeanTokens >= 0 && minAlphaPerMille >= 0 &&
+      minAlphaPerMille <= 1000, "thresholds out of range")
+    val pass = sourceStats(df, col(sourceCol), text)
+      .filter(col("tok_sum") >= lit(minMeanTokens) * col("n_docs") &&
+        col("alpha_sum") * 1000 >= lit(minAlphaPerMille) * col("len_sum"))
+      .select(col("source").as(sourceCol))
+    df.join(broadcast(pass), Seq(sourceCol), "left_semi")
+  }
+
   /** A bigram language model as RELATIONS — the CCNet-style quality
     * scorer's model (Wenzek et al., "CCNet: Extracting High Quality
     * Monolingual Datasets from Web Crawl Data", LREC 2020, which

@@ -38,6 +38,18 @@ object LlmQueries {
       docs.select($"doc_id", Text.qualityScore($"text", stop).as("quality"))
     },
 
+    // domain-level curation: drop every doc whose SOURCE fails the
+    // aggregate gate (mean tokens/doc ≥ 54, alpha share ≥ 800‰) —
+    // exact integer cross-multiplications, no float means. At sf0.01
+    // the 54-token threshold splits the 20 sources roughly in half,
+    // so both keep and drop are live at source granularity
+    "q_source_filter" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Text.sourceFilter(docs, "source", $"text", 54L, 800L)
+        .select($"doc_id", $"source")
+    },
+
     // sequence packing (training assembly): fixed-token-budget packs,
     // salted into 8 independent packing streams (id mod 8); a doc
     // joins the pack open when it starts, so packs overflow by at
@@ -1403,6 +1415,16 @@ object LlmQueries {
       |FROM ranked r JOIN cand c ON c.qid = r.qid AND c.id = r.id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_source_filter" ->
+      s"""WITH st AS (SELECT source, count(*) AS n,
+         |    CAST(SUM($ntok) AS BIGINT) AS tok,
+         |    CAST(SUM($nalpha) AS BIGINT) AS alpha,
+         |    CAST(SUM(length(text)) AS BIGINT) AS len
+         |  FROM documents GROUP BY 1),
+         |pass AS (SELECT source FROM st
+         |  WHERE tok >= 54 * n AND alpha * 1000 >= 800 * len)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN pass USING (source)""".stripMargin,
     "q_embed_mmr" -> mmrSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_curate_decontam_sem" -> decontamSemSql,

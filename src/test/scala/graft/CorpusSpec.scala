@@ -741,4 +741,30 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
     assert(all(2L) == "unchanged" && all.size == 4)
   }
+
+  // ---- Domain-level curation ----
+
+  test("sourceFilter: aggregate gates drop whole sources, boundaries inclusive") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // source A: means (2+4)/2 = 3 tokens/doc — passes minMean 3
+      // exactly (tok_sum 6 >= 3·2, the >= boundary)
+      (1L, "A", "aa bb"), (2L, "A", "cc dd ee ff"),
+      // source B: 1 token/doc — fails the token gate, BOTH docs drop
+      // (including doc 4, which alone would look identical to doc 1's
+      // shape — the domain-level point)
+      (3L, "B", "aa"), (4L, "B", "bb"),
+      // source C: passes tokens but fails alpha share (digits)
+      (5L, "C", "a1 b2 c3 d4 e5 f6"))
+      .toDF("doc_id", "source", "text")
+    val kept = graft.functions.Text
+      .sourceFilter(docs, "source", col("text"), 3L, 700L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 2L))
+    // alpha gate alone relaxed → C comes back, B still out
+    val kept2 = graft.functions.Text
+      .sourceFilter(docs, "source", col("text"), 3L, 0L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept2 === Set(1L, 2L, 5L))
+  }
 }
