@@ -450,6 +450,46 @@ object Maintain {
     checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming SCD2 maintenance: each micro-batch of timestamped
+    * attribute changes folds into the versioned history via
+    * [[scd2Apply]] — batch `bid` reads snapshot `v=bid`, writes
+    * `v=bid+1` (the [[rollupStream]] replay-idempotency contract: a
+    * replayed batch overwrites its own output instead of
+    * double-applying, because the result is a pure function of
+    * (snapshot, batch)). Seed `v=0` with the initial history via
+    * [[writeRollup]]; superseded snapshots prune per commit. The
+    * per-entity in-order posture is [[scd2Apply]]'s own contract
+    * (change times ≥ the key's current valid_from).
+    */
+  def scd2Stream(changes: DataFrame, dir: String, keyCol: String,
+      attrCols: Seq[String], changeTsCol: String,
+      checkpoint: Option[String] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(changes.isStreaming, "scd2Stream: changes must be a streaming DataFrame")
+    val w0 = changes.writeStream.trigger(trigger)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val spark = batch.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$bid")),
+            s"scd2Stream: missing history snapshot v=$bid under $dir " +
+              "(seed v=0 with writeRollup before starting)")
+          val prev = spark.read.parquet(s"$dir/v=$bid")
+          writeRollup(
+            scd2Apply(prev, batch.toDF(), keyCol, attrCols, changeTsCol),
+            dir, bid + 1)
+          fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+            .map(_.getPath).filter(_.getName.startsWith("v="))
+            .filter(_.getName.stripPrefix("v=").toLong < bid)
+            .foreach(p => fs.delete(p, true))
+          ()
+      }
+    checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
+  }
+
   /** Fold the log into a fresh compacted base at `outDir/base` (the
     * resolved snapshot, no metadata columns). The caller swaps
     * `outDir` for `dir` atomically and drops the old log — compaction

@@ -366,6 +366,37 @@ class MaintainSpec extends SparkSpec {
       (2L, "Y", 5L, None)))
   }
 
+  test("scd2Stream: micro-batched changes maintain the history; final ≡ one-shot applies") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    val hist0 = Seq((1L, "A", 0L, Option.empty[Long]),
+      (2L, "B", 0L, Option.empty[Long]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    Maintain.writeRollup(hist0, dir, 0L)
+
+    val src = graft.connectors.Testing.testingSource[(Long, String, Long)](spark)
+    val q = Maintain.scd2Stream(src.toDS().toDF("k", "seg", "ts"),
+      dir, "k", Seq("seg"), "ts", trigger = Trigger.ProcessingTime(0))
+    val b1 = Seq((1L, "C", 10L), (3L, "N", 7L))
+    val b2 = Seq((1L, "C", 20L), (2L, "D", 15L)) // no-op repeat + real change
+    try {
+      src.addBatch(b1: _*); q.processAllAvailable()
+      src.addBatch(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val (hist, v) = Maintain.readRollup(spark, dir)
+    assert(v === 2L)
+    val expected = Maintain.scd2Apply(
+      Maintain.scd2Apply(hist0, b1.toDF("k", "seg", "ts"), "k", Seq("seg"), "ts"),
+      b2.toDF("k", "seg", "ts"), "k", Seq("seg"), "ts")
+    assert(hist.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(hist).count() === 0)
+    // the maintained history reads correctly as-of mid-stream
+    val at12 = Maintain.scd2AsOf(hist, 12L).select($"k", $"seg")
+      .as[(Long, String)].collect().toSet
+    assert(at12 === Set((1L, "C"), (2L, "B"), (3L, "N")))
+  }
+
   test("scd2AsOf: covering-span point read, open rows cover forever") {
     val hist = Seq(
       (1L, "A", 0L, Some(10L)), (1L, "C", 10L, None),
