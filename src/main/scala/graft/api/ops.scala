@@ -488,6 +488,13 @@ object ops {
       graft.functions.Events.anomalies(events.ds.toDF(), groupCol,
         valueCol, k, unitScale))
 
+  def cusum(id: String, events: Stream[Row], userCol: String,
+      tsCol: String, valueCol: String, ref: Long, threshold: Long,
+      tieBreak: Seq[String] = Nil): Stream[Row] =
+    step(events.flow, id, "cusum", events.stepId)(
+      graft.functions.Events.cusum(events.ds.toDF(), userCol, tsCol,
+        valueCol, ref, threshold, tieBreak))
+
   def resampleLocf(id: String, events: Stream[Row], userCol: String,
       tsCol: String, valueCol: String, stepUs: Long,
       tieBreak: Seq[String] = Nil): Stream[Row] =

@@ -231,6 +231,37 @@ object Events {
         coalesce(abs(u - col("med")) > lit(k) * col("mad"), lit(false)))
   }
 
+  /** One-sided CUSUM level-shift detection (Page 1954) in EXACT
+    * integers: per entity, over the (time, tieBreak)-ordered series,
+    * S_i = max(0, S_{i−1} + (x_i − ref)) — the classic change-point
+    * statistic for "this metric drifted above its reference level",
+    * with `ref` = target + slack chosen by the caller (robustStats'
+    * median is the natural target). Appends `cusum` and
+    * `is_shift` = cusum > threshold. Downward shifts: negate the
+    * value and the reference.
+    *
+    * The recursion is not a window function, but its closed form is:
+    * S_i = P_i − min(0, min_{j≤i} P_j) with P the running sum of
+    * (x − ref) — so the whole operator is ONE entity-keyed exchange +
+    * in-partition sort feeding two stacked window aggregates, exact
+    * long arithmetic, oracle-checkable.
+    */
+  def cusum(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, ref: Long, threshold: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val us = toUs(events, tsCol)
+    val order: Seq[Column] = us +: tieBreak.map(col)
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__p",
+        sum(col(valueCol).cast("long") - lit(ref)).over(w))
+      .withColumn("cusum", col("__p") - least(min(col("__p")).over(w), lit(0L)))
+      .withColumn("is_shift", col("cusum") > lit(threshold))
+      .drop("__p")
+  }
+
   /** Resample an irregular per-entity series onto a regular grid with
     * last-observation-carried-forward gap fill — the time-series
     * normalization step (metric streams, price/sensor series) ahead

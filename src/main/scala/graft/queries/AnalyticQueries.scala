@@ -454,6 +454,21 @@ object AnalyticQueries {
         43200000000L, Seq("event_id"))
     },
 
+    // one-sided CUSUM level-shift flags per user over cent values:
+    // ref 5000 / threshold 50000 trips 43/150 users and flags
+    // 761/10000 rows at sf0.01 — both polarities live. The recursion
+    // ships as its prefix-sum − running-min closed form (two stacked
+    // windows, one exchange, exact longs)
+    "q_events_cusum" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("vc"))
+      graft.functions.Events.cusum(ev, "user_id", "ts", "vc",
+        5000L, 50000L, Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("cusum"),
+          col("is_shift"))
+    },
+
     // robust z-score anomalies: per-type lower median + MAD in exact
     // cent units, flag |x − med| > 3·MAD (~230 true / ~1780 false per
     // type at sf0.01 — both polarities live). The median/MAD selection
@@ -864,6 +879,22 @@ object AnalyticQueries {
         |        epoch_us(ts) - lag(epoch_us(ts))
         |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
         |      FROM events)""".stripMargin,
+
+    "q_events_cusum" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |p AS (SELECT event_id, user_id, us,
+        |    CAST(sum(vc - 5000) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |  FROM e)
+        |SELECT event_id, user_id,
+        |  pp - LEAST(min(pp) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum,
+        |  (pp - LEAST(min(pp) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) > 50000
+        |    AS is_shift
+        |FROM p""".stripMargin,
 
     "q_events_transitions" ->
       """SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n

@@ -153,6 +153,29 @@ class EventsSpec extends SparkSpec {
       (2L, -3L) -> ((-30L, 7L))))
   }
 
+  test("cusum: the closed form reproduces the max(0, ·) recursion by hand") {
+    // series d = x − ref with ref 10: x = 15,2,13,30 → d = 5,−8,3,20
+    // recursion: S = 5, 0 (clamped), 3, 23 — the clamp must RESET the
+    // accumulation, not carry the negative excursion
+    val e = Seq((1L, 1L, 15L), (1L, 2L, 2L), (1L, 3L, 13L), (1L, 4L, 30L),
+      (2L, 1L, 9L)) // single below-ref event: S = 0, never negative
+      .toDF("user_id", "us", "v")
+    val out = graft.functions.Events
+      .cusum(e, "user_id", "us", "v", 10L, 22L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out === Map(
+      (1L, 1L) -> ((5L, false)), (1L, 2L) -> ((0L, false)),
+      (1L, 3L) -> ((3L, false)),
+      (1L, 4L) -> ((23L, true)), // 23 > 22; the boundary is strict
+      (2L, 1L) -> ((0L, false))))
+    // exactly at the threshold does not flag
+    val at = graft.functions.Events
+      .cusum(e, "user_id", "us", "v", 10L, 23L)
+      .filter(col("is_shift")).count()
+    assert(at === 0L)
+  }
+
   test("robustStats: unitScale rounds doubles to micro-units") {
     val e = Seq(("g", 1.234), ("g", 1.236), ("g", 9.999))
       .toDF("grp", "v")
