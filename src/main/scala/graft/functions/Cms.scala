@@ -95,6 +95,21 @@ object Cms {
     */
   def cmsCounters(sketch: Column): Column =
     GraftExpr.column(CmsCountersExpr(GraftExpr.expression(sketch)))
+
+  /** Equi-join cardinality estimate from two same-shape sketches
+    * built over the two sides' join-key hashes at weight 1: min over
+    * depth rows of the row-wise counter inner product (Cormode &
+    * Muthukrishnan's CM inner-product estimator — Σ_k fA(k)·fB(k) IS
+    * the join size). Always ≥ the true size, tightening with width.
+    * The 100 TB use: size a join from two fist-sized persisted
+    * sketches — broadcast thresholds, salting decisions, shuffle
+    * budgeting — without scanning either side again. Exact long
+    * arithmetic; throws on overflow rather than silently saturating
+    * (widen the sketch: per-cell counts shrink with width).
+    */
+  def cmsJoinSize(a: Column, b: Column): Column =
+    GraftExpr.column(
+      CmsInnerProductExpr(GraftExpr.expression(a), GraftExpr.expression(b)))
 }
 
 object CmsImpl {
@@ -148,6 +163,29 @@ object CmsImpl {
       j += 1
     }
     min
+  }
+
+  def innerProduct(a: Array[Byte], b: Array[Byte]): Long = {
+    val d = depth(a)
+    val w = width(a)
+    require(d == depth(b) && w == width(b),
+      s"cannot inner-product sketches of different shape: " +
+        s"$d×$w vs ${depth(b)}×${width(b)}")
+    var best = Long.MaxValue
+    var j = 0
+    while (j < d) {
+      var s = 0L
+      var i = 0
+      while (i < w) {
+        val off = HEADER + 8 * (j * w + i)
+        s = Math.addExact(s,
+          Math.multiplyExact(readLong(a, off), readLong(b, off)))
+        i += 1
+      }
+      if (s < best) best = s
+      j += 1
+    }
+    best
   }
 
   def counters(buf: Array[Byte]): GenericArrayData = {
@@ -285,6 +323,22 @@ case class CmsEstimateExpr(left: Expression, right: Expression) extends BinaryEx
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (s, h) => s"graft.functions.CmsImpl.estimate($s, $h)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimateExpr =
+    copy(left = l, right = r)
+}
+
+case class CmsInnerProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cms_join_size expects two binary sketches, got ($l, $r)")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CmsImpl.innerProduct(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CmsImpl.innerProduct($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsInnerProductExpr =
     copy(left = l, right = r)
 }
 

@@ -32,6 +32,29 @@ object CorpusQueries {
         array_max(cs).as("cnt_max"))
     },
 
+    // CM inner-product join-size estimate: clicks⋈purchases on
+    // user_id from two deliberately NARROW (3×64) sketches — ~150
+    // keys in 64 cells guarantees collisions, so the estimate sits
+    // strictly ABOVE the true size and both the collision path and
+    // the min-over-rows are differentially live; output pins both
+    // numbers so the ≥ contract is oracle-checked
+    "q_cms_join_est" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .agg(Cms.cmsSketch(SimHash.fnv1a64(col("user_id").cast("string")),
+          lit(1L), cmsD, cmsW).as("sk"))
+      val est = side("click")
+        .crossJoin(side("purchase").withColumnRenamed("sk", "sk2"))
+        .select(Cms.cmsJoinSize(col("sk"), col("sk2")).as("est"))
+      val a = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cb"))
+      val truth = a.join(b, Seq("user_id"))
+        .agg(sum(col("ca") * col("cb")).as("true_size"))
+      est.crossJoin(truth)
+    },
+
     // sketch mergeability: per-source partial sketches summed by
     // cms_merge must be counter-identical to the direct global sketch
     // — the oracle computes the direct counters once
@@ -505,6 +528,30 @@ object CorpusQueries {
         |  CAST(SUM(c) AS BIGINT) AS cnt_sum,
         |  CAST(MAX(c) AS BIGINT) AS cnt_max
         |FROM cnts GROUP BY 1""".stripMargin),
+
+    "q_cms_join_est" -> {
+      val h = fnvFold("t")
+      s"""WITH ca AS (SELECT CAST(user_id AS VARCHAR) AS t, COUNT(*) AS c
+         |  FROM events WHERE event_type = 'click' GROUP BY 1),
+         |cb AS (SELECT CAST(user_id AS VARCHAR) AS t, COUNT(*) AS c
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |ha AS (SELECT $h AS h, c FROM ca),
+         |hb AS (SELECT $h AS h, c FROM cb),
+         |ba AS (SELECT jj.j,
+         |    CAST(${smix64("xor(h, CAST(jj.j AS UBIGINT))")} % $cmsW AS BIGINT) AS idx,
+         |    c FROM ha, (SELECT UNNEST(range(0, $cmsD)) AS j) jj),
+         |bb AS (SELECT jj.j,
+         |    CAST(${smix64("xor(h, CAST(jj.j AS UBIGINT))")} % $cmsW AS BIGINT) AS idx,
+         |    c FROM hb, (SELECT UNNEST(range(0, $cmsD)) AS j) jj),
+         |ga AS (SELECT j, idx, SUM(c) AS c FROM ba GROUP BY 1, 2),
+         |gb AS (SELECT j, idx, SUM(c) AS c FROM bb GROUP BY 1, 2),
+         |ip AS (SELECT a.j, SUM(a.c * b.c) AS s
+         |  FROM ga a JOIN gb b ON a.j = b.j AND a.idx = b.idx GROUP BY 1),
+         |est AS (SELECT CAST(MIN(s) AS BIGINT) AS est FROM ip),
+         |tr AS (SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS true_size
+         |  FROM ca JOIN cb ON ca.t = cb.t)
+         |SELECT est, true_size FROM est, tr""".stripMargin
+    },
 
     "q_cms_merge" -> (cmsGridSql(perSource = false) +
       """SELECT

@@ -97,6 +97,30 @@ class CorpusSpec extends SparkSpec {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("cms inner product: join size exact without collisions, >= truth with them") {
+    // two sides with known per-key counts: A = {k: k%5+1 copies},
+    // B = {k even: 2 copies}; truth = Σ over even k of (k%5+1)·2
+    val a = spark.range(20L).select(explode(sequence(lit(1L), $"id" % 5 + 1))
+      .as("r"), $"id".as("k")).select($"k")
+    val b = spark.range(20L).filter($"id" % 2 === 0)
+      .select(explode(sequence(lit(1L), lit(2L))).as("r"), $"id".as("k"))
+      .select($"k")
+    val truth = (0L until 20L).filter(_ % 2 == 0).map(k => (k % 5 + 1) * 2).sum
+    def sk(df: org.apache.spark.sql.DataFrame, w: Int) =
+      df.agg(Cms.cmsSketch(Sampling.splitmix64(col("k")), lit(1L), 3, w))
+        .head().getAs[Array[Byte]](0)
+    // wide: 20 keys in 512 cells — collision-free, estimate EXACT
+    val wide = CmsImpl.innerProduct(sk(a, 512), sk(b, 512))
+    assert(wide === truth)
+    // narrow: 20 keys in 4 cells — must only ever overestimate
+    val narrow = CmsImpl.innerProduct(sk(a, 4), sk(b, 4))
+    assert(narrow >= truth)
+    // shape guard
+    val e = intercept[IllegalArgumentException](
+      CmsImpl.innerProduct(sk(a, 4), sk(b, 8)))
+    assert(e.getMessage.contains("different shape"))
+  }
+
   test("cms refuses to merge mismatched shapes") {
     val a = CmsImpl.create(3, 64)
     val b = CmsImpl.create(3, 128)
