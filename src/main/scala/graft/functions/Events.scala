@@ -65,11 +65,14 @@ object Events {
     * candidates filter on it AND the drop-off left join keeps it), and
     * the references pick up different pushed filters, so exchange
     * reuse can't dedup them — without caching, step 1's slice scan
-    * would re-execute ~k times (read the plan). The intermediates are
-    * therefore LAZILY persisted: tiny entity-keyed relations (k longs
-    * per entity), populated by the caller's first action, released by
-    * `spark.catalog.clearCache()` or session close. Repeated step
-    * types are legal (view→view funnels).
+    * would re-execute ~k times (read the plan). The intermediates run
+    * the shared [[Rounds]] lifecycle (the graph-family posture): each
+    * reached relation is EAGERLY checkpointed — a tiny entity-keyed
+    * job, k longs per entity — and released the moment the next round
+    * supersedes it, so at 100× entity counts the superseded rounds
+    * are never sitting in the cache as eviction victims; only the
+    * FINAL relation (a checkpoint with truncated lineage) outlives the
+    * call. Repeated step types are legal (view→view funnels).
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
@@ -80,9 +83,13 @@ object Events {
       toUs(events, tsCol).as("us"), col(typeCol).as("et"))
     var reached = ev.filter(col("et") === steps.head)
       .groupBy(col("user")).agg(min(col("us")).as("t1"))
+    if (steps.size == 1) return reached
+    val rounds = new Rounds(ev)
+    var prevMark: Option[DataFrame] = None
     for (k <- 2 to steps.size) {
-      val prev = reached.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prev = rounds.mark(reached)
+      prevMark.foreach(rounds.release)
+      prevMark = Some(prev)
       val prevT = s"t${k - 1}"
       val carry =
         if (prevT == "t1") prev.select(col("user"), col("t1"))
@@ -96,7 +103,11 @@ object Events {
         .groupBy(col("user")).agg(min(col("us")).as(s"t$k"))
       reached = prev.join(nxt, Seq("user"), "left")
     }
-    reached
+    // materialize the final join before releasing the last round it
+    // still references (the graph-family exit shape)
+    val res = rounds.mark(reached)
+    prevMark.foreach(rounds.release)
+    res
   }
 
   /** Funnel conversion report: (step, step_name, users) — users who

@@ -83,8 +83,12 @@ object Maintain {
     * open row began yields a zero-width span for the superseded
     * version (recorded, not lost). Contract: change times must be ≥
     * their key's current `validFromCol` (the CDC in-order posture);
-    * earlier strays would interleave before the open row rather than
-    * error.
+    * with `validateInOrder = false` earlier strays interleave before
+    * the open row (producing spans that overlap already-closed rows —
+    * a silently corrupted history), with `validateInOrder = true` the
+    * first violating change fails the job with a keyed error instead.
+    * The check is in-plan (a `raise_error` branch on the change rows,
+    * no extra action or scan).
     *
     * Scale shape: the changed-key set broadcasts twice — untouched
     * current rows and all closed rows pass through with ZERO shuffle
@@ -95,7 +99,8 @@ object Maintain {
   def scd2Apply(history: DataFrame, changes: DataFrame, keyCol: String,
       attrCols: Seq[String], changeTsCol: String,
       validFromCol: String = "valid_from",
-      validToCol: String = "valid_to"): DataFrame = {
+      validToCol: String = "valid_to",
+      validateInOrder: Boolean = false): DataFrame = {
     require(attrCols.nonEmpty, "scd2Apply needs at least one attribute column")
     val outCols = (keyCol +: attrCols) :+ validFromCol :+ validToCol
     val touched = changes.select(col(keyCol)).distinct()
@@ -108,9 +113,27 @@ object Maintain {
     val candCur = current.join(broadcast(touched), Seq(keyCol), "left_semi")
       .select(col(keyCol) +: attrs :+ col(validFromCol).as("__ts")
         :+ lit(0).as("__src"): _*)
-    val candChg = changes
+    val candChg0 = changes
       .select(col(keyCol) +: attrs :+ col(changeTsCol).as("__ts")
         :+ lit(1).as("__src"): _*)
+    // in-plan contract check: each change joins its key's current
+    // valid_from (the same broadcastable touched-current relation the
+    // sequencing already rides) and a violating row raises with the
+    // key baked into the message — zero extra actions, the error
+    // surfaces when the apply executes
+    val candChg = if (!validateInOrder) candChg0 else {
+      val tsType = candChg0.schema("__ts").dataType
+      val curFrom = current.join(broadcast(touched), Seq(keyCol), "left_semi")
+        .select(col(keyCol), col(validFromCol).as("__cur_from"))
+      candChg0.join(broadcast(curFrom), Seq(keyCol), "left")
+        .withColumn("__ts",
+          when(col("__cur_from").isNotNull && col("__ts") < col("__cur_from"),
+            raise_error(concat(
+              lit("scd2Apply: change earlier than current valid_from for key "),
+              col(keyCol).cast("string"))).cast(tsType))
+            .otherwise(col("__ts")))
+        .drop("__cur_from")
+    }
     val ord = Seq(col("__ts"), col("__src")) ++ attrs
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(ord: _*)
@@ -381,14 +404,22 @@ object Maintain {
   def writeRollup(agg: DataFrame, dir: String, version: Long): Unit =
     agg.write.mode("overwrite").parquet(s"$dir/v=$version")
 
+  // only well-formed `v=<digits>` entries are snapshots — stray temp /
+  // partial dirs (e.g. a crashed writer's `v=3.__tmp`) must neither
+  // kill the stream with NumberFormatException nor be pruned
+  private val SnapshotDir = "v=(\\d+)".r
+  private def snapshotVersion(name: String): Option[Long] = name match {
+    case SnapshotDir(d) => Some(d.toLong)
+    case _ => None
+  }
+
   /** Read the LATEST persisted rollup version → (rollup, version). */
   def readRollup(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, Long) = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val versions = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
+      .map(_.getPath.getName).flatMap(snapshotVersion)
     require(versions.nonEmpty, s"readRollup: no v=N snapshots under $dir")
     val v = versions.max
     (spark.read.parquet(s"$dir/v=$v"), v)
@@ -442,8 +473,8 @@ object Maintain {
           // prune snapshots this batch's commit superseded (< bid:
           // v=bid itself stays — it is THIS batch's replay input)
           fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-            .map(_.getPath).filter(_.getName.startsWith("v="))
-            .filter(_.getName.stripPrefix("v=").toLong < bid)
+            .map(_.getPath)
+            .filter(p => snapshotVersion(p.getName).exists(_ < bid))
             .foreach(p => fs.delete(p, true))
           ()
       }
@@ -482,8 +513,8 @@ object Maintain {
             scd2Apply(prev, batch.toDF(), keyCol, attrCols, changeTsCol),
             dir, bid + 1)
           fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-            .map(_.getPath).filter(_.getName.startsWith("v="))
-            .filter(_.getName.stripPrefix("v=").toLong < bid)
+            .map(_.getPath)
+            .filter(p => snapshotVersion(p.getName).exists(_ < bid))
             .foreach(p => fs.delete(p, true))
           ()
       }

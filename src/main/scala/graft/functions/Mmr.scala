@@ -122,10 +122,18 @@ object MmrImpl {
     out
   }
 
+  // Overflow-checked (the scaladoc promises EXACT long arithmetic and
+  // the type check admits array<int>/array<long> vectors, where a silent
+  // wrap would corrupt the ranking): int8 callers never trip this, wide
+  // callers get an ArithmeticException instead of a wrong answer.
   private def dot(a: Array[Long], b: Array[Long]): Long = {
-    val n = math.min(a.length, b.length)
+    if (a.length != b.length) throw new IllegalArgumentException(
+      s"mmr_select: candidate vectors must share one dimension, " +
+        s"got ${a.length} vs ${b.length}")
     var s = 0L; var i = 0
-    while (i < n) { s += a(i) * b(i); i += 1 }
+    while (i < a.length) {
+      s = Math.addExact(s, Math.multiplyExact(a(i), b(i))); i += 1
+    }
     s
   }
 
@@ -159,7 +167,8 @@ object MmrImpl {
       while (j < n) {
         if (!taken(j)) {
           val div = if (step == 0) 0L else maxSim(j)
-          val obj = lm.toLong * rels(j) - (1000L - lm) * div
+          val obj = Math.subtractExact(Math.multiplyExact(lm.toLong, rels(j)),
+            Math.multiplyExact(1000L - lm, div))
           if (obj > bestObj || (obj == bestObj && (best < 0 || ids(j) < ids(best)))) {
             bestObj = obj; best = j
           }

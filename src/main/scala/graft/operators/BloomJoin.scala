@@ -86,7 +86,19 @@ object BloomJoin {
     require(Set("inner", "leftsemi", "semi").contains(jt),
       s"bloomReduceJoin supports inner/left_semi joins only (the probe " +
         s"side is pre-filtered, so outer probe rows would be lost), got $joinType")
-    reduceByBloom(probe, build, keys, fpp, expectedKeys)
-      .join(build, keys, joinType)
+    // the build lineage executes up to three times here (count for
+    // sizing, collect for the sketch, the exact join) — exactly the
+    // aggregated/persisted-branch build sides this operator targets,
+    // so pin it for the duration unless the caller already did.
+    // NONE = deserialized in memory: the build side is the SMALL side
+    // by contract. The final plan's join re-reads it from cache; the
+    // caller unpersists when the result is consumed (lazily safe —
+    // cache misses just recompute).
+    val pinned = if (build.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE)
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else build
+    reduceByBloom(probe, pinned, keys, fpp, expectedKeys)
+      .join(pinned, keys, joinType)
   }
 }

@@ -165,7 +165,12 @@ object AnalyticQueries {
           (col("l_suppkey") + lit(1000000L)).as("dst"))
         .distinct()
       val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      // gate face cast to BIGINT: micro-unit ranks are ≤ ~1.6e15, far
+      // inside long range — DECIMAL(38,0) stays internal to Graph, but
+      // the DECIMAL/HUGEINT rendering boundary between engines is the
+      // one face the driver's hasher canonicalizes differently
       graft.functions.Graph.pageRank(edges, iterations = 3)
+        .select(col("id"), col("rank").cast("long").as("rank"))
     },
 
     // seed-personalized propagation (TrustRank): teleport mass only on
@@ -185,6 +190,7 @@ object AnalyticQueries {
       val seeds = o.select(col("o_custkey").as("id"))
         .filter(pmod(col("id"), lit(10L)) === 0).distinct()
       graft.functions.Graph.trustRank(edges, seeds, iterations = 2)
+        .select(col("id"), col("rank").cast("long").as("rank"))
     },
 
     // HITS on the DIRECTED customer→supplier half: customers are
@@ -199,6 +205,8 @@ object AnalyticQueries {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + lit(1000000L)).as("dst"))
       graft.functions.Graph.hits(half, iterations = 2)
+        .select(col("id"), col("hub").cast("long").as("hub"),
+          col("auth").cast("long").as("auth"))
     },
 
     // synchronous LPA communities on the symmetrized co-order graph,
@@ -605,7 +613,7 @@ object AnalyticQueries {
         |r3 AS (SELECT n.id, (SELECT base FROM cst)
         |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
         |       FROM nodes n LEFT JOIN c3 c ON c.id = n.id)
-        |SELECT id, CAST(rank AS DECIMAL(38,0)) AS rank FROM r3""".stripMargin,
+        |SELECT id, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
     "q_graph_trustrank" ->
       """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
         |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
@@ -631,7 +639,7 @@ object AnalyticQueries {
         |r2 AS (SELECT f.id, CASE WHEN f.s = 1 THEN (SELECT sbase FROM cst) ELSE 0::HUGEINT END
         |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
         |       FROM fl f LEFT JOIN c2 c ON c.id = f.id)
-        |SELECT id, CAST(rank AS DECIMAL(38,0)) AS rank FROM r2""".stripMargin,
+        |SELECT id, CAST(rank AS BIGINT) AS rank FROM r2""".stripMargin,
     "q_graph_hits" ->
       """WITH edges AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
         |               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
@@ -653,8 +661,8 @@ object AnalyticQueries {
         |        FROM edges e JOIN a2 a ON a.id = e.dst GROUP BY 1),
         |h2 AS (SELECT id, (hub * 1000000000000::HUGEINT)
         |         // (SELECT CAST(SUM(hub) AS HUGEINT) FROM h2r) AS hub FROM h2r)
-        |SELECT n.id, CAST(COALESCE(h2.hub, 0) AS DECIMAL(38,0)) AS hub,
-        |       CAST(COALESCE(a2.auth, 0) AS DECIMAL(38,0)) AS auth
+        |SELECT n.id, CAST(COALESCE(h2.hub, 0) AS BIGINT) AS hub,
+        |       CAST(COALESCE(a2.auth, 0) AS BIGINT) AS auth
         |FROM nodes n LEFT JOIN h2 ON h2.id = n.id
         |             LEFT JOIN a2 ON a2.id = n.id""".stripMargin,
 

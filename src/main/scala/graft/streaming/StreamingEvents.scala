@@ -76,7 +76,12 @@ object StreamingEvents {
         state: Option[(Long, Long)]): (Option[(Long, Long)], Seq[(Long, Long)]) = {
       var (last, idx) = state.getOrElse((0L, 0L))
       val out = values.sorted.map { us =>
-        if (idx == 0L || us - last > gapUs) idx += 1
+        // idx == 0 means "no previous event" — seed last from the event
+        // itself rather than gap-checking against the (0,0) sentinel, so
+        // entities whose first event time is negative still match the
+        // batch operator's lag-based assignment exactly
+        if (idx == 0L) { idx = 1L; last = us }
+        else if (us - last > gapUs) idx += 1
         last = math.max(last, us)
         (us, idx)
       }

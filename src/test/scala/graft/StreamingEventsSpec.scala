@@ -106,6 +106,19 @@ class StreamingEventsSpec extends SparkSpec {
     assert(sessionStream(ordered.grouped(2).toSeq, 10L) === expected)
   }
 
+  test("sessionizeStream: negative event times match batch (no 0-sentinel gap)") {
+    // first event at −100: the old (0,0) sentinel would gap-check −90
+    // against 0 and split; the true previous-event gap is 10 → same
+    // session. Cross-batch split exercises the persisted-state path.
+    val evs = Seq((1L, -100L), (1L, -90L), (1L, -70L), (2L, -5L), (2L, 6L))
+    val expected = Events.sessionize(
+        evs.toDF("user_id", "us"), "user_id", "us", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ordered = evs.sortBy(_._2)
+    assert(sessionStream(Seq(ordered), 10L) === expected)
+    assert(sessionStream(ordered.grouped(2).toSeq, 10L) === expected)
+  }
+
   test("sessionizeStream: gap boundary strict across a batch split") {
     // gap == 10 exactly, straddling two micro-batches → same session;
     // gap 11 across a split → new session

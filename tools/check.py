@@ -6,6 +6,7 @@ import duckdb, sys, json, os
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 
+print(f'duckdb {duckdb.__version__}', file=sys.stderr)
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:
