@@ -132,6 +132,53 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** DIRECTED containment near-dup pairs: C(i→j) = |sh(i) ∩ sh(j)| /
+    * |sh(i)| ≥ `threshold`, i ≠ j — the asymmetric companion to
+    * [[ngramJaccardPairs]] for SUB-document duplication: a short doc
+    * fully quoted inside a long one has high containment but LOW
+    * Jaccard (the union is dominated by the long doc), so a
+    * Jaccard-thresholded dedup never sees it. Containment is the
+    * measure for quote/excerpt/boilerplate-subsumption detection
+    * (Broder's "containment" from the original resemblance paper,
+    * SEQUENCES'97).
+    *
+    * Same inverted-index shape and df-cap semantics as
+    * [[ngramJaccardPairs]] (containment computed entirely in the
+    * CAPPED shingle space; `maxDocFreq <= 0` disables): one shuffle
+    * on shingle, one on the unordered pair, then each surviving
+    * intersection row fans out to its ≤ 2 qualifying directions —
+    * the directed output costs no extra join work. Output:
+    * (i, j, containment) meaning i's shingle set is
+    * `containment`-covered by j's.
+    */
+  def containmentPairs(df: DataFrame, idCol: Column, text: Column, n: Int,
+      threshold: Double, maxDocFreq: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sh =
+      if (maxDocFreq <= 0) scope.track(shingleRows(df, idCol, text, n).cache())
+      else {
+        val shAll = scope.track(shingleRows(df, idCol, text, n).cache())
+        val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > maxDocFreq).select(col("s"))
+        scope.track(shAll.join(hot, Seq("s"), "left_anti").cache())
+      }
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // intersections once per UNORDERED pair, then both directions
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    val directed = inter.select(col("i"), col("j"), col("inter"))
+      .union(inter.select(col("j").as("i"), col("i").as("j"), col("inter")))
+    directed
+      .join(cnt.select(col("id").as("i"), col("n_sh").as("ni")), "i")
+      .withColumn("containment", col("inter").cast("double") / col("ni"))
+      .filter(col("containment") >= threshold)
+      .select(col("i"), col("j"), col("containment"))
+  }
+
   /** [[ngramJaccardPairs]] with the df cap auto-sized from the corpus
     * ([[autoCap]]; one count() action) — the production default when
     * the caller has no corpus-specific cap.

@@ -533,4 +533,94 @@ object Maintain {
       new org.apache.hadoop.fs.Path(outDir), "compactSnapshot: outDir must differ")
     readSnapshot(spark, dir, keyCol).write.mode("overwrite").parquet(s"$outDir/base")
   }
+
+  /** Atomic snapshot swap — the committed half of the "caller swaps"
+    * contract in [[compactSnapshot]] / [[Layout.compactDir]] /
+    * [[Search.compactIndex]]: versions live side-by-side under one
+    * root and a single `_current` POINTER FILE names the live one.
+    * Writers publish a fully-written version dir with ONE atomic
+    * pointer flip; readers resolve through the pointer and then hold
+    * a stable file listing — a reader racing a commit sees the old
+    * version or the new one, never a mix, and keeps reading its
+    * resolved files until [[vacuumSnapshots]] reclaims them after a
+    * grace period.
+    *
+    * The flip is `FileContext.rename(tmp, _current, OVERWRITE)` —
+    * atomic on HDFS and POSIX filesystems. On S3-style object stores
+    * rename is copy+delete, but the manifest is a single small
+    * object, and a single-object overwrite PUT is itself atomic-read
+    * (readers see the old or the new body, never a torn one) — the
+    * same reasoning every manifest-pointer table format rests on.
+    */
+  def commitSnapshot(spark: org.apache.spark.sql.SparkSession,
+      rootDir: String, snapshot: String): Unit = {
+    require(snapshot.nonEmpty && !snapshot.startsWith("_") &&
+      !snapshot.contains(".."),
+      s"commitSnapshot: bad snapshot name '$snapshot'")
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val hc = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(hc)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, snapshot)),
+      s"commitSnapshot: '$snapshot' does not exist under $rootDir — " +
+        "write the version dir fully BEFORE committing the pointer")
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_current.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(snapshot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hc)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_current"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve the live snapshot path under `rootDir` via the
+    * `_current` pointer — None before the first [[commitSnapshot]].
+    */
+  def resolveSnapshot(spark: org.apache.spark.sql.SparkSession,
+      rootDir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(root, "_current")
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        Some(s"$rootDir/${new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim}")
+      } finally in.close()
+    }
+  }
+
+  /** Read the committed snapshot. Fails fast when no commit exists —
+    * an uncommitted root is a setup error, not an empty table.
+    */
+  def readCurrent(spark: org.apache.spark.sql.SparkSession,
+      rootDir: String): DataFrame = {
+    val p = resolveSnapshot(spark, rootDir)
+    require(p.isDefined, s"readCurrent: no _current pointer under $rootDir")
+    spark.read.parquet(p.get)
+  }
+
+  /** Reclaim superseded version dirs under `rootDir`: every
+    * non-pointer entry that is NOT the committed snapshot and whose
+    * modification time is older than `graceMs` is deleted. The grace
+    * window is the race guard — a reader that resolved the pointer
+    * just before a commit keeps its files until its listing-age
+    * exceeds the grace (size it to the longest expected read job).
+    * Returns the deleted dir names.
+    */
+  def vacuumSnapshots(spark: org.apache.spark.sql.SparkSession,
+      rootDir: String, graceMs: Long): Seq[String] = {
+    require(graceMs >= 0, "graceMs must be >= 0")
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val current = resolveSnapshot(spark, rootDir)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !current.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+  }
 }

@@ -25,6 +25,42 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** Per-group winsorization (outlier clamping): compute the
+    * [`pLo`, `pHi`] quantile bounds of `valueCol` within each group
+    * and clamp every row's value into them — the standard robust
+    * pre-scaling step before numeric features feed a model (heavy
+    * tails otherwise dominate any mean/variance normalization).
+    * Appends `<value>_lo`, `<value>_hi` (the group's bounds) and
+    * `<value>_w` (the clamped value); all original columns survive.
+    *
+    * Scale shape: TWO passes, never a sort of the data — one
+    * grouped quantile aggregate producing a GROUP-CARDINALITY-sized
+    * bounds relation (both points from ONE `percentile(.., array(..))`
+    * call, one buffer — the q_quantiles discipline), broadcast-joined
+    * back into a second scan where the clamp is a codegen'd
+    * least/greatest. The window-function formulation
+    * (`percentile over (partition by g)`) re-sorts every group's
+    * full data per row and is strictly worse. Exact `percentile` is
+    * per-group-buffer-bounded — right when groups are few and fat
+    * (the feature-scaling case); for extreme group cardinality swap
+    * in `approx_percentile` at the call site, same join shape.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
+      s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("__qs"))
+      .select(groupCols.map(col) :+
+        col("__qs")(0).as(s"${valueCol}_lo") :+
+        col("__qs")(1).as(s"${valueCol}_hi"): _*)
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col(s"${valueCol}_lo")),
+          col(s"${valueCol}_hi")))
+  }
+
   /** Per-column profile over one scan: `(col_name, dtype, n, nulls,
     * n_distinct, min_v, max_v, sum_v)` — numeric min/max/sum rendered
     * as doubles through an exact decimal(38,6) cast (the decDouble

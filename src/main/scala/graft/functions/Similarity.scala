@@ -411,6 +411,60 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
 
+  /** One step of the [[annRecall]] tuning workflow, closed into an
+    * operator: walk nprobe upward (doubling) over a PERSISTED IVF
+    * index until the micro-averaged sampled recall@k meets
+    * `targetRecall`, and report the walk. The exact baseline is
+    * computed ONCE on the sampled query set ([[bruteForceTopK]]
+    * against the index cells — |sample|·N, linear in the corpus,
+    * constant in sample size) and cached for the walk; each step is
+    * one [[ivfQueryIndex]] probe plus a sample-sized recall
+    * aggregate, so the whole tune costs ⌈log₂ maxNprobe⌉ serving
+    * queries — nothing corpus-quadratic, no index rebuild (nprobe is
+    * a pure query-time knob; that is WHY it is the tuned parameter).
+    *
+    * Returns the FIRST nprobe meeting target (recall is monotone
+    * non-decreasing in nprobe on a fixed index — more probed cells
+    * is a superset candidate pool), or the maxNprobe step with
+    * `achieved = false` when even that misses: the remaining gap is
+    * assignment error, and the fix is more nlist/iterations or the
+    * exact tier, not more probes. The per-step (nprobe, recall)
+    * trace is kept for capacity planning. Driver-side state is one
+    * Double per step — the collects are 1-row recall aggregates.
+    */
+  final case class NprobeTune(nprobe: Int, recall: Double,
+      achieved: Boolean, trace: Seq[(Int, Double)])
+
+  def ivfTuneNprobe(sampleQueries: DataFrame, qId: String, qVec: String,
+      centroids: DataFrame, cells: DataFrame, k: Int,
+      targetRecall: Double, maxNprobe: Int = 64): NprobeTune = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall in (0,1], got $targetRecall")
+    require(maxNprobe >= 1, "maxNprobe must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val q = sampleQueries.select(col(qId).as("qid"), col(qVec).as("qv"))
+      .persist(lvl)
+    val exact = bruteForceTopK(q, cells, "qid", "qv", "id", "v", k)
+      .persist(lvl)
+    try {
+      var trace = Vector.empty[(Int, Double)]
+      var nprobe = 1
+      while (true) {
+        val approx = ivfQueryIndex(q, "qid", "qv", centroids, cells, nprobe, k)
+        val r = annRecall(approx, exact)
+          .agg((sum(col("n_hit")).cast("double") /
+            sum(col("n_exact")).cast("double")).as("r"))
+          .collect()(0)
+        val recall = if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+        trace :+= (nprobe, recall)
+        if (recall >= targetRecall || nprobe >= maxNprobe)
+          return NprobeTune(nprobe, recall, recall >= targetRecall, trace)
+        nprobe = math.min(nprobe * 2, maxNprobe)
+      }
+      sys.error("unreachable")
+    } finally { q.unpersist(false); exact.unpersist(false); () }
+  }
+
   /** Element-wise centroid means: posexplode vector positions, average
     * per (cell, position), re-collect position-ordered — fully
     * relational, shuffles only (cid, pos) pairs.

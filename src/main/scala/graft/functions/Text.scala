@@ -547,6 +547,58 @@ object Text {
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus-level collocation mining: adjacent-bigram association
+    * scores over the whole corpus — the phrase-discovery face of the
+    * text toolkit (multi-word expressions for tokenizer vocab
+    * seeding, template detection via abnormally-strong transitions).
+    * Score = conditional lift, p(y|x)/p(y) = c(xy)·T / (c(x)·c(y))
+    * with T the corpus token count — the exp of PMI. Reported in
+    * EXACT micro-units (floor(unit·c(xy)·T / (c(x)·c(y))),
+    * decimal(38,0) internally like [[Graph]]): a float log-PMI sums
+    * nothing but still renders differently per engine; the integer
+    * lift is bit-stable and order-preserving (log is monotone), so
+    * ranking and thresholding decisions are identical.
+    *
+    * Scale shape: one scan building tokens + in-array bigrams (both
+    * codegen'd, no window — bigrams come from an index transform
+    * over the token array, so no per-doc sort or lag shuffle), one
+    * (x,y) count and one x count — all partial-aggregable; the
+    * unigram table joins back by key (vocabulary-sized, NOT
+    * corpus-sized; broadcastable for real vocabularies) and T is a
+    * 1-row broadcast. `minCount` prunes the bigram tail BEFORE the
+    * joins — at web scale the hapax bigram tail is the dominant
+    * cost and nothing below ~5 occurrences is statistically usable.
+    *
+    * Output: (x, y, n_xy, n_x, n_y, lift) for bigrams with
+    * c(xy) ≥ `minCount`; lift in micro-units as BIGINT.
+    */
+  def collocations(df: org.apache.spark.sql.DataFrame, text: Column,
+      minCount: Long, unit: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(unit > 0, "unit must be positive")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    val toks = df.select(tokens(text).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(dec(sum(col("c"))).as("T"))
+    val bi = toks
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS x, w[i+1] AS y))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    bi.join(uni.select(col("t").as("x"), col("c").as("n_x")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("n_y")), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        idiv(dec(lit(unit)) * dec(col("n_xy")) * col("T"),
+          dec(col("n_x")) * dec(col("n_y"))).cast("long").as("lift"))
+  }
+
   /** Token-length checksum — cheap deterministic content digest
     * expressible in ANSI SQL (oracle-checkable alongside the md5
     * fingerprint).

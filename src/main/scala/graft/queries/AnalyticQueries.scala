@@ -261,6 +261,36 @@ object AnalyticQueries {
       graft.functions.Graph.degrees(half)
     },
 
+    // exact per-node triangle counts over the supplier co-order graph
+    // (suppliers sharing an order link; the one derived graph here
+    // that is NOT bipartite, so triangles exist). The operator runs
+    // the degree-ordered orientation; the oracle is the plain
+    // canonical three-way join — the orientation rewrite must be
+    // row-invisible, that is the exactness guarantee under test
+    "q_graph_triangles" -> { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = l.as("x").join(l.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.functions.Graph.triangles(e)
+    },
+
+    // bounded-round k-core peeling on the binary-tree graph over
+    // orderkeys (edge k — k÷2): a tree's 2-core is empty, so peeling
+    // erodes exactly one leaf-layer per synchronous round and
+    // maxRounds GENUINELY BINDS — the oracle unrolls precisely 3
+    // peels, pinning the round-boundary semantics (an off-by-one in
+    // the loop or a non-synchronous peel changes the face)
+    "q_graph_kcore" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") >= 1)
+        .select(col("o_orderkey").as("src"),
+          expr("o_orderkey DIV 2").as("dst"))
+      graft.functions.Graph.kcore(o, k = 2, maxRounds = 3)
+    },
+
     // exact quantiles + exact distinct counts per group (single
     // shuffle; percentile is Spark's exact sort-based aggregate)
     "q_quantiles" -> { (s, dir) =>
@@ -276,6 +306,23 @@ object AnalyticQueries {
         .select(col("l_returnflag"),
           col("qs")(0).as("q25"), col("qs")(1).as("q50"),
           col("qs")(2).as("q75"), col("qs")(3).as("q95"), col("n_supp"))
+    },
+
+    // per-group winsorization: clamp l_extendedprice into its
+    // returnflag-group [p05, p95] — two passes (grouped exact
+    // percentile → broadcast-join-back + codegen'd clamp), never a
+    // sort or window over the data; per-row face (no float sums, so
+    // the doubles are bit-stable)
+    "q_winsorize" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"))
+      graft.functions.Profile.winsorize(li, Seq("l_returnflag"),
+          "l_extendedprice", 0.05, 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice_lo").as("lo"),
+          col("l_extendedprice_hi").as("hi"),
+          col("l_extendedprice_w").as("w"))
     },
 
     // rollup with grouping ids — subtotal/grand-total rows in one pass
@@ -713,6 +760,50 @@ object AnalyticQueries {
         |SELECT COALESCE(o.id, i.id) AS id,
         |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
         |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin,
+    "q_graph_triangles" ->
+      """WITH pe AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |nodes AS (SELECT s1 AS id FROM pe UNION SELECT s2 FROM pe),
+        |tri AS (SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+        |  FROM pe e1 JOIN pe e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
+        |  JOIN pe e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
+        |pern AS (SELECT id, COUNT(*) AS t FROM (
+        |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT n.id, CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles
+        |FROM nodes n LEFT JOIN pern p ON p.id = n.id""".stripMargin,
+
+    "q_graph_kcore" ->
+      """WITH e0 AS (SELECT o_orderkey AS a, o_orderkey // 2 AS b
+        |  FROM orders WHERE o_orderkey >= 1),
+        |d1 AS (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |k1 AS (SELECT id FROM d1 WHERE deg >= 2),
+        |e1 AS (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT id FROM k1) AND b IN (SELECT id FROM k1)),
+        |d2 AS (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |k2 AS (SELECT id FROM d2 WHERE deg >= 2),
+        |e2 AS (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT id FROM k2) AND b IN (SELECT id FROM k2)),
+        |d3 AS (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+        |k3 AS (SELECT id FROM d3 WHERE deg >= 2),
+        |e3 AS (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT id FROM k3) AND b IN (SELECT id FROM k3))
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag, lo, hi,
+        |  LEAST(GREATEST(l_extendedprice, lo), hi) AS w
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag""".stripMargin,
+
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS q25,

@@ -368,6 +368,28 @@ object LlmQueries {
         threshold = 0.5)
     },
 
+    // DIRECTED containment pairs (|sh_i ∩ sh_j| / |sh_i| ≥ 0.6):
+    // the asymmetric dedup face — a doc quoted inside a longer one
+    // scores high containment but low Jaccard, so this catches
+    // subsumption the Jaccard gates structurally can't. Cap sized
+    // above the corpus max df (provable no-op), like q_dedup_ngram
+    "q_dedup_containment" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.containmentPairs(docs, $"doc_id", $"text", n = 3,
+        threshold = 0.6, maxDocFreq = 1000)
+    },
+
+    // corpus collocation mining: adjacent-bigram conditional lift
+    // p(y|x)/p(y) in exact micro-units over the whole corpus — the
+    // phrase-discovery/template-detection face; min-count prunes the
+    // hapax bigram tail before any join
+    "q_text_pmi" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      graft.functions.Text.collocations(docs, $"text", minCount = 5)
+    },
+
     // Skew stress: every doc gets a shared boilerplate tail, so the
     // boilerplate shingles' document frequency equals the corpus size —
     // far over the df cap, which genuinely BINDS here (unlike
@@ -1810,6 +1832,33 @@ object LlmQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_ngram" -> exactJaccardSql(0.5),
     "q_dedup_ngram_prefix" -> exactJaccardSql(0.5),
+    "q_dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM tok, UNNEST(generate_series(1, len(w)-2)) t(i))),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i, j, CAST(inter AS DOUBLE) / ca.n AS containment
+        |FROM pairs JOIN cnt ca ON ca.doc_id = i
+        |WHERE CAST(inter AS DOUBLE) / ca.n >= 0.6""".stripMargin,
+    "q_text_pmi" ->
+      """WITH tok AS (SELECT
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |uni AS (SELECT UNNEST(w) AS t FROM tok),
+        |cx AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS tt FROM uni),
+        |bi AS (SELECT w[i] AS x, w[i+1] AS y
+        |  FROM tok, UNNEST(generate_series(1, len(w)-1)) t(i)),
+        |cxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bi
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT c.x, c.y, c.n_xy, a.c AS n_x, b.c AS n_y,
+        |  CAST((1000000::HUGEINT * c.n_xy * (SELECT tt FROM tot))
+        |    // (CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS BIGINT) AS lift
+        |FROM cxy c JOIN cx a ON a.t = c.x JOIN cx b ON b.t = c.y""".stripMargin,
     "q_dedup_ngram_skew" -> cappedJaccardSql(0.3, 50),
     "q_curate" ->
       s"""WITH q AS (SELECT doc_id, text,

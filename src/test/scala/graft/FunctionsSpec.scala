@@ -16,6 +16,44 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("containmentPairs: asymmetric quote detection a jaccard threshold misses") {
+    // doc 2 embeds ALL of doc 1 inside a much longer text: containment
+    // 1→2 is 1.0 while jaccard is far below 0.5
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "padding one two three four five six seven eight nine ten " +
+        "the quick brown fox jumps over dogs " +
+        "more tail padding eleven twelve thirteen fourteen fifteen"),
+      (3L, "completely unrelated content about databases and engines")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, $"doc_id", $"text", n = 3,
+      threshold = 0.9).select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)), "only the contained direction qualifies")
+    val jac = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(jac === Set.empty[(Long, Long)],
+      "the jaccard gate must NOT see the quote pair — that asymmetry is the point")
+    // exact value: |sh(1)| = 5 trigrams, all shared
+    val c = Dedup.containmentPairs(docs, $"doc_id", $"text", 3, 0.9)
+      .select("containment").as[Double].collect()
+    assert(c.toSeq === Seq(1.0))
+  }
+
+  test("collocations: hand-counted lift, min-count pruning, short docs skipped") {
+    // corpus: "a b" ×2, "a c", "b" (too short for bigrams)
+    // T = 7 tokens; c(a)=3, c(b)=3, c(c)=1
+    // bigrams: (a,b)×2, (a,c)×1
+    val docs = Seq("a b", "a b", "a c", "b").toDF("text")
+    val got = Text.collocations(docs, $"text", minCount = 2)
+      .select("x", "y", "n_xy", "n_x", "n_y", "lift")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // lift(a,b) = floor(1e6 * 2 * 7 / (3*3)) = 1555555
+    assert(got === Set(("a", "b", 2L, 3L, 3L, 1555555L)))
+    val all = Text.collocations(docs, $"text", minCount = 1)
+      .select("x", "y").as[(String, String)].collect().toSet
+    assert(all === Set(("a", "b"), ("a", "c")))
+  }
+
   test("prefix-filtered all-pairs equals the uncapped inverted index at multiple thresholds") {
     val docs = Tables.load(spark, sf0001, "documents")
     for (t <- Seq(0.3, 0.5, 0.8)) {
@@ -1351,6 +1389,35 @@ class FunctionsSpec extends SparkSpec {
     val out = Similarity.annRecall(approx, exact).orderBy("qid").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
       Seq((1L, 3L, 2L), (2L, 3L, 0L))) // extra approx rows never inflate hits
+  }
+
+  test("ivfTuneNprobe walks to the first target-meeting nprobe; full probe is recall 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iterations = 1)
+    val cells = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+      .persist()
+    val sample = emb.filter($"vec_id" % 10 === 0)
+    // target 1.0 is reachable: nprobe = nlist probes every cell, which
+    // IS the exact ranking — the walk must terminate achieved
+    val t = Similarity.ivfTuneNprobe(sample, "vec_id", "embedding",
+      centroids, cells, k = 3, targetRecall = 1.0, maxNprobe = 16)
+    assert(t.achieved && t.recall === 1.0)
+    // monotone non-decreasing trace, strictly walked (doubling)
+    assert(t.trace.map(_._1) === t.trace.map(_._1).sorted)
+    assert(t.trace.map(_._2).sliding(2).forall(p => p.size < 2 || p(0) <= p(1) + 1e-12),
+      t.trace.toString)
+    // the walk STOPS at the first achieving step: a modest target must
+    // come back with a smaller-or-equal nprobe
+    val loose = Similarity.ivfTuneNprobe(sample, "vec_id", "embedding",
+      centroids, cells, k = 3, targetRecall = 0.5, maxNprobe = 16)
+    assert(loose.achieved && loose.nprobe <= t.nprobe)
+    // unreachable target under a capped walk reports achieved = false
+    // at the cap (recall can be sub-1 only if the cap < nlist)
+    val capped = Similarity.ivfTuneNprobe(sample, "vec_id", "embedding",
+      centroids, cells, k = 3, targetRecall = 1.0, maxNprobe = 1)
+    assert(capped.nprobe === 1 && (capped.achieved == (capped.recall >= 1.0)))
+    cells.unpersist()
   }
 
   test("bestPerCluster keeps the max-score member, ties to min id, nulls excluded") {

@@ -152,4 +152,60 @@ class GraphSpec extends SparkSpec {
     val sym = Seq((2L, 1L), (1L, 2L))
     assert(bfs(sym, Seq(1L), 3) === Set((1L, 0L), (2L, 1L)))
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Set[(Long, Long)] =
+    Graph.triangles(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("triangles: K4 closed form; star has none; hub-attached triangle counts once") {
+    // complete graph on 4 nodes: every node sits in C(3,2) = 3 triangles
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) === Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // star: high degree, zero triangles — the spam-farm signature
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))
+    assert(tri(star) ===
+      Set((9L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
+    // one triangle hanging off a hub: hub 1 (deg 5) is the HIGHEST-
+    // rank node of its triangle, so the wedge center is the lowest-
+    // rank corner — orientation must still find it exactly once
+    val hubTri = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (5L, 6L))
+    assert(tri(hubTri) === Set((1L, 1L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (5L, 1L), (6L, 1L)))
+  }
+
+  test("triangles: direction, duplicate edges, and self-loops are erased") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (3L, 1L),
+      (2L, 2L))
+    assert(tri(messy) === Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  private def core(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Set[(Long, Long)] =
+    Graph.kcore(edges.toDF("src", "dst"), k, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("kcore: path erodes one endpoint layer per synchronous round") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // round 1 removes the deg-1 ends; survivors keep NEW degrees
+    assert(core(path, 2, 1) === Set((2L, 1L), (3L, 2L), (4L, 1L)))
+    // round 2 removes 2 and 4; node 3 is edgeless → empty
+    assert(core(path, 2, 2) === Set.empty[(Long, Long)])
+    assert(core(path, 2, 0) ===
+      Set((1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L), (5L, 1L)))
+  }
+
+  test("kcore: fixpoint early-exit; triangle survives k=2, dies at k=3") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    // tail node 4 peels in round 1; the triangle is the stable 2-core
+    // and maxRounds far past convergence must not change it
+    assert(core(g, 2, 100) === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(core(g, 3, 100) === Set.empty[(Long, Long)])
+  }
+
+  test("kcore: canonicalization — reversed/duplicate edges and self-loops collapse") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 1L))
+    assert(core(messy, 2, 100) === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
 }

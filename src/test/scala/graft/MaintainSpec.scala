@@ -408,4 +408,32 @@ class MaintainSpec extends SparkSpec {
     val at10 = scd2Rows(Maintain.scd2AsOf(hist, 10L))
     assert(at10.map(t => (t._1, t._2)) === Seq((1L, "C"), (2L, "B")))
   }
+
+  test("commitSnapshot: atomic pointer swap; racing reader keeps its version; vacuum respects grace") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    // version 1 published fully, then committed
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$root/snap-1")
+    assert(Maintain.resolveSnapshot(spark, root).isEmpty)
+    Maintain.commitSnapshot(spark, root, "snap-1")
+    assert(Maintain.resolveSnapshot(spark, root) === Some(s"$root/snap-1"))
+    // a reader resolves v1 and HOLDS it across the next commit
+    val racing = spark.read.parquet(Maintain.resolveSnapshot(spark, root).get)
+    Seq((1L, "a2"), (3L, "c")).toDF("k", "v").write.parquet(s"$root/snap-2")
+    Maintain.commitSnapshot(spark, root, "snap-2")
+    assert(rows(racing) === Seq((1L, "a"), (2L, "b")),
+      "reader resolved before the swap must keep seeing its version")
+    assert(rows(Maintain.readCurrent(spark, root)) ===
+      Seq((1L, "a2"), (3L, "c")))
+    // vacuum: a long grace protects the superseded version...
+    assert(Maintain.vacuumSnapshots(spark, root, graceMs = 3600000L).isEmpty)
+    assert(rows(racing) === Seq((1L, "a"), (2L, "b")))
+    // ...grace 0 reclaims exactly the non-current dir
+    assert(Maintain.vacuumSnapshots(spark, root, graceMs = 0L) === Seq("snap-1"))
+    assert(rows(Maintain.readCurrent(spark, root)) ===
+      Seq((1L, "a2"), (3L, "c")))
+    // committing a version that was never written must refuse
+    intercept[IllegalArgumentException] {
+      Maintain.commitSnapshot(spark, root, "snap-9")
+    }
+  }
 }

@@ -311,39 +311,58 @@ class PlanSpec extends SparkSpec {
   }
 
   test("funnel reuses the entity partitioning; cohort is two exchanges") {
-    // every funnel exchange keys on `user`, so a k-step funnel plans
-    // exactly k hash exchanges (one per type slice — the step-1 agg
-    // plus one join-side shuffle per later step); the reached side,
-    // the per-step aggregations, and the final left joins all reuse
-    // the same partitioning. Disable broadcast so the join shape is
-    // the at-scale one.
     // a cached subtree prints once per reference, so count DISTINCT
-    // exchange plan_ids, not textual occurrences. Exchanges whose
-    // child is an InMemoryTableScan reshuffle the ENTITY-scale cached
-    // step relation (k longs per entity — AQE hides a cached plan's
-    // partitioning until materialization, so the planner is
-    // pessimistic there); the scale claim is about exchanges that
-    // move DATA-scale rows, i.e. everything else.
-    def shuffles(p: String, dataScaleOnly: Boolean = false): Int = {
-      val lines = p.linesIterator.toVector
+    // exchange plan_ids, not textual occurrences
+    def shuffles(p: String): Int = {
       val ex = """Exchange hashpartitioning[^\n]*plan_id=(\d+)""".r
-      lines.indices.flatMap { i =>
-        ex.findFirstMatchIn(lines(i)).flatMap { m =>
-          // an exchange sits above a single-child chain down to a
-          // leaf: the first scan node below says what it moves
-          val firstScan = lines.drop(i + 1).find(l =>
-            l.contains("FileScan") || l.contains("InMemoryTableScan"))
-          val overCache = firstScan.exists(_.contains("InMemoryTableScan"))
-          if (dataScaleOnly && overCache) None else Some(m.group(1))
-        }
-      }.toSet.size
+      ex.findAllMatchIn(p).map(_.group(1)).toSet.size
+    }
+    // funnel: the rounds run EAGERLY inside the call (the shared
+    // checkpoint lifecycle — superseded rounds are released, the
+    // final relation has truncated lineage), so the plan-shape claim
+    // ("one data-scale shuffle per step; everything else moves
+    // entity-scale checkpoint rows") is asserted on the EXECUTED
+    // stages: a shuffle-map stage whose RDD DAG contains the event
+    // FileScan moves data-scale rows — a 3-step funnel must run
+    // exactly 3 of those. Broadcast disabled so the join shape is
+    // the at-scale one.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, StageInfo}
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageInfo]()
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        stages.add(e.stageInfo); ()
+      }
+    }
+    def dataScaleShuffles: Int = {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.count(si =>
+        si.taskMetrics.shuffleWriteMetrics.bytesWritten > 0 &&
+          si.rddInfos.exists(_.name.contains("FileScan")))
     }
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.sparkContext.addSparkListener(listener)
     try {
-      val p = plan("q_events_funnel")
-      assert(shuffles(p, dataScaleOnly = true) === 3,
-        s"expected exactly 3 data-scale shuffles for a 3-step funnel:\n$p")
+      val res = SparkEntry.queries("q_events_funnel")(spark, sf0001)
+      // the returned frame is a truncated-lineage checkpoint scan:
+      // re-consuming the funnel result re-runs NOTHING
+      val p = res.queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD"), p)
+      assert(!p.contains("Exchange"), p)
+      // listener bus delivery is async: poll (bounded), then settle
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline && dataScaleShuffles < 3)
+        Thread.sleep(100)
+      Thread.sleep(300)
+      assert(dataScaleShuffles === 3,
+        s"expected exactly 3 data-scale shuffle stages for a 3-step funnel, got $dataScaleShuffles")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    val prev2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
       // cohort: one user-keyed collect_set exchange (map-side dedup)
       // + the small (cohort, offset) aggregation — never a third
       val c = plan("q_events_cohort")
@@ -352,7 +371,7 @@ class PlanSpec extends SparkSpec {
       val s = plan("q_events_session")
       assert(shuffles(s) === 1, s"expected exactly one shuffle:\n$s")
       assert(!s.contains("Exchange rangepartitioning"), s)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev2)
   }
 
   test("segment-five plans: anomaly broadcast-back, resample join-free, mmr/bloom/scd2 shapes") {

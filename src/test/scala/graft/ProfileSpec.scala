@@ -175,6 +175,25 @@ class ProfileSpec extends SparkSpec {
     assert(zz === 0.0)
   }
 
+  test("winsorize: per-group exact-percentile clamp, originals preserved") {
+    val df = Seq(
+      ("g1", 0.0), ("g1", 10.0), ("g1", 20.0), ("g1", 30.0), ("g1", 1000.0),
+      ("g2", 5.0), ("g2", 5.0)
+    ).toDF("g", "v")
+    // g1 p25/p75 over sorted (0,10,20,30,1000): exact interpolated
+    // percentile → 10.0 and 30.0; g2 degenerate → both bounds 5.0
+    val got = Profile.winsorize(df, Seq("g"), "v", 0.25, 0.75)
+      .select("g", "v", "v_lo", "v_hi", "v_w")
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    assert(got === Set(
+      ("g1", 0.0, 10.0, 30.0, 10.0),
+      ("g1", 10.0, 10.0, 30.0, 10.0),
+      ("g1", 20.0, 10.0, 30.0, 20.0),
+      ("g1", 30.0, 10.0, 30.0, 30.0),
+      ("g1", 1000.0, 10.0, 30.0, 30.0),
+      ("g2", 5.0, 5.0, 5.0, 5.0)))
+  }
+
   test("drift against an empty-snapshot profile yields null deltas, not a throw") {
     val a = Profile.profile(planted, Seq("id"), exactDistinct = true)
     val b = Profile.profile(planted.filter(lit(false)), Seq("id"), exactDistinct = true)
