@@ -329,6 +329,52 @@ object Events {
     * gap 0 — never a boundary — so both orders of the tie assign the
     * same session_idx to both rows.
     */
+  /** RFM segmentation — the standard behavioral user-value coding
+    * (recency / frequency / monetary), used here as the
+    * cohort-selection and sample-stratification face of the event
+    * toolkit: per entity, r_us = last-activity time, f = event
+    * count, m = EXACT decimal value sum; each metric is then
+    * quantile-coded into `nBuckets` equi-depth buckets over the
+    * whole entity population (bucket = count of interior bounds
+    * strictly exceeded — the [[Profile.quantileBuckets]] rule:
+    * left-closed cells, bit-defined ties, no per-population sort)
+    * and the composite code is r_b·100 + f_b·10 + m_b (nBuckets ≤ 10
+    * keeps the decimal coding unambiguous). Higher bucket = larger
+    * value on every axis, so r_b = nBuckets−1 is the MOST RECENTLY
+    * active segment.
+    *
+    * Scale shape: one entity-keyed aggregation over the events (the
+    * only data-scale exchange), ONE 1-row global percentile
+    * aggregate for all 3 bound arrays, broadcast back into a
+    * codegen'd comparison fold. Output: (user, r_us, f, m, r_b,
+    * f_b, m_b, rfm).
+    */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, nBuckets: Int = 4): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 10,
+      s"nBuckets in [2,10], got $nBuckets")
+    val per = events.select(col(userCol).as("user"),
+        toUs(events, tsCol).as("us"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+      .groupBy(col("user"))
+      .agg(max(col("us")).as("r_us"), count(lit(1)).as("f"),
+        sum(col("v")).as("m"))
+    val arr = (1 until nBuckets).map(_.toDouble / nBuckets).mkString(",")
+    val bounds = per.agg(
+      expr(s"percentile(cast(r_us as double), array($arr))").as("rb"),
+      expr(s"percentile(cast(f as double), array($arr))").as("fb"),
+      expr(s"percentile(cast(m as double), array($arr))").as("mb"))
+    def bucket(v: Column, bs: Column): Column =
+      aggregate(bs, lit(0L), (acc, b) => acc + when(v > b, 1L).otherwise(0L))
+    per.crossJoin(broadcast(bounds))
+      .select(col("user"), col("r_us"), col("f"), col("m"),
+        bucket(col("r_us").cast("double"), col("rb")).as("r_b"),
+        bucket(col("f").cast("double"), col("fb")).as("f_b"),
+        bucket(col("m").cast("double"), col("mb")).as("m_b"))
+      .withColumn("rfm",
+        col("r_b") * lit(100L) + col("f_b") * lit(10L) + col("m_b"))
+  }
+
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       gapUs: Long): DataFrame = {
     require(gapUs > 0, "gapUs must be positive")

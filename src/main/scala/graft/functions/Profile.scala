@@ -61,6 +61,88 @@ object Profile {
           col(s"${valueCol}_hi")))
   }
 
+  /** Equi-depth feature binning: assign each row the quantile bucket
+    * of `valueCol` within its group — the discretization step before
+    * categorical models, stratified sampling on a numeric column, or
+    * per-bucket quality reporting. Bucket b ∈ [0, nBuckets): the
+    * count of INTERIOR bounds (the k/nBuckets percentiles,
+    * k = 1..nBuckets−1) the value strictly exceeds — so buckets
+    * partition the line into left-closed cells, values exactly ON a
+    * bound land in the lower cell, and the rule is a pure comparison
+    * fold both engines evaluate identically (no row_number / ntile:
+    * an ntile formulation needs a per-group TOTAL ORDER — a full
+    * sort of the data and an engine-specific tie story; the bounds
+    * form needs one grouped percentile aggregate and a broadcast
+    * join back, the [[winsorize]] shape, and ties are bit-defined).
+    * Appends `<value>_bucket`.
+    */
+  def quantileBuckets(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, array(${ps.mkString(",")}))")
+        .as("__bs"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${valueCol}_bucket",
+        aggregate(col("__bs"), lit(0L),
+          (acc, b) => acc + when(col(valueCol) > b, 1L).otherwise(0L)))
+      .drop("__bs")
+  }
+
+  /** Pairwise Pearson correlation over numeric columns from EXACT
+    * aggregates: one scan accumulates decimal(38,6)-cast sums
+    * (Σx, Σx², Σxy per pair, n) and the correlation is computed from
+    * those exact scalars — so unlike the built-in `corr` (a running
+    * double co-moment whose value depends on partition merge order),
+    * the result is bit-stable under any partitioning and
+    * reproducible cross-engine from the same closed form. The right
+    * tool when the correlation FEEDS A DECISION that must replay
+    * identically (feature pruning in a training pipeline); inputs
+    * are fixed-decimal-valued columns (money, counts, ratings —
+    * exact in decimal), which is what makes the sums exact.
+    * Output: (col_a, col_b, n, corr) for each unordered pair, corr
+    * NULL when either side is constant (zero variance). One
+    * aggregate over one scan, k·(k+1)/2 sum expressions — columns
+    * add expressions, never passes.
+    */
+  def corrExact(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "corrExact needs at least 2 columns")
+    require(scale >= 0 && scale <= 6, s"scale in [0,6], got $scale")
+    // values exact in decimal(18,scale): products carry scale 2·s and
+    // ~36 integer digits of headroom, so every sum/product below
+    // stays inside decimal(38) WITHOUT Spark's precision-loss scale
+    // truncation kicking in (a decimal(38,x)·decimal(38,x) multiply
+    // would silently round its fractional tail to scale 6)
+    def d(c: String): Column = col(c).cast(s"decimal(18,$scale)")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(d(c)).as(s"s_$c")) ++
+      cols.map(c => sum(d(c) * d(c)).as(s"ss_$c")) ++
+      pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"sp_${a}__$b") } :+
+      count(lit(1)).as("n")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    // the k²-sized face assembles from the 1-row aggregate: corr =
+    // (n·Σxy − Σx·Σy) / sqrt((n·Σx²−ΣxΣx)·(n·Σy²−ΣyΣy)) — numerator
+    // and radicands are EXACT decimals; only the final sqrt/divide
+    // goes through double, a fixed closed form on scalars
+    m.select(explode(array(pairs.map { case (a, b) =>
+        val n = col("n").cast("decimal(20,0)")
+        val cov = n * col(s"sp_${a}__$b") - col(s"s_$a") * col(s"s_$b")
+        val va = n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+        val vb = n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n").as("n"),
+          when(va > 0 && vb > 0,
+            cov.cast("double") /
+              sqrt(va.cast("double") * vb.cast("double"))).as("corr"))
+      }: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.corr"))
+  }
+
   /** Per-column profile over one scan: `(col_name, dtype, n, nulls,
     * n_distinct, min_v, max_v, sum_v)` — numeric min/max/sum rendered
     * as doubles through an exact decimal(38,6) cast (the decDouble

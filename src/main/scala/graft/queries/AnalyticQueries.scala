@@ -277,6 +277,30 @@ object AnalyticQueries {
       graft.functions.Graph.triangles(e)
     },
 
+    // local clustering coefficient in exact micro-units over the same
+    // supplier co-order graph — the normalized triangle face (hub
+    // with few triangles ≪ small node with the same count)
+    "q_graph_clustering" -> { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = l.as("x").join(l.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.functions.Graph.clusteringCoefficient(e)
+    },
+
+    // RFM user-value segmentation: recency/frequency/monetary with
+    // exact decimal money, quantile-coded into equi-depth quartiles
+    // by one 1-row bounds broadcast (no population sort)
+    "q_events_rfm" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.functions.Events.rfm(ev, "user_id", "ts", "value", nBuckets = 4)
+        .select(col("user").as("user_id"), col("r_us"), col("f"),
+          CoreQueries.decDouble(col("m")).as("m"),
+          col("r_b"), col("f_b"), col("m_b"), col("rfm"))
+    },
+
     // bounded-round k-core peeling on the binary-tree graph over
     // orderkeys (edge k — k÷2): a tree's 2-core is empty, so peeling
     // erodes exactly one leaf-layer per synchronous round and
@@ -323,6 +347,30 @@ object AnalyticQueries {
           col("l_extendedprice_lo").as("lo"),
           col("l_extendedprice_hi").as("hi"),
           col("l_extendedprice_w").as("w"))
+    },
+
+    // equi-depth binning: per-returnflag quartile bucket of
+    // l_extendedprice via the bounds-join form (one grouped
+    // percentile + broadcast-back; no ntile, no per-group data sort)
+    "q_bucketize" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"))
+      graft.functions.Profile.quantileBuckets(li, Seq("l_returnflag"),
+          "l_extendedprice", 4)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice_bucket").as("bucket"))
+    },
+
+    // exact-aggregate Pearson correlation: bit-stable under any
+    // partitioning because the co-moments are exact decimal sums and
+    // only the final scalar closed form goes through double — the
+    // built-in running-double corr is merge-order-dependent and
+    // could never hash-match an oracle
+    "q_corr" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      graft.functions.Profile.corrExact(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     },
 
     // rollup with grouping ids — subtotal/grand-total rows in one pass
@@ -774,6 +822,56 @@ object AnalyticQueries {
         |SELECT n.id, CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles
         |FROM nodes n LEFT JOIN pern p ON p.id = n.id""".stripMargin,
 
+    "q_graph_clustering" ->
+      """WITH pe AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |nodes AS (SELECT s1 AS id FROM pe UNION SELECT s2 FROM pe),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT s1 AS id FROM pe UNION ALL SELECT s2 FROM pe) GROUP BY 1),
+        |tri AS (SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+        |  FROM pe e1 JOIN pe e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
+        |  JOIN pe e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
+        |pern AS (SELECT id, COUNT(*) AS t FROM (
+        |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT n.id, d.deg, CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN d.deg < 2 THEN 0 ELSE
+        |    (1000000::HUGEINT * 2 * COALESCE(p.t, 0))
+        |      // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) END AS BIGINT) AS cc
+        |FROM nodes n JOIN deg d ON d.id = n.id
+        |LEFT JOIN pern p ON p.id = n.id""".stripMargin,
+
+    "q_events_rfm" ->
+      """WITH per AS (SELECT user_id, MAX(epoch_us(ts)) AS r_us,
+        |    COUNT(*) AS f, SUM(CAST(value AS DECIMAL(18,2))) AS m
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT
+        |    quantile_cont(CAST(r_us AS DOUBLE), 0.25) AS rb1,
+        |    quantile_cont(CAST(r_us AS DOUBLE), 0.50) AS rb2,
+        |    quantile_cont(CAST(r_us AS DOUBLE), 0.75) AS rb3,
+        |    quantile_cont(CAST(f AS DOUBLE), 0.25) AS fb1,
+        |    quantile_cont(CAST(f AS DOUBLE), 0.50) AS fb2,
+        |    quantile_cont(CAST(f AS DOUBLE), 0.75) AS fb3,
+        |    quantile_cont(CAST(m AS DOUBLE), 0.25) AS mb1,
+        |    quantile_cont(CAST(m AS DOUBLE), 0.50) AS mb2,
+        |    quantile_cont(CAST(m AS DOUBLE), 0.75) AS mb3
+        |  FROM per),
+        |coded AS (SELECT user_id, r_us, f, m,
+        |    CAST((CASE WHEN CAST(r_us AS DOUBLE) > rb1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(r_us AS DOUBLE) > rb2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(r_us AS DOUBLE) > rb3 THEN 1 ELSE 0 END) AS BIGINT) AS r_b,
+        |    CAST((CASE WHEN CAST(f AS DOUBLE) > fb1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(f AS DOUBLE) > fb2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(f AS DOUBLE) > fb3 THEN 1 ELSE 0 END) AS BIGINT) AS f_b,
+        |    CAST((CASE WHEN CAST(m AS DOUBLE) > mb1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(m AS DOUBLE) > mb2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(m AS DOUBLE) > mb3 THEN 1 ELSE 0 END) AS BIGINT) AS m_b
+        |  FROM per, b)
+        |SELECT user_id, r_us, f, CAST(CAST(m AS VARCHAR) AS DOUBLE) AS m,
+        |  r_b, f_b, m_b, r_b * 100 + f_b * 10 + m_b AS rfm
+        |FROM coded""".stripMargin,
+
     "q_graph_kcore" ->
       """WITH e0 AS (SELECT o_orderkey AS a, o_orderkey // 2 AS b
         |  FROM orders WHERE o_orderkey >= 1),
@@ -803,6 +901,56 @@ object AnalyticQueries {
         |SELECT l_orderkey, l_linenumber, l.l_returnflag, lo, hi,
         |  LEAST(GREATEST(l_extendedprice, lo), hi) AS w
         |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag""".stripMargin,
+
+    "q_bucketize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.25) AS b1,
+        |    quantile_cont(l_extendedprice, 0.50) AS b2,
+        |    quantile_cont(l_extendedprice, 0.75) AS b3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |  CAST((CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bucket
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag""".stripMargin,
+
+    "q_corr" ->
+      """WITH m AS (SELECT
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_e,
+        |    SUM(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
+        |    SUM(CAST(l_tax AS DECIMAL(18,2))) AS s_t,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS ss_q,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS ss_e,
+        |    SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS ss_d,
+        |    SUM(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS ss_t,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sp_qe,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sp_qd,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS sp_qt,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sp_ed,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS sp_et,
+        |    SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS sp_dt,
+        |    CAST(COUNT(*) AS DECIMAL(20,0)) AS n
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    n, n*sp_qe - s_q*s_e AS cov, n*ss_q - s_q*s_q AS va, n*ss_e - s_e*s_e AS vb FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    n, n*sp_qd - s_q*s_d, n*ss_q - s_q*s_q, n*ss_d - s_d*s_d FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    n, n*sp_qt - s_q*s_t, n*ss_q - s_q*s_q, n*ss_t - s_t*s_t FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    n, n*sp_ed - s_e*s_d, n*ss_e - s_e*s_e, n*ss_d - s_d*s_d FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    n, n*sp_et - s_e*s_t, n*ss_e - s_e*s_e, n*ss_t - s_t*s_t FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    n, n*sp_dt - s_d*s_t, n*ss_d - s_d*s_d, n*ss_t - s_t*s_t FROM m)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN va > 0 AND vb > 0 THEN
+        |    CAST(cov AS DOUBLE) / sqrt(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE))
+        |  ELSE NULL END AS corr
+        |FROM p""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,

@@ -54,12 +54,21 @@ import graft.functions.{Dedup, MinHash}
   * (doc, band)). Requires the RocksDB state store provider, the same
   * requirement as every transformWithState operator here.
   *
-  * Throughput tuning (profiled on tools/DedupStreamBench, round 9):
-  * set `spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows
-  * =false` (per-put row counting forces a read-before-write on every
-  * ListState append the operators never use — ~15% on the asset
-  * path) and keep changelog checkpointing on. The dominant remaining
-  * cost is a FIXED ~0.4 s/micro-batch TWS+RocksDB commit floor
+  * Throughput tuning (profiled on tools/DedupStreamBench, rounds
+  * 9-10): set `spark.sql.streaming.stateStore.rocksdb.
+  * trackTotalNumberOfRows=false` (per-put row counting forces a
+  * read-before-write on every ListState append the operators never
+  * use — ~15% on the asset path) and set `...rocksdb.
+  * changelogCheckpointing.enabled=true`. The changelog setting is
+  * MEASURED A/B (round 10, asset path, 5k docs): at 500-doc
+  * micro-batches it cuts summed commit time 29-31 s → 11-14 s and
+  * lifts throughput ~1.4× (339-349 → 429-506 docs/s) because each
+  * commit uploads the batch's delta instead of a full RocksDB
+  * snapshot; at 2500-doc batches the two are within noise (commit
+  * cost amortizes either way). Pair-set parity is exact in every
+  * configuration, so changelog-on is strictly safe and is the
+  * default every house bench/tool sets. The remaining cost is a
+  * FIXED ~0.4 s/micro-batch TWS+RocksDB commit floor
   * (per-partition commit file-sync ≈ 52 ms, invariant to checkpoint
   * AND local-dir filesystem — machinery latency, not disk), so
   * docs/s scales with trigger batch size: 780/s at 500-doc batches →

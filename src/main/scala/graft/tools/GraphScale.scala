@@ -61,6 +61,8 @@ object GraphScale {
       case "hits" => graft.functions.Graph.hits(ed, iters)
       case "lpa" => graft.functions.Graph.labelPropagation(ed, iters)
       case "bfs" => graft.functions.Graph.bfsDistance(ed, seeds, iters)
+      case "triangles" => graft.functions.Graph.triangles(ed)
+      case "kcore" => graft.functions.Graph.kcore(ed, 2, iters)
       case _ => graft.functions.Graph.pageRank(ed, iters)
     }
     val t0 = System.nanoTime()
@@ -100,6 +102,26 @@ object GraphScale {
         val range = pr.filter(col("dist") < 0 || col("dist") > iters).count()
         val t = pr.agg(max(col("dist")).cast("decimal(38,0)")).head().getDecimal(0)
         (bad + range, t)
+      case "triangles" =>
+        // corner-sum parity: Σ per-node counts = 3 × #triangles —
+        // an orientation bug that double-generates a triangle breaks
+        // the mod as soon as it hits an asymmetric wedge
+        val neg = pr.filter(col("triangles") < 0).count()
+        val t = pr.agg(sum(col("triangles")).cast("decimal(38,0)"))
+          .head().getDecimal(0)
+        val parity = if (t.remainder(java.math.BigDecimal.valueOf(3))
+          .compareTo(java.math.BigDecimal.ZERO) == 0) 0L else 1L
+        (neg + parity, t)
+      case "kcore" =>
+        // survivors carry their degree in the surviving subgraph:
+        // strictly positive (isolated nodes leave the edge set) and
+        // Σ deg = 2 × surviving edges — odd totals mean a half-edge
+        val neg = pr.filter(col("deg") < 1).count()
+        val t = pr.agg(coalesce(sum(col("deg")), lit(0L))
+          .cast("decimal(38,0)")).head().getDecimal(0)
+        val parity = if (t.remainder(java.math.BigDecimal.valueOf(2))
+          .compareTo(java.math.BigDecimal.ZERO) == 0) 0L else 1L
+        (neg + parity, t)
       case _ =>
         val base = java.math.BigDecimal.valueOf((unit * 150L / 1000L) / nodeCount)
         val bad = pr.filter(col("rank") < lit(base)).count()
@@ -114,9 +136,9 @@ object GraphScale {
     }
 
     println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
-    require((op == "bfs" || nodes == nodeCount) && badRows == 0 &&
-      dupIds == 0 &&
-      (op == "lpa" || op == "bfs" ||
+    require((op == "bfs" || op == "kcore" || nodes == nodeCount) &&
+      badRows == 0 && dupIds == 0 &&
+      (op == "lpa" || op == "bfs" || op == "triangles" || op == "kcore" ||
         total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0) &&
       mismatch <= 0, "invariant violation")
     spark.stop()

@@ -183,4 +183,30 @@ class EventsSpec extends SparkSpec {
     // cents: 123, 124, 1000 → med 124; devs 0, 1, 876 → mad 1
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 124L, 1L)))
   }
+
+  test("rfm: per-user aggregates, on-bound coding low, composite digits") {
+    // 4 users, engineered so every axis has a clean quartile story:
+    // u1: late + many + big; u4: early + few + small
+    val e = Seq(
+      (1L, 400L, 40.0), (1L, 410L, 40.0), (1L, 420L, 20.0), (1L, 430L, 0.0),
+      (2L, 300L, 30.0), (2L, 310L, 30.0), (2L, 320L, 15.0),
+      (3L, 200L, 20.0), (3L, 210L, 30.0),
+      (4L, 100L, 10.0)
+    ).toDF("user_id", "us", "value")
+    val got = Events.rfm(e, "user_id", "us", "value", nBuckets = 4)
+      .select(col("user"), col("r_us"), col("f"),
+        col("m").cast("double"), col("r_b"), col("f_b"), col("m_b"), col("rfm"))
+      .as[(Long, Long, Long, Double, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // per-user: r_us = 430/320/210/100, f = 4/3/2/1, m = 100/75/50/10
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) === Seq(
+      (1L, 430L, 4L, 100.0), (2L, 320L, 3L, 75.0),
+      (3L, 210L, 2L, 50.0), (4L, 100L, 1L, 10.0)))
+    // 4 distinct values per axis → quartile bounds are the
+    // interpolated interior points; each user lands in its own
+    // bucket, composite reads as decimal digits
+    assert(got.map(t => (t._5, t._6, t._7, t._8)) === Seq(
+      (3L, 3L, 3L, 333L), (2L, 2L, 2L, 222L),
+      (1L, 1L, 1L, 111L), (0L, 0L, 0L, 0L)))
+  }
 }

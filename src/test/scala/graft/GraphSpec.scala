@@ -180,6 +180,20 @@ class GraphSpec extends SparkSpec {
     assert(tri(messy) === Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("clusteringCoefficient: closed forms — K4 is unit, star is 0, deg<2 is 0") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = Graph.clusteringCoefficient(k4.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // every node: deg 3, 3 triangles, cc = 2·3/(3·2) = 1.0 → 1e6 micro
+    assert(got === (1L to 4L).map(i => (i, 3L, 3L, 1000000L)).toSet)
+    // triangle with a pendant: pendant deg 1 → cc 0 (not a div error);
+    // its attach point has deg 3, 1 triangle → floor(1e6*2/6) = 333333
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val cc = Graph.clusteringCoefficient(g.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(cc === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 333333L, 4L -> 0L))
+  }
+
   private def core(edges: Seq[(Long, Long)], k: Int,
       rounds: Int): Set[(Long, Long)] =
     Graph.kcore(edges.toDF("src", "dst"), k, rounds)

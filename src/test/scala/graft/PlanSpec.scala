@@ -420,6 +420,35 @@ class PlanSpec extends SparkSpec {
       s"untouched rows must anti-join directly over the dimension scan:\n$s")
   }
 
+  test("round-10 plans: winsorize/bucketize broadcast bounds back, corr is one scan, containment never cartesians") {
+    // winsorize + bucketize: the group-bounds relation joins BACK via
+    // broadcast — the data never re-shuffles for the clamp/bin, and
+    // there is exactly one grouped percentile aggregate pair
+    for (q <- Seq("q_winsorize", "q_bucketize")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q bounds must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+      val aggs = p.linesIterator.count(l =>
+        l.contains("Aggregate") && l.contains("percentile"))
+      assert(aggs > 0 && aggs <= 2,
+        s"$q: expected one partial+final percentile aggregate pair:\n$p")
+    }
+    // corrExact: all co-moments ride ONE aggregate over ONE scan —
+    // no join anywhere (the k²-sized face explodes a 1-row aggregate)
+    val c = plan("q_corr")
+    assert("FileScan".r.findAllIn(c).length === 1, s"q_corr must be one scan:\n$c")
+    assert(!c.contains("Join"), s"q_corr must not join:\n$c")
+    // containment rides the inverted index exactly like the jaccard
+    // path: the pair join is keyed on the shingle hash, no cartesian
+    val d = plan("q_dedup_containment")
+    assert(!d.contains("CartesianProduct") &&
+      !d.contains("BroadcastNestedLoopJoin"), d)
+    // pmi: the only nested-loop is the documented 1-row total
+    // broadcast; bigram/unigram joins are keyed
+    val m = plan("q_text_pmi")
+    assert(!m.contains("CartesianProduct"), m)
+  }
+
   test("TtlCache expires entries and isolates operator instances") {
     val a = TtlCache.instance[String, Int]("op-a", ttlMillis = 50)
     val b = TtlCache.instance[String, Int]("op-b", ttlMillis = 50)

@@ -194,6 +194,46 @@ class ProfileSpec extends SparkSpec {
       ("g2", 5.0, 5.0, 5.0, 5.0)))
   }
 
+  test("quantileBuckets: left-closed cells, on-bound values land low, depth ≈ equal") {
+    val df = (1 to 8).map(i => ("g", i.toDouble)).toDF("g", "v")
+    // quartile bounds of 1..8: p25=2.75, p50=4.5, p75=6.25
+    val got = Profile.quantileBuckets(df, Seq("g"), "v", 4)
+      .select("v", "v_bucket").as[(Double, Long)].collect().toMap
+    assert(got === Map(1.0 -> 0L, 2.0 -> 0L, 3.0 -> 1L, 4.0 -> 1L,
+      5.0 -> 2L, 6.0 -> 2L, 7.0 -> 3L, 8.0 -> 3L))
+    // a value exactly ON a bound stays in the LOWER bucket
+    val onBound = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("g", "v")
+    // bounds of (1,2,3) at 1/3, 2/3: ~1.67, ~2.33 — but with n=2
+    // buckets the single bound is the median 2.0 and v=2.0 must bin 0
+    val two = Profile.quantileBuckets(onBound, Seq("g"), "v", 2)
+      .select("v", "v_bucket").as[(Double, Long)].collect().toMap
+    assert(two === Map(1.0 -> 0L, 2.0 -> 0L, 3.0 -> 1L))
+  }
+
+  test("corrExact: hand-computed coefficients, constant column yields NULL, partition-invariant") {
+    val df = Seq((1.0, 2.0, 7.0), (2.0, 4.0, 7.0), (3.0, 6.0, 7.0),
+      (4.0, 7.0, 7.0)).toDF("x", "y", "c")
+    val got = Profile.corrExact(df, Seq("x", "y", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // x,y nearly collinear: corr = 19/sqrt(5*77.help) — compute from
+    // the same closed form the operator uses
+    val n = 4.0; val sx = 10.0; val sy = 19.0; val sxy = 56.0
+    val ssx = 30.0; val ssy = 105.0
+    val expected = (n * sxy - sx * sy) /
+      math.sqrt((n * ssx - sx * sx) * (n * ssy - sy * sy))
+    assert(math.abs(got(("x", "y"))._2.get - expected) < 1e-15)
+    assert(got(("x", "c"))._2.isEmpty && got(("y", "c"))._2.isEmpty,
+      "zero-variance side must yield NULL, not NaN")
+    // bit-stability under repartitioning — the reason this exists
+    val a = Profile.corrExact(df, Seq("x", "y")).collect()(0).getDouble(3)
+    val b = Profile.corrExact(df.repartition(7), Seq("x", "y"))
+      .collect()(0).getDouble(3)
+    assert(java.lang.Double.doubleToLongBits(a) ===
+      java.lang.Double.doubleToLongBits(b))
+  }
+
   test("drift against an empty-snapshot profile yields null deltas, not a throw") {
     val a = Profile.profile(planted, Seq("id"), exactDistinct = true)
     val b = Profile.profile(planted.filter(lit(false)), Seq("id"), exactDistinct = true)
