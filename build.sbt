@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin -Xms to -Xmx: the first allocation-heavy job otherwise pays
+  // heap-growth + GCLocker-retry thrash (measured 231 s -> 29 s on
+  // the sf0.1 triangle wedge join — a 7x first-run artifact, not
+  // algorithm cost).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -62,6 +62,25 @@ object Bench {
         // accumulate across the run, GC-taxing every later query
         // (q_redistribute measured 1.76 s mid-run vs 0.57 s isolated).
         spark.catalog.clearCache()
+        // ...and RDD-level blocks: the eagerly-checkpointed operators
+        // (graph/funnel Rounds lifecycle) hand their FINAL round's
+        // localCheckpoint blocks to the caller by contract — between
+        // bench queries nobody references them, and clearCache() only
+        // touches the SQL cache, so without this they accumulate
+        // across 198×reps executions until storage + GC pressure
+        // degrades every later query (measured: q_corr reps
+        // [29, 66, 316] s under the leak vs stable seconds clean).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        // ...and force a GC so ContextCleaner's weak references get
+        // processed: broadcasts and shuffle state are reclaimed only
+        // after their refs are collected, and on a large heap GC can
+        // go quiet for dozens of queries while that backlog bloats
+        // the block manager and MapOutputTracker (measured: the
+        // 198-query run under a pre-sized 48g heap degraded
+        // broadcast-heavy queries 10-60x late in the run; with the
+        // untimed GC the same queries hold their isolated times).
+        System.gc()
         dt
       }
       (name, times.sorted.apply(times.length / 2), times)

@@ -29,9 +29,16 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Drop per-query cached relations (see Bench) so 74 queries'
-      // pinned caches don't accumulate memory pressure across the run.
+      // Drop per-query cached relations (see Bench) so the queries'
+      // pinned caches don't accumulate memory pressure across the run —
+      // including RDD-level localCheckpoint blocks the eager round
+      // lifecycle hands to callers (clearCache only drops SQL cache).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      // drive ContextCleaner (weak-ref-based) so broadcast/shuffle
+      // backlog from completed queries is reclaimed — see Bench
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -396,6 +396,53 @@ object Search {
         sum(col("df")).as("df_sum"), first(col("dl")).as("dl"))
   }
 
+  /** Positional postings `(term, doc_id, pos)` — the phrase-query
+    * companion to [[buildIndex]]'s frequency postings ([[Text.tokens]]
+    * positions, 0-based). ~1 row per corpus TOKEN (vs per distinct
+    * (term, doc)), the standard positional-index cost; persist
+    * partitioned/sorted by term so phrase serving prunes to the
+    * phrase's terms at the scan.
+    */
+  def positionalPostings(docs: DataFrame, idCol: Column, textCol: Column,
+      lowercase: Boolean = false): DataFrame = {
+    val src = if (lowercase) lower(textCol) else textCol
+    docs.select(idCol.cast("long").as("doc_id"),
+        posexplode(Text.tokens(src)).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+  }
+
+  /** Exact phrase matching over a positional postings relation:
+    * (doc_id, n_occ) for every doc containing `phrase` as a CONSECUTIVE
+    * token sequence, with its occurrence count. Evaluation is the
+    * classic position-alignment intersect, done relationally: filter
+    * the postings to the phrase's terms (an `IN` pushdown — the only
+    * corpus-scale relation never moves more than the phrase terms'
+    * rows), ONE doc-keyed shuffle collecting the per-doc (term, pos)
+    * list, then a codegen'd fold — position set of term i shifted by
+    * −i, intersected across i; survivors are phrase-start positions.
+    * A doc missing ANY phrase term dies in the intersect (empty
+    * array), so presence never needs a separate k-way join — the
+    * sequential join formulation exchanges the candidate relation
+    * k−1 times and was rejected. Duplicate phrase terms are handled
+    * by construction (each offset shifts its own copy of the term's
+    * position list). Single-term phrases degrade to tf.
+    */
+  def phraseDocs(postings: DataFrame, phrase: Seq[String],
+      lowercase: Boolean = false): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val terms = if (lowercase) phrase.map(_.toLowerCase) else phrase
+    val pp = postings.filter(col("term").isin(terms.distinct: _*))
+    val perDoc = pp.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("pos"))).as("ps"))
+    val aligned = terms.zipWithIndex.map { case (t, i) =>
+        transform(
+          filter(col("ps"), s => s.getField("term") === lit(t)),
+          s => s.getField("pos") - lit(i.toLong))
+      }.reduce(array_intersect)
+    perDoc.select(col("doc_id"), size(aligned).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+  }
+
   /** Rank arbitrary `(qid, nid, sim)` candidates through the map-side
     * top-k — the public face of the ranking tail, for COMPOSED rankers
     * (a caller-scored candidate relation that still wants the

@@ -599,6 +599,43 @@ object Text {
           dec(col("n_x")) * dec(col("n_y"))).cast("long").as("lift"))
   }
 
+  /** Windowed co-occurrence counts (the GloVe/word2vec statistic):
+    * directed pairs (x, y) where y follows x within `window` tokens,
+    * counted over the whole corpus — [[collocations]] generalized
+    * from adjacency to a ±window context (symmetric counts are the
+    * directed relation summed both ways; left directed so callers
+    * keep the distance-asymmetric signal). Counts are UNWEIGHTED
+    * exact integers — GloVe's 1/d distance weighting would leave
+    * the integer lattice; apply it downstream from the (x, y, d)
+    * variant if needed (here d is folded out to keep the relation
+    * vocabulary²-bounded, not ×window).
+    *
+    * Scale shape: pairs come from an in-array index transform over
+    * the token array (codegen'd; no per-doc window function, no
+    * positional self-join — the join formulation shuffles every
+    * (doc, pos) row TWICE and was rejected on plan shape), then ONE
+    * (x, y) count aggregate — partial-aggregable, the only
+    * corpus-scale exchange. `minCount` prunes the hapax tail. At
+    * web scale the pair explosion is corpus_tokens × window rows
+    * into a map-side-combined aggregate — the standard GloVe
+    * pre-pass cost, linear in both.
+    */
+  def cooccurrence(df: org.apache.spark.sql.DataFrame, text: Column,
+      window: Int, minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = df.select(tokens(text).as("w"))
+    toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(
+           |  filter(sequence(1, $window), d -> size(w) - 1 - d >= 0),
+           |  d -> transform(sequence(0, size(w) - 1 - d),
+           |    i -> struct(w[i] AS x, w[i + d] AS y))))""".stripMargin)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Token-length checksum — cheap deterministic content digest
     * expressible in ANSI SQL (oracle-checkable alongside the md5
     * fingerprint).

@@ -261,32 +261,33 @@ object AnalyticQueries {
       graft.functions.Graph.degrees(half)
     },
 
-    // exact per-node triangle counts over the supplier co-order graph
-    // (suppliers sharing an order link; the one derived graph here
-    // that is NOT bipartite, so triangles exist). The operator runs
-    // the degree-ordered orientation; the oracle is the plain
+    // exact per-node triangle counts over the part co-order graph
+    // (parts sharing an order link — non-bipartite, so triangles
+    // exist, and ~0.5% dense at sf0.1 so the gate measures the
+    // orientation, not a near-complete-graph stress). The operator
+    // runs the degree-ordered orientation; the oracle is the plain
     // canonical three-way join — the orientation rewrite must be
     // row-invisible, that is the exactness guarantee under test
     "q_graph_triangles" -> { (s, dir) =>
       val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
       val e = l.as("x").join(l.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       graft.functions.Graph.triangles(e)
     },
 
     // local clustering coefficient in exact micro-units over the same
-    // supplier co-order graph — the normalized triangle face (hub
-    // with few triangles ≪ small node with the same count)
+    // part co-order graph — the normalized triangle face (hub with
+    // few triangles ≪ small node with the same count)
     "q_graph_clustering" -> { (s, dir) =>
       val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
       val e = l.as("x").join(l.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       graft.functions.Graph.clusteringCoefficient(e)
     },
 
@@ -809,9 +810,9 @@ object AnalyticQueries {
         |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
         |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin,
     "q_graph_triangles" ->
-      """WITH pe AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      """WITH pe AS (SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
         |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         |nodes AS (SELECT s1 AS id FROM pe UNION SELECT s2 FROM pe),
         |tri AS (SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
         |  FROM pe e1 JOIN pe e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
@@ -823,9 +824,9 @@ object AnalyticQueries {
         |FROM nodes n LEFT JOIN pern p ON p.id = n.id""".stripMargin,
 
     "q_graph_clustering" ->
-      """WITH pe AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      """WITH pe AS (SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
         |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         |nodes AS (SELECT s1 AS id FROM pe UNION SELECT s2 FROM pe),
         |deg AS (SELECT id, COUNT(*) AS deg FROM (
         |  SELECT s1 AS id FROM pe UNION ALL SELECT s2 FROM pe) GROUP BY 1),

@@ -390,6 +390,16 @@ object LlmQueries {
       graft.functions.Text.collocations(docs, $"text", minCount = 5)
     },
 
+    // GloVe-style windowed co-occurrence counts (±3, directed): the
+    // embedding-training pre-pass statistic; pairs from an in-array
+    // index transform (no positional self-join), one count aggregate
+    "q_text_cooc" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      graft.functions.Text.cooccurrence(docs, $"text", window = 3,
+        minCount = 5)
+    },
+
     // Skew stress: every doc gets a shared boilerplate tail, so the
     // boilerplate shingles' document frequency equals the corpus size —
     // far over the df cap, which genuinely BINDS here (unlike
@@ -1844,6 +1854,15 @@ object LlmQueries {
         |SELECT i, j, CAST(inter AS DOUBLE) / ca.n AS containment
         |FROM pairs JOIN cnt ca ON ca.doc_id = i
         |WHERE CAST(inter AS DOUBLE) / ca.n >= 0.6""".stripMargin,
+    "q_text_cooc" ->
+      """WITH tok AS (SELECT
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |pairs AS (SELECT w[i] AS x, w[i+d] AS y
+        |  FROM tok, UNNEST(generate_series(1, 3)) dd(d),
+        |    UNNEST(generate_series(1, len(w)-d)) t(i))
+        |SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
     "q_text_pmi" ->
       """WITH tok AS (SELECT
         |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w

@@ -32,6 +32,17 @@ object SearchQueries {
       Search.matchCounts(idx, qt)
     },
 
+    // exact phrase query over the positional index: docs containing
+    // the consecutive trigram, with occurrence counts — the
+    // position-alignment intersect (postings filtered to the
+    // phrase's 3 terms, ONE doc-keyed shuffle, codegen'd fold)
+    "q_search_phrase" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pp = Search.positionalPostings(docs, $"doc_id", $"text")
+      Search.phraseDocs(pp, Seq("slow", "hash", "batch"))
+    },
+
     // CDC-updated index ≡ rebuild over the upserted corpus: the same
     // match face as q_search_bm25, but served from updateIndex over
     // the q_upsert change classes (re-written 0-mod-5 docs grow a
@@ -127,6 +138,17 @@ object SearchQueries {
       |      FROM documents WHERE doc_id % 20 = 0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_search_phrase" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |occ AS (SELECT doc_id,
+        |    len(list_filter(generate_series(1, len(w) - 2), p ->
+        |      w[p] = 'slow' AND w[p+1] = 'hash' AND w[p+2] = 'batch'))
+        |      AS n_occ
+        |  FROM tok)
+        |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ FROM occ
+        |WHERE n_occ > 0""".stripMargin,
     "q_search_bm25" ->
       s"""WITH $tokSql
          |SELECT q.qid, t.doc_id,

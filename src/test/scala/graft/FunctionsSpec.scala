@@ -54,6 +54,22 @@ class FunctionsSpec extends SparkSpec {
     assert(all === Set(("a", "b"), ("a", "c")))
   }
 
+  test("cooccurrence: hand-counted ±window pairs, window clipping, direction kept") {
+    // "a b c a" with window 2: d=1 → (a,b)(b,c)(c,a); d=2 → (a,c)(b,a)
+    val docs = Seq("a b c a", "x").toDF("text")
+    val got = graft.functions.Text.cooccurrence(docs, $"text", window = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("a", "c", 1L), ("b", "a", 1L)))
+    // window larger than every doc: clipped, no error, adjacency kept
+    val wide = graft.functions.Text.cooccurrence(docs, $"text", window = 99)
+      .as[(String, String, Long)].collect().toSet
+    assert(wide.contains(("a", "b", 1L)) && wide.contains(("a", "a", 1L)))
+    // minCount prunes
+    val pruned = graft.functions.Text.cooccurrence(docs, $"text", 2, minCount = 2L)
+    assert(pruned.count() === 0)
+  }
+
   test("prefix-filtered all-pairs equals the uncapped inverted index at multiple thresholds") {
     val docs = Tables.load(spark, sf0001, "documents")
     for (t <- Seq(0.3, 0.5, 0.8)) {

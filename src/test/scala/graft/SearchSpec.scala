@@ -270,4 +270,32 @@ class SearchSpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("phraseDocs: consecutive-only matches, overlaps, duplicate terms, missing term kills") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "cat the sat"),          // all terms, wrong order
+      (2L, "the cat naps"),         // prefix only
+      (3L, "see the cat sat and the cat sat again"), // two occurrences
+      (4L, "a a a")                 // duplicate-term phrase fodder
+    ).toDF("doc_id", "text")
+    val pp = Search.positionalPostings(docs, $"doc_id", $"text")
+    def phrase(ts: String*): Map[Long, Long] =
+      Search.phraseDocs(pp, ts).as[(Long, Long)].collect().toMap
+    assert(phrase("the", "cat", "sat") === Map(0L -> 1L, 3L -> 2L))
+    // duplicate-term phrase with overlapping occurrences: "a a" in
+    // "a a a" starts at positions 0 and 1
+    assert(phrase("a", "a") === Map(4L -> 2L))
+    assert(phrase("a", "a", "a") === Map(4L -> 1L))
+    // single term degrades to tf
+    assert(phrase("the") === Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // a term absent from the corpus yields no rows, not an error
+    assert(phrase("the", "unicorn") === Map.empty[Long, Long])
+    // lowercase analyzer flag normalizes BOTH sides
+    val ppLc = Search.positionalPostings(
+      Seq((9L, "The CAT Sat")).toDF("doc_id", "text"),
+      $"doc_id", $"text", lowercase = true)
+    assert(Search.phraseDocs(ppLc, Seq("The", "cat", "SAT"),
+      lowercase = true).as[(Long, Long)].collect().toMap === Map(9L -> 1L))
+  }
 }
