@@ -370,16 +370,49 @@ object Graph {
     * BIGINT counts — nothing sampled, nothing probabilistic.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val Array(cs, cd) = edges.columns.take(2)
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(least(col(cs), col(cd)).as("a"),
+    val e = canonicalUndirected(edges).persist(lvl)
+    val deg = undirectedDegrees(e).persist(lvl)
+    val res = trianglesCanonical(e, deg, rounds)
+    e.unpersist(false); deg.unpersist(false)
+    res
+  }
+
+  /** Canonical simple-graph edge set from the first two columns of
+    * `edges`: (a, b) with a < b, self-loops dropped, duplicates (and
+    * reversed duplicates) collapsed — ONE distinct exchange. Shared
+    * by [[triangles]], [[clusteringCoefficient]], [[kcore]],
+    * [[connectedComponents]] so composite operators canonicalize
+    * exactly once.
+    */
+  private def canonicalUndirected(edges: DataFrame): DataFrame = {
+    val Array(cs, cd) = edges.columns.take(2)
+    edges.select(least(col(cs), col(cd)).as("a"),
         greatest(col(cs), col(cd)).as("b"))
-      .filter(col("a") =!= col("b")).distinct().persist(lvl)
-    val nodes = e.select(col("a").as("id"))
-      .union(e.select(col("b").as("id"))).distinct().persist(lvl)
-    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** Undirected degree per node over a [[canonicalUndirected]] edge
+    * set — one grouped count; its key set is exactly the node set, so
+    * callers needing nodes read `deg.select("id")` instead of paying
+    * a second union+distinct exchange.
+    */
+  private def undirectedDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("id")).union(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+
+  /** Triangle core over a PRE-canonicalized edge set `e` (a, b) and
+    * its PRE-aggregated degree relation `deg` (id, deg) — both
+    * persisted by the caller. Lets [[clusteringCoefficient]] reuse
+    * its own canonicalization + degree aggregate instead of paying
+    * them twice (two redundant full edge-set exchanges at the
+    * 100M-edge decade). Returns the checkpointed zero-filled
+    * (id, triangles) relation; the caller owns it.
+    */
+  private def trianglesCanonical(e: DataFrame, deg: DataFrame,
+      rounds: Rounds): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // rank = (degree, id): a total order, so orientation is acyclic;
     // rv carries the HEAD's rank key so the wedge join can order the
     // two out-neighbors without re-joining degrees
@@ -400,12 +433,12 @@ object Graph {
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
     val cnt = tri.select(explode(array(col("n0"), col("x"), col("y"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
-    val out = nodes.join(cnt, Seq("id"), "left")
+    val out = deg.select(col("id")).join(cnt, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
-    // materialize before releasing the pinned edge/orientation blocks
+    // materialize before releasing the pinned orientation blocks
     // (caller owns the returned checkpoint, as in [[hits]])
     val res = rounds.mark(out)
-    e.unpersist(false); nodes.unpersist(false); oriented.unpersist(false)
+    oriented.unpersist(false)
     res
   }
 
@@ -415,28 +448,34 @@ object Graph {
     * [[triangles]] (a hub with a million neighbors and 10 triangles
     * is MORE suspicious than a 5-neighbor node with 10; the raw
     * count can't say that). Nodes with deg < 2 score 0 (no possible
-    * wedge). One [[triangles]] pass + one degree aggregate + a
-    * node-keyed join; same integer-exactness rationale as
-    * [[pageRank]] — a float coefficient is not bit-reproducible
-    * under re-partitioning, a curation score must be.
-    * Output: (id, deg, triangles, cc) with cc in micro-units of
+    * wedge). ONE canonicalization + ONE degree aggregate shared with
+    * the triangle core ([[trianglesCanonical]]) + a node-keyed join —
+    * the naive compose (calling [[triangles]] on re-canonicalized
+    * edges) pays two redundant full edge-set exchanges, the dominant
+    * avoidable term at the 100M-edge decade. Same integer-exactness
+    * rationale as [[pageRank]] — a float coefficient is not
+    * bit-reproducible under re-partitioning, a curation score must
+    * be. Output: (id, deg, triangles, cc) with cc in micro-units of
     * `unit` as BIGINT.
     */
   def clusteringCoefficient(edges: DataFrame,
       unit: Long = 1000000L): DataFrame = {
     require(unit > 0, "unit must be positive")
-    val Array(cs, cd) = edges.columns.take(2)
-    val e = edges.select(least(col(cs), col(cd)).as("a"),
-        greatest(col(cs), col(cd)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    triangles(e).join(deg, Seq("id"))
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = canonicalUndirected(edges).persist(lvl)
+    val deg = undirectedDegrees(e).persist(lvl)
+    val tri = trianglesCanonical(e, deg, rounds)
+    val out = tri.join(deg, Seq("id"))
       .select(col("id"), col("deg"), col("triangles"),
         when(col("deg") < 2, lit(0L)).otherwise(
           idiv(dec(lit(unit)) * dec(lit(2L)) * dec(col("triangles")),
             dec(col("deg")) * dec(col("deg") - lit(1L))).cast("long"))
           .as("cc"))
+    val res = rounds.mark(out)
+    rounds.release(tri)
+    e.unpersist(false); deg.unpersist(false)
+    res
   }
 
   /** k-core peeling over the UNDIRECTED simple graph induced by
@@ -469,15 +508,10 @@ object Graph {
   def kcore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 0, "maxRounds must be >= 0")
-    val Array(cs, cd) = edges.columns.take(2)
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def degOf(e: DataFrame): DataFrame =
-      e.select(col("a").as("id")).union(e.select(col("b").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    var e = rounds.mark(edges.select(least(col(cs), col(cd)).as("a"),
-        greatest(col(cs), col(cd)).as("b"))
-      .filter(col("a") =!= col("b")).distinct())
+    def degOf(e: DataFrame): DataFrame = undirectedDegrees(e)
+    var e = rounds.mark(canonicalUndirected(edges))
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
@@ -500,6 +534,25 @@ object Graph {
     rounds.release(e)
     res
   }
+
+  /** Connected components over the UNDIRECTED simple graph induced by
+    * `edges` (first two columns = endpoints; direction, duplicates,
+    * self-loops erased): (id, rep) for every node appearing in an
+    * edge, rep = the MINIMUM id of its component — the graph-operator
+    * face of the alternating large-star/small-star contraction
+    * (Kiveris et al., SoCC'14) that already powers the dedup
+    * clustering path ([[Dedup.connectedComponents]], used by
+    * `curateClustered`): O(log² n) rounds regardless of diameter,
+    * each round two edge-local transforms + a per-node min — no
+    * driver-side graph state. Promoted here so link-graph users get
+    * it without importing the dedup module; the single shared
+    * implementation keeps the two faces bit-identical. Runs the same
+    * eager per-round checkpoint lifecycle as the other fixpoints in
+    * this object (reliable checkpoints when the session has a
+    * checkpoint dir — set one in production).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    Dedup.connectedComponents(edges, maxIter)
 
   /** Per-node degree report: (id, out_deg, in_deg) over the
     * simple-graph edge set — the sanity face next to [[pageRank]]

@@ -443,6 +443,56 @@ object Search {
       .filter(col("n_occ") > 0)
   }
 
+  /** Batch phrase matching — the phrase-WORKLOAD face of
+    * [[phraseDocs]]: many phrases against one positional postings
+    * relation in ONE pass. Per-phrase looping re-scans (or re-prunes)
+    * the postings once per phrase; here the union of all phrases'
+    * terms prunes the scan ONCE (capped `IN` pushdown, the
+    * [[bm25TopKIndexed]] pattern — past the cap the broadcast join
+    * below is the only filter, the right plan for an analytical
+    * all-phrases run), the phrase tokens broadcast, and the corpus-
+    * scale relation exchanges exactly once.
+    *
+    * Formulation: a phrase occurrence at `start` in doc d has term i
+    * of the phrase at position start+i for EVERY offset i — so join
+    * postings to the (pid, i, term) phrase tokens, key by
+    * (pid, doc, start = pos − i), and a start whose matched-offset
+    * count equals the phrase length is an occurrence (duplicate
+    * phrase terms correct by construction: each offset joins its own
+    * copy of the term's postings, and (pid, i, doc, pos) rows are
+    * unique). The (pid, doc, start) count is partial-aggregable, so
+    * the one data-scale exchange combines map-side; the second
+    * group to (pid, doc) moves only occurrence-scale rows. Phrases
+    * tokenize exactly like [[positionalPostings]] ([[Text.tokens]] +
+    * the same `lowercase` fold); token-less phrases yield no rows.
+    * Output: (pid, doc_id, n_occ), docs with ≥1 occurrence only —
+    * row-equal to a [[phraseDocs]] loop (spec-pinned).
+    */
+  def phraseDocsBatch(postings: DataFrame, phrases: DataFrame,
+      pidCol: Column, ptextCol: Column, lowercase: Boolean = false,
+      pushdownMaxTerms: Int = 4096): DataFrame = {
+    val src = if (lowercase) lower(ptextCol) else ptextCol
+    val ptoks = phrases.select(pidCol.cast("long").as("pid"),
+        posexplode(Text.tokens(src)).as(Seq("i", "term")))
+      .select(col("pid"), col("i").cast("long").as("i"), col("term"))
+    val plen = ptoks.groupBy(col("pid")).agg(count(lit(1)).as("plen"))
+    val distinctTerms =
+      ptoks.select(col("term")).distinct().limit(pushdownMaxTerms + 1).collect()
+    val pruned =
+      if (distinctTerms.length <= pushdownMaxTerms)
+        postings.filter(
+          col("term").isin(distinctTerms.map(_.getString(0)).toSeq: _*))
+      else postings
+    val starts = pruned.join(broadcast(ptoks), Seq("term"))
+      .groupBy(col("pid"), col("doc_id"),
+        (col("pos") - col("i")).as("start"))
+      .agg(count(lit(1)).as("nmatch"))
+    starts.join(broadcast(plen), Seq("pid"))
+      .filter(col("nmatch") === col("plen"))
+      .groupBy(col("pid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
   /** Rank arbitrary `(qid, nid, sim)` candidates through the map-side
     * top-k — the public face of the ranking tail, for COMPOSED rankers
     * (a caller-scored candidate relation that still wants the

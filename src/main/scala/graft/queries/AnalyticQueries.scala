@@ -316,6 +316,24 @@ object AnalyticQueries {
       graft.functions.Graph.kcore(o, k = 2, maxRounds = 3)
     },
 
+    // connected components on a CUT binary tree over orderkeys: keep
+    // edge (k, k DIV 2) only when the parent is ODD, so the tree
+    // shatters into caterpillar components (an odd spine m — 2m+1 —
+    // 4m+3 — … with even leaves) of genuinely varying depth — the
+    // multi-hop shape that pins TRANSITIVE closure (a pair-local or
+    // one-round labeling gets the deep spines wrong), while sparse
+    // orderkeys add singleton-pair fragments. Oracle: DuckDB
+    // recursive reachability + per-node MIN — component sizes are
+    // bounded (~2·log₂ maxkey), so enumerate-reachable stays small
+    "q_graph_cc" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") >= 2 &&
+          pmod(expr("o_orderkey DIV 2"), lit(2L)) === 1)
+        .select(col("o_orderkey").as("src"),
+          expr("o_orderkey DIV 2").as("dst"))
+      graft.functions.Graph.connectedComponents(o)
+    },
+
     // exact quantiles + exact distinct counts per group (single
     // shuffle; percentile is Spark's exact sort-based aggregate)
     "q_quantiles" -> { (s, dir) =>
@@ -893,6 +911,18 @@ object AnalyticQueries {
         |  WHERE a IN (SELECT id FROM k3) AND b IN (SELECT id FROM k3))
         |SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         |  SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1""".stripMargin,
+
+    "q_graph_cc" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT o_orderkey AS a, o_orderkey // 2 AS b FROM orders
+        |  WHERE o_orderkey >= 2 AND (o_orderkey // 2) % 2 = 1),
+        |edges AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT u AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+        |SELECT id, MIN(r) AS rep FROM reach GROUP BY id""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (SELECT l_returnflag,

@@ -222,4 +222,18 @@ class GraphSpec extends SparkSpec {
       (1L, 1L))
     assert(core(messy, 2, 100) === Set((1L, 2L), (2L, 2L), (3L, 2L)))
   }
+
+  test("connectedComponents: chains close transitively, min-id reps, messy edges") {
+    // two chains + an isolated pair: a pair-local rule would miss that
+    // 1~2~3~4 is ONE component; reps are the component minima
+    val g = Seq((3L, 4L), (1L, 2L), (2L, 3L), (7L, 6L), (9L, 9L), (6L, 7L))
+    val got = Graph.connectedComponents(g.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (6L, 6L), (7L, 6L)))
+    // graph face ≡ dedup face: the promotion is the SAME implementation
+    val ded = graft.functions.Dedup.connectedComponents(g.toDF("i", "j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ded === got)
+  }
 }

@@ -374,6 +374,66 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev2)
   }
 
+  test("clusteringCoefficient canonicalizes + aggregates degrees exactly once") {
+    // the operator runs eagerly (Rounds lifecycle), so the claim is
+    // asserted on EXECUTED stages, the funnel-spec way: (1) exactly
+    // ONE stage reads the edge source — the single canonical
+    // distinct's map side (the pre-refactor compose re-canonicalized
+    // and re-aggregated inside triangles: a second source-reading
+    // shuffle); (2) clustering's total shuffle work is the triangle
+    // core's + at most the node-keyed cc join — not two extra
+    // edge-set exchanges. Broadcast disabled so join shapes are the
+    // at-scale ones.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, StageInfo}
+    import scala.jdk.CollectionConverters._
+    def stagesOf(body: => Unit): Seq[StageInfo] = {
+      val q = new java.util.concurrent.ConcurrentLinkedQueue[StageInfo]()
+      val l = new SparkListener {
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          q.add(e.stageInfo); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener bus is async: settle until no new stages arrive
+        var last = -1
+        val deadline = System.currentTimeMillis() + 15000
+        while (System.currentTimeMillis() < deadline && q.size != last) {
+          last = q.size; Thread.sleep(500)
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      q.asScala.toSeq
+    }
+    // a stage physically containing the FileScanRDD (exact RDD name —
+    // AQE names wrapper RDDs with the whole plan STRING, which
+    // mentions "FileScan" textually without scanning anything)
+    def sourceReads(ss: Seq[StageInfo]): Int =
+      ss.count(_.rddInfos.exists(_.name.startsWith("FileScanRDD")))
+    def shuffles(ss: Seq[StageInfo]): Int =
+      ss.count(_.taskMetrics.shuffleWriteMetrics.bytesWritten > 0)
+    val dir = java.nio.file.Files.createTempDirectory("ccplan").toString
+    spark.range(2, 4000).selectExpr("id AS src", "id DIV 2 AS dst")
+      .write.mode("overwrite").parquet(dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val tri = stagesOf {
+        graft.functions.Graph.triangles(spark.read.parquet(dir)).count()
+      }
+      val cc = stagesOf {
+        graft.functions.Graph.clusteringCoefficient(spark.read.parquet(dir)).count()
+      }
+      assert(sourceReads(cc) === 1,
+        s"clustering must read+canonicalize the edge source exactly once, got ${sourceReads(cc)}")
+      assert(sourceReads(tri) === 1,
+        s"triangles must read+canonicalize the edge source exactly once, got ${sourceReads(tri)}")
+      assert(shuffles(cc) <= shuffles(tri) + 2,
+        s"clustering should add at most the node-keyed cc join over the triangle core: " +
+          s"tri=${shuffles(tri)} cc=${shuffles(cc)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("segment-five plans: anomaly broadcast-back, resample join-free, mmr/bloom/scd2 shapes") {
     // anomalies: the one-row-per-group stats relation joins BACK via
     // broadcast (the corpus never re-shuffles for the flag), and the

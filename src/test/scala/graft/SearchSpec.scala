@@ -298,4 +298,50 @@ class SearchSpec extends SparkSpec {
     assert(Search.phraseDocs(ppLc, Seq("The", "cat", "SAT"),
       lowercase = true).as[(Long, Long)].collect().toMap === Map(9L -> 1L))
   }
+
+  test("phraseDocsBatch ≡ per-phrase phraseDocs loop; one data-scale exchange") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "cat the sat"),
+      (2L, "the cat naps"),
+      (3L, "see the cat sat and the cat sat again"),
+      (4L, "a a a")
+    ).toDF("doc_id", "text")
+    val pp = Search.positionalPostings(docs, $"doc_id", $"text")
+    val phrases = Seq(
+      (10L, "the cat sat"), (11L, "a a"), (12L, "a a a"), (13L, "the"),
+      (14L, "the unicorn"), (15L, "")    // token-less phrase: no rows
+    ).toDF("pid", "ptext")
+    val got = Search.phraseDocsBatch(pp, phrases, $"pid", $"ptext")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Seq(
+      10L -> Seq("the", "cat", "sat"), 11L -> Seq("a", "a"),
+      12L -> Seq("a", "a", "a"), 13L -> Seq("the"),
+      14L -> Seq("the", "unicorn")
+    ).flatMap { case (pid, ts) =>
+      Search.phraseDocs(pp, ts).as[(Long, Long)].collect()
+        .map { case (d, n) => (pid, d, n) }
+    }.toSet
+    assert(got === want)
+    // lowercase flag folds the phrase side like positionalPostings
+    val ppLc = Search.positionalPostings(
+      Seq((9L, "The CAT Sat")).toDF("doc_id", "text"),
+      $"doc_id", $"text", lowercase = true)
+    assert(Search.phraseDocsBatch(ppLc,
+        Seq((1L, "The cat SAT")).toDF("pid", "ptext"),
+        $"pid", $"ptext", lowercase = true)
+      .as[(Long, Long, Long)].collect().toSet === Set((1L, 9L, 1L)))
+    // plan: the corpus-scale relation exchanges ONCE — the
+    // (pid, doc, start) partial-aggregable group; phrase tokens and
+    // lengths broadcast; under the pushdown cap the term filter
+    // reaches the postings relation pre-exchange
+    val p = Search.phraseDocsBatch(pp, phrases, $"pid", $"ptext")
+      .queryExecution.executedPlan.toString
+    val ex = """Exchange hashpartitioning[^\n]*plan_id=(\d+)""".r
+    val dataScale = ex.findAllMatchIn(p).count(m =>
+      m.matched.contains("start") || m.matched.contains("pos"))
+    assert(dataScale <= 1,
+      s"expected at most 1 data-scale exchange (pid,doc,start), plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
