@@ -35,6 +35,29 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // Optional comma-separated query filter for iterating on one gate.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // GC policy between measurements. The cache/RDD release above is
+    // non-negotiable (it is a CORRECTNESS condition on the timings);
+    // the explicit GC that drives ContextCleaner is a measured trade
+    // (r11 A/B on the 12 formerly-flagged queries, sf0.1/local[32]):
+    // per-rep ("rep") costs 4.5 cumulative untimed seconds over 36
+    // collections and is BOTH fastest (37.7 s total vs 46.3
+    // per-query vs 49.3 off) and stablest (0 unstable flags) — the
+    // allocation-heavy graph gates run 1.6-2.1× faster on the heap
+    // it keeps clean (clustering 7.8 s vs 16.6 s with GC off), so
+    // the r10 suspicion that the per-rep GC bled into timed reps is
+    // REFUTED. "query" GCs once per query, "off" leaves reclamation
+    // organic (r10: broadcast-heavy queries degraded 10-60× late in
+    // a 198-gate run). The JSON carries gc_policy + cumulative
+    // untimed-GC seconds so every record self-documents.
+    val gcPolicy = sys.env.getOrElse("SPARK_GRAFT_GC", "rep")
+    require(Set("rep", "query", "off")(gcPolicy),
+      s"SPARK_GRAFT_GC must be rep|query|off, got $gcPolicy")
+    var gcSecs = 0.0
+    def timedGc(): Unit = {
+      val g0 = System.nanoTime()
+      System.gc()
+      gcSecs += (System.nanoTime() - g0) / 1e9
+    }
 
     // Machine-load context: a polluted run (another JVM hogging cores)
     // is self-diagnosing when the JSON carries the host's loadavg
@@ -72,17 +95,17 @@ object Bench {
         // [29, 66, 316] s under the leak vs stable seconds clean).
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        // ...and force a GC so ContextCleaner's weak references get
-        // processed: broadcasts and shuffle state are reclaimed only
-        // after their refs are collected, and on a large heap GC can
-        // go quiet for dozens of queries while that backlog bloats
-        // the block manager and MapOutputTracker (measured: the
-        // 198-query run under a pre-sized 48g heap degraded
-        // broadcast-heavy queries 10-60x late in the run; with the
-        // untimed GC the same queries hold their isolated times).
-        System.gc()
+        // ...and (policy-gated) force a GC so ContextCleaner's weak
+        // references get processed: broadcasts and shuffle state are
+        // reclaimed only after their refs are collected, and on a
+        // large heap GC can go quiet for dozens of queries while that
+        // backlog bloats the block manager and MapOutputTracker
+        // (measured: the 198-query run under a pre-sized 48g heap
+        // degraded broadcast-heavy queries 10-60x late in the run).
+        if (gcPolicy == "rep") timedGc()
         dt
       }
+      if (gcPolicy == "query") timedGc()
       (name, times.sorted.apply(times.length / 2), times)
     }
     val loadEnd = loadavg
@@ -100,7 +123,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val loadJson = (l: Seq[Double]) => l.map(v => f"$v%.2f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"reps_raw":$raw,"unstable":$unstable,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"reps_raw":$raw,"unstable":$unstable,"gc_policy":"$gcPolicy","gc_secs":${f"$gcSecs%.2f"},"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so the JSON is the final stdout line
     // (Spark logs go to stderr, but shutdown ordering makes this robust);
     // also persist to a file in case stdout is decorated by the launcher.

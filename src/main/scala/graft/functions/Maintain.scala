@@ -551,6 +551,17 @@ object Maintain {
     * object, and a single-object overwrite PUT is itself atomic-read
     * (readers see the old or the new body, never a torn one) — the
     * same reasoning every manifest-pointer table format rests on.
+    *
+    * SLOW-WRITER SAFETY: write new versions to [[stageSnapshotPath]]
+    * (an underscore-prefixed dir [[vacuumSnapshots]] never touches)
+    * — commitSnapshot then renames the staged dir to its final name
+    * immediately before the pointer flip, so an unprefixed version
+    * dir exists uncommitted only for the instant between the two
+    * renames, never for the whole (unbounded) write. Committing a
+    * directly-written unprefixed dir still works, but then a
+    * concurrent [[vacuumSnapshots]] can reclaim it if the write-to-
+    * commit gap exceeds the grace window — the staging protocol is
+    * the concurrent-maintenance form.
     */
   def commitSnapshot(spark: org.apache.spark.sql.SparkSession,
       rootDir: String, snapshot: String): Unit = {
@@ -560,17 +571,35 @@ object Maintain {
     val root = new org.apache.hadoop.fs.Path(rootDir)
     val hc = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(hc)
-    require(fs.exists(new org.apache.hadoop.fs.Path(root, snapshot)),
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hc)
+    val fin = new org.apache.hadoop.fs.Path(root, snapshot)
+    val staged = new org.apache.hadoop.fs.Path(root, s"_stage-$snapshot")
+    if (fs.exists(staged) && !fs.exists(fin))
+      fc.rename(staged, fin)
+    require(fs.exists(fin),
       s"commitSnapshot: '$snapshot' does not exist under $rootDir — " +
-        "write the version dir fully BEFORE committing the pointer")
+        "write the version dir (ideally to stageSnapshotPath) fully " +
+        "BEFORE committing the pointer")
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"_current.tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
     try out.write(snapshot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hc)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_current"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Where a writer should STAGE version `snapshot` before
+    * [[commitSnapshot]]: an underscore-prefixed sibling that
+    * [[vacuumSnapshots]] is contractually blind to, so an
+    * arbitrarily slow write can never race a vacuum. commitSnapshot
+    * renames it into place.
+    */
+  def stageSnapshotPath(rootDir: String, snapshot: String): String = {
+    require(snapshot.nonEmpty && !snapshot.startsWith("_") &&
+      !snapshot.contains(".."),
+      s"stageSnapshotPath: bad snapshot name '$snapshot'")
+    s"$rootDir/_stage-$snapshot"
   }
 
   /** Resolve the live snapshot path under `rootDir` via the
@@ -602,12 +631,20 @@ object Maintain {
   }
 
   /** Reclaim superseded version dirs under `rootDir`: every
-    * non-pointer entry that is NOT the committed snapshot and whose
-    * modification time is older than `graceMs` is deleted. The grace
-    * window is the race guard — a reader that resolved the pointer
-    * just before a commit keeps its files until its listing-age
-    * exceeds the grace (size it to the longest expected read job).
-    * Returns the deleted dir names.
+    * non-underscore entry that is NOT the committed snapshot and
+    * whose modification time is older than `graceMs` is deleted. The
+    * grace window is the race guard for READERS — one that resolved
+    * the pointer just before a commit keeps its files until its
+    * listing-age exceeds the grace (size it to the longest expected
+    * read job). WRITERS are guarded by the staging protocol instead
+    * ([[stageSnapshotPath]]): a staged `_stage-*` dir is never
+    * vacuumed no matter how old, so a slow write cannot lose a race
+    * (an unprefixed dir written directly is only safe if committed
+    * within the grace). Orphaned `_current.tmp-*` pointer FILES (a
+    * writer that crashed between staging the pointer and the rename)
+    * are also reclaimed once older than the grace — they are
+    * never-referenced single-digit-byte files, safe to drop on age
+    * alone. Returns the deleted entry names.
     */
   def vacuumSnapshots(spark: org.apache.spark.sql.SparkSession,
       rootDir: String, graceMs: Long): Seq[String] = {
@@ -618,9 +655,14 @@ object Maintain {
       .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
-        !current.contains(st.getPath.getName) &&
-        st.getModificationTime < cutoff)
+      .filter { st =>
+        val name = st.getPath.getName
+        val staleVersion = st.isDirectory && !name.startsWith("_") &&
+          !current.contains(name) && st.getModificationTime < cutoff
+        val orphanTmp = !st.isDirectory && name.startsWith("_current.tmp-") &&
+          st.getModificationTime < cutoff
+        staleVersion || orphanTmp
+      }
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
   }
 }

@@ -43,23 +43,37 @@ object Profile {
     * full data per row and is strictly worse. Exact `percentile` is
     * per-group-buffer-bounded — right when groups are few and fat
     * (the feature-scaling case); for extreme group cardinality swap
-    * in `approx_percentile` at the call site, same join shape.
+    * in `approx_percentile` at the call site, same join shape, and
+    * pass `hintBroadcast = false` so the bounds relation (then
+    * group-cardinality-sized, potentially too big for the driver)
+    * joins by shuffle instead.
     */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      pLo: Double, pHi: Double): DataFrame = {
+      pLo: Double, pHi: Double, hintBroadcast: Boolean = true): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
       s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("__qs"))
+      .agg(expr(s"percentile(${quoteId(valueCol)}, array($pLo, $pHi))")
+        .as("__qs"))
       .select(groupCols.map(col) :+
         col("__qs")(0).as(s"${valueCol}_lo") :+
         col("__qs")(1).as(s"${valueCol}_hi"): _*)
-    df.join(broadcast(bounds), groupCols)
+    df.join(if (hintBroadcast) broadcast(bounds) else bounds, groupCols)
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col(s"${valueCol}_lo")),
           col(s"${valueCol}_hi")))
   }
+
+  /** Backquote an identifier for safe splicing into a SQL-string
+    * expression (the `expr(s"percentile(...)")` calls — percentile's
+    * array form has no Column-API overload): internal backticks
+    * double, the whole name wraps. Without this a column name with
+    * spaces/dots breaks the parse — or worse, parses as an arbitrary
+    * expression.
+    */
+  private def quoteId(name: String): String =
+    "`" + name.replace("`", "``") + "`"
 
   /** Equi-depth feature binning: assign each row the quantile bucket
     * of `valueCol` within its group — the discretization step before
@@ -77,14 +91,15 @@ object Profile {
     * Appends `<value>_bucket`.
     */
   def quantileBuckets(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, nBuckets: Int): DataFrame = {
+      valueCol: String, nBuckets: Int,
+      hintBroadcast: Boolean = true): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(${ps.mkString(",")}))")
+      .agg(expr(s"percentile(${quoteId(valueCol)}, array(${ps.mkString(",")}))")
         .as("__bs"))
-    df.join(broadcast(bounds), groupCols)
+    df.join(if (hintBroadcast) broadcast(bounds) else bounds, groupCols)
       .withColumn(s"${valueCol}_bucket",
         aggregate(col("__bs"), lit(0L),
           (acc, b) => acc + when(col(valueCol) > b, 1L).otherwise(0L)))
@@ -106,10 +121,25 @@ object Profile {
     * NULL when either side is constant (zero variance). One
     * aggregate over one scan, k·(k+1)/2 sum expressions — columns
     * add expressions, never passes.
+    *
+    * Exactness envelope: `scale` is capped at 3 so every product's
+    * fractional part (2·scale ≤ 6 digits) survives Spark's
+    * precision-loss scale adjustment UNTRUNCATED — at scale 4+ the
+    * n·Σxy / Σx·Σy multiplies would silently round their fractional
+    * tail to 6 digits and the "exact" claim would quietly break. On
+    * magnitude: the co-moments hold while |n·Σxy| and |Σx·Σy| fit
+    * 38−2·scale integer digits (≈ 10³⁴ at scale 2); past that the
+    * multiply OVERFLOWS — which under ANSI mode (Spark 4's default)
+    * throws rather than degrading, and under legacy mode yields a
+    * visible NULL corr. Exactness therefore never SILENTLY degrades:
+    * it holds or it is loud.
     */
   def corrExact(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
     require(cols.size >= 2, "corrExact needs at least 2 columns")
-    require(scale >= 0 && scale <= 6, s"scale in [0,6], got $scale")
+    require(scale >= 0 && scale <= 3,
+      s"scale in [0,3], got $scale — at scale 4+ the co-moment products' " +
+        "fractional tail (2*scale digits) exceeds Spark's precision-loss " +
+        "minimum scale (6) and would round silently")
     // values exact in decimal(18,scale): products carry scale 2·s and
     // ~36 integer digits of headroom, so every sum/product below
     // stays inside decimal(38) WITHOUT Spark's precision-loss scale

@@ -325,6 +325,143 @@ object Sampling {
     }
     df.filter(pred)
   }
+
+  private def dec38(c: Column): Column = c.cast("decimal(38,0)")
+  private def idiv38(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+
+  /** Hashed word-n-gram bucket ids for one document: FNV-1a 64 over
+    * the space-joined gram (a space can never appear inside a
+    * [[Text.tokens]] token — the [[LmFused]] bigram-key argument),
+    * top 63 bits mod `numBuckets` (the unsigned shift makes the mod
+    * sign-free, so an oracle's UBIGINT `%` matches Spark's `pmod`
+    * bit-for-bit). Docs with fewer than `n` tokens yield an empty
+    * array. Pure codegen'd in-array transform — no explode needed to
+    * SCORE a doc (only the model-count pass explodes).
+    */
+  def gramBuckets(text: Column, n: Int, numBuckets: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    // let-bind the token array as a lambda variable (the 1-element
+    // transform idiom): higher-order functions evaluate INTERPRETED
+    // — outside whole-stage codegen and its subexpression
+    // elimination — so a raw `tokens(text)` reference inside the
+    // per-gram lambda re-tokenizes the whole doc for every gram
+    // (O(tokens²) per doc; measured 3.5 s → 1.1 s on the sf0.1 gram
+    // count). The gram string builds from O(1) element_at reads —
+    // `slice+array_join` allocates a fresh window array per gram.
+    element_at(
+      transform(array(Text.tokens(text)), w =>
+        when(size(w) >= n,
+          transform(sequence(lit(0), size(w) - lit(n)), i =>
+            pmod(shiftrightunsigned(SimHash.fnv1a64(
+              concat_ws(" ", (0 until n).map(j =>
+                element_at(w, (i + lit(j + 1)).cast("int"))): _*)), 1),
+              lit(numBuckets.toLong))))
+          .otherwise(array().cast("array<bigint>"))), 1)
+  }
+
+  /** DSIR bucket-ratio model (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023):
+    * per hashed-n-gram bucket b, the add-one-smoothed target/raw
+    * probability ratio in micro-units of `unit`, floor-exact —
+    * `rmu[b] = unit·(ct[b]+1)·(R+B) // ((cr[b]+1)·(T+B))` with
+    * T/R the corpora's total gram counts and B = numBuckets, clamped
+    * to `capMu` (one pathological bucket must not own a Long sum;
+    * DSIR's selection is robust to weight clipping — the paper clips
+    * too, via its Gumbel top-k). Returned as a driver array indexed
+    * by bucket — a bounded MODEL FIT (numBuckets rows), the
+    * [[Classify]]/[[LmFused]] collect pattern, so SCORING is a pure
+    * scan with the model as an array literal: zero shuffles, no join.
+    *
+    * Exact-integer by construction: both corpora's bucket counts are
+    * plain grouped counts (one partial-aggregable exchange each,
+    * output ≤ numBuckets rows) and every division is a decimal floor
+    * — bit-identical under repartitioning and mirrorable in HUGEINT.
+    */
+  def importanceRatios(raw: DataFrame, rawText: Column,
+      target: DataFrame, targetText: Column, numBuckets: Int = 4096,
+      n: Int = 2, unit: Long = 1000000L,
+      capMu: Long = 1000000000L): Array[Long] = {
+    require(unit > 0, "unit must be positive")
+    require(capMu >= unit, s"capMu must be >= unit, got $capMu vs $unit")
+    def counts(df: DataFrame, text: Column): Map[Long, Long] =
+      df.select(explode(gramBuckets(text, n, numBuckets)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = counts(target, targetText)
+    val cr = counts(raw, rawText)
+    val tb = BigInt(ct.values.sum) + numBuckets
+    val rb = BigInt(cr.values.sum) + numBuckets
+    Array.tabulate(numBuckets) { b =>
+      val r = BigInt(unit) * (BigInt(ct.getOrElse(b.toLong, 0L)) + 1) * rb /
+        ((BigInt(cr.getOrElse(b.toLong, 0L)) + 1) * tb)
+      r.min(BigInt(capMu)).toLong
+    }
+  }
+
+  /** Per-doc DSIR importance weight in micro-units: the mean of the
+    * doc's grams' bucket ratios (floor division), `unit` (= ratio 1,
+    * neutral) for docs too short to produce a gram. One codegen'd
+    * scan — gram buckets and the ratio lookup are in-array transforms
+    * against the model literal, the sum a decimal aggregate fold (a
+    * Long fold would overflow ANSI at capMu × long docs).
+    */
+  def importanceWeightCol(text: Column, ratios: Array[Long], n: Int,
+      unit: Long = 1000000L): Column =
+    weightFromBuckets(gramBuckets(text, n, ratios.length), ratios, unit)
+
+  /** The weight fold over an ALREADY-COMPUTED bucket array — split
+    * out so [[importanceResample]] can bind the gram pipeline to a
+    * projection column and reference it cheaply (the fold reads its
+    * input three times: the empty guard, the sum, the mean divisor —
+    * inlined, that would tokenize+hash the doc three times per row;
+    * measured 13.5 s → see ROUND11.md for the re-measure).
+    */
+  private def weightFromBuckets(g: Column, ratios: Array[Long],
+      unit: Long): Column = {
+    val rl = lit(ratios)
+    when(size(g) === 0, lit(unit)).otherwise(
+      idiv38(aggregate(g, lit(0L).cast("decimal(38,0)"),
+          (acc, b) => acc + dec38(element_at(rl, (b + lit(1L)).cast("int")))),
+        dec38(size(g))).cast("long"))
+  }
+
+  /** DSIR-style importance resampling in one composition: fit the
+    * hashed-n-gram bucket-ratio model ([[importanceRatios]] — two
+    * bounded count aggregations), then keep each raw doc with
+    * probability `min(1, w / (maxRatio·unit))` where w is its
+    * [[importanceWeightCol]] — the [[weightedKeep]] exact-decimal
+    * hash threshold, so membership is a pure retry-stable function
+    * of (id, salt) exactly like every other sampler here. Raw docs
+    * at or above `maxRatio`× target-likeness are kept with
+    * certainty; the returned frame is the kept rows of `raw` plus
+    * their weight as `ir_w` (the audit column: WHY a doc survived).
+    *
+    * Scale shape: the selection pass is a pure scan (model is an
+    * array literal; no join, no shuffle, no driver loop over docs) —
+    * at 100 TB the whole operator is two count aggregates bounded by
+    * numBuckets plus one filter-scan of the corpus.
+    */
+  def importanceResample(raw: DataFrame, idCol: Column, textCol: Column,
+      target: DataFrame, targetTextCol: Column, numBuckets: Int = 4096,
+      n: Int = 2, unit: Long = 1000000L, maxRatio: Long = 4L,
+      capMu: Long = 1000000000L, salt: Long = 0L): DataFrame = {
+    require(maxRatio >= 1, s"maxRatio must be >= 1, got $maxRatio")
+    val ratios = importanceRatios(raw, textCol, target, targetTextCol,
+      numBuckets, n, unit, capMu)
+    // bind the gram pipeline (tokenize → slice/join → FNV → bucket)
+    // to its own projection column: the weight fold and the keep
+    // filter then reference attributes, so the doc is tokenized ONCE
+    // per row (CollapseProject declines to inline a non-cheap alias
+    // referenced multiple times; the filter compares the already-
+    // projected weight). Inlined, the scan ran the pipeline 3× per
+    // row — measured 13.5 s → 5.3 s on q_sample_dsir at sf0.1.
+    raw.withColumn("__ir_g", gramBuckets(textCol, n, numBuckets))
+      .withColumn("ir_w", weightFromBuckets(col("__ir_g"), ratios, unit))
+      .drop("__ir_g")
+      .filter(weightedKeep(idCol, col("ir_w"), maxRatio * unit, salt))
+  }
 }
 
 /** splitmix64 finalizer as a codegen'd unary long→long expression. */

@@ -417,11 +417,23 @@ object Similarity {
     * `targetRecall`, and report the walk. The exact baseline is
     * computed ONCE on the sampled query set ([[bruteForceTopK]]
     * against the index cells — |sample|·N, linear in the corpus,
-    * constant in sample size) and cached for the walk; each step is
-    * one [[ivfQueryIndex]] probe plus a sample-sized recall
-    * aggregate, so the whole tune costs ⌈log₂ maxNprobe⌉ serving
-    * queries — nothing corpus-quadratic, no index rebuild (nprobe is
-    * a pure query-time knob; that is WHY it is the tuned parameter).
+    * constant in sample size) and cached for the walk.
+    *
+    * The walk probes INCREMENTALLY: the nprobe=2^s candidate pool is
+    * a superset of 2^(s−1)'s (the probed-cell list is a rank prefix),
+    * so step s serves only the NEWLY probed cells — centroid ranks
+    * (2^(s−1), 2^s] — and merges their candidates with the previous
+    * step's k-bounded top-k through the same [[rankTopK]] order
+    * (sim desc, nid asc). A candidate outside the running top-k can
+    * never re-enter a later top-k (cells partition the corpus, so no
+    * candidate repeats and the cumulative pool only grows), which
+    * makes every step's merged ranking BIT-IDENTICAL to a full
+    * re-serve at that nprobe (spec-pinned) while the total serving
+    * work is ONE full serve at the final nprobe plus k-bounded merge
+    * aggregates — the re-serve-per-step form cost
+    * Σ_s (2^s/final) ≈ 2× the final serve in cell scans and was
+    * measured at 170 s walk vs 66 s build at 200k vectors (SCALE.md);
+    * the centroid ranking itself runs once at maxNprobe depth.
     *
     * Returns the FIRST nprobe meeting target (recall is monotone
     * non-decreasing in nprobe on a fixed index — more probed cells
@@ -446,23 +458,51 @@ object Similarity {
       .persist(lvl)
     val exact = bruteForceTopK(q, cells, "qid", "qv", "id", "v", k)
       .persist(lvl)
+    // centroid ranking once, to full walk depth — a sample×nlist
+    // in-expression ranking, reused by every step's rank-window filter
+    val probesAll = rankedFused(
+        q.select(col("qid").as("id"), col("qv").as("v")),
+        centroids, math.max(1, maxNprobe))
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid"), col("rn"))
+      .persist(lvl)
+    val cellsSel = cells.select(col("cid"), col("id").as("nid"),
+      col("v").as("nv"))
+    def freshCandidates(lo: Int, hi: Int): DataFrame =
+      probesAll.filter(col("rn") > lo && col("rn") <= hi)
+        .join(cellsSel, Seq("cid"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+    var topk: DataFrame = null
     try {
       var trace = Vector.empty[(Int, Double)]
+      var prev = 0
       var nprobe = 1
       while (true) {
-        val approx = ivfQueryIndex(q, "qid", "qv", centroids, cells, nprobe, k)
-        val r = annRecall(approx, exact)
+        val fresh = freshCandidates(prev, nprobe)
+        val merged = (if (topk == null) rankTopK(fresh, k)
+          else rankTopK(
+            topk.select(col("qid"), col("nid"), col("sim"))
+              .unionByName(fresh), k)).persist(lvl)
+        val r = annRecall(merged, exact)
           .agg((sum(col("n_hit")).cast("double") /
             sum(col("n_exact")).cast("double")).as("r"))
           .collect()(0)
         val recall = if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+        if (topk != null) topk.unpersist(false)
+        topk = merged
         trace :+= (nprobe, recall)
         if (recall >= targetRecall || nprobe >= maxNprobe)
           return NprobeTune(nprobe, recall, recall >= targetRecall, trace)
+        prev = nprobe
         nprobe = math.min(nprobe * 2, maxNprobe)
       }
       sys.error("unreachable")
-    } finally { q.unpersist(false); exact.unpersist(false); () }
+    } finally {
+      q.unpersist(false); exact.unpersist(false)
+      probesAll.unpersist(false)
+      if (topk != null) topk.unpersist(false)
+      ()
+    }
   }
 
   /** Element-wise centroid means: posexplode vector positions, average

@@ -93,6 +93,23 @@ object LlmQueries {
         .select($"doc_id", $"n_chars")
     },
 
+    // DSIR importance resampling (Xie et al. 2023): hashed-bigram
+    // bucket-ratio model fit on the src0 target slice, every raw doc
+    // weighted by its mean bucket ratio (exact micro-unit integers —
+    // the ln-free arithmetic ratio face; FNV-1a gram hashing and the
+    // splitmix64 keep threshold both HUGEINT-mirrorable), then
+    // weight-proportional Bernoulli keep. Face: (doc_id, ir_w) of
+    // the kept sample — pins the model counts, the ratio floor
+    // divisions, the per-doc mean, and the keep boundary at once
+    "q_sample_dsir" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val target = docs.filter($"source" === "src0")
+      Sampling.importanceResample(docs, $"doc_id", $"text", target, $"text",
+          numBuckets = 128, n = 2, maxRatio = 2L, salt = 13L)
+        .select($"doc_id", $"ir_w")
+    },
+
     // corpus mixing to a token budget: per-source totals from one
     // aggregation, keep decision in exact decimal(38,0) — the rate is
     // never a double, so the sample hash-matches cross-engine. src0's
@@ -1512,6 +1529,42 @@ object LlmQueries {
          |    * 8192
          |  < CAST(LEAST(GREATEST(n_chars, 0), 8192) AS HUGEINT)
          |    * 9223372036854775808::HUGEINT""".stripMargin,
+    "q_sample_dsir" -> {
+      // FNV-1a 64 over the space-joined bigram (ASCII text — the
+      // simhash oracle's byte argument), top 63 bits mod 128
+      val fnv = s"""list_reduce(
+         |      list_prepend(14695981039346656037::UBIGINT,
+         |        list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS UBIGINT))),
+         |      (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % $M64 AS UBIGINT))""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, source,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] AS s
+         |  FROM tok, UNNEST(generate_series(1, len(w)-1)) t(i)),
+         |gb AS (SELECT doc_id, source,
+         |    CAST((($fnv) >> 1) % 128 AS BIGINT) AS b FROM g),
+         |ct AS (SELECT b, COUNT(*) AS c FROM gb WHERE source = 'src0' GROUP BY 1),
+         |cr AS (SELECT b, COUNT(*) AS c FROM gb GROUP BY 1),
+         |tot AS (SELECT
+         |    (SELECT CAST(COALESCE(SUM(c),0) AS HUGEINT) FROM ct) + 128 AS tb,
+         |    (SELECT CAST(COALESCE(SUM(c),0) AS HUGEINT) FROM cr) + 128 AS rb),
+         |ratio AS (SELECT gs.b AS b,
+         |    LEAST((1000000::HUGEINT * (COALESCE(ct.c,0)+1) * rb)
+         |        // ((COALESCE(cr.c,0)+1) * tb),
+         |      1000000000::HUGEINT) AS rmu
+         |  FROM (SELECT UNNEST(generate_series(0, 127)) AS b) gs
+         |  LEFT JOIN ct ON ct.b = gs.b LEFT JOIN cr ON cr.b = gs.b, tot),
+         |wt AS (SELECT doc_id, CAST(SUM(r.rmu) // COUNT(*) AS BIGINT) AS w
+         |  FROM gb JOIN ratio r ON r.b = gb.b GROUP BY 1),
+         |allw AS (SELECT d.doc_id, COALESCE(wt.w, 1000000) AS ir_w
+         |  FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id)
+         |SELECT doc_id, ir_w FROM allw
+         |WHERE CAST((${smix64Sql("xor(CAST(doc_id AS UBIGINT), 13::UBIGINT)")}) >> 1 AS HUGEINT)
+         |    * 2000000
+         |  < CAST(LEAST(GREATEST(ir_w, 0), 2000000) AS HUGEINT)
+         |    * 9223372036854775808::HUGEINT""".stripMargin
+    },
+
     // the ELSE (default rate 1.0) renders as TRUE, matching the Scala
     // side's endpoint short-circuit — not a `< 2⁶³` comparison, which
     // under strict `<` on the clamped MaxValue would drop the two ids

@@ -43,6 +43,22 @@ object SearchQueries {
       Search.phraseDocs(pp, Seq("slow", "hash", "batch"))
     },
 
+    // phrase WORKLOAD over the same positional index: 25 corpus-drawn
+    // trigram phrases (tokens 5..7 of every %20 doc) matched in ONE
+    // pass — union-of-terms pushdown, broadcast phrase tokens, one
+    // data-scale (pid, doc, start) exchange; the oracle aligns each
+    // phrase against every doc independently (nested-lambda position
+    // scan), so batch-vs-loop row equality is pinned cross-engine
+    "q_search_phrase_batch" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pp = Search.positionalPostings(docs, $"doc_id", $"text")
+      val phrases = docs.filter($"doc_id" % 20 === 0)
+        .select($"doc_id".as("pid"),
+          array_join(slice(Text.tokens($"text"), 5, 3), " ").as("ptext"))
+      Search.phraseDocsBatch(pp, phrases, $"pid", $"ptext")
+    },
+
     // CDC-updated index ≡ rebuild over the upserted corpus: the same
     // match face as q_search_bm25, but served from updateIndex over
     // the q_upsert change classes (re-written 0-mod-5 docs grow a
@@ -149,6 +165,19 @@ object SearchQueries {
         |  FROM tok)
         |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ FROM occ
         |WHERE n_occ > 0""".stripMargin,
+    "q_search_phrase_batch" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |ph AS (SELECT doc_id AS pid, w[5:7] AS pw FROM tok
+        |  WHERE doc_id % 20 = 0 AND len(w) >= 5),
+        |occ AS (SELECT ph.pid, t.doc_id,
+        |    len(list_filter(generate_series(1, len(t.w) - len(ph.pw) + 1), p ->
+        |      len(list_filter(generate_series(1, len(ph.pw)), i ->
+        |        t.w[p + i - 1] = ph.pw[i])) = len(ph.pw))) AS n_occ
+        |  FROM tok t, ph)
+        |SELECT pid, doc_id, CAST(n_occ AS BIGINT) AS n_occ
+        |FROM occ WHERE n_occ > 0""".stripMargin,
     "q_search_bm25" ->
       s"""WITH $tokSql
          |SELECT q.qid, t.doc_id,

@@ -39,6 +39,14 @@ object TuneScale {
     val cells = spark.read.parquet(s"$idx/cells")
     val sample = emb.filter(col("vec_id") % sampleMod === 0)
     val nSample = sample.count()
+    // the tune's internal exact baseline, timed standalone so the
+    // walk-only cost can be decomposed out of the tune wall
+    val tb = System.nanoTime()
+    Similarity.bruteForceTopK(
+      sample.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      cells, "qid", "qv", "id", "v", k).count()
+    val baseSec = (System.nanoTime() - tb) / 1e9
+    println(f"TUNE_BASE exact_baseline=$baseSec%.1f s (sample x corpus)")
     val t1 = System.nanoTime()
     val tune = Similarity.ivfTuneNprobe(sample, "vec_id", "embedding",
       c2, cells, k, target, maxNprobe = nlist)
@@ -46,6 +54,26 @@ object TuneScale {
     println(f"TUNE build=$buildSec%.1f s sample=$nSample tune=$tuneSec%.1f s " +
       s"nprobe=${tune.nprobe} recall=${tune.recall} achieved=${tune.achieved} " +
       s"trace=${tune.trace.mkString(",")}")
+    // A/B vs the pre-r11 formulation: a full ivfQueryIndex re-serve +
+    // recall aggregate at EVERY doubling step (the exact baseline is
+    // shared by both forms and excluded from both timings)
+    if (sys.env.get("SPARK_GRAFT_TUNE_AB").contains("1")) {
+      val q = sample.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .persist()
+      val exact = Similarity.bruteForceTopK(q, cells, "qid", "qv", "id", "v", k)
+        .persist()
+      exact.count()
+      val t2 = System.nanoTime()
+      for ((np, _) <- tune.trace) {
+        val approx = Similarity.ivfQueryIndex(q, "qid", "qv", c2, cells, np, k)
+        Similarity.annRecall(approx, exact)
+          .agg(sum(col("n_hit")), sum(col("n_exact"))).collect()
+      }
+      val reSec = (System.nanoTime() - t2) / 1e9
+      println(f"TUNE_AB reserve_per_step=$reSec%.1f s incremental=$tuneSec%.1f s " +
+        f"speedup=${reSec / tuneSec}%.2f x over ${tune.trace.size} steps")
+      q.unpersist(); exact.unpersist()
+    }
     spark.stop()
   }
 }

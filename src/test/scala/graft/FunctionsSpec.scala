@@ -638,6 +638,47 @@ class FunctionsSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("importanceResample shifts the kept distribution toward the target domain") {
+    import graft.functions.Sampling
+    // two synthetic domains with disjoint vocabularies; the target
+    // corpus draws ONLY from domain A — DSIR weights must score
+    // A-docs above the neutral unit and B-docs below, so the kept
+    // sample over-represents A relative to the raw 50/50 mix
+    def doc(words: Seq[String], i: Long): String =
+      (0 until 30).map(j => words(((i + j) % words.size).toInt)).mkString(" ")
+    val vocabA = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val vocabB = Seq("zeta", "eta", "theta", "iota", "kappa")
+    val raw = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) doc(vocabA, i) else doc(vocabB, i),
+        if (i % 2 == 0) "A" else "B")).toDF("id", "text", "dom")
+    val target = (0L until 100L).map(i => (i, doc(vocabA, i))).toDF("tid", "ttext")
+    val ratios = Sampling.importanceRatios(raw, $"text", target, $"ttext",
+      numBuckets = 256, n = 2)
+    val w = raw.select($"dom",
+        Sampling.importanceWeightCol($"text", ratios, n = 2).as("w"))
+      .groupBy($"dom").agg(avg($"w")).as[(String, Double)].collect().toMap
+    assert(w("A") > 1000000.0 && w("B") < 1000000.0,
+      s"A-docs must weigh above unit, B below: $w")
+    val kept = Sampling.importanceResample(raw, $"id", $"text", target,
+        $"ttext", numBuckets = 256, n = 2, maxRatio = 2L, salt = 3L)
+      .groupBy($"dom").agg(count(lit(1))).as[(String, Long)].collect().toMap
+    assert(kept.getOrElse("A", 0L) > 4 * kept.getOrElse("B", 0L),
+      s"kept sample must over-represent the target domain: $kept")
+    // membership is retry-stable: identical under repartitioning
+    val re = Sampling.importanceResample(raw.repartition(13), $"id", $"text",
+        target, $"ttext", numBuckets = 256, n = 2, maxRatio = 2L, salt = 3L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val orig = Sampling.importanceResample(raw, $"id", $"text", target,
+        $"ttext", numBuckets = 256, n = 2, maxRatio = 2L, salt = 3L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(re === orig)
+    // docs too short for a bigram carry the neutral unit weight
+    val short = Seq((1L, "single")).toDF("id", "text")
+    val sw = short.select(
+      Sampling.importanceWeightCol($"text", ratios, n = 2)).as[Long].head()
+    assert(sw === 1000000L)
+  }
+
   test("mixToBudget: kept token mass tracks the per-stratum budget; saturation keeps all") {
     import graft.functions.Sampling
     val docs = Tables.load(spark, sf001, "documents")
@@ -1433,6 +1474,21 @@ class FunctionsSpec extends SparkSpec {
     val capped = Similarity.ivfTuneNprobe(sample, "vec_id", "embedding",
       centroids, cells, k = 3, targetRecall = 1.0, maxNprobe = 1)
     assert(capped.nprobe === 1 && (capped.achieved == (capped.recall >= 1.0)))
+    // incremental probing is BIT-IDENTICAL to re-serving in full at
+    // each step: every trace entry must equal the recall of a fresh
+    // ivfQueryIndex serve at that nprobe
+    for ((np, rec) <- t.trace) {
+      val full = Similarity.ivfQueryIndex(
+        sample.select($"vec_id".as("qid"), $"embedding".as("qv")),
+        "qid", "qv", centroids, cells, np, 3)
+      val exact = Similarity.bruteForceTopK(
+        sample.select($"vec_id".as("qid"), $"embedding".as("qv")),
+        cells, "qid", "qv", "id", "v", 3)
+      val r = Similarity.annRecall(full, exact)
+        .agg((sum($"n_hit").cast("double") /
+          sum($"n_exact").cast("double"))).head().getDouble(0)
+      assert(r === rec, s"nprobe=$np: full serve recall $r vs trace $rec")
+    }
     cells.unpersist()
   }
 

@@ -436,4 +436,36 @@ class MaintainSpec extends SparkSpec {
       Maintain.commitSnapshot(spark, root, "snap-9")
     }
   }
+
+  test("staged snapshot protocol: stage is vacuum-proof, commit renames; orphan tmp reclaimed") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap2").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$root/snap-1")
+    Maintain.commitSnapshot(spark, root, "snap-1")
+    // a SLOW writer stages version 2 under the underscore name: even
+    // a zero-grace vacuum must not touch it (the grace window guards
+    // readers; the staging prefix guards writers)
+    Seq((1L, "a2")).toDF("k", "v")
+      .write.parquet(Maintain.stageSnapshotPath(root, "snap-2"))
+    assert(Maintain.vacuumSnapshots(spark, root, graceMs = 0L).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_stage-snap-2")))
+    // commit renames the staged dir into place and flips the pointer
+    Maintain.commitSnapshot(spark, root, "snap-2")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_stage-snap-2")))
+    assert(rows(Maintain.readCurrent(spark, root)) === Seq((1L, "a2")))
+    // a crashed commit's orphaned _current.tmp-* pointer file is
+    // reclaimed once past the grace — dirs and live pointer survive
+    val orphan = new org.apache.hadoop.fs.Path(s"$root/_current.tmp-dead")
+    val out = fs.create(orphan, true)
+    try out.write("snap-9".getBytes) finally out.close()
+    assert(Maintain.vacuumSnapshots(spark, root, graceMs = 3600000L).isEmpty)
+    assert(Maintain.vacuumSnapshots(spark, root, graceMs = 0L).toSet ===
+      Set("snap-1", "_current.tmp-dead"))
+    assert(rows(Maintain.readCurrent(spark, root)) === Seq((1L, "a2")))
+    // staging a bad name refuses up front
+    intercept[IllegalArgumentException] {
+      Maintain.stageSnapshotPath(root, "_stage-evil")
+    }
+  }
 }
