@@ -375,6 +375,95 @@ object Events {
         col("r_b") * lit(100L) + col("f_b") * lit(10L) + col("m_b"))
   }
 
+  /** Multi-touch conversion attribution — the marketing-analytics
+    * face of the event toolkit: for every conversion (an event of
+    * `convType`), split one `unit` of credit across the touch events
+    * (types in `touchTypes`) that preceded it within `lookbackUs`,
+    * under the standard models:
+    *
+    *  - `first`  — full unit to the earliest touch
+    *  - `last`   — full unit to the latest touch
+    *  - `linear` — unit DIV n to each of the n touches (floor; the
+    *    remainder stays unattributed — deterministic, documented)
+    *  - `position` — U-shaped 40/20/40: the single touch takes the
+    *    unit; two touches split it unit DIV 2 / unit − unit DIV 2;
+    *    at n ≥ 3 first and last take 4·unit/10 each and the middles
+    *    share 2·unit/10 by floor division
+    *
+    * Conversion identity is the DISTINCT (entity, conversion time)
+    * pair — same-instant duplicate conversion events attribute once.
+    * Touches are EVENT ROWS (two views both earn linear credit);
+    * first/last tie-break at equal times by minimum/maximum touch id
+    * (lexicographic (time, id)), so every model is deterministic
+    * under any partitioning — all credit arithmetic is exact BIGINT.
+    * Eligibility window: conv − lookback ≤ touch < conv (strictly
+    * before; a same-instant touch did not cause the conversion).
+    *
+    * Output: one row per (conversion, touch) pair — (user, conv_us,
+    * touch_id, touch_us, channel, n_touch, credit) with channel from
+    * `channelCol` — aggregate downstream (per channel, per campaign).
+    * Conversions with zero in-window touches yield no rows.
+    *
+    * Scale shape: ONE entity-keyed exchange family — touches join
+    * conversions on the entity key (the time window bounds the
+    * per-pair fan-out; a hot entity's cost is its true
+    * touches-×-conversions-in-window pair count), and both grouped
+    * passes (pair counts + min/max times, then the conditional
+    * tie-break ids) key on (entity, conv time), which the
+    * entity-hash layout already clusters — Catalyst inserts no
+    * further exchange. No windows, no driver state.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, channelCol: String, convType: String,
+      touchTypes: Seq[String], lookbackUs: Long,
+      model: String = "linear", unit: Long = 1000000L): DataFrame = {
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    require(unit > 0, "unit must be positive")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val models = Set("first", "last", "linear", "position")
+    require(models(model), s"model must be one of $models, got $model")
+    def fdivC(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("user"), toUs(events, tsCol).as("conv_us"))
+      .distinct()
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("user"), toUs(events, tsCol).as("touch_us"),
+        col(idCol).cast("long").as("touch_id"),
+        col(channelCol).as("channel"))
+    val pairs = touch.join(conv, Seq("user"))
+      .filter(col("touch_us") < col("conv_us") &&
+        col("touch_us") >= col("conv_us") - lit(lookbackUs))
+    val g1 = pairs.groupBy(col("user"), col("conv_us"))
+      .agg(count(lit(1)).as("n_touch"), min(col("touch_us")).as("mn_us"),
+        max(col("touch_us")).as("mx_us"))
+    val g2 = pairs.join(g1, Seq("user", "conv_us"))
+      .groupBy(col("user"), col("conv_us"))
+      .agg(
+        min(when(col("touch_us") === col("mn_us"), col("touch_id")))
+          .as("fst_id"),
+        max(when(col("touch_us") === col("mx_us"), col("touch_id")))
+          .as("lst_id"))
+    val d = pairs.join(g1, Seq("user", "conv_us"))
+      .join(g2, Seq("user", "conv_us"))
+    val isF = col("touch_id") === col("fst_id")
+    val isL = col("touch_id") === col("lst_id")
+    val credit = model match {
+      case "first" => when(isF, lit(unit)).otherwise(lit(0L))
+      case "last" => when(isL, lit(unit)).otherwise(lit(0L))
+      case "linear" => fdivC(lit(unit), col("n_touch"))
+      case "position" =>
+        when(col("n_touch") === 1, lit(unit))
+          .when(col("n_touch") === 2 && isF, lit(unit / 2))
+          .when(col("n_touch") === 2, lit(unit - unit / 2))
+          .when(isF, lit(unit * 4 / 10))
+          .when(isL, lit(unit * 4 / 10))
+          .otherwise(fdivC(lit(unit * 2 / 10), col("n_touch") - 2))
+    }
+    d.select(col("user"), col("conv_us"), col("touch_id"), col("touch_us"),
+      col("channel"), col("n_touch"), credit.cast("long").as("credit"))
+  }
+
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       gapUs: Long): DataFrame = {
     require(gapUs > 0, "gapUs must be positive")

@@ -554,6 +554,82 @@ object Graph {
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
     Dedup.connectedComponents(edges, maxIter)
 
+  /** Multi-source single-source-shortest-paths over a WEIGHTED edge
+    * relation whose first three columns are (src, dst, weight) — the
+    * weighted companion to [[bfsDistance]]: hop count answers "how
+    * many links away", this answers "how cheap is the best route"
+    * (crawl cost from vetted hosts with per-link latencies,
+    * trust-decay along weighted citation edges). Output: (id, dist)
+    * with dist = the exact minimum path weight from the SEED SET
+    * along edge direction (symmetrize for undirected distance); seeds
+    * at 0 (including seeds absent from the edge set — distance-from-
+    * set is defined on the set), unreached nodes absent.
+    *
+    * Weights cast to BIGINT and must be NON-NEGATIVE for "shortest"
+    * to be well-defined on cyclic graphs (a negative cycle has no
+    * minimum; the `maxIter` cap bounds the loop regardless, but the
+    * answer under negative weights is the best ≤`maxIter`-round
+    * relaxation, not a shortest path). Parallel edges collapse to
+    * their lightest weight up front.
+    *
+    * Algorithm: frontier-pruned Bellman–Ford relaxation (the
+    * distributed formulation delta-stepping generalizes — Meyer &
+    * Sanders, J.Alg 2003; one bucket here, since a relational round
+    * is one shuffle whatever the bucket width). Per round: the
+    * frontier (nodes whose dist improved last round — NOT the full
+    * dist table) joins the src-partitioned edge relation, a dst-keyed
+    * MIN collapses candidates (partial-aggregable, map-side
+    * combined), and a left join against the running dist keeps only
+    * strict improvements; the loop EXITS EARLY when a round improves
+    * nothing (the count is free: the round checkpoint already
+    * materializes). Rounds ≤ the edge count of the longest shortest
+    * path — `maxIter` is a cap, not a cost. The edge relation is
+    * hash-partitioned on `src` ONCE and persisted (the [[bfsDistance]]
+    * lesson: checkpointed frontiers carry no size stats, so without
+    * the pinned layout every round re-exchanges the full edge set —
+    * only frontier-sized relations should move per round on a
+    * cluster). Exact BIGINT arithmetic end-to-end: distances are
+    * bit-stable under any partitioning.
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, maxIter: Int = 50): DataFrame = {
+    require(maxIter >= 0, "maxIter must be >= 0")
+    val Array(cs, cd, cw) = edges.columns.take(3)
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(cs).as("src"), col(cd).as("dst"),
+        col(cw).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src")).persist(lvl)
+    var dist = rounds.mark(seeds.select(col(seeds.columns.head).as("id"))
+      .distinct().withColumn("dist", lit(0L)))
+    var frontier = dist
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val cand = e.join(frontier, e("src") === frontier("id"))
+        .select(e("dst").as("id"), (frontier("dist") + e("w")).as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      val improved = rounds.mark(cand.join(dist, Seq("id"), "left")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("id"), col("cand").as("dist")))
+      if (improved.isEmpty) { rounds.release(improved); converged = true }
+      else {
+        val merged = rounds.mark(
+          dist.join(improved.withColumnRenamed("dist", "nd"), Seq("id"),
+              "full_outer")
+            .select(col("id"), coalesce(col("nd"), col("dist")).as("dist")))
+        rounds.release(dist)
+        if (frontier ne dist) rounds.release(frontier)
+        dist = merged
+        frontier = improved
+        it += 1
+      }
+    }
+    if (frontier ne dist) rounds.release(frontier)
+    e.unpersist(false)
+    dist
+  }
+
   /** Per-node degree report: (id, out_deg, in_deg) over the
     * simple-graph edge set — the sanity face next to [[pageRank]]
     * (hubs, dangling nodes, isolated-side checks), two count

@@ -302,6 +302,26 @@ object AnalyticQueries {
           col("r_b"), col("f_b"), col("m_b"), col("rfm"))
     },
 
+    // multi-touch attribution, all four models over one day of
+    // lookback: the 24h window gives every credit branch real mass
+    // at sf0.01 (672 single-touch, 476 two-touch, 281 3+-touch
+    // conversions), so the U-shape's first/last/middle splits, the
+    // linear floor, and the same-instant id tie-break are all pinned
+    "q_events_attrib" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      Seq("first", "last", "linear", "position").map { m =>
+        graft.functions.Events.attribution(ev, "user_id", "ts",
+            "event_type", "event_id", "event_type", "purchase",
+            Seq("view", "click", "signup"),
+            lookbackUs = 86400000000L, model = m)
+          .groupBy(col("channel"))
+          .agg(sum(col("credit")).as("credit_mu"),
+            count(lit(1)).as("touches"))
+          .select(lit(m).as("model"), col("channel"), col("credit_mu"),
+            col("touches"))
+      }.reduce(_ unionByName _)
+    },
+
     // bounded-round k-core peeling on the binary-tree graph over
     // orderkeys (edge k — k÷2): a tree's 2-core is empty, so peeling
     // erodes exactly one leaf-layer per synchronous round and
@@ -332,6 +352,28 @@ object AnalyticQueries {
         .select(col("o_orderkey").as("src"),
           expr("o_orderkey DIV 2").as("dst"))
       graft.functions.Graph.connectedComponents(o)
+    },
+
+    // weighted shortest paths over block-bounded skip DAGs: within
+    // each 16-key block, edge k→k+1 (w = k%5+1) and k→k+3 (w = k%7+2)
+    // — the skip edge's direct cost races the stepping path, so the
+    // gate pins WEIGHTED minimum over alternatives (hop count gets it
+    // wrong), and downstream re-relaxation cascades (a first-found
+    // dist via the heavy route must be improved later). Seeds: block
+    // starts (k%16 = 0). Blocks bound the DuckDB recursion: per
+    // component ≤16 source nodes, path sums ≤ 24 — while the
+    // operator side is the frontier-pruned Bellman–Ford
+    "q_graph_sssp" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val e = o.filter(pmod(col("k"), lit(16L)) < 15)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"),
+          (pmod(col("k"), lit(5L)) + 1).as("w"))
+        .unionByName(o.filter(pmod(col("k"), lit(16L)) < 13)
+          .select(col("k").as("src"), (col("k") + 3).as("dst"),
+            (pmod(col("k"), lit(7L)) + 2).as("w")))
+      val seeds = o.filter(pmod(col("k"), lit(16L)) === 0)
+        .select(col("k").as("id"))
+      graft.functions.Graph.sssp(e, seeds, maxIter = 20)
     },
 
     // exact quantiles + exact distinct counts per group (single
@@ -923,6 +965,55 @@ object AnalyticQueries {
         |  UNION
         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
         |SELECT id, MIN(r) AS rep FROM reach GROUP BY id""".stripMargin,
+
+    "q_events_attrib" ->
+      """WITH conv AS (SELECT DISTINCT user_id AS u, epoch_us(ts) AS cus
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS u, epoch_us(ts) AS us, event_id AS tid,
+        |    event_type AS ch
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |p AS (SELECT c.u, c.cus, t.us, t.tid, t.ch FROM tch t JOIN conv c
+        |  ON t.u = c.u AND t.us < c.cus AND t.us >= c.cus - 86400000000),
+        |g1 AS (SELECT u, cus, COUNT(*) AS n, MIN(us) AS mn, MAX(us) AS mx
+        |  FROM p GROUP BY 1, 2),
+        |g2 AS (SELECT p.u, p.cus,
+        |    MIN(CASE WHEN p.us = g1.mn THEN p.tid END) AS fid,
+        |    MAX(CASE WHEN p.us = g1.mx THEN p.tid END) AS lid
+        |  FROM p JOIN g1 USING (u, cus) GROUP BY 1, 2),
+        |d AS (SELECT p.ch, g1.n, p.tid, g2.fid, g2.lid
+        |  FROM p JOIN g1 USING (u, cus) JOIN g2 USING (u, cus)),
+        |c AS (
+        |  SELECT 'first' AS model, ch,
+        |    CASE WHEN tid = fid THEN 1000000 ELSE 0 END AS credit FROM d
+        |  UNION ALL SELECT 'last', ch,
+        |    CASE WHEN tid = lid THEN 1000000 ELSE 0 END FROM d
+        |  UNION ALL SELECT 'linear', ch, 1000000 // n FROM d
+        |  UNION ALL SELECT 'position', ch, CASE
+        |    WHEN n = 1 THEN 1000000
+        |    WHEN n = 2 AND tid = fid THEN 500000
+        |    WHEN n = 2 THEN 500000
+        |    WHEN tid = fid THEN 400000
+        |    WHEN tid = lid THEN 400000
+        |    ELSE 200000 // (n - 2) END FROM d)
+        |SELECT model, ch AS channel, CAST(SUM(credit) AS BIGINT) AS credit_mu,
+        |  CAST(COUNT(*) AS BIGINT) AS touches
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q_graph_sssp" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT o_orderkey AS src, o_orderkey + 1 AS dst,
+        |    o_orderkey % 5 + 1 AS w
+        |  FROM orders WHERE o_orderkey % 16 < 15
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey + 3, o_orderkey % 7 + 2
+        |  FROM orders WHERE o_orderkey % 16 < 13),
+        |seeds AS (SELECT DISTINCT o_orderkey AS id FROM orders
+        |  WHERE o_orderkey % 16 = 0),
+        |reach(id, d) AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS d FROM seeds
+        |  UNION
+        |  SELECT e.dst, reach.d + e.w FROM reach JOIN e ON e.src = reach.id)
+        |SELECT id, MIN(d) AS dist FROM reach GROUP BY id""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (SELECT l_returnflag,

@@ -77,6 +77,61 @@ class EventsSpec extends SparkSpec {
       (2L, 0L) -> 1L, (2L, 1L) -> 1L))
   }
 
+  private def att(rows: Seq[(Long, Long, String, Long)], model: String,
+      lookback: Long = 100L, unit: Long = 1000000L): Map[Long, Long] =
+    Events.attribution(
+      rows.toDF("user_id", "us", "event_type", "event_id"),
+      "user_id", "us", "event_type", "event_id", "event_type",
+      convType = "buy", touchTypes = Seq("view", "click"),
+      lookbackUs = lookback, model = model, unit = unit)
+      .collect().map(r => r.getLong(2) -> r.getLong(6)).toMap
+
+  test("attribution: all four models on a hand-built 3-touch journey") {
+    // touches id 10@1, 11@2, 12@3; conversion @4
+    val e = Seq((1L, 1L, "view", 10L), (1L, 2L, "click", 11L),
+      (1L, 3L, "view", 12L), (1L, 4L, "buy", 99L))
+    assert(att(e, "linear") ===
+      Map(10L -> 333333L, 11L -> 333333L, 12L -> 333333L))
+    assert(att(e, "first") === Map(10L -> 1000000L, 11L -> 0L, 12L -> 0L))
+    assert(att(e, "last") === Map(10L -> 0L, 11L -> 0L, 12L -> 1000000L))
+    assert(att(e, "position") ===
+      Map(10L -> 400000L, 11L -> 200000L, 12L -> 400000L))
+  }
+
+  test("attribution: position n=1 and n=2 splits, odd unit floors deterministically") {
+    val one = Seq((1L, 1L, "view", 10L), (1L, 4L, "buy", 99L))
+    assert(att(one, "position", unit = 5L) === Map(10L -> 5L))
+    val two = Seq((1L, 1L, "view", 10L), (1L, 2L, "click", 11L),
+      (1L, 4L, "buy", 99L))
+    // unit 5: first gets 5 DIV 2 = 2, last gets the remainder 3
+    assert(att(two, "position", unit = 5L) === Map(10L -> 2L, 11L -> 3L))
+  }
+
+  test("attribution: same-instant touches tie-break by id; window edges strict/closed") {
+    // two touches at the SAME us — first = min id, last = max id
+    val tie = Seq((1L, 2L, "view", 9L), (1L, 2L, "click", 7L),
+      (1L, 4L, "buy", 99L))
+    assert(att(tie, "first") === Map(7L -> 1000000L, 9L -> 0L))
+    assert(att(tie, "last") === Map(7L -> 0L, 9L -> 1000000L))
+    // conv@100, lookback 10: touch@100 excluded (strictly before),
+    // touch@90 included (closed lower edge), touch@89 excluded
+    val w = Seq((1L, 100L, "view", 1L), (1L, 90L, "view", 2L),
+      (1L, 89L, "view", 3L), (1L, 100L, "buy", 99L))
+    assert(att(w, "linear", lookback = 10L) === Map(2L -> 1000000L))
+  }
+
+  test("attribution: same-instant duplicate conversions attribute once; zero-touch convs vanish") {
+    val e = Seq((1L, 1L, "view", 10L), (1L, 4L, "buy", 98L),
+      (1L, 4L, "buy", 99L), // duplicate instant — ONE conversion
+      (2L, 50L, "buy", 97L)) // user 2 has no touches
+    val d = Events.attribution(
+      e.toDF("user_id", "us", "event_type", "event_id"),
+      "user_id", "us", "event_type", "event_id", "event_type",
+      "buy", Seq("view", "click"), 100L, "linear")
+    assert(d.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(6)))
+      .toSeq === Seq((1L, 10L, 1000000L)))
+  }
+
   test("sessionize: gap boundary is strict, first event opens, ties stay together") {
     val e = ev(
       (1L, 0L, "a"), (1L, 10L, "b"),   // gap == 10 → SAME session

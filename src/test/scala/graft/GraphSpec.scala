@@ -153,6 +153,41 @@ class GraphSpec extends SparkSpec {
     assert(bfs(sym, Seq(1L), 3) === Set((1L, 0L), (2L, 1L)))
   }
 
+  private def sssp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      maxIter: Int = 50): Set[(Long, Long)] =
+    Graph.sssp(edges.toDF("src", "dst", "w"), seeds.toDF("id"), maxIter)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("sssp: weighted minimum beats hop count; relaxation cascades") {
+    // 1→2→3 costs 2 vs the direct 1→3 at 5; 3→4 then extends the
+    // two-hop winner, so 4's first-found dist (via the heavy edge)
+    // must be RE-relaxed down — pins multi-round improvement
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 1L))
+    assert(sssp(e, Seq(1L)) ===
+      Set((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("sssp: multi-source min, non-node seeds at 0, unreachable absent") {
+    // seeds 1 and 5 race to 3 (5's route cheaper); 9→10 disconnected;
+    // 99 not a graph node → still dist 0
+    val e = Seq((1L, 3L, 7L), (5L, 3L, 2L), (3L, 6L, 1L), (9L, 10L, 1L))
+    assert(sssp(e, Seq(1L, 5L, 99L)) ===
+      Set((1L, 0L), (5L, 0L), (99L, 0L), (3L, 2L), (6L, 3L)))
+  }
+
+  test("sssp: parallel edges keep lightest, cycles converge, maxIter caps") {
+    val e = Seq((1L, 2L, 9L), (1L, 2L, 3L), (2L, 1L, 1L), (2L, 3L, 1L))
+    assert(sssp(e, Seq(1L)) === Set((1L, 0L), (2L, 3L), (3L, 4L)))
+    // one round of relaxation only reaches 2
+    assert(sssp(e, Seq(1L), maxIter = 1) === Set((1L, 0L), (2L, 3L)))
+    assert(sssp(e, Seq(1L), maxIter = 0) === Set((1L, 0L)))
+  }
+
+  test("sssp: zero-weight edges and direction") {
+    val e = Seq((1L, 2L, 0L), (3L, 1L, 4L)) // 3→1 points INTO the seed
+    assert(sssp(e, Seq(1L)) === Set((1L, 0L), (2L, 0L)))
+  }
+
   private def tri(edges: Seq[(Long, Long)]): Set[(Long, Long)] =
     Graph.triangles(edges.toDF("src", "dst"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
