@@ -404,14 +404,19 @@ object Events {
     * `channelCol` — aggregate downstream (per channel, per campaign).
     * Conversions with zero in-window touches yield no rows.
     *
-    * Scale shape: ONE entity-keyed exchange family — touches join
-    * conversions on the entity key (the time window bounds the
-    * per-pair fan-out; a hot entity's cost is its true
-    * touches-×-conversions-in-window pair count), and both grouped
-    * passes (pair counts + min/max times, then the conditional
-    * tie-break ids) key on (entity, conv time), which the
-    * entity-hash layout already clusters — Catalyst inserts no
-    * further exchange. No windows, no driver state.
+    * Scale shape: ONE entity-keyed exchange family and ONE pass over
+    * the pair relation — touches join conversions on the entity key
+    * (the time window bounds the per-pair fan-out; a hot entity's
+    * cost is its true touches-×-conversions-in-window pair count),
+    * then the per-conversion facts (n, first, last) come from
+    * unordered window aggregates partitioned by (entity, conv time)
+    * — a clustering the entity-hash join layout ALREADY satisfies
+    * (subset rule), so Catalyst inserts no further exchange. The
+    * groupBy-and-join-back formulation was rejected on its executed
+    * plan: the pair relation is a multi-referenced subtree there, so
+    * the pair join EXECUTES three times and the (entity, conv)
+    * re-keying exchanges the pair relation twice more. No sort
+    * beyond the window's partition-local one, no driver state.
     */
   def attribution(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String, channelCol: String, convType: String,
@@ -434,20 +439,18 @@ object Events {
     val pairs = touch.join(conv, Seq("user"))
       .filter(col("touch_us") < col("conv_us") &&
         col("touch_us") >= col("conv_us") - lit(lookbackUs))
-    val g1 = pairs.groupBy(col("user"), col("conv_us"))
-      .agg(count(lit(1)).as("n_touch"), min(col("touch_us")).as("mn_us"),
-        max(col("touch_us")).as("mx_us"))
-    val g2 = pairs.join(g1, Seq("user", "conv_us"))
-      .groupBy(col("user"), col("conv_us"))
-      .agg(
-        min(when(col("touch_us") === col("mn_us"), col("touch_id")))
-          .as("fst_id"),
-        max(when(col("touch_us") === col("mx_us"), col("touch_id")))
-          .as("lst_id"))
-    val d = pairs.join(g1, Seq("user", "conv_us"))
-      .join(g2, Seq("user", "conv_us"))
-    val isF = col("touch_id") === col("fst_id")
-    val isL = col("touch_id") === col("lst_id")
+    // unordered frame: count/min/max need no ORDER BY, and struct
+    // min/max IS the lexicographic (time, id) tie-break
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user"), col("conv_us"))
+    val d = pairs
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("__fst",
+        min(struct(col("touch_us"), col("touch_id"))).over(w))
+      .withColumn("__lst",
+        max(struct(col("touch_us"), col("touch_id"))).over(w))
+    val isF = col("touch_id") === col("__fst.touch_id")
+    val isL = col("touch_id") === col("__lst.touch_id")
     val credit = model match {
       case "first" => when(isF, lit(unit)).otherwise(lit(0L))
       case "last" => when(isL, lit(unit)).otherwise(lit(0L))

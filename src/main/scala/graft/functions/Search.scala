@@ -493,6 +493,55 @@ object Search {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** Proximity (NEAR/w) matching over a positional postings relation:
+    * docs where EVERY query term occurs within some window of
+    * `windowTokens` consecutive token positions — the relaxation
+    * between [[phraseDocs]] (exact adjacency) and bag-of-words
+    * matching ("data NEAR/10 retention" finds policy clauses a phrase
+    * query misses and a bag query drowns). Output: (doc_id,
+    * n_windows, min_span) — the count of window-start anchors that
+    * see all terms, and the doc's MINIMAL span (max-min position
+    * spread + 1 of the best window, ≤ `windowTokens`), the standard
+    * proximity-ranking feature. Docs with no qualifying window are
+    * absent.
+    *
+    * Formulation: the minimal window containing all k terms starts at
+    * an occurrence of SOME query term (else it could shrink), so
+    * anchor at every pruned occurrence p and take, per term, its
+    * minimum position in [p, p+w−1]; an anchor whose matched-term
+    * count is k is a window, and span_p = max_term(minpos) − p + 1 —
+    * the minimum over anchors is the true minimal span whenever one
+    * ≤ w exists. Everything is relational: the postings prune to the
+    * query terms (`IN` pushdown — the corpus-scale relation never
+    * moves more than the query terms' rows), the anchor×occurrence
+    * range join keys on doc_id (ONE doc-keyed exchange family — the
+    * two grouped passes key on (doc, p[, term]), which the doc hash
+    * layout already clusters), and per-doc cost is the true
+    * occurrence-pair count within the window bound, the classic
+    * positional-index proximity cost. Duplicate query terms collapse;
+    * k = 1 degrades to per-occurrence windows of span 1.
+    */
+  def proximityDocs(postings: DataFrame, terms: Seq[String],
+      windowTokens: Long, lowercase: Boolean = false): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    val ts = (if (lowercase) terms.map(_.toLowerCase) else terms).distinct
+    val pruned = postings.filter(col("term").isin(ts: _*))
+      .select(col("doc_id"), col("term"), col("pos"))
+    val anchors = pruned.select(col("doc_id"), col("pos").as("p"))
+    val j = anchors.join(pruned, Seq("doc_id"))
+      .filter(col("pos") >= col("p") &&
+        col("pos") <= col("p") + lit(windowTokens - 1))
+    val perTerm = j.groupBy(col("doc_id"), col("p"), col("term"))
+      .agg(min(col("pos")).as("tp"))
+    val perAnchor = perTerm.groupBy(col("doc_id"), col("p"))
+      .agg(count(lit(1)).as("nt"), max(col("tp")).as("far"))
+    perAnchor.filter(col("nt") === ts.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("far") - col("p") + 1).as("min_span"))
+  }
+
   /** Rank arbitrary `(qid, nid, sim)` candidates through the map-side
     * top-k — the public face of the ranking tail, for COMPOSED rankers
     * (a caller-scored candidate relation that still wants the

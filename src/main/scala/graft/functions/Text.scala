@@ -827,6 +827,44 @@ object Text {
       .withColumn("ppl", exp(-col("ll") / col("n_scored").cast("double")))
   }
 
+  /** CCNet-style perplexity partitioning (Wenzek et al., LREC 2020 —
+    * the head/middle/tail split CC corpora ship with): score every
+    * doc against a reference LM ([[lmScore]] — train it on the
+    * trusted corpus, the CCNet recipe's Wikipedia role), then assign
+    * each doc the equi-depth perplexity bucket WITHIN ITS LANGUAGE
+    * (per-language tertiles, not global ones — CCNet's point is that
+    * absolute perplexity is incomparable across languages) and the
+    * matching label: lowest-perplexity third = `head` (cleanest),
+    * then `middle`, `tail`. Pass more/fewer labels for a finer split.
+    *
+    * Output: (id, lang, n_scored, n_backoff, ll, ppl, ppl_bucket,
+    * part). Docs under 2 tokens produce no row (unscorable).
+    *
+    * Scale shape: the [[lmScore]] plan (bigram explode + vocabulary-
+    * sized model joins + one per-doc agg), one id-keyed join to carry
+    * the language, then the [[Profile.quantileBuckets]] shape — ONE
+    * grouped percentile aggregate (languages-×-bounds-sized, tiny)
+    * broadcast back into a codegen'd comparison fold. No per-language
+    * sort, no window. The bucket rule is the bounds-comparison fold,
+    * so ties sit in the lower cell deterministically; the ppl doubles
+    * themselves are ln-based and engine-local (the [[lmScore]]
+    * caveat) — cross-engine pinning uses [[lmScoreCounts]].
+    */
+  def perplexityPartitions(docs: org.apache.spark.sql.DataFrame,
+      idCol: Column, textCol: Column, langCol: Column, model: LmModel,
+      alpha: Double = 0.4,
+      labels: Seq[String] = Seq("head", "middle", "tail")):
+      org.apache.spark.sql.DataFrame = {
+    require(labels.size >= 2, "need at least 2 partition labels")
+    val base = docs.select(idCol.as("id"), langCol.as("lang"),
+      textCol.as("__text"))
+    val scored = lmScore(base, col("id"), col("__text"), model, alpha)
+      .join(base.select(col("id"), col("lang")), Seq("id"))
+    Profile.quantileBuckets(scored, Seq("lang"), "ppl", labels.size)
+      .withColumn("part", element_at(array(labels.map(lit): _*),
+        (col("ppl_bucket") + 1).cast("int")))
+  }
+
   /** The exact-integer face of [[lmScore]] for cross-engine pinning:
     * per doc, the five count sums that fully determine the model
     * lookups (hits, Σc2, Σc1(prev) over hits, Σc1(cur) over backoff

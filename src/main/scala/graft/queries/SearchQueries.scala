@@ -59,6 +59,19 @@ object SearchQueries {
       Search.phraseDocsBatch(pp, phrases, $"pid", $"ptext")
     },
 
+    // proximity (NEAR/12) search for three common terms: the 12-token
+    // window admits 132 of ~500 docs at sf0.01 with minimal spans
+    // spread over the full 3..12 range, so the window edge, the
+    // per-anchor term-min, and the min-span fold are all pinned —
+    // an off-by-one in the window bound or a max/min mixup moves rows
+    "q_search_prox" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pp = Search.positionalPostings(docs, $"doc_id", $"text")
+      Search.proximityDocs(pp, Seq("scan", "hash", "join"),
+        windowTokens = 12)
+    },
+
     // CDC-updated index ≡ rebuild over the upserted corpus: the same
     // match face as q_search_bm25, but served from updateIndex over
     // the q_upsert change classes (re-written 0-mod-5 docs grow a
@@ -178,6 +191,24 @@ object SearchQueries {
         |  FROM tok t, ph)
         |SELECT pid, doc_id, CAST(n_occ AS BIGINT) AS n_occ
         |FROM occ WHERE n_occ > 0""".stripMargin,
+    "q_search_prox" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |pp AS (SELECT doc_id, w[i] AS term, i - 1 AS pos
+        |  FROM tok, UNNEST(generate_series(1, len(w))) AS t(i)
+        |  WHERE w[i] IN ('scan', 'hash', 'join')),
+        |anch AS (SELECT doc_id, pos AS p FROM pp),
+        |j AS (SELECT a.doc_id, a.p, q.term, q.pos FROM anch a JOIN pp q
+        |  ON a.doc_id = q.doc_id AND q.pos >= a.p AND q.pos <= a.p + 11),
+        |pt AS (SELECT doc_id, p, term, MIN(pos) AS tp FROM j
+        |  GROUP BY 1, 2, 3),
+        |pa AS (SELECT doc_id, p, COUNT(*) AS nt, MAX(tp) AS far FROM pt
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(MIN(far - p + 1) AS BIGINT) AS min_span
+        |FROM pa WHERE nt = 3 GROUP BY 1""".stripMargin,
+
     "q_search_bm25" ->
       s"""WITH $tokSql
          |SELECT q.qid, t.doc_id,

@@ -64,6 +64,97 @@ object StreamingEvents {
       events, new FunnelLogic(steps, maxSpanUs, ttl))
   }
 
+  /** Per-entity attribution state: the touch buffer inside the
+    * lookback horizon (pruned as event time advances — bounded by the
+    * entity's true touch rate × lookback, the semantics' own working
+    * set) plus the last attributed conversion time (same-instant
+    * duplicate conversions attribute once, the batch contract).
+    */
+  private class AttributionLogic(convType: String, touchTypes: Set[String],
+      lookbackUs: Long, model: String, unit: Long,
+      ttl: Option[java.time.Duration])
+    extends GraftStatefulLogic[Long, (Long, Long, String, String),
+      (Seq[(Long, Long, String)], Long),
+      (Long, Long, Long, String, Long, Long)] {
+    override def stateTtl: Option[java.time.Duration] = ttl
+    private def credit(n: Int, isF: Boolean, isL: Boolean): Long =
+      model match {
+        case "first" => if (isF) unit else 0L
+        case "last" => if (isL) unit else 0L
+        case "linear" => unit / n
+        case _ => // position: non-negative operands, / floors
+          if (n == 1) unit
+          else if (n == 2) { if (isF) unit / 2 else unit - unit / 2 }
+          else if (isF || isL) unit * 4 / 10
+          else unit * 2 / 10 / (n - 2)
+      }
+    override def onBatch(key: Long, values: Seq[(Long, Long, String, String)],
+        state: Option[(Seq[(Long, Long, String)], Long)])
+        : (Option[(Seq[(Long, Long, String)], Long)],
+           Seq[(Long, Long, Long, String, Long, Long)]) = {
+      var (touches, lastConv) = state.getOrElse(
+        (Seq.empty[(Long, Long, String)], Long.MinValue))
+      var buf = touches.toVector
+      val out = Vector.newBuilder[(Long, Long, Long, String, Long, Long)]
+      values.sortBy(v => (v._1, v._2)).foreach { case (us, id, et, ch) =>
+        if (et == convType && us != lastConv) {
+          val w = buf.filter(t => t._1 >= us - lookbackUs && t._1 < us)
+          if (w.nonEmpty) {
+            val fst = w.minBy(t => (t._1, t._2))
+            val lst = w.maxBy(t => (t._1, t._2))
+            val n = w.length
+            w.foreach { t =>
+              out += ((us, t._2, t._1, t._3, n.toLong,
+                credit(n, t == fst, t == lst)))
+            }
+          }
+          lastConv = us
+        }
+        if (touchTypes(et)) {
+          // prune: in-order contract means no future conversion can
+          // look back past us - lookback
+          buf = buf.filter(_._1 >= us - lookbackUs) :+ ((us, id, ch))
+        }
+      }
+      (Some((buf, lastConv)), out.result())
+    }
+  }
+
+  /** Streaming multi-touch attribution: `events` = (entity,
+    * (eventTimeUs, eventId, eventType, channel)); on every conversion
+    * event, emit one row per in-window touch — (entity, (conv_us,
+    * touch_id, touch_us, channel, n_touch, credit)) — with credit
+    * split under the same first/last/linear/position models, exact
+    * unit arithmetic, and (time, id) tie-breaks as the batch
+    * [[graft.functions.Events.attribution]]; under the family's
+    * in-order contract the emitted rows are EXACTLY the batch detail
+    * relation for any micro-batch split (spec-pinned). An
+    * out-of-order stray touch is never retro-attributed to an
+    * already-emitted conversion (emissions are final — the streaming
+    * posture), and same-instant duplicate conversions attribute once.
+    * State = the lookback touch window per entity (its true working
+    * set) + one long; `ttl` bounds it for unbounded entity spaces.
+    */
+  def attributionStream(events: Dataset[(Long, (Long, Long, String, String))],
+      convType: String, touchTypes: Seq[String], lookbackUs: Long,
+      model: String = "linear", unit: Long = 1000000L,
+      ttl: Option[java.time.Duration] = None)(
+      implicit sEnc: Encoder[(Seq[(Long, Long, String)], Long)],
+      outEnc: Encoder[(Long, (Long, Long, Long, String, Long, Long))])
+      : Dataset[(Long, (Long, Long, Long, String, Long, Long))] = {
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    require(unit > 0, "unit must be positive")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(Set("first", "last", "linear", "position")(model),
+      s"unknown attribution model $model")
+    import events.sparkSession.implicits._
+    TransformWithStateOps.statefulTws[Long, (Long, Long, String, String),
+      (Seq[(Long, Long, String)], Long),
+      (Long, Long, Long, String, Long, Long)](
+      events, new AttributionLogic(convType, touchTypes.toSet, lookbackUs,
+        model, unit, ttl))
+  }
+
   /** Per-entity gap-sessionization state: (last event time, current
     * session index) — two longs, the same bounded shape as the batch
     * operator's window state. Each event emits its (time, session)

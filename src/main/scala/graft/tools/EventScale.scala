@@ -107,6 +107,47 @@ object EventScale {
       return
     }
 
+    if (mode == "attrib") {
+      import graft.functions.Events
+      val unit = 1000000L
+      // the base `ev` has no id column; rebuild with the range id as
+      // a unique, deterministic event_id (tie-breaks must reproduce)
+      val evId = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(users)).as("user_id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(spanUs)).as("us"),
+        element_at(types,
+          (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        col("id").as("event_id")).cache()
+      evId.count()
+      val (aRows, aSec) = timed {
+        val d = Events.attribution(evId, "user_id", "us", "event_type",
+          "event_id", "event_type", "purchase",
+          Seq("view", "click", "signup"),
+          lookbackUs = 86400000000L, model = "position",
+          unit = unit).cache()
+        val rows = d.count()
+        // per-conversion credit-mass closed form for the U-shape:
+        // n=1 → unit; n=2 → unit; n≥3 → 2·(4u/10) + (n−2)·((2u/10)
+        // DIV (n−2)). Any branch/tie-break bug breaks some group.
+        val mid = lit(unit * 2 / 10)
+        val expected = when(col("n") === 1, lit(unit))
+          .when(col("n") === 2, lit(unit))
+          .otherwise(lit(2 * (unit * 4 / 10)) +
+            (col("n") - 2) * ((mid - pmod(mid, col("n") - 2)) / (col("n") - 2))
+              .cast("long"))
+        val bad = d.groupBy(col("user"), col("conv_us"))
+          .agg(count(lit(1)).as("n"), sum(col("credit")).as("m"))
+          .filter(col("m") =!= expected)
+          .count()
+        require(bad == 0, "per-conversion credit mass violated")
+        d.unpersist(false); rows
+      }
+      println(f"""{"events":$n,"users":$users,"attrib_sec":$aSec%.1f,"pair_rows":$aRows}""")
+      spark.stop()
+      return
+    }
+
     // funnel: 24h span; force materialization via counts per step
     val (fCounts, fSec) = timed {
       val f = graft.functions.Events.funnel(ev, "user_id", "us",

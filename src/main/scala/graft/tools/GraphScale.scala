@@ -57,10 +57,16 @@ object GraphScale {
     val op = if (args.length > 3) args(3) else "pagerank"
     // bfs: a 0.1%-of-id-space seed set, depth capped at `iters`
     lazy val seeds = spark.range(0L, n, 1000L).select(col("id"))
+    // sssp: per-edge weight 1..8 derived from the endpoint hash, so
+    // re-derivation in the invariant join sees the identical weights
+    def weighted(ed: org.apache.spark.sql.DataFrame) =
+      ed.withColumn("w",
+        pmod(xxhash64(col("src"), col("dst")), lit(8L)) + lit(1L))
     def run(ed: org.apache.spark.sql.DataFrame) = op match {
       case "hits" => graft.functions.Graph.hits(ed, iters)
       case "lpa" => graft.functions.Graph.labelPropagation(ed, iters)
       case "bfs" => graft.functions.Graph.bfsDistance(ed, seeds, iters)
+      case "sssp" => graft.functions.Graph.sssp(weighted(ed), seeds, iters)
       case "triangles" => graft.functions.Graph.triangles(ed)
       case "kcore" => graft.functions.Graph.kcore(ed, 2, iters)
       case _ => graft.functions.Graph.pageRank(ed, iters)
@@ -102,6 +108,24 @@ object GraphScale {
         val range = pr.filter(col("dist") < 0 || col("dist") > iters).count()
         val t = pr.agg(max(col("dist")).cast("decimal(38,0)")).head().getDecimal(0)
         (bad + range, t)
+      case "sssp" =>
+        // Bellman–Ford fixpoint consistency, distributed: at
+        // convergence every reached NON-SEED node's dist equals
+        // min over reached in-neighbors of (parent dist + edge w);
+        // dist < that minimum is impossible by construction, dist >
+        // means the loop exited before the fixpoint (raise iters)
+        val ew = weighted(edges)
+        val d1 = pr.select(col("id").as("dst"), col("dist").as("ddist"))
+        val d0 = pr.select(col("id").as("src"), col("dist").as("sdist"))
+        val bad = ew.join(d1, Seq("dst")).join(d0, Seq("src"))
+          .groupBy(col("dst"), col("ddist"))
+          .agg(min(col("sdist") + col("w")).as("best"))
+          .filter(col("ddist") =!= 0 && col("ddist") =!= col("best"))
+          .count()
+        val neg = pr.filter(col("dist") < 0).count()
+        val t = pr.agg(max(col("dist")).cast("decimal(38,0)"))
+          .head().getDecimal(0)
+        (bad + neg, t)
       case "triangles" =>
         // corner-sum parity: Σ per-node counts = 3 × #triangles —
         // an orientation bug that double-generates a triangle breaks
@@ -136,9 +160,11 @@ object GraphScale {
     }
 
     println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
-    require((op == "bfs" || op == "kcore" || nodes == nodeCount) &&
+    require((op == "bfs" || op == "sssp" || op == "kcore" ||
+        nodes == nodeCount) &&
       badRows == 0 && dupIds == 0 &&
-      (op == "lpa" || op == "bfs" || op == "triangles" || op == "kcore" ||
+      (op == "lpa" || op == "bfs" || op == "sssp" || op == "triangles" ||
+        op == "kcore" ||
         total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0) &&
       mismatch <= 0, "invariant violation")
     spark.stop()

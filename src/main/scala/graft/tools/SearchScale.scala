@@ -123,6 +123,43 @@ object SearchScale {
           }
           println(f"serve_pt dir=$dir docs=$n vocab=$vocab batch=5 pushdown=$bp%.2f full=$bf%.2f")
 
+        case "prox" =>
+          // proximity (NEAR/12) serving across corpus decades. The
+          // claim under test is the operator's 100 TB contract: serve
+          // cost is bounded by the QUERY TERMS' posting mass (the IN
+          // prune + doc-keyed pair join), not the corpus size.
+          // ScaleData suffixes every token per replica (~r<i>), so the
+          // base triple's posting mass is CONSTANT while the corpus
+          // decades underneath it — the serve curve should stay flat
+          // once the postings scan itself is paid (reported
+          // separately: prune_sec measures the term-pruned scan from
+          // cold postings, serve_sec the pair join from the pruned
+          // cache).
+          val pp = Search.positionalPostings(docs, col("doc_id"),
+            col("text"))
+          val (toks, scanSec) = time(pp.count())
+          val terms = Seq("scan", "hash", "join")
+          var bestPrune = Double.MaxValue
+          for (_ <- 1 to 2) {
+            val (_, sec) = time {
+              pp.filter(col("term").isin(terms: _*)).count()
+            }
+            bestPrune = math.min(bestPrune, sec)
+          }
+          val pruned = pp.filter(col("term").isin(terms: _*)).cache()
+          pruned.count()
+          var bestP = Double.MaxValue
+          var hits = 0L
+          for (_ <- 1 to 2) {
+            val (h, sec) = time {
+              Search.proximityDocs(pruned, terms, windowTokens = 12)
+                .count()
+            }
+            bestP = math.min(bestP, sec); hits = h
+          }
+          println(f"prox dir=$dir docs=$n tokens=$toks token_sec=$scanSec%.2f prune_sec=$bestPrune%.2f hits=$hits serve_sec=$bestP%.2f")
+          pruned.unpersist(false)
+
         case "prune" =>
           // the pushdown mechanism on an OPEN vocabulary (each doc
           // carries mostly doc-unique terms, the web-corpus shape —

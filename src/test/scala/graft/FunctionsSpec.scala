@@ -455,6 +455,35 @@ class FunctionsSpec extends SparkSpec {
     assert(nat < scr, s"natural ppl $nat should be below scrambled $scr")
   }
 
+  test("perplexityPartitions: per-language tertiles, head = cleanest, unscorable docs absent") {
+    // train on pure bigram chains so doc ppl is controlled by how
+    // much of the doc walks trained bigrams vs OOV noise
+    val train = Seq((0L, "a b a b a b a b", "en"), (1L, "x y x y x y x y", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val model = Text.lmTrain(train, col("text"))
+    val docs = Seq(
+      // en: clean → noisy
+      (10L, "a b a b a b", "en"), (11L, "a b a b q q", "en"),
+      (12L, "q q q q q q", "en"),
+      // fr: same construction on the other chain
+      (20L, "x y x y x y", "fr"), (21L, "x y x y q q", "fr"),
+      (22L, "q q q q q q", "fr"),
+      // unscorable single-token doc
+      (30L, "a", "en")
+    ).toDF("doc_id", "text", "lang")
+    val p = Text.perplexityPartitions(docs, col("doc_id"), col("text"),
+        col("lang"), model)
+      .select(col("id"), col("lang"), col("part"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(p === Map(10L -> "head", 11L -> "middle", 12L -> "tail",
+      20L -> "head", 21L -> "middle", 22L -> "tail"))
+    // custom binary split
+    val p2 = Text.perplexityPartitions(docs, col("doc_id"), col("text"),
+        col("lang"), model, labels = Seq("keep", "drop"))
+      .select(col("id"), col("part")).as[(Long, String)].collect().toMap
+    assert(p2(10L) === "keep" && p2(12L) === "drop")
+  }
+
   test("gopherRules: each rule rejects its designed failure and keep is the conjunction") {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
     val good = "the quick brown fox jumps over a lazy dog and runs far into " +

@@ -374,6 +374,48 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev2)
   }
 
+  test("attribution: one pair pass — windows reuse the join's entity partitioning") {
+    // the scale contract in the scaladoc: the pair relation is built
+    // ONCE (one SortMergeJoin) and the per-conversion facts come from
+    // window aggregates whose (entity, conv) clustering the join's
+    // entity-hash layout already satisfies — so the whole operator
+    // runs exactly 3 exchanges (touch slice → user; conversion
+    // distinct → (user, conv_us); conversion re-key → user) and the
+    // pair relation itself NEVER re-exchanges. The groupBy-and-join-
+    // back formulation this replaced executed the pair join 3× and
+    // exchanged the pair relation twice more (plan-measured).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(allNodes)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val ev = Tables.load(spark, sf0001, "events")
+      val d = graft.functions.Events.attribution(ev, "user_id", "ts",
+        "event_type", "event_id", "event_type", "purchase",
+        Seq("view", "click", "signup"), 86400000000L, "position")
+      d.collect()
+      val nodes = allNodes(d.queryExecution.executedPlan)
+      val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+      val joins = nodes.count(_.isInstanceOf[SortMergeJoinExec])
+      val windows = nodes.count(_.isInstanceOf[WindowExec])
+      assert(joins === 1, s"expected ONE pair join, got $joins")
+      assert(windows === 3, s"expected 3 window aggregates, got $windows")
+      assert(shuffles === 3,
+        s"expected 3 exchanges (touch, conv distinct, conv re-key), got $shuffles")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("clusteringCoefficient canonicalizes + aggregates degrees exactly once") {
     // the operator runs eagerly (Rounds lifecycle), so the claim is
     // asserted on EXECUTED stages, the funnel-spec way: (1) exactly

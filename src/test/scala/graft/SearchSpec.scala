@@ -299,6 +299,44 @@ class SearchSpec extends SparkSpec {
       lowercase = true).as[(Long, Long)].collect().toMap === Map(9L -> 1L))
   }
 
+  test("proximityDocs: window edges, minimal span, anchors, degradations") {
+    val docs = Seq(
+      (0L, "x a y b z"),            // a..b span 3 within w=3
+      (1L, "a x x x b"),            // span 5 — needs w >= 5
+      (2L, "b a"),                  // order-free: b then a, span 2
+      (3L, "a x a b x b"),          // multiple windows, min span 2 (pos 2..3)
+      (4L, "a a a"),                // missing b entirely
+      (5L, "b x x x x x x x x x a") // span 11
+    ).toDF("doc_id", "text")
+    val pp = Search.positionalPostings(docs, $"doc_id", $"text")
+    def prox(w: Long, ts: String*): Map[Long, (Long, Long)] =
+      Search.proximityDocs(pp, ts, w).as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // w=3: doc0 (one anchor sees both), doc2 (span 2, both anchor
+    // orders), doc3's adjacent pair
+    assert(prox(3, "a", "b") ===
+      Map(0L -> ((1L, 3L)), 2L -> ((1L, 2L)), 3L -> ((1L, 2L))))
+    // w=5 admits doc1 at exactly span 5; w=4 must NOT
+    assert(prox(4, "a", "b").get(1L) === None)
+    assert(prox(5, "a", "b")(1L) === ((1L, 5L)))
+    // exact boundary: span-11 doc needs w=11
+    assert(prox(10, "a", "b").get(5L) === None)
+    assert(prox(11, "a", "b")(5L) === ((1L, 11L)))
+    // duplicate query terms collapse; single term = per-occurrence
+    // span-1 windows
+    assert(prox(3, "a", "a") === prox(3, "a"))
+    assert(prox(3, "a")(4L) === ((3L, 1L)))
+    // absent term yields no rows
+    assert(prox(9, "a", "unicorn") === Map.empty)
+    // lowercase analyzer folds both sides
+    val ppLc = Search.positionalPostings(
+      Seq((9L, "Alpha BETA")).toDF("doc_id", "text"),
+      $"doc_id", $"text", lowercase = true)
+    assert(Search.proximityDocs(ppLc, Seq("ALPHA", "beta"), 2,
+        lowercase = true).as[(Long, Long, Long)].collect().toSeq ===
+      Seq((9L, 1L, 2L)))
+  }
+
   test("phraseDocsBatch ≡ per-phrase phraseDocs loop; one data-scale exchange") {
     val docs = Seq(
       (0L, "the cat sat on the mat"),

@@ -126,4 +126,81 @@ class StreamingEventsSpec extends SparkSpec {
       Seq((1L, 21L))), 10L)
     assert(out === Map((1L, 0L) -> 1L, (1L, 10L) -> 1L, (1L, 21L) -> 2L))
   }
+
+  // ---- attribution ----
+
+  private def attribStream(splits: Seq[Seq[(Long, Long, String, Long)]],
+      model: String, lookback: Long = 100L)
+      : Set[(Long, Long, Long, Long)] =
+    withRocksDb {
+      val src = Testing.testingSource[(Long, (Long, Long, String, String))](spark)
+      val out = StreamingEvents.attributionStream(src.toDS(),
+        convType = "buy", touchTypes = Seq("view", "click"),
+        lookbackUs = lookback, model = model)
+      val q = out.writeStream.format("memory").queryName("sattr")
+        .outputMode("append").start()
+      try {
+        splits.foreach { b =>
+          src.addBatch(b.map(r => (r._1, (r._2, r._4, r._3, r._3))): _*)
+          q.processAllAvailable()
+        }
+        spark.table("sattr")
+          .as[(Long, (Long, Long, Long, String, Long, Long))].collect()
+          .map { case (u, (cus, tid, _, _, _, cr)) => (u, cus, tid, cr) }
+          .toSet
+      } finally {
+        q.stop(); spark.sql("DROP TABLE IF EXISTS sattr")
+      }
+    }
+
+  private def attribBatch(rows: Seq[(Long, Long, String, Long)],
+      model: String, lookback: Long = 100L): Set[(Long, Long, Long, Long)] =
+    Events.attribution(rows.toDF("user_id", "us", "event_type", "event_id"),
+      "user_id", "us", "event_type", "event_id", "event_type",
+      "buy", Seq("view", "click"), lookback, model)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(6)))
+      .toSet
+
+  test("attributionStream: batch parity, all four models, two micro-batch splits") {
+    // interleaved journeys: user 1 three touches then two conversions
+    // (the second sees a refreshed window); user 2 a same-instant
+    // duplicate conversion pair (attributes once) and a touch at the
+    // conversion instant (excluded: strictly before); user 3 touches
+    // outside the lookback only
+    val rows = Seq(
+      (1L, 1L, "view", 10L), (1L, 2L, "click", 11L), (1L, 3L, "view", 12L),
+      (1L, 5L, "buy", 90L), (1L, 6L, "click", 13L), (1L, 8L, "buy", 91L),
+      (2L, 4L, "view", 20L), (2L, 7L, "view", 21L), (2L, 7L, "buy", 92L),
+      (2L, 7L, "buy", 93L),
+      (3L, 1L, "view", 30L), (3L, 150L, "buy", 94L))
+    val ordered = rows.sortBy(r => (r._2, r._4))
+    for (m <- Seq("first", "last", "linear", "position")) {
+      val expected = attribBatch(rows, m)
+      assert(attribStream(Seq(ordered), m) === expected, s"model $m, one batch")
+      assert(attribStream(ordered.grouped(3).toSeq, m) === expected,
+        s"model $m, split")
+    }
+  }
+
+  test("attributionStream: out-of-order stray touch is never retro-attributed") {
+    // conversion at 10 attributes touch 5; a LATE touch@7 arrives
+    // after — the emitted conversion must not change, but a LATER
+    // conversion at 12 sees both touches
+    val out = attribStream(Seq(
+      Seq((1L, 5L, "view", 1L), (1L, 10L, "buy", 99L)),
+      Seq((1L, 7L, "click", 2L)),
+      Seq((1L, 12L, "buy", 98L))), "linear")
+    assert(out === Set((1L, 10L, 1L, 1000000L),
+      (1L, 12L, 1L, 500000L), (1L, 12L, 2L, 500000L)))
+  }
+
+  test("attributionStream: lookback prunes state as time advances") {
+    // touch@1 is outside conv@200's window (lookback 100): pruned on
+    // the touch@150 arrival, and the conversion sees only touch@150
+    val out = attribStream(Seq(
+      Seq((1L, 1L, "view", 1L)), Seq((1L, 150L, "view", 2L)),
+      Seq((1L, 200L, "buy", 99L))), "position")
+    assert(out === Set((1L, 200L, 2L, 1000000L)))
+  }
 }
