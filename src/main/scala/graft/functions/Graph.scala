@@ -86,6 +86,47 @@ object Graph {
     propagate(e0, based, iterations, dampingPermille)
   }
 
+  /** Edge-weighted PageRank: a node's rank splits across its
+    * out-edges PROPORTIONALLY TO EDGE WEIGHT (w_uv / Σ_u w) instead
+    * of uniformly — the natural form when edges carry link counts,
+    * click-through volume, or co-occurrence strength (the co-order
+    * graph's "shared orders" multiplicity). First three columns =
+    * (src, dst, weight); weights cast to BIGINT, non-positive-weight
+    * edges are dropped (they carry no mass and would poison Σw),
+    * PARALLEL EDGES SUM their weights (multi-edge multiplicity is the
+    * point of the weighted form — the uniform operator collapses
+    * them). Same exact micro-unit arithmetic (contribution =
+    * ⌊rank·w / Σw⌋, one floor per edge per round), damping, dangling
+    * leak, round lifecycle, and scale shape as [[pageRank]] — the two
+    * share one loop, and constant weights reduce BIT-IDENTICALLY to
+    * the uniform ranks (⌊r·w/(w·od)⌋ = ⌊r/od⌋, spec-pinned). Keep
+    * |rank·w| inside decimal(38,0): weights up to ~10²⁵ at the
+    * default unit, far past any real multiplicity.
+    */
+  def pageRankWeighted(edges: DataFrame, iterations: Int,
+      dampingPermille: Int = 850, unit: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille in [0,1000], got $dampingPermille")
+    require(unit > 0, "unit must be positive")
+    val Array(cs, cd, cw) = edges.columns.take(3)
+    val e0 = edges.select(col(cs).as("src"), col(cd).as("dst"),
+        col(cw).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val nodes0 = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+    def consts(nodes: DataFrame) = nodes.agg(dec(count(lit(1))).as("n"))
+      .select(col("n"),
+        idiv(idiv(dec(lit(unit)) * dec(lit(1000 - dampingPermille)),
+          dec(lit(1000))), col("n")).as("base"),
+        idiv(dec(lit(unit)), col("n")).as("r0"))
+    val based = nodes0.crossJoin(broadcast(consts(nodes0)))
+      .select(col("id"), col("base"), col("r0"))
+    if (iterations == 0) based.select(col("id"), col("r0").as("rank"))
+    else propagate(e0, based, iterations, dampingPermille)
+  }
+
   /** Seed-personalized PageRank — TrustRank (Gyöngyi et al.,
     * VLDB'04): teleport mass restricted to `seeds` (first column =
     * node id), so scores measure LINK-PROXIMITY TO A TRUSTED SET —
@@ -149,13 +190,21 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = e0.persist(lvl)
     val based = based0.persist(lvl)
-    val outdeg = e.groupBy(col("src")).agg(dec(count(lit(1))).as("od")).persist(lvl)
+    // weighted flavor: when the edge relation carries a `w` column,
+    // a node's mass splits w_uv/Σ_u w instead of 1/outdeg — for
+    // constant w the floor divisions cancel exactly
+    // (⌊r·w/(w·od)⌋ = ⌊r/od⌋), so the uniform path is the w≡1 case
+    val weighted = e0.columns.contains("w")
+    val wc = if (weighted) col("w") else lit(1L)
+    val outdeg = e.groupBy(col("src")).agg(dec(sum(wc)).as("od")).persist(lvl)
     var cur = rounds.mark(based.select(col("id"), col("r0").as("rank")))
     for (_ <- 0 until iterations) {
       val rank = cur
       val contrib = e.join(rank, e("src") === rank("id"))
         .join(outdeg, Seq("src"))
-        .select(col("dst").as("id"), idiv(col("rank"), col("od")).as("c"))
+        .select(col("dst").as("id"),
+          (if (weighted) idiv(dec(col("rank")) * dec(col("w")), col("od"))
+           else idiv(col("rank"), col("od"))).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).cast("decimal(38,0)").as("agg"))
       val next = rounds.mark(based.join(contrib, Seq("id"), "left")
         .select(col("id"),

@@ -173,6 +173,25 @@ object AnalyticQueries {
         .select(col("id"), col("rank").cast("long").as("rank"))
     },
 
+    // weighted PageRank on the co-order MULTIGRAPH: edge weight =
+    // shared-lineitem multiplicity (the multiplicity the uniform
+    // gate's distinct() erases), so mass splits w/Σw — a floor-per-
+    // edge division the oracle re-runs in HUGEINT; 2 rounds unrolled
+    "q_graph_pagerank_w" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      graft.functions.Graph.pageRankWeighted(edges, iterations = 2)
+        .select(col("id"), col("rank").cast("long").as("rank"))
+    },
+
     // seed-personalized propagation (TrustRank): teleport mass only on
     // the %10 customer seed set, 2 rounds — suppliers score by link
     // proximity to trusted customers, customers outside the seed set
@@ -770,6 +789,32 @@ object AnalyticQueries {
         |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
         |       FROM nodes n LEFT JOIN c3 c ON c.id = n.id)
         |SELECT id, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
+
+    "q_graph_pagerank_w" ->
+      """WITH e0 AS (SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst,
+        |              CAST(COUNT(*) AS HUGEINT) AS w
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |            GROUP BY 1, 2),
+        |edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |od AS (SELECT src, SUM(w) AS sw FROM edges GROUP BY src),
+        |cst AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |               (1000000000000::HUGEINT * 150 // 1000) // CAST(COUNT(*) AS HUGEINT) AS base,
+        |               1000000000000::HUGEINT // CAST(COUNT(*) AS HUGEINT) AS r0
+        |        FROM nodes),
+        |r0 AS (SELECT id, (SELECT r0 FROM cst) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS id, CAST(SUM(CAST((r.rank * e.w) // o.sw AS DECIMAL(38,0))) AS HUGEINT) AS agg
+        |       FROM edges e JOIN r0 r ON r.id = e.src JOIN od o ON o.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.id, (SELECT base FROM cst)
+        |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON c.id = n.id),
+        |c2 AS (SELECT e.dst AS id, CAST(SUM(CAST((r.rank * e.w) // o.sw AS DECIMAL(38,0))) AS HUGEINT) AS agg
+        |       FROM edges e JOIN r1 r ON r.id = e.src JOIN od o ON o.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.id, (SELECT base FROM cst)
+        |         + (850::HUGEINT * COALESCE(c.agg, 0::HUGEINT)) // 1000 AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON c.id = n.id)
+        |SELECT id, CAST(rank AS BIGINT) AS rank FROM r2""".stripMargin,
+
     "q_graph_trustrank" ->
       """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
         |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

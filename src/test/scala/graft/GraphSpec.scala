@@ -48,6 +48,41 @@ class GraphSpec extends SparkSpec {
     assert(flat.values.toSet === Set(BigDecimal(333333333333L)))
   }
 
+  test("pageRankWeighted: hand-unrolled weight-proportional split") {
+    // 1→2 w1, 1→3 w3 (Σw=4), 2→1 w1, 3→1 w1; N=3, unit 1e12, d=850
+    // r0 = 333333333333, base = 50000000000
+    // contribs: 1→2 ⌊r0/4⌋=83333333333, 1→3 ⌊3r0/4⌋=249999999999,
+    //           2→1 and 3→1 both r0
+    // r(1)=5e10+⌊850·666666666666/1000⌋=616666666666
+    // r(2)=5e10+⌊850·83333333333/1000⌋=120833333333
+    // r(3)=5e10+⌊850·249999999999/1000⌋=262499999999
+    val e = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    assert(ranks(Graph.pageRankWeighted(e, 1)) ===
+      Map(1L -> BigDecimal(616666666666L), 2L -> BigDecimal(120833333333L),
+        3L -> BigDecimal(262499999999L)))
+  }
+
+  test("pageRankWeighted: constant weights reduce bit-identically to uniform") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val ew = e.select(col("src"), col("dst"), lit(7L).as("w"))
+    assert(ranks(Graph.pageRankWeighted(ew, 4)) === ranks(Graph.pageRank(e, 4)))
+  }
+
+  test("pageRankWeighted: parallel edges sum; non-positive weights drop") {
+    // (1→2 w1)+(1→2 w1) must equal a single 1→2 w2 against 1→3 w2
+    val dup = Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val merged = Seq((1L, 2L, 2L), (1L, 3L, 2L)).toDF("src", "dst", "w")
+    assert(ranks(Graph.pageRankWeighted(dup, 2)) ===
+      ranks(Graph.pageRankWeighted(merged, 2)))
+    // zero/negative edges vanish entirely — node 9 never materializes
+    val bad = Seq((1L, 2L, 1L), (1L, 9L, 0L), (1L, 9L, -5L))
+      .toDF("src", "dst", "w")
+    assert(!ranks(Graph.pageRankWeighted(bad, 1)).contains(9L))
+  }
+
   test("trustRank: teleport mass lands only on seeds, unreachable nodes score 0") {
     // chain 1→2→3 plus a seedless component 4→5; seeds = {1} (+99,
     // not a graph node — must be ignored, not hold teleport mass)
