@@ -456,6 +456,36 @@ object ops {
       graft.functions.Graph.bfsDistance(edges.ds.toDF(), seeds.ds.toDF(),
         maxDepth))
 
+  def pageRankWeighted(id: String, edges: Stream[Row], iterations: Int,
+      dampingPermille: Int = 850): Stream[Row] =
+    step(edges.flow, id, "page_rank_weighted", edges.stepId)(
+      graft.functions.Graph.pageRankWeighted(edges.ds.toDF(), iterations,
+        dampingPermille))
+
+  def sssp(id: String, edges: Stream[Row], seeds: Stream[Row],
+      maxIter: Int = 50): Stream[Row] =
+    step(edges.flow, id, "sssp", edges.stepId, seeds.stepId)(
+      graft.functions.Graph.sssp(edges.ds.toDF(), seeds.ds.toDF(), maxIter))
+
+  def harmonicCentrality(id: String, edges: Stream[Row], maxRadius: Int,
+      p: Int = 12): Stream[Row] =
+    step(edges.flow, id, "harmonic_centrality", edges.stepId)(
+      graft.functions.Graph.harmonicCentrality(edges.ds.toDF(), maxRadius, p))
+
+  def attribution(id: String, events: Stream[Row], userCol: String,
+      tsCol: String, typeCol: String, idCol: String, channelCol: String,
+      convType: String, touchTypes: Seq[String], lookbackUs: Long,
+      model: String = "linear"): Stream[Row] =
+    step(events.flow, id, "attribution", events.stepId)(
+      graft.functions.Events.attribution(events.ds.toDF(), userCol, tsCol,
+        typeCol, idCol, channelCol, convType, touchTypes, lookbackUs, model))
+
+  def proximityDocs(id: String, postings: Stream[Row], terms: Seq[String],
+      windowTokens: Long): Stream[Row] =
+    step(postings.flow, id, "proximity_docs", postings.stepId)(
+      graft.functions.Search.proximityDocs(postings.ds.toDF(), terms,
+        windowTokens))
+
   def funnel(id: String, events: Stream[Row], userCol: String,
       tsCol: String, typeCol: String, steps: Seq[String],
       maxSpanUs: Option[Long] = None): Stream[Row] =

@@ -603,6 +603,105 @@ object Graph {
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
     Dedup.connectedComponents(edges, maxIter)
 
+  /** Approximate harmonic centrality via HyperBall (Boldi & Vigna,
+    * 2013) — the centrality Common Crawl publishes as its page-level
+    * quality prior, exactly the ranking this object's header cites:
+    * H(v) = Σ_{u≠v} 1/d(u, v) over INCOMING distances (nodes that can
+    * reach v along edge direction; symmetrize for undirected
+    * closeness). Exact all-pairs distance is hopeless at web scale;
+    * HyperBall replaces each ball B_t(v) = {u : d(u,v) ≤ t} with a
+    * mergeable HLL sketch ([[Hll]]) and grows all balls one radius
+    * per round: B_t(v) = B_{t−1}(v) ∪ ⋃_{u→v} B_{t−1}(u), with
+    * H(v) += (|B_t(v)| − |B_{t−1}(v)|)/t from the estimates.
+    *
+    * Determinism: the register merge is a register-wise max —
+    * associative, commutative, idempotent — and the estimate a pure
+    * function of registers, so results are BIT-IDENTICAL under any
+    * partitioning (spec-pinned); accuracy is the standard HLL
+    * 1.04/√2^p relative error on each ball size (p=12 → ~1.6%).
+    *
+    * Scale shape per round: one src-keyed join of the edge relation
+    * against the node-keyed sketch relation, one dst-keyed
+    * partial-aggregable register-max merge (sketches combine
+    * map-side), one id-keyed join against the previous round — the
+    * [[pageRank]] exchange pattern with a 2^p-byte payload per node
+    * instead of a decimal. The payload IS the cost knob: at 100M
+    * nodes, p=12 moves ~400 GB per round and p=8 ~25 GB — pick p by
+    * the accuracy the downstream ranking needs. Rounds run the shared
+    * checkpoint lifecycle and EXIT EARLY when no sketch changed (a
+    * register-level comparison, not an estimate comparison — in the
+    * linear-counting range an estimate can sit still while registers
+    * move). `maxRadius` caps the effective diameter swept.
+    *
+    * Output: (id, harmonic, reachable) for every node — `reachable` =
+    * the final ball-size estimate (the node's incoming-reachability
+    * count), `harmonic` the centrality. Exact zero harmonic = no
+    * in-edges within the radius.
+    */
+  def harmonicCentrality(edges: DataFrame, maxRadius: Int,
+      p: Int = 12): DataFrame =
+    hyperBall(edges, maxRadius, p)
+      .select(col("id"), col("harmonic"), col("est").as("reachable"))
+
+  /** The radius-`r` incoming-reachability sketch per node — the
+    * HyperBall counters themselves as a servable relation: (id, sk)
+    * where `sk` is the [[Hll]] sketch of {u : d(u, id) ≤ r}. Persist
+    * it and the expensive sweep amortizes across every downstream
+    * question — blast-radius of a removal set ([[Hll.hllMerge]] over
+    * the set's rows), reach estimates ([[Hll.hllEstimate]]),
+    * audience-overlap between nodes — without touching the edge set
+    * again. Same loop, determinism, and per-round scale shape as
+    * [[harmonicCentrality]]; the register evolution is exact integer
+    * max-merging, so the q_graph_reach gate pins TWO full rounds of
+    * ball growth register-by-register against a DuckDB re-derivation.
+    */
+  def reachabilitySketches(edges: DataFrame, radius: Int,
+      p: Int = 12): DataFrame =
+    hyperBall(edges, radius, p).select(col("id"), col("sk"))
+
+  private def hyperBall(edges: DataFrame, maxRadius: Int,
+      p: Int): DataFrame = {
+    require(maxRadius >= 1, "maxRadius must be >= 1")
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+      .repartition(col("src")).persist(lvl)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // splitmix64 node hashes — the q_hll gates' oracle-renderable
+    // hash family (xxhash64 has no DuckDB rendering)
+    var cur = rounds.mark(nodes.groupBy(col("id"))
+      .agg(Hll.hllSketch(Sampling.splitmix64(col("id")), p).as("sk"))
+      .select(col("id"), col("sk"), Hll.hllEstimate(col("sk")).as("est"),
+        lit(0.0).as("harmonic")))
+    var t = 1
+    var done = false
+    while (t <= maxRadius && !done) {
+      val pulled = e.join(cur.select(col("id").as("src"), col("sk")),
+          Seq("src"))
+        .select(col("dst").as("id"), col("sk"))
+      val merged = pulled.unionByName(cur.select(col("id"), col("sk")))
+        .groupBy(col("id")).agg(Hll.hllMerge(col("sk")).as("sk"))
+      val nxt = rounds.mark(merged.join(
+          cur.select(col("id"), col("sk").as("__psk"),
+            col("est").as("__pest"), col("harmonic")), Seq("id"))
+        .select(col("id"), col("sk"),
+          Hll.hllEstimate(col("sk")).as("est"),
+          (col("harmonic") +
+            greatest(Hll.hllEstimate(col("sk")) - col("__pest"), lit(0.0)) /
+              lit(t.toDouble)).as("harmonic"),
+          (col("sk") =!= col("__psk")).as("__grew")))
+      if (nxt.filter(col("__grew")).isEmpty) {
+        rounds.release(nxt); done = true
+      } else {
+        rounds.release(cur); cur = nxt; t += 1
+      }
+    }
+    e.unpersist(false)
+    cur
+  }
+
   /** Multi-source single-source-shortest-paths over a WEIGHTED edge
     * relation whose first three columns are (src, dst, weight) — the
     * weighted companion to [[bfsDistance]]: hop count answers "how

@@ -832,6 +832,35 @@ object LlmQueries {
         size(filter(regs, _ === 0)).cast("long").as("n_zero"))
     },
 
+    // HyperBall reachability sketches at radius 2 on the symmetrized
+    // co-order graph: TWO full rounds of per-node ball growth pinned
+    // REGISTER-BY-REGISTER — the oracle re-derives every node's
+    // radius-2 incoming-ball sketch from splitmix64 hashes and two
+    // max-merge rounds over (self ∪ in-neighbors), so a missed
+    // contributor, a wrong rho, or a round off-by-one moves some
+    // node's md5. The harmonic-centrality face rides these counters
+    // (its delta/t fold is spec-pinned; the ln-based estimates are
+    // engine-local, the q_text_lm precedent)
+    "q_graph_reach" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey")
+      val half = o.join(l, $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("src"),
+          ($"l_suppkey" + lit(1000000L)).as("dst")).distinct()
+      val edges = half.union(
+        half.select($"dst".as("src"), $"src".as("dst")))
+      val sk = graft.functions.Graph.reachabilitySketches(edges,
+        radius = 2, p = 8)
+      val regs = Hll.hllRegisters($"sk")
+      sk.select($"id",
+        md5(array_join(regs.cast("array<string>"), ",")).as("regs_md5"),
+        aggregate(regs, lit(0L), (a, x) => a + x.cast("long")).as("reg_sum"),
+        size(filter(regs, _ === 0)).cast("long").as("n_zero"))
+    },
+
     // sketch mergeability: per-day partial sketches unioned by
     // hll_merge must be register-identical to the direct whole-group
     // sketch (max is associative) — the oracle computes the direct
@@ -1834,6 +1863,33 @@ object LlmQueries {
       """SELECT event_type,
         |  md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY idx)) AS regs_md5
         |FROM regs GROUP BY 1""".stripMargin),
+    "q_graph_reach" -> {
+      val h = smix64Sql("CAST(id AS UBIGINT)")
+      s"""WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+         |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |b AS (SELECT id, CAST(($h) >> 56 AS BIGINT) AS idx,
+         |    CAST((CAST(($h) AS HUGEINT) * 256) % 18446744073709551616 AS UBIGINT) AS w
+         |  FROM nodes),
+         |r0 AS (SELECT id, idx,
+         |    MAX(CASE WHEN w = 0 THEN 57 ELSE 65 - length(bin(w)) END) AS reg
+         |  FROM b GROUP BY 1, 2),
+         |contrib AS (SELECT id AS node, id AS src FROM nodes
+         |            UNION ALL SELECT dst, src FROM edges),
+         |r1 AS (SELECT c.node AS id, r.idx, MAX(r.reg) AS reg
+         |  FROM contrib c JOIN r0 r ON r.id = c.src GROUP BY 1, 2),
+         |r2 AS (SELECT c.node AS id, r.idx, MAX(r.reg) AS reg
+         |  FROM contrib c JOIN r1 r ON r.id = c.src GROUP BY 1, 2),
+         |regs AS (SELECT n.id, i.idx, COALESCE(r2.reg, 0) AS reg
+         |  FROM nodes n CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS idx) i
+         |  LEFT JOIN r2 ON r2.id = n.id AND r2.idx = i.idx)
+         |SELECT id,
+         |  md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY idx)) AS regs_md5,
+         |  CAST(SUM(reg) AS BIGINT) AS reg_sum,
+         |  CAST(COUNT(*) FILTER (reg = 0) AS BIGINT) AS n_zero
+         |FROM regs GROUP BY 1""".stripMargin
+    },
     "q_curate_decontam_bloom" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (

@@ -67,6 +67,10 @@ object GraphScale {
       case "lpa" => graft.functions.Graph.labelPropagation(ed, iters)
       case "bfs" => graft.functions.Graph.bfsDistance(ed, seeds, iters)
       case "sssp" => graft.functions.Graph.sssp(weighted(ed), seeds, iters)
+      case "harmonic" =>
+        // p=8 (256 B/node): the harness measures the round/exchange
+        // shape across decades, not estimator precision
+        graft.functions.Graph.harmonicCentrality(ed, iters, p = 8)
       case "triangles" => graft.functions.Graph.triangles(ed)
       case "kcore" => graft.functions.Graph.kcore(ed, 2, iters)
       case _ => graft.functions.Graph.pageRank(ed, iters)
@@ -126,6 +130,14 @@ object GraphScale {
         val t = pr.agg(max(col("dist")).cast("decimal(38,0)"))
           .head().getDecimal(0)
         (bad + neg, t)
+      case "harmonic" =>
+        // every node reaches itself (ball ≥ ~1 even at p=8 linear
+        // counting) and harmonic mass is non-negative
+        val bad = pr.filter(col("harmonic") < 0 || col("reachable") < 0.5)
+          .count()
+        val t = pr.agg(max(col("reachable")).cast("decimal(38,0)"))
+          .head().getDecimal(0)
+        (bad, t)
       case "triangles" =>
         // corner-sum parity: Σ per-node counts = 3 × #triangles —
         // an orientation bug that double-generates a triangle breaks
@@ -164,7 +176,7 @@ object GraphScale {
         nodes == nodeCount) &&
       badRows == 0 && dupIds == 0 &&
       (op == "lpa" || op == "bfs" || op == "sssp" || op == "triangles" ||
-        op == "kcore" ||
+        op == "kcore" || op == "harmonic" ||
         total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0) &&
       mismatch <= 0, "invariant violation")
     spark.stop()

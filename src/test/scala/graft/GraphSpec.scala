@@ -188,6 +188,34 @@ class GraphSpec extends SparkSpec {
     assert(bfs(sym, Seq(1L), 3) === Set((1L, 0L), (2L, 1L)))
   }
 
+  private def harm(edges: Seq[(Long, Long)], r: Int,
+      p: Int = 12): Map[Long, (Double, Double)] =
+    Graph.harmonicCentrality(edges.toDF("src", "dst"), r, p)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2))))
+      .toMap
+
+  test("harmonicCentrality: chain closed form within HLL tolerance; direction; radius cap") {
+    // 1→2→3: exact H = (0, 1, 1.5); incoming reach = (1, 2, 3)
+    val e = Seq((1L, 2L), (2L, 3L))
+    val h = harm(e, 10)
+    def near(a: Double, b: Double) = math.abs(a - b) <= 0.02 * math.max(b, 1.0)
+    assert(h(1L)._1 === 0.0) // nothing reaches 1 — exactly zero
+    assert(near(h(2L)._1, 1.0) && near(h(3L)._1, 1.5), h.toString)
+    assert(near(h(1L)._2, 1.0) && near(h(2L)._2, 2.0) && near(h(3L)._2, 3.0))
+    // radius 1: only direct in-neighbors count — H(3) ≈ indegree = 1
+    val h1 = harm(e, 1)
+    assert(near(h1(3L)._1, 1.0), h1.toString)
+  }
+
+  test("harmonicCentrality is partition-invariant (register max-merge is order-free)") {
+    val e = (1L to 40L).map(i => (i, i % 7 + 100L)) ++ Seq((100L, 101L), (101L, 102L))
+    val a = Graph.harmonicCentrality(e.toDF("src", "dst"), 5, p = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val b = Graph.harmonicCentrality(e.toDF("src", "dst").repartition(7), 5, p = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(a === b)
+  }
+
   private def sssp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
       maxIter: Int = 50): Set[(Long, Long)] =
     Graph.sssp(edges.toDF("src", "dst", "w"), seeds.toDF("id"), maxIter)
