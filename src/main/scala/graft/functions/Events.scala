@@ -417,11 +417,23 @@ object Events {
     * the pair join EXECUTES three times and the (entity, conv)
     * re-keying exchanges the pair relation twice more. No sort
     * beyond the window's partition-local one, no driver state.
+    *
+    * Hot-entity skew: the zero-extra-exchange default leaves ALL of
+    * one entity's pairs in one task — fine at organic key spreads,
+    * quadratic-on-one-core when a single entity owns percent-scale
+    * event share (EventScale attrib_skew: a 1%-hot entity at 10M
+    * events = 40M of 47M pairs in one task, 128 s vs 31 s for 79M
+    * UNIFORM pairs at 10× the events). `spreadSkew = true` re-keys
+    * the pair relation to (entity, conv time) before the windows —
+    * one extra pair-scale exchange that spreads a hot entity across
+    * its conversions (each conversion's window is independent), the
+    * measured cure when the key histogram says so.
     */
   def attribution(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String, channelCol: String, convType: String,
       touchTypes: Seq[String], lookbackUs: Long,
-      model: String = "linear", unit: Long = 1000000L): DataFrame = {
+      model: String = "linear", unit: Long = 1000000L,
+      spreadSkew: Boolean = false): DataFrame = {
     require(lookbackUs > 0, "lookbackUs must be positive")
     require(unit > 0, "unit must be positive")
     require(touchTypes.nonEmpty, "touchTypes must be non-empty")
@@ -436,9 +448,12 @@ object Events {
       .select(col(userCol).as("user"), toUs(events, tsCol).as("touch_us"),
         col(idCol).cast("long").as("touch_id"),
         col(channelCol).as("channel"))
-    val pairs = touch.join(conv, Seq("user"))
+    val pairs0 = touch.join(conv, Seq("user"))
       .filter(col("touch_us") < col("conv_us") &&
         col("touch_us") >= col("conv_us") - lit(lookbackUs))
+    val pairs =
+      if (spreadSkew) pairs0.repartition(col("user"), col("conv_us"))
+      else pairs0
     // unordered frame: count/min/max need no ORDER BY, and struct
     // min/max IS the lexicographic (time, id) tie-break
     val w = org.apache.spark.sql.expressions.Window

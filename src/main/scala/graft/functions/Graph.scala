@@ -643,6 +643,25 @@ object Graph {
     hyperBall(edges, maxRadius, p)
       .select(col("id"), col("harmonic"), col("est").as("reachable"))
 
+  /** Lin's closeness centrality from the same HyperBall sweep —
+    * closeness that is WELL-DEFINED on disconnected graphs (raw
+    * closeness 1/Σd degenerates: an almost-isolated pair beats the
+    * giant component's center): Lin(v) = r(v)² / Σ_u d(u, v) with
+    * r(v) = |{u : d(u,v) < ∞}| (self included), isolated nodes = 1
+    * by convention (Boldi & Vigna's survey treatment). Σd comes from
+    * the same ball deltas as the harmonic sum (Σd = Σ_t t·Δ|B_t|),
+    * so one sweep prices both; output (id, reachable, sum_dist,
+    * lin). Same determinism, `p` knob, and per-round scale shape as
+    * [[harmonicCentrality]].
+    */
+  def linCentrality(edges: DataFrame, maxRadius: Int,
+      p: Int = 12): DataFrame =
+    hyperBall(edges, maxRadius, p)
+      .select(col("id"), col("est").as("reachable"),
+        col("sumd").as("sum_dist"),
+        when(col("sumd") > 0.0, col("est") * col("est") / col("sumd"))
+          .otherwise(lit(1.0)).as("lin"))
+
   /** The radius-`r` incoming-reachability sketch per node — the
     * HyperBall counters themselves as a servable relation: (id, sk)
     * where `sk` is the [[Hll]] sketch of {u : d(u, id) ≤ r}. Persist
@@ -674,7 +693,7 @@ object Graph {
     var cur = rounds.mark(nodes.groupBy(col("id"))
       .agg(Hll.hllSketch(Sampling.splitmix64(col("id")), p).as("sk"))
       .select(col("id"), col("sk"), Hll.hllEstimate(col("sk")).as("est"),
-        lit(0.0).as("harmonic")))
+        lit(0.0).as("harmonic"), lit(0.0).as("sumd")))
     var t = 1
     var done = false
     while (t <= maxRadius && !done) {
@@ -685,12 +704,16 @@ object Graph {
         .groupBy(col("id")).agg(Hll.hllMerge(col("sk")).as("sk"))
       val nxt = rounds.mark(merged.join(
           cur.select(col("id"), col("sk").as("__psk"),
-            col("est").as("__pest"), col("harmonic")), Seq("id"))
+            col("est").as("__pest"), col("harmonic"), col("sumd")),
+          Seq("id"))
         .select(col("id"), col("sk"),
           Hll.hllEstimate(col("sk")).as("est"),
           (col("harmonic") +
             greatest(Hll.hllEstimate(col("sk")) - col("__pest"), lit(0.0)) /
               lit(t.toDouble)).as("harmonic"),
+          (col("sumd") +
+            greatest(Hll.hllEstimate(col("sk")) - col("__pest"), lit(0.0)) *
+              lit(t.toDouble)).as("sumd"),
           (col("sk") =!= col("__psk")).as("__grew")))
       if (nxt.filter(col("__grew")).isEmpty) {
         rounds.release(nxt); done = true

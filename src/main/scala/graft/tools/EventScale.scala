@@ -107,13 +107,22 @@ object EventScale {
       return
     }
 
-    if (mode == "attrib") {
+    if (mode == "attrib" || mode == "attrib_skew") {
       import graft.functions.Events
       val unit = 1000000L
       // the base `ev` has no id column; rebuild with the range id as
-      // a unique, deterministic event_id (tie-breaks must reproduce)
+      // a unique, deterministic event_id (tie-breaks must reproduce).
+      // attrib_skew routes 1% of ALL events to entity 0 — the hot-key
+      // regime where the scaladoc's "cost = the true conversions ×
+      // touches-in-window pair count" quadratic term dominates; the
+      // harness prices that honestly instead of hiding it
+      val uid =
+        if (mode == "attrib_skew")
+          when(pmod(xxhash64(col("id"), lit(9)), lit(100L)) === 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id")), lit(users)))
+        else pmod(xxhash64(col("id")), lit(users))
       val evId = spark.range(n).select(
-        pmod(xxhash64(col("id")), lit(users)).as("user_id"),
+        uid.as("user_id"),
         pmod(xxhash64(col("id"), lit(1)), lit(spanUs)).as("us"),
         element_at(types,
           (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("int"))
@@ -121,11 +130,14 @@ object EventScale {
         col("id").as("event_id")).cache()
       evId.count()
       val (aRows, aSec) = timed {
+        // skew mode measures the CURE (spreadSkew re-key); the uncured
+        // single-task cost is the same mode with the flag off — both
+        // recorded in SCALE.md
         val d = Events.attribution(evId, "user_id", "us", "event_type",
           "event_id", "event_type", "purchase",
           Seq("view", "click", "signup"),
           lookbackUs = 86400000000L, model = "position",
-          unit = unit).cache()
+          unit = unit, spreadSkew = mode == "attrib_skew").cache()
         val rows = d.count()
         // per-conversion credit-mass closed form for the U-shape:
         // n=1 → unit; n=2 → unit; n≥3 → 2·(4u/10) + (n−2)·((2u/10)
@@ -143,7 +155,7 @@ object EventScale {
         require(bad == 0, "per-conversion credit mass violated")
         d.unpersist(false); rows
       }
-      println(f"""{"events":$n,"users":$users,"attrib_sec":$aSec%.1f,"pair_rows":$aRows}""")
+      println(f"""{"mode":"$mode","events":$n,"users":$users,"attrib_sec":$aSec%.1f,"pair_rows":$aRows}""")
       spark.stop()
       return
     }

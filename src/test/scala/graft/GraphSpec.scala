@@ -207,6 +207,18 @@ class GraphSpec extends SparkSpec {
     assert(near(h1(3L)._1, 1.0), h1.toString)
   }
 
+  test("linCentrality: chain closed form; isolated-in convention; one sweep with harmonic") {
+    // 1→2→3: node 3 has r=3, Σd = 1 + 2 = 3 → Lin = 9/3 = 3;
+    // node 2 r=2, Σd=1 → Lin = 4; node 1 r=1, Σd=0 → Lin = 1
+    val l = Graph.linCentrality(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def near(a: Double, b: Double) = math.abs(a - b) <= 0.03 * math.max(b, 1.0)
+    assert(l(1L)._3 === 1.0) // sum_dist exactly 0 → the isolated convention
+    assert(near(l(2L)._1, 2.0) && near(l(2L)._2, 1.0) && near(l(2L)._3, 4.0), l.toString)
+    assert(near(l(3L)._1, 3.0) && near(l(3L)._2, 3.0) && near(l(3L)._3, 3.0), l.toString)
+  }
+
   test("harmonicCentrality is partition-invariant (register max-merge is order-free)") {
     val e = (1L to 40L).map(i => (i, i % 7 + 100L)) ++ Seq((100L, 101L), (101L, 102L))
     val a = Graph.harmonicCentrality(e.toDF("src", "dst"), 5, p = 8)
