@@ -678,8 +678,39 @@ object Graph {
       p: Int = 12): DataFrame =
     hyperBall(edges, radius, p).select(col("id"), col("sk"))
 
+  /** HyperANF effective diameter (Boldi, Rosa & Vigna, WWW'11) from
+    * the same sweep: the smallest radius t (linearly interpolated
+    * between rounds) at which the neighborhood function
+    * N(t) = Σ_v |B_t(v)| reaches `quantile` of its final value — the
+    * "90% of connected pairs are within t hops" statistic crawl and
+    * social-graph reports lead with. N(t) is read per round as ONE
+    * 1-row decimal-cast aggregate over the already-checkpointed ball
+    * relation (deterministic: per-row estimates round into
+    * decimal(38,6) before the order-insensitive exact sum), so the
+    * trace costs one tiny job per round on top of the sweep. If
+    * `maxRadius` caps the sweep before the balls stop growing, the
+    * quantile reads against the SWEPT horizon — raise the cap until
+    * the early exit fires for the true diameter.
+    */
+  def effectiveDiameter(edges: DataFrame, maxRadius: Int,
+      p: Int = 12, quantile: Double = 0.9): Double = {
+    require(quantile > 0.0 && quantile <= 1.0,
+      s"quantile in (0, 1], got $quantile")
+    val (_, trace) = hyperBallTrace(edges, maxRadius, p)
+    val ns = trace.map(_.doubleValue)
+    val target = quantile * ns.last
+    if (ns.head >= target) 0.0
+    else {
+      val t = ns.indexWhere(_ >= target)
+      (t - 1) + (target - ns(t - 1)) / (ns(t) - ns(t - 1))
+    }
+  }
+
   private def hyperBall(edges: DataFrame, maxRadius: Int,
-      p: Int): DataFrame = {
+      p: Int): DataFrame = hyperBallTrace(edges, maxRadius, p)._1
+
+  private def hyperBallTrace(edges: DataFrame, maxRadius: Int,
+      p: Int): (DataFrame, Vector[java.math.BigDecimal]) = {
     require(maxRadius >= 1, "maxRadius must be >= 1")
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -694,6 +725,11 @@ object Graph {
       .agg(Hll.hllSketch(Sampling.splitmix64(col("id")), p).as("sk"))
       .select(col("id"), col("sk"), Hll.hllEstimate(col("sk")).as("est"),
         lit(0.0).as("harmonic"), lit(0.0).as("sumd")))
+    def nOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("est").cast("decimal(38,6)")).cast("decimal(38,6)"))
+        .head().getDecimal(0)
+    val trace = Vector.newBuilder[java.math.BigDecimal]
+    trace += nOf(cur)
     var t = 1
     var done = false
     while (t <= maxRadius && !done) {
@@ -719,10 +755,11 @@ object Graph {
         rounds.release(nxt); done = true
       } else {
         rounds.release(cur); cur = nxt; t += 1
+        trace += nOf(cur)
       }
     }
     e.unpersist(false)
-    cur
+    (cur, trace.result())
   }
 
   /** Multi-source single-source-shortest-paths over a WEIGHTED edge

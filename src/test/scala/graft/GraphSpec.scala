@@ -219,6 +219,23 @@ class GraphSpec extends SparkSpec {
     assert(near(l(3L)._1, 3.0) && near(l(3L)._2, 3.0) && near(l(3L)._3, 3.0), l.toString)
   }
 
+  test("effectiveDiameter: chain interpolation, quantile endpoints, radius cap") {
+    // 1→2→3: N(0)≈3, N(1)≈5, N(2)≈6 (ball sums 1+2+2 then 1+2+3).
+    // q=0.9 → target 5.4, between rounds 1 and 2 → d ≈ 1.4
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val d9 = Graph.effectiveDiameter(e, 10, quantile = 0.9)
+    assert(math.abs(d9 - 1.4) < 0.1, d9.toString)
+    // q=1.0 needs the full horizon → exactly the last growing round
+    val d1 = Graph.effectiveDiameter(e, 10, quantile = 1.0)
+    assert(math.abs(d1 - 2.0) < 0.05, d1.toString)
+    // a tiny quantile is satisfied by the radius-0 balls
+    assert(Graph.effectiveDiameter(e, 10, quantile = 0.4) === 0.0)
+    // capped sweep reads against the swept horizon: radius 1 sees
+    // N = (3, 5), q=1.0 → 1.0
+    val dc = Graph.effectiveDiameter(e, 1, quantile = 1.0)
+    assert(math.abs(dc - 1.0) < 0.05, dc.toString)
+  }
+
   test("harmonicCentrality is partition-invariant (register max-merge is order-free)") {
     val e = (1L to 40L).map(i => (i, i % 7 + 100L)) ++ Seq((100L, 101L), (101L, 102L))
     val a = Graph.harmonicCentrality(e.toDF("src", "dst"), 5, p = 8)
