@@ -155,6 +155,49 @@ object StreamingEvents {
         model, unit, ttl))
   }
 
+  /** Per-entity transition state: the (time, type) of the last event
+    * — two fields, the lag(1) window's state made explicit. */
+  private class TransitionLogic(ttl: Option[java.time.Duration])
+    extends GraftStatefulLogic[Long, (Long, String), (Long, String),
+      (String, String)] {
+    override def stateTtl: Option[java.time.Duration] = ttl
+    override def onBatch(key: Long, values: Seq[(Long, String)],
+        state: Option[(Long, String)])
+        : (Option[(Long, String)], Seq[(String, String)]) = {
+      var prev = state
+      val out = values.sorted.map { case (us, et) =>
+        val pair = prev.map(p => (p._2, et))
+        prev = Some((us, et))
+        pair
+      }.collect { case Some(p) => p }
+      (prev, out)
+    }
+  }
+
+  /** Streaming event-type transitions — the raw (from, to) PAIR
+    * stream behind the batch Markov matrix
+    * ([[graft.functions.Events.transitions]]): `events` = (entity,
+    * (eventTimeUs, eventType)); every event after an entity's first
+    * emits one (entity, (from_type, to_type)) row. Aggregate
+    * downstream for the matrix (per micro-batch, or cumulatively).
+    * Same in-order contract as the rest of the family; within a
+    * micro-batch events process in (time, type) order — same-instant
+    * ordering falls back to TYPE order, so for exact batch parity
+    * pass `tieBreak = Seq(typeCol)` on the batch side (the batch
+    * default leaves same-instant lag order engine-chosen).
+    * Spec-pinned pair-multiset parity under any micro-batch split.
+    * State = one (time, type) per entity; `ttl` bounds it.
+    */
+  def transitionsStream(events: Dataset[(Long, (Long, String))],
+      ttl: Option[java.time.Duration] = None)(
+      implicit sEnc: Encoder[(Long, String)],
+      outEnc: Encoder[(Long, (String, String))])
+      : Dataset[(Long, (String, String))] = {
+    import events.sparkSession.implicits._
+    TransformWithStateOps.statefulTws[Long, (Long, String),
+      (Long, String), (String, String)](events, new TransitionLogic(ttl))
+  }
+
   /** Per-entity gap-sessionization state: (last event time, current
     * session index) — two longs, the same bounded shape as the batch
     * operator's window state. Each event emits its (time, session)

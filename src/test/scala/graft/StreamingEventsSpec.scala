@@ -127,6 +127,43 @@ class StreamingEventsSpec extends SparkSpec {
     assert(out === Map((1L, 0L) -> 1L, (1L, 10L) -> 1L, (1L, 21L) -> 2L))
   }
 
+  // ---- transitions ----
+
+  private def transStream(splits: Seq[Seq[(Long, Long, String)]])
+      : Map[(String, String), Long] =
+    withRocksDb {
+      val src = Testing.testingSource[(Long, (Long, String))](spark)
+      val out = StreamingEvents.transitionsStream(src.toDS())
+      val q = out.writeStream.format("memory").queryName("strans")
+        .outputMode("append").start()
+      try {
+        splits.foreach { b =>
+          src.addBatch(b.map(r => (r._1, (r._2, r._3))): _*)
+          q.processAllAvailable()
+        }
+        spark.table("strans").as[(Long, (String, String))].collect()
+          .groupBy(_._2).map { case (p, vs) => p -> vs.length.toLong }
+      } finally {
+        q.stop(); spark.sql("DROP TABLE IF EXISTS strans")
+      }
+    }
+
+  test("transitionsStream: batch-matrix parity across splits; first events emit nothing") {
+    val evs = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view"),
+      (1L, 3L, "click"), // same-instant: type-order fallback
+      (2L, 1L, "view"), (2L, 5L, "buy"),
+      (3L, 9L, "view")) // single event — no pair
+    val expected = Events.transitions(
+        evs.toDF("user_id", "us", "event_type"),
+        "user_id", "us", "event_type", tieBreak = Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val ordered = evs.sortBy(r => (r._2, r._3))
+    assert(transStream(Seq(ordered)) === expected)
+    assert(transStream(ordered.grouped(2).toSeq) === expected)
+  }
+
   // ---- attribution ----
 
   private def attribStream(splits: Seq[Seq[(Long, Long, String, Long)]],
