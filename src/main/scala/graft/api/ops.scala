@@ -472,6 +472,11 @@ object ops {
     step(edges.flow, id, "harmonic_centrality", edges.stepId)(
       graft.functions.Graph.harmonicCentrality(edges.ds.toDF(), maxRadius, p))
 
+  def linCentrality(id: String, edges: Stream[Row], maxRadius: Int,
+      p: Int = 12): Stream[Row] =
+    step(edges.flow, id, "lin_centrality", edges.stepId)(
+      graft.functions.Graph.linCentrality(edges.ds.toDF(), maxRadius, p))
+
   def attribution(id: String, events: Stream[Row], userCol: String,
       tsCol: String, typeCol: String, idCol: String, channelCol: String,
       convType: String, touchTypes: Seq[String], lookbackUs: Long,
