@@ -155,6 +155,51 @@ object StreamingEvents {
         model, unit, ttl))
   }
 
+  /** Per-entity CUSUM state: (prefix sum, running clamped minimum) —
+    * two longs; the batch closed form's window pair made explicit. */
+  private class CusumLogic(ref: Long, threshold: Long,
+      ttl: Option[java.time.Duration])
+    extends GraftStatefulLogic[Long, (Long, Long), (Long, Long),
+      (Long, Long, Long, Boolean)] {
+    override def stateTtl: Option[java.time.Duration] = ttl
+    override def onBatch(key: Long, values: Seq[(Long, Long)],
+        state: Option[(Long, Long)])
+        : (Option[(Long, Long)], Seq[(Long, Long, Long, Boolean)]) = {
+      var (p, minp) = state.getOrElse((0L, 0L))
+      val out = values.sorted.map { case (us, v) =>
+        p += v - ref
+        if (p < minp) minp = p
+        val c = p - minp
+        (us, v, c, c > threshold)
+      }
+      (Some((p, minp)), out)
+    }
+  }
+
+  /** Streaming one-sided CUSUM change-point detection — the online
+    * face of [[graft.functions.Events.cusum]]: per entity,
+    * s = max(0, s + (x − ref)) with `is_shift` when s exceeds
+    * `threshold`, carried as the (prefix sum, clamped running min)
+    * pair the batch closed form uses — exact long arithmetic, so
+    * under the family's in-order contract every row equals the batch
+    * operator's (spec-pinned across micro-batch splits; same-instant
+    * ordering within a batch falls back to value order — pass
+    * `tieBreak = Seq(valueCol)` batch-side for exact parity there).
+    * `events` = (entity, (eventTimeUs, value)); output (entity,
+    * (us, value, cusum, is_shift)). State = two longs per entity;
+    * `ttl` bounds it (an expired entity restarts its baseline).
+    */
+  def cusumStream(events: Dataset[(Long, (Long, Long))], ref: Long,
+      threshold: Long, ttl: Option[java.time.Duration] = None)(
+      implicit sEnc: Encoder[(Long, Long)],
+      outEnc: Encoder[(Long, (Long, Long, Long, Boolean))])
+      : Dataset[(Long, (Long, Long, Long, Boolean))] = {
+    require(threshold > 0, "threshold must be positive")
+    import events.sparkSession.implicits._
+    TransformWithStateOps.statefulTws[Long, (Long, Long), (Long, Long),
+      (Long, Long, Long, Boolean)](events, new CusumLogic(ref, threshold, ttl))
+  }
+
   /** Per-entity transition state: the (time, type) of the last event
     * — two fields, the lag(1) window's state made explicit. */
   private class TransitionLogic(ttl: Option[java.time.Duration])

@@ -127,6 +127,45 @@ class StreamingEventsSpec extends SparkSpec {
     assert(out === Map((1L, 0L) -> 1L, (1L, 10L) -> 1L, (1L, 21L) -> 2L))
   }
 
+  // ---- cusum ----
+
+  private def cusumStream(splits: Seq[Seq[(Long, Long, Long)]], ref: Long,
+      thr: Long): Map[(Long, Long), (Long, Boolean)] =
+    withRocksDb {
+      val src = Testing.testingSource[(Long, (Long, Long))](spark)
+      val out = StreamingEvents.cusumStream(src.toDS(), ref, thr)
+      val q = out.writeStream.format("memory").queryName("scusum")
+        .outputMode("append").start()
+      try {
+        splits.foreach { b =>
+          src.addBatch(b.map(r => (r._1, (r._2, r._3))): _*)
+          q.processAllAvailable()
+        }
+        spark.table("scusum")
+          .as[(Long, (Long, Long, Long, Boolean))].collect()
+          .map { case (u, (us, _, c, s)) => (u, us) -> ((c, s)) }.toMap
+      } finally {
+        q.stop(); spark.sql("DROP TABLE IF EXISTS scusum")
+      }
+    }
+
+  test("cusumStream: batch parity across splits; clamp, strict threshold, state carry") {
+    // user 1 drifts up past the threshold, dips (clamp at 0 resets),
+    // then drifts again; user 2 stays flat
+    val evs = Seq(
+      (1L, 1L, 14L), (1L, 2L, 15L), (1L, 3L, 13L), (1L, 4L, 16L),
+      (1L, 5L, 5L), (1L, 6L, 11L), (1L, 7L, 12L),
+      (2L, 1L, 10L), (2L, 2L, 10L))
+    val expected = Events.cusum(
+        evs.toDF("user_id", "us", "v"), "user_id", "us", "v",
+        ref = 10L, threshold = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    val ordered = evs.sortBy(_._2)
+    assert(cusumStream(Seq(ordered), 10L, 5L) === expected)
+    assert(cusumStream(ordered.grouped(3).toSeq, 10L, 5L) === expected)
+  }
+
   // ---- transitions ----
 
   private def transStream(splits: Seq[Seq[(Long, Long, String)]])
