@@ -395,9 +395,16 @@ object Events {
     * Touches are EVENT ROWS (two views both earn linear credit);
     * first/last tie-break at equal times by minimum/maximum touch id
     * (lexicographic (time, id)), so every model is deterministic
-    * under any partitioning — all credit arithmetic is exact BIGINT.
+    * under any partitioning — all credit arithmetic is exact BIGINT
+    * (divisions on decimal(38,0), exact at any `unit`).
     * Eligibility window: conv − lookback ≤ touch < conv (strictly
     * before; a same-instant touch did not cause the conversion).
+    *
+    * INPUT CONTRACT: `idCol` must uniquely identify touch events
+    * within an entity (the event-log norm). The first/last identity
+    * is the tie-broken touch id, so two touch rows sharing BOTH time
+    * and id would each match it and each take the full first/last
+    * credit — under unique ids that row pair cannot exist.
     *
     * Output: one row per (conversion, touch) pair — (user, conv_us,
     * touch_id, touch_us, channel, n_touch, credit) with channel from
@@ -423,24 +430,41 @@ object Events {
     * quadratic-on-one-core when a single entity owns percent-scale
     * event share (EventScale attrib_skew: a 1%-hot entity at 10M
     * events = 40M of 47M pairs in one task, 128 s vs 31 s for 79M
-    * UNIFORM pairs at 10× the events). `spreadSkew = true` re-keys
+    * UNIFORM pairs at 10× the events). `spreadSkew = "on"` re-keys
     * the pair relation to (entity, conv time) before the windows —
     * one extra pair-scale exchange that spreads a hot entity across
     * its conversions (each conversion's window is independent), the
-    * measured cure when the key histogram says so.
+    * measured cure when the key histogram says so. `spreadSkew =
+    * "auto"` takes that histogram itself: one extra aggregation pass
+    * over the filtered events bounds each entity's pair mass by its
+    * touches × conversions, and the re-key fires only when one
+    * entity owns > 10% of the total pair bound AND the corpus is big
+    * enough for stragglers to matter (≥ 2^20 bounded pairs) — below
+    * either bar the probe picks the zero-extra-exchange plan. Rows
+    * are identical in every mode (spec-pinned); EventScale measures
+    * auto matching the manual choice on both the uniform and the
+    * 1%-hot corpus.
     */
   def attribution(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String, channelCol: String, convType: String,
       touchTypes: Seq[String], lookbackUs: Long,
       model: String = "linear", unit: Long = 1000000L,
-      spreadSkew: Boolean = false): DataFrame = {
+      spreadSkew: String = "off"): DataFrame = {
     require(lookbackUs > 0, "lookbackUs must be positive")
     require(unit > 0, "unit must be positive")
     require(touchTypes.nonEmpty, "touchTypes must be non-empty")
     val models = Set("first", "last", "linear", "position")
     require(models(model), s"model must be one of $models, got $model")
-    def fdivC(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
+    val spreadModes = Set("off", "on", "auto")
+    require(spreadModes(spreadSkew),
+      s"spreadSkew must be one of $spreadModes, got $spreadSkew")
+    // exact floor division at any magnitude: decimal(38,0) operands
+    // ((a - a mod b) is exactly divisible, the Graph.idiv pattern) —
+    // a double divide is exact only under 2^53
+    def fdivC(a: Column, b: Column): Column = {
+      val ad = a.cast("decimal(38,0)"); val bd = b.cast("decimal(38,0)")
+      ((ad - pmod(ad, bd)) / bd).cast("long")
+    }
     val conv = events.filter(col(typeCol) === convType)
       .select(col(userCol).as("user"), toUs(events, tsCol).as("conv_us"))
       .distinct()
@@ -448,11 +472,34 @@ object Events {
       .select(col(userCol).as("user"), toUs(events, tsCol).as("touch_us"),
         col(idCol).cast("long").as("touch_id"),
         col(channelCol).as("channel"))
+    val doSpread = spreadSkew match {
+      case "on"  => true
+      case "off" => false
+      case _ =>
+        // pair-mass bound per entity: touches × conversions (the
+        // lookback window only shrinks it). One aggregation pass,
+        // 1-row result — the probe is O(events), the mistake it
+        // prevents is O(hot-entity pairs) on one core
+        val prof = touch.groupBy(col("user"))
+          .agg(count(lit(1)).as("tc"))
+          .join(conv.groupBy(col("user")).agg(count(lit(1)).as("cc")),
+            Seq("user"))
+          .select((col("tc").cast("decimal(38,0)") *
+            col("cc").cast("decimal(38,0)")).as("pb"))
+          .agg(coalesce(max(col("pb")), lit(0).cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("mx"),
+            coalesce(sum(col("pb")), lit(0).cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("tot"))
+          .head()
+        val (mx, tot) = (BigDecimal(prof.getDecimal(0)),
+          BigDecimal(prof.getDecimal(1)))
+        tot >= BigDecimal(1L << 20) && mx * 10 >= tot
+    }
     val pairs0 = touch.join(conv, Seq("user"))
       .filter(col("touch_us") < col("conv_us") &&
         col("touch_us") >= col("conv_us") - lit(lookbackUs))
     val pairs =
-      if (spreadSkew) pairs0.repartition(col("user"), col("conv_us"))
+      if (doSpread) pairs0.repartition(col("user"), col("conv_us"))
       else pairs0
     // unordered frame: count/min/max need no ORDER BY, and struct
     // min/max IS the lexicographic (time, id) tie-break

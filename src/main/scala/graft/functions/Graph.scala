@@ -584,6 +584,85 @@ object Graph {
     res
   }
 
+  /** Per-node core numbers — the degeneracy decomposition the
+    * single-k [[kcore]] answers one slice of: coreness(v) = the
+    * maximum k such that v survives the k-core peel, capped at
+    * `maxK`. The standard crawl-prioritization scalar (a node's
+    * embeddedness in densely-interlinked regions) and the natural
+    * companion feature to [[triangles]]/[[clusteringCoefficient]]
+    * in link-curation pipelines; every node appearing in an edge
+    * gets a value ≥ 1.
+    *
+    * Algorithm: iterated synchronous peel, INCREMENTAL in k — the
+    * (k+1)-core is a subgraph of the k-core, so each threshold peels
+    * the PREVIOUS threshold's survivors, never the full graph (the
+    * total edge work is the k-shell telescoping sum, not maxK scans
+    * of the input). Each threshold's peel is the [[kcore]] loop:
+    * synchronous rounds (all sub-k nodes of a round drop together),
+    * capped at `maxRoundsPerK`, exiting EARLY at both the per-k
+    * fixpoint and the empty graph. Deterministic for any fixed
+    * (maxK, maxRoundsPerK): round r's edge set is a pure function of
+    * round r−1's, so an oracle unrolls exactly maxRoundsPerK peels
+    * per k (extra unrolled rounds past a fixpoint are no-ops — the
+    * [[kcore]] precedent); an uncapped-converged run needs
+    * maxRoundsPerK ≥ the longest peel cascade (a path peels one
+    * layer per round — size the cap generously for stringy graphs;
+    * the early exit makes unused rounds free).
+    *
+    * Scale shape: per (k, round) one degree aggregation + two
+    * left-semi joins of the CURRENT (monotonically shrinking) edge
+    * set against the node-sized survivor relation, under the shared
+    * eager checkpoint lifecycle ([[Rounds]]); per k one node-sized
+    * survivor layer is checkpointed, and the final coreness is ONE
+    * union + max aggregate over those layers — no windows, no
+    * driver-side graph state.
+    *
+    * Output: (id, coreness). A node whose true coreness exceeds
+    * `maxK` reports maxK (the cap is the documented contract — pick
+    * maxK ≥ the graph's degeneracy for exact values).
+    */
+  def coreness(edges: DataFrame, maxK: Int, maxRoundsPerK: Int): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    require(maxRoundsPerK >= 0, "maxRoundsPerK must be >= 0")
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var e = rounds.mark(canonicalUndirected(edges))
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // every node in the edge set has degree ≥ 1: the 1-core layer
+    layers += rounds.mark(undirectedDegrees(e)
+      .select(col("id"), lit(1L).as("coreness")))
+    var k = 2
+    var empty = false
+    while (k <= maxK && !empty) {
+      var r = 0
+      var fix = false
+      while (r < maxRoundsPerK && !fix) {
+        val deg = undirectedDegrees(e).persist(lvl)
+        val keep = deg.filter(col("deg") >= k).select(col("id"))
+        if (deg.count() == keep.count()) { deg.unpersist(false); fix = true }
+        else {
+          val next = rounds.mark(
+            e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+              .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+              .select(col("a"), col("b")))
+          deg.unpersist(false)
+          rounds.release(e)
+          e = next
+          r += 1
+        }
+      }
+      val layer = rounds.mark(undirectedDegrees(e)
+        .select(col("id"), lit(k.toLong).as("coreness")))
+      if (layer.isEmpty) { rounds.release(layer); empty = true }
+      else { layers += layer; k += 1 }
+    }
+    val res = rounds.mark(layers.reduce(_ unionByName _)
+      .groupBy(col("id")).agg(max(col("coreness")).as("coreness")))
+    layers.foreach(rounds.release)
+    rounds.release(e)
+    res
+  }
+
   /** Connected components over the UNDIRECTED simple graph induced by
     * `edges` (first two columns = endpoints; direction, duplicates,
     * self-loops erased): (id, rep) for every node appearing in an
@@ -620,18 +699,22 @@ object Graph {
     * partitioning (spec-pinned); accuracy is the standard HLL
     * 1.04/√2^p relative error on each ball size (p=12 → ~1.6%).
     *
-    * Scale shape per round: one src-keyed join of the edge relation
-    * against the node-keyed sketch relation, one dst-keyed
-    * partial-aggregable register-max merge (sketches combine
-    * map-side), one id-keyed join against the previous round — the
-    * [[pageRank]] exchange pattern with a 2^p-byte payload per node
-    * instead of a decimal. The payload IS the cost knob: at 100M
-    * nodes, p=12 moves ~400 GB per round and p=8 ~25 GB — pick p by
-    * the accuracy the downstream ranking needs. Rounds run the shared
-    * checkpoint lifecycle and EXIT EARLY when no sketch changed (a
-    * register-level comparison, not an estimate comparison — in the
-    * linear-counting range an estimate can sit still while registers
-    * move). `maxRadius` caps the effective diameter swept.
+    * Scale shape per round (FRONTIER-PRUNED — see
+    * [[hyperBallTrace]]): the changed-ball frontier joins the pinned
+    * src-partitioned edge relation (frontier-out-edge-sized — NOT
+    * the full fan-out), one delta-sized partial-aggregable
+    * register-max merge, and one left join folding deltas into the
+    * ball table via the scalar [[Hll.hllMerge2]] — the ball table
+    * moves ONCE per round (down from three full exchanges in the
+    * dense formulation), and late rounds cost work proportional to
+    * how many balls still grow. The 2^p-byte payload stays the cost
+    * knob: at 100M nodes, p=12 is ~400 GB and p=8 ~25 GB for the
+    * ball-table move — pick p by the accuracy the downstream ranking
+    * needs. Rounds run the shared checkpoint lifecycle and EXIT
+    * EARLY when no sketch changed (a register-level comparison, not
+    * an estimate comparison — in the linear-counting range an
+    * estimate can sit still while registers move). `maxRadius` caps
+    * the effective diameter swept.
     *
     * Output: (id, harmonic, reachable) for every node — `reachable` =
     * the final ball-size estimate (the node's incoming-reachability
@@ -697,18 +780,43 @@ object Graph {
     require(quantile > 0.0 && quantile <= 1.0,
       s"quantile in (0, 1], got $quantile")
     val (_, trace) = hyperBallTrace(edges, maxRadius, p)
+    // running max: raw HLL estimates are not strictly monotone across
+    // the linear-counting/bias-correction switch, and the N(t)
+    // interpolation assumes a non-decreasing trace
     val ns = trace.map(_.doubleValue)
-    val target = quantile * ns.last
-    if (ns.head >= target) 0.0
+      .scanLeft(Double.NegativeInfinity)(math.max).drop(1)
+    if (ns.isEmpty || ns.last <= 0.0) 0.0
     else {
-      val t = ns.indexWhere(_ >= target)
-      (t - 1) + (target - ns(t - 1)) / (ns(t) - ns(t - 1))
+      val target = quantile * ns.last
+      if (ns.head >= target) 0.0
+      else {
+        val t = ns.indexWhere(_ >= target)
+        (t - 1) + (target - ns(t - 1)) / (ns(t) - ns(t - 1))
+      }
     }
   }
 
   private def hyperBall(edges: DataFrame, maxRadius: Int,
       p: Int): DataFrame = hyperBallTrace(edges, maxRadius, p)._1
 
+  /** FRONTIER-PRUNED sweep (the [[sssp]] insight applied to sketch
+    * propagation): a node's ball can only grow this round if some
+    * in-neighbor's ball GREW last round, so each round pulls sketches
+    * from the changed-node frontier only — never the full node set.
+    * Per round: frontier ⋈ pinned edge layout (frontier-out-edge-
+    * sized, the relation that was the full edge fan-out before),
+    * one delta-sized partial-aggregable register-max group, and ONE
+    * node-table join folding deltas into the persisted balls via the
+    * scalar [[Hll.hllMerge2]] (register max is associative/
+    * commutative/idempotent, so delta-then-fold is BIT-IDENTICAL to
+    * the all-at-once merge — the q_graph_reach register-level oracle
+    * pins it). The node table moves once per round (the floor without
+    * a mutable state store — down from three: the union-merge, the
+    * prev-join, and the pull each exchanged it before); late rounds,
+    * where few balls grow, now cost frontier-proportional work
+    * instead of full re-exchanges (GraphScale hyperball decades
+    * record the per-round decay).
+    */
   private def hyperBallTrace(edges: DataFrame, maxRadius: Int,
       p: Int): (DataFrame, Vector[java.math.BigDecimal]) = {
     require(maxRadius >= 1, "maxRadius must be >= 1")
@@ -725,36 +833,50 @@ object Graph {
       .agg(Hll.hllSketch(Sampling.splitmix64(col("id")), p).as("sk"))
       .select(col("id"), col("sk"), Hll.hllEstimate(col("sk")).as("est"),
         lit(0.0).as("harmonic"), lit(0.0).as("sumd")))
+    // round-0 frontier: every ball was just created
+    var changed = cur.select(col("id"), col("sk"))
     def nOf(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("est").cast("decimal(38,6)")).cast("decimal(38,6)"))
+      // coalesce: sum over zero rows is null (empty edge relation)
+      df.agg(coalesce(sum(col("est").cast("decimal(38,6)")),
+          lit(0).cast("decimal(38,6)")).cast("decimal(38,6)"))
         .head().getDecimal(0)
     val trace = Vector.newBuilder[java.math.BigDecimal]
     trace += nOf(cur)
+    // measurement hook (GraphScale): per-round frontier size + wall,
+    // the decay evidence for the frontier-pruned formulation
+    val traceRounds = sys.env.contains("SPARK_GRAFT_TRACE_ROUNDS")
     var t = 1
     var done = false
     while (t <= maxRadius && !done) {
-      val pulled = e.join(cur.select(col("id").as("src"), col("sk")),
+      val t0 = System.nanoTime()
+      val frontierN = if (traceRounds) changed.count() else -1L
+      val pulled = e.join(changed.withColumnRenamed("id", "src"),
           Seq("src"))
         .select(col("dst").as("id"), col("sk"))
-      val merged = pulled.unionByName(cur.select(col("id"), col("sk")))
-        .groupBy(col("id")).agg(Hll.hllMerge(col("sk")).as("sk"))
-      val nxt = rounds.mark(merged.join(
-          cur.select(col("id"), col("sk").as("__psk"),
-            col("est").as("__pest"), col("harmonic"), col("sumd")),
-          Seq("id"))
-        .select(col("id"), col("sk"),
-          Hll.hllEstimate(col("sk")).as("est"),
-          (col("harmonic") +
-            greatest(Hll.hllEstimate(col("sk")) - col("__pest"), lit(0.0)) /
-              lit(t.toDouble)).as("harmonic"),
-          (col("sumd") +
-            greatest(Hll.hllEstimate(col("sk")) - col("__pest"), lit(0.0)) *
-              lit(t.toDouble)).as("sumd"),
-          (col("sk") =!= col("__psk")).as("__grew")))
-      if (nxt.filter(col("__grew")).isEmpty) {
+      val delta = pulled.groupBy(col("id"))
+        .agg(Hll.hllMerge(col("sk")).as("__dsk"))
+      val nxt = rounds.mark(cur.join(delta, Seq("id"), "left")
+        .withColumn("__nsk", when(col("__dsk").isNull, col("sk"))
+          .otherwise(Hll.hllMerge2(col("sk"), col("__dsk"))))
+        .withColumn("__grew", col("__nsk") =!= col("sk"))
+        .withColumn("__nest", when(col("__grew"),
+          Hll.hllEstimate(col("__nsk"))).otherwise(col("est")))
+        .select(col("id"), col("__nsk").as("sk"), col("__nest").as("est"),
+          (col("harmonic") + when(col("__grew"),
+            greatest(col("__nest") - col("est"), lit(0.0)) /
+              lit(t.toDouble)).otherwise(lit(0.0))).as("harmonic"),
+          (col("sumd") + when(col("__grew"),
+            greatest(col("__nest") - col("est"), lit(0.0)) *
+              lit(t.toDouble)).otherwise(lit(0.0))).as("sumd"),
+          col("__grew")))
+      val nextChanged = nxt.filter(col("__grew")).select(col("id"), col("sk"))
+      val grewEmpty = nextChanged.isEmpty
+      if (traceRounds)
+        System.err.println(f"""{"hb_round":$t,"frontier":$frontierN,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      if (grewEmpty) {
         rounds.release(nxt); done = true
       } else {
-        rounds.release(cur); cur = nxt; t += 1
+        rounds.release(cur); cur = nxt; changed = nextChanged; t += 1
         trace += nOf(cur)
       }
     }
@@ -775,10 +897,12 @@ object Graph {
     *
     * Weights cast to BIGINT and must be NON-NEGATIVE for "shortest"
     * to be well-defined on cyclic graphs (a negative cycle has no
-    * minimum; the `maxIter` cap bounds the loop regardless, but the
-    * answer under negative weights is the best ≤`maxIter`-round
-    * relaxation, not a shortest path). Parallel edges collapse to
-    * their lightest weight up front.
+    * minimum). The contract is ENFORCED: negative-weight edges are
+    * DROPPED in the edge prep — the [[pageRankWeighted]] posture —
+    * so the result is always a true shortest-path relation over the
+    * valid edge subset, never a silent best-within-`maxIter`
+    * relaxation. Parallel edges collapse to their lightest weight up
+    * front.
     *
     * Algorithm: frontier-pruned Bellman–Ford relaxation (the
     * distributed formulation delta-stepping generalizes — Meyer &
@@ -806,6 +930,7 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(cs).as("src"), col(cd).as("dst"),
         col(cw).cast("long").as("w"))
+      .filter(col("w") >= 0)
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .repartition(col("src")).persist(lvl)
     var dist = rounds.mark(seeds.select(col(seeds.columns.head).as("id"))

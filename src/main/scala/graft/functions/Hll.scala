@@ -50,6 +50,18 @@ object Hll {
   def hllMerge(sketch: Column): Column =
     GraftExpr.column(HllMergeAgg(GraftExpr.expression(sketch)).toAggregateExpression())
 
+  /** Register-wise max of TWO sketches as a SCALAR expression — the
+    * join-side merge for delta-propagation loops ([[Graph]]'s
+    * frontier-pruned HyperBall): fold a node's accumulated delta
+    * into its persisted ball inside a projection, no grouped
+    * aggregate. Same associative/commutative/idempotent max as
+    * [[hllMerge]] (bit-identical composition, spec-pinned);
+    * mismatched p throws; nulls propagate.
+    */
+  def hllMerge2(a: Column, b: Column): Column =
+    GraftExpr.column(HllMerge2Expr(GraftExpr.expression(a),
+      GraftExpr.expression(b)))
+
   /** Distinct-count estimate of a sketch: bias-corrected harmonic
     * mean with linear counting on the low range.
     */
@@ -105,6 +117,13 @@ object HllImpl {
 
   def registers(bytes: Array[Byte]): ArrayData =
     new GenericArrayData(bytes.map(b => (b & 0xff): Any))
+
+  /** Fresh register-wise max of two sketches (inputs untouched). */
+  def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = a.clone()
+    mergeInto(out, b)
+    out
+  }
 }
 
 case class HllSketchAgg(
@@ -218,4 +237,25 @@ case class HllRegistersExpr(child: Expression) extends HllScalarExpr {
     defineCodeGen(ctx, ev, c => s"graft.functions.HllImpl.registers($c)")
   override protected def withNewChildInternal(c: Expression): HllRegistersExpr =
     copy(child = c)
+}
+
+/** Scalar register-wise max of two sketches (codegen'd; inputs
+  * untouched, output a fresh buffer).
+  */
+case class HllMerge2Expr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"hll_merge2 requires two binary sketches, got $t")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HllImpl.merge2(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HllImpl.merge2($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HllMerge2Expr =
+    copy(left = newLeft, right = newRight)
 }

@@ -385,12 +385,8 @@ object Sampling {
       capMu: Long = 1000000000L): Array[Long] = {
     require(unit > 0, "unit must be positive")
     require(capMu >= unit, s"capMu must be >= unit, got $capMu vs $unit")
-    def counts(df: DataFrame, text: Column): Map[Long, Long] =
-      df.select(explode(gramBuckets(text, n, numBuckets)).as("b"))
-        .groupBy(col("b")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ct = counts(target, targetText)
-    val cr = counts(raw, rawText)
+    val ct = bucketCounts(target, targetText, n, numBuckets)
+    val cr = bucketCounts(raw, rawText, n, numBuckets)
     val tb = BigInt(ct.values.sum) + numBuckets
     val rb = BigInt(cr.values.sum) + numBuckets
     Array.tabulate(numBuckets) { b =>
@@ -442,6 +438,11 @@ object Sampling {
     * array literal; no join, no shuffle, no driver loop over docs) —
     * at 100 TB the whole operator is two count aggregates bounded by
     * numBuckets plus one filter-scan of the corpus.
+    *
+    * This face weighs docs by the ARITHMETIC mean of their gram
+    * ratios — chosen for the exact-integer oracle; the paper's own
+    * weight is the log-likelihood (geometric) form, shipped as
+    * [[importanceResampleLlr]] with the divergence documented there.
     */
   def importanceResample(raw: DataFrame, idCol: Column, textCol: Column,
       target: DataFrame, targetTextCol: Column, numBuckets: Int = 4096,
@@ -461,6 +462,102 @@ object Sampling {
       .withColumn("ir_w", weightFromBuckets(col("__ir_g"), ratios, unit))
       .drop("__ir_g")
       .filter(weightedKeep(idCol, col("ir_w"), maxRatio * unit, salt))
+  }
+
+  /** One corpus's hashed-gram bucket histogram: a grouped count whose
+    * key space is ≤ numBuckets — the bounded MODEL-FIT collect shared
+    * by [[importanceRatios]] and [[importanceLlrModel]].
+    */
+  private def bucketCounts(df: DataFrame, text: Column, n: Int,
+      numBuckets: Int): Map[Long, Long] =
+    df.select(explode(gramBuckets(text, n, numBuckets)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Per-bucket LOG-likelihood-ratio model — the geometric face of
+    * [[importanceRatios]], and the form the DSIR paper actually
+    * defines (Xie et al. 2023, §3: w(x) = p̂_target(x)/p̂_raw(x) over
+    * a PRODUCT of hashed-gram probabilities, i.e. a SUM of per-gram
+    * log ratios): `llr[b] = ln(ct[b]+1) − ln(cr[b]+1) + ln(R+B) −
+    * ln(T+B)`, clamped to ±`capLn` (the same robustness clipping the
+    * arithmetic face applies via capMu — one pathological bucket
+    * must not own a doc's weight). Same two bounded count
+    * aggregations; doubles here because the log model is inherently
+    * real-valued — which is also why this face is spec-verified
+    * rather than SQL-oracled (a gate would pin libm ln(), the
+    * q_text_lm precedent; the INTEGER face [[importanceRatios]] is
+    * the oracle-gated one).
+    */
+  def importanceLlrModel(raw: DataFrame, rawText: Column,
+      target: DataFrame, targetText: Column, numBuckets: Int = 4096,
+      n: Int = 2, capLn: Double = math.log(1000.0)): Array[Double] = {
+    require(capLn > 0.0, s"capLn must be positive, got $capLn")
+    val ct = bucketCounts(target, targetText, n, numBuckets)
+    val cr = bucketCounts(raw, rawText, n, numBuckets)
+    val norm = math.log(cr.values.sum.toDouble + numBuckets) -
+      math.log(ct.values.sum.toDouble + numBuckets)
+    Array.tabulate(numBuckets) { b =>
+      val v = math.log(ct.getOrElse(b.toLong, 0L) + 1.0) -
+        math.log(cr.getOrElse(b.toLong, 0L) + 1.0) + norm
+      math.max(-capLn, math.min(capLn, v))
+    }
+  }
+
+  /** Per-doc mean log-likelihood ratio against an
+    * [[importanceLlrModel]]: the log of the GEOMETRIC mean of the
+    * doc's gram ratios (where [[importanceWeightCol]] takes the
+    * arithmetic mean), 0.0 (= ratio 1, neutral) for gram-less docs.
+    * One codegen'd scan, model as an array literal.
+    */
+  def importanceLlrCol(text: Column, llr: Array[Double], n: Int): Column =
+    llrFromBuckets(gramBuckets(text, n, llr.length), llr)
+
+  private def llrFromBuckets(g: Column, llr: Array[Double]): Column = {
+    val ll = lit(llr)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      aggregate(g, lit(0.0),
+        (acc, b) => acc + element_at(ll, (b + lit(1L)).cast("int"))) /
+        size(g).cast("double"))
+  }
+
+  /** DSIR importance resampling under the paper's log-likelihood
+    * form — the geometric companion to [[importanceResample]]: keep
+    * each raw doc with probability `min(1, exp(llr̄) / maxRatio)`
+    * where llr̄ is its [[importanceLlrCol]] mean log ratio, decided
+    * by the same [[weightedKeep]] splitmix64 hash (retry/partition-
+    * stable membership). The kept frame carries `ir_llr` (the mean
+    * log ratio) and `ir_w_geo` (the geometric-mean ratio in
+    * micro-units of `unit`, the audit column).
+    *
+    * Divergence from the arithmetic face, documented: the arithmetic
+    * mean is dominated by a doc's BEST buckets (one on-target phrase
+    * lifts a mostly-off-target doc), the geometric mean by its WORST
+    * (every off-target gram multiplies the weight down) — both shift
+    * selection toward the target domain on separated corpora
+    * (spec-pinned on the disjoint-vocabulary A/B fixture), but the
+    * geometric face punishes mixed-domain docs harder. Same scale
+    * shape: two numBuckets-bounded count aggregates + one
+    * zero-shuffle filter scan.
+    */
+  def importanceResampleLlr(raw: DataFrame, idCol: Column, textCol: Column,
+      target: DataFrame, targetTextCol: Column, numBuckets: Int = 4096,
+      n: Int = 2, unit: Long = 1000000L, maxRatio: Long = 4L,
+      capLn: Double = math.log(1000.0), salt: Long = 0L): DataFrame = {
+    require(maxRatio >= 1, s"maxRatio must be >= 1, got $maxRatio")
+    require(unit > 0, "unit must be positive")
+    val llr = importanceLlrModel(raw, textCol, target, targetTextCol,
+      numBuckets, n, capLn)
+    val cap = maxRatio * unit
+    // the same bind-the-gram-pipeline-once projection discipline as
+    // the arithmetic face; exp() saturates safely (clamped llr̄ ⇒
+    // exp ≤ e^capLn, and least() takes the cap before the long cast)
+    raw.withColumn("__ir_g", gramBuckets(textCol, n, numBuckets))
+      .withColumn("ir_llr", llrFromBuckets(col("__ir_g"), llr))
+      .withColumn("ir_w_geo",
+        least(lit(cap).cast("double"),
+          exp(col("ir_llr")) * lit(unit.toDouble)).cast("long"))
+      .drop("__ir_g")
+      .filter(weightedKeep(idCol, col("ir_w_geo"), cap, salt))
   }
 }
 

@@ -551,6 +551,46 @@ object Search {
   def rankCandidates(cands: DataFrame, k: Int): DataFrame =
     Similarity.rankTopK(cands, k)
 
+  /** Proximity-RANKED retrieval — [[proximityDocs]]'s `min_span`
+    * consumed as the classic tightness ranking feature: top-`k` docs
+    * ordered by (min_span ASC, n_windows DESC, doc_id ASC) — the
+    * tightest co-occurrence first, ties broken by how often it
+    * co-occurs, then deterministically by id. Output: (rank, doc_id,
+    * min_span, n_windows).
+    *
+    * The ordering is INTEGER-encodable (the [[rrfFuse]] gate's
+    * coordination-order pattern): span ≤ windowTokens and
+    * n_windows < 2³² (a per-doc anchor count, bounded by doc length;
+    * clamped defensively) pack lexicographically into one exact
+    * double < 2⁵³, so the ranking rides the tasks·k-bounded map-side
+    * top-k ([[rankCandidates]]) — never a global sort — and an
+    * oracle's ROW_NUMBER reproduces it bit-for-bit. The span columns
+    * DECODE back out of the ranked key (floor-div / mod on the exact
+    * double) rather than re-joining the feature relation — the
+    * feature subtree executes ONCE (a lazy re-join would run the
+    * whole anchor pipeline twice, the multi-referenced-subtree trap
+    * the attribution plan documents). To fuse with BM25/ANN legs,
+    * feed the result's (nid ← doc_id, rank) into [[rrfFuse]] under a
+    * constant qid.
+    */
+  def proximityTopK(postings: DataFrame, terms: Seq[String],
+      windowTokens: Long, k: Int, lowercase: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = proximityDocs(postings, terms, windowTokens, lowercase)
+    val ranked = Similarity.rankTopK(
+      d.select(lit(0L).as("qid"), col("doc_id").as("nid"),
+        ((lit(windowTokens) - col("min_span")).cast("double") *
+          lit(4294967296.0) +
+          least(col("n_windows"), lit(4294967295L)).cast("double"))
+          .as("sim")), k)
+    val hi = floor(col("sim") / lit(4294967296.0)).cast("long")
+    ranked.select(col("rank").cast("long").as("rank"),
+      col("nid").as("doc_id"),
+      (lit(windowTokens) - hi).as("min_span"),
+      (col("sim") - hi.cast("double") * lit(4294967296.0)).cast("long")
+        .as("n_windows"))
+  }
+
   /** Reciprocal-rank fusion (Cormack SIGIR'09): fuse two rankings
     * `(qid, nid, rank)` into `(qid, rank, nid, rrf)` where
     * `rrf = Σ 1/(k0 + rank_i)` over the lists the doc appears in.

@@ -355,6 +355,33 @@ object AnalyticQueries {
       graft.functions.Graph.kcore(o, k = 2, maxRounds = 3)
     },
 
+    // per-node core numbers on block-local cliques of VARYING size
+    // over orderkeys: block b = k DIV 8 hosts a clique of c = 2+b%3
+    // members (keys k%8 < c) plus four pendants (k%8 ≥ 4) hung on
+    // member k%c — so coreness 1 (pendants + pair-cliques), 2
+    // (triangles), and 3 (4-cliques) all coexist and the INCREMENTAL
+    // peel (each threshold peeling the previous survivors) must get
+    // every layer boundary right; each per-k peel converges within
+    // the 3-round cap (pendants drop in round 1, the c=2 members in
+    // round 2), so the oracle's exact 3-peel-per-k unroll equals the
+    // operator's early-exited fixpoint
+    "q_graph_coreness" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"),
+          (col("o_orderkey") - pmod(col("o_orderkey"), lit(8L))).as("base"),
+          (pmod(expr("o_orderkey DIV 8"), lit(3L)) + 2).as("c"))
+      val m = o.filter(col("r") < col("c"))
+      val clique = m.as("x").join(m.as("y"),
+          col("x.base") === col("y.base") && col("x.k") < col("y.k"))
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      val pend = o.filter(col("r") >= 4)
+        .select(col("k").as("src"),
+          (col("base") + pmod(col("r"), col("c"))).as("dst"))
+      graft.functions.Graph.coreness(clique.unionByName(pend),
+        maxK = 3, maxRoundsPerK = 3)
+    },
+
     // connected components on a CUT binary tree over orderkeys: keep
     // edge (k, k DIV 2) only when the parent is ODD, so the tree
     // shatters into caterpillar components (an odd spine m — 2m+1 —
@@ -998,6 +1025,63 @@ object AnalyticQueries {
         |  WHERE a IN (SELECT id FROM k3) AND b IN (SELECT id FROM k3))
         |SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         |  SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1""".stripMargin,
+
+    // exact per-k unroll of the incremental synchronous peel: three
+    // threshold-2 rounds from the raw canonical edge set, then three
+    // threshold-3 rounds FROM THE 2-CORE SURVIVORS; coreness = max
+    // layer membership (extra rounds past a fixpoint are no-ops, so
+    // the unroll equals the operator's early-exited loop)
+    "q_graph_coreness" ->
+      """WITH o AS MATERIALIZED (SELECT o_orderkey AS k, o_orderkey % 8 AS r,
+        |    o_orderkey - o_orderkey % 8 AS base,
+        |    2 + (o_orderkey // 8) % 3 AS c
+        |  FROM orders),
+        |m AS MATERIALIZED (SELECT k, base FROM o WHERE r < c),
+        |raw AS MATERIALIZED (
+        |  SELECT x.k AS s, y.k AS d FROM m x JOIN m y
+        |    ON x.base = y.base AND x.k < y.k
+        |  UNION ALL
+        |  SELECT k, base + r % c FROM o WHERE r >= 4),
+        |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |d1 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |k1 AS MATERIALIZED (SELECT id FROM d1 WHERE deg >= 2),
+        |e1 AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT id FROM k1) AND b IN (SELECT id FROM k1)),
+        |d2 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |k2 AS MATERIALIZED (SELECT id FROM d2 WHERE deg >= 2),
+        |e2 AS MATERIALIZED (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT id FROM k2) AND b IN (SELECT id FROM k2)),
+        |d3 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+        |k3 AS MATERIALIZED (SELECT id FROM d3 WHERE deg >= 2),
+        |e3 AS MATERIALIZED (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT id FROM k3) AND b IN (SELECT id FROM k3)),
+        |d4 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+        |k4 AS MATERIALIZED (SELECT id FROM d4 WHERE deg >= 3),
+        |e4 AS MATERIALIZED (SELECT a, b FROM e3
+        |  WHERE a IN (SELECT id FROM k4) AND b IN (SELECT id FROM k4)),
+        |d5 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1),
+        |k5 AS MATERIALIZED (SELECT id FROM d5 WHERE deg >= 3),
+        |e5 AS MATERIALIZED (SELECT a, b FROM e4
+        |  WHERE a IN (SELECT id FROM k5) AND b IN (SELECT id FROM k5)),
+        |d6 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e5 UNION ALL SELECT b FROM e5) GROUP BY 1),
+        |k6 AS MATERIALIZED (SELECT id FROM d6 WHERE deg >= 3),
+        |e6 AS MATERIALIZED (SELECT a, b FROM e5
+        |  WHERE a IN (SELECT id FROM k6) AND b IN (SELECT id FROM k6))
+        |SELECT id, CAST(MAX(cor) AS BIGINT) AS coreness FROM (
+        |  SELECT DISTINCT id, 1 AS cor FROM (
+        |    SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+        |  UNION ALL SELECT DISTINCT id, 2 FROM (
+        |    SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+        |  UNION ALL SELECT DISTINCT id, 3 FROM (
+        |    SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6))
+        |GROUP BY 1""".stripMargin,
 
     "q_graph_cc" ->
       """WITH RECURSIVE e0 AS (

@@ -72,6 +72,19 @@ object SearchQueries {
         windowTokens = 12)
     },
 
+    // proximity-RANKED retrieval: the same NEAR/12 match folded into
+    // a top-20 ranking by (min_span ASC, n_windows DESC, doc_id) —
+    // the integer-encodable order rides the map-side top-k and the
+    // span columns decode back out of the ranked key, so a rank
+    // off-by-one, a tie-break slip, or a decode error all move rows
+    "q_search_prox_rank" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pp = Search.positionalPostings(docs, $"doc_id", $"text")
+      Search.proximityTopK(pp, Seq("scan", "hash", "join"),
+        windowTokens = 12, k = 20)
+    },
+
     // CDC-updated index ≡ rebuild over the upserted corpus: the same
     // match face as q_search_bm25, but served from updateIndex over
     // the q_upsert change classes (re-written 0-mod-5 docs grow a
@@ -208,6 +221,28 @@ object SearchQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
         |  CAST(MIN(far - p + 1) AS BIGINT) AS min_span
         |FROM pa WHERE nt = 3 GROUP BY 1""".stripMargin,
+
+    "q_search_prox_rank" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |pp AS (SELECT doc_id, w[i] AS term, i - 1 AS pos
+        |  FROM tok, UNNEST(generate_series(1, len(w))) AS t(i)
+        |  WHERE w[i] IN ('scan', 'hash', 'join')),
+        |anch AS (SELECT doc_id, pos AS p FROM pp),
+        |j AS (SELECT a.doc_id, a.p, q.term, q.pos FROM anch a JOIN pp q
+        |  ON a.doc_id = q.doc_id AND q.pos >= a.p AND q.pos <= a.p + 11),
+        |pt AS (SELECT doc_id, p, term, MIN(pos) AS tp FROM j
+        |  GROUP BY 1, 2, 3),
+        |pa AS (SELECT doc_id, p, COUNT(*) AS nt, MAX(tp) AS far FROM pt
+        |  GROUP BY 1, 2),
+        |res AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(MIN(far - p + 1) AS BIGINT) AS min_span
+        |  FROM pa WHERE nt = 3 GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (
+        |    ORDER BY min_span, n_windows DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, min_span, n_windows
+        |FROM res QUALIFY rank <= 20""".stripMargin,
 
     "q_search_bm25" ->
       s"""WITH $tokSql

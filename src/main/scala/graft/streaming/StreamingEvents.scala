@@ -20,8 +20,86 @@ import graft.streaming.TransformWithStateOps.GraftStatefulLogic
   * batch funnel's row, for any micro-batch split — spec-pinned. An
   * out-of-order stray that would have changed an already-taken step
   * is ignored, never a wrong partial.
+  *
+  * For streams that DO reorder (the Kafka-shaped norm), every family
+  * member also ships a `...Disordered` face wrapping the same logic
+  * in a [[StreamingEvents.DisorderLogic bounded-disorder reorder
+  * buffer]] — the reference EventClock's `wait_for_event_duration`
+  * tolerance: events within `disorderUs` of the entity's high-water
+  * mark arrive in any order and the output still equals the batch
+  * operator's exactly (spec-pinned under randomized bounded
+  * disorder); only events later than the tolerance drop.
   */
 object StreamingEvents {
+
+  /** Bounded-disorder reorder buffer around ANY family logic — the
+    * reference EventClock's `wait_for_event_duration` semantics
+    * (pysrc/bytewax/operators/windowing.py:263-287) for this family:
+    * instead of assuming in-order arrival across micro-batches, each
+    * entity buffers incoming events and releases them to the inner
+    * logic IN EVENT-TIME ORDER once the entity's high-water mark has
+    * advanced `disorderUs` past them (frontier = max seen − disorder;
+    * an event still > frontier waits in the buffer). An event
+    * arriving at or below the already-released frontier is LATE
+    * beyond the tolerance and is dropped — never fed out of order,
+    * never retro-processed (the reference drops past-watermark items
+    * the same way). With `idleFlushMs` > 0, a processing-time
+    * debounce timer ([[TransformWithStateOps.GraftStatefulLogic
+    * .notifyAfterMs]]) drains the remaining buffer in order after the
+    * entity goes idle — the EventClock's system-time watermark
+    * advancement — after which the frontier sits at the max seen
+    * time.
+    *
+    * EXACTNESS: for any arrival order satisfying the bound (no event
+    * arrives after the entity's max-seen time exceeded its own time
+    * + disorderUs), the released sequence is the fully-sorted event
+    * sequence, so the inner logic's output is EXACTLY its in-order
+    * output — batch parity for every family member under randomized
+    * bounded disorder is spec-pinned. State = the inner state plus
+    * the disorder window's own working set (events within disorderUs
+    * of the high-water mark — the semantics' minimal buffer) and two
+    * longs.
+    */
+  private final class DisorderLogic[K, V, S, W](
+      inner: GraftStatefulLogic[K, V, S, W], timeOf: V => Long,
+      disorderUs: Long, idleFlushMs: Long,
+      ttl: Option[java.time.Duration])
+    extends GraftStatefulLogic[K, V, (Seq[V], Long, Long, Option[S]), W] {
+    override def stateTtl: Option[java.time.Duration] = ttl
+    override def notifyAfterMs: Option[Long] =
+      if (idleFlushMs > 0) Some(idleFlushMs) else None
+    override def onBatch(key: K, values: Seq[V],
+        state: Option[(Seq[V], Long, Long, Option[S])])
+        : (Option[(Seq[V], Long, Long, Option[S])], Seq[W]) = {
+      val (buf0, seen0, flushed0, is0) = state.getOrElse(
+        (Seq.empty[V], Long.MinValue, Long.MinValue, Option.empty[S]))
+      val fresh = values.filter(v =>
+        flushed0 == Long.MinValue || timeOf(v) > flushed0)
+      val buf = buf0 ++ fresh
+      val seen = (seen0 +: values.map(timeOf)).max
+      // saturating: a high-water mark near MinValue must not wrap
+      val frontier =
+        if (seen < Long.MinValue + disorderUs) Long.MinValue
+        else seen - disorderUs
+      val (ripe, rest) = buf.partition(v => timeOf(v) <= frontier)
+      if (ripe.isEmpty) (Some((rest, seen, flushed0, is0)), Seq.empty)
+      else {
+        // ripe events all precede every still-buffered or future
+        // event; the inner logic sorts within the call, so the
+        // released order is globally event-time sorted
+        val (is1, out) = inner.onBatch(key, ripe, is0)
+        (Some((rest, seen, math.max(frontier, flushed0), is1)), out)
+      }
+    }
+    override def onNotify(key: K,
+        state: Option[(Seq[V], Long, Long, Option[S])])
+        : (Option[(Seq[V], Long, Long, Option[S])], Seq[W]) = state match {
+      case Some((buf, seen, flushed, is0)) if buf.nonEmpty =>
+        val (is1, out) = inner.onBatch(key, buf, is0)
+        (Some((Seq.empty[V], seen, math.max(seen, flushed), is1)), out)
+      case other => (other, Seq.empty)
+    }
+  }
 
   /** Per-entity funnel progress: the times of the reached step
     * prefix. Emits the updated prefix whenever it advances (the last
@@ -134,6 +212,13 @@ object StreamingEvents {
     * posture), and same-instant duplicate conversions attribute once.
     * State = the lookback touch window per entity (its true working
     * set) + one long; `ttl` bounds it for unbounded entity spaces.
+    *
+    * INPUT CONTRACT (shared with the batch operator): touch ids must
+    * uniquely identify touch events within an entity. This face
+    * identifies first/last by full-tuple identity, the batch face by
+    * the tie-broken touch id — the two coincide exactly when ids are
+    * unique, and diverge only on data that violates the contract
+    * (duplicate ids at different times).
     */
   def attributionStream(events: Dataset[(Long, (Long, Long, String, String))],
       convType: String, touchTypes: Seq[String], lookbackUs: Long,
@@ -288,5 +373,103 @@ object StreamingEvents {
     import events.sparkSession.implicits._
     TransformWithStateOps.statefulTws[Long, Long, (Long, Long), (Long, Long)](
       events, new SessionLogic(gapUs, ttl))
+  }
+
+  // ——— bounded-disorder faces ———————————————————————————————————
+  // Each wraps its family logic in [[DisorderLogic]]: events within
+  // `disorderUs` of the entity's high-water mark may arrive in any
+  // order and are released to the logic event-time-sorted, so output
+  // equals the IN-ORDER face's (and therefore the batch operator's)
+  // under any bounded-disorder arrival — spec-pinned per family.
+  // `idleFlushMs` > 0 drains each entity's buffer after that much
+  // processing-time idleness (the reference EventClock's system-time
+  // watermark advancement); 0 leaves the tail buffered until more
+  // events advance the frontier. disorderUs = 0 degrades to the
+  // in-order contract with the buffer releasing every event as soon
+  // as the high-water mark touches it.
+
+  /** [[funnelStream]] under bounded disorder. */
+  def funnelStreamDisordered(events: Dataset[(Long, (Long, String))],
+      steps: Seq[String], disorderUs: Long, maxSpanUs: Option[Long] = None,
+      idleFlushMs: Long = 0L, ttl: Option[java.time.Duration] = None)
+      : Dataset[(Long, Seq[Long])] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(disorderUs >= 0, "disorderUs must be >= 0")
+    import events.sparkSession.implicits._
+    implicit val wEnc
+        : Encoder[(Seq[(Long, String)], Long, Long, Option[Seq[Long]])] =
+      org.apache.spark.sql.Encoders.product
+    TransformWithStateOps.statefulTws(events,
+      new DisorderLogic(new FunnelLogic(steps, maxSpanUs, None),
+        (v: (Long, String)) => v._1, disorderUs, idleFlushMs, ttl))
+  }
+
+  /** [[attributionStream]] under bounded disorder. */
+  def attributionStreamDisordered(
+      events: Dataset[(Long, (Long, Long, String, String))],
+      convType: String, touchTypes: Seq[String], lookbackUs: Long,
+      disorderUs: Long, model: String = "linear", unit: Long = 1000000L,
+      idleFlushMs: Long = 0L, ttl: Option[java.time.Duration] = None)
+      : Dataset[(Long, (Long, Long, Long, String, Long, Long))] = {
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    require(unit > 0, "unit must be positive")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(disorderUs >= 0, "disorderUs must be >= 0")
+    require(Set("first", "last", "linear", "position")(model),
+      s"unknown attribution model $model")
+    import events.sparkSession.implicits._
+    implicit val wEnc: Encoder[(Seq[(Long, Long, String, String)], Long,
+        Long, Option[(Seq[(Long, Long, String)], Long)])] =
+      org.apache.spark.sql.Encoders.product
+    TransformWithStateOps.statefulTws(events,
+      new DisorderLogic(new AttributionLogic(convType, touchTypes.toSet,
+          lookbackUs, model, unit, None),
+        (v: (Long, Long, String, String)) => v._1, disorderUs,
+        idleFlushMs, ttl))
+  }
+
+  /** [[cusumStream]] under bounded disorder. */
+  def cusumStreamDisordered(events: Dataset[(Long, (Long, Long))],
+      ref: Long, threshold: Long, disorderUs: Long,
+      idleFlushMs: Long = 0L, ttl: Option[java.time.Duration] = None)
+      : Dataset[(Long, (Long, Long, Long, Boolean))] = {
+    require(threshold > 0, "threshold must be positive")
+    require(disorderUs >= 0, "disorderUs must be >= 0")
+    import events.sparkSession.implicits._
+    implicit val wEnc
+        : Encoder[(Seq[(Long, Long)], Long, Long, Option[(Long, Long)])] =
+      org.apache.spark.sql.Encoders.product
+    TransformWithStateOps.statefulTws(events,
+      new DisorderLogic(new CusumLogic(ref, threshold, None),
+        (v: (Long, Long)) => v._1, disorderUs, idleFlushMs, ttl))
+  }
+
+  /** [[transitionsStream]] under bounded disorder. */
+  def transitionsStreamDisordered(events: Dataset[(Long, (Long, String))],
+      disorderUs: Long, idleFlushMs: Long = 0L,
+      ttl: Option[java.time.Duration] = None)
+      : Dataset[(Long, (String, String))] = {
+    require(disorderUs >= 0, "disorderUs must be >= 0")
+    import events.sparkSession.implicits._
+    implicit val wEnc
+        : Encoder[(Seq[(Long, String)], Long, Long, Option[(Long, String)])] =
+      org.apache.spark.sql.Encoders.product
+    TransformWithStateOps.statefulTws(events,
+      new DisorderLogic(new TransitionLogic(None),
+        (v: (Long, String)) => v._1, disorderUs, idleFlushMs, ttl))
+  }
+
+  /** [[sessionizeStream]] under bounded disorder. */
+  def sessionizeStreamDisordered(events: Dataset[(Long, Long)], gapUs: Long,
+      disorderUs: Long, idleFlushMs: Long = 0L,
+      ttl: Option[java.time.Duration] = None): Dataset[(Long, (Long, Long))] = {
+    require(gapUs > 0, "gapUs must be positive")
+    require(disorderUs >= 0, "disorderUs must be >= 0")
+    import events.sparkSession.implicits._
+    implicit val wEnc: Encoder[(Seq[Long], Long, Long, Option[(Long, Long)])] =
+      org.apache.spark.sql.Encoders.product
+    TransformWithStateOps.statefulTws(events,
+      new DisorderLogic(new SessionLogic(gapUs, None),
+        (v: Long) => v, disorderUs, idleFlushMs, ttl))
   }
 }

@@ -27,7 +27,14 @@ object TransformWithStateOps {
       * [[onBatch]] fires. Default: no-op.
       */
     def onNotify(key: K, state: Option[S]): (Option[S], Seq[W]) = (state, Seq.empty)
-    /** Processing-time delay for wake-up timers; None disables timers. */
+    /** Processing-time delay for wake-up timers; None disables timers.
+      * DEBOUNCE semantics: each batch for a key replaces that key's
+      * pending timer, so [[onNotify]] fires only after the key has
+      * been IDLE for the delay — the `wait_for_system_duration`
+      * posture of the reference's EventClock (windowing.py:263-287):
+      * a quiet stream eventually flushes, an active one never flushes
+      * mid-disorder-window.
+      */
     def notifyAfterMs: Option[Long] = None
 
     /** Optional state TTL: entries idle longer than this are expired by
@@ -54,7 +61,12 @@ object TransformWithStateOps {
       next match {
         case Some(s) =>
           state.update(s)
-          logic.notifyAfterMs.foreach(d => getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + d))
+          logic.notifyAfterMs.foreach { d =>
+            // debounce: replace any pending timer so the notify fires
+            // only after the key goes idle for d ms
+            getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+            getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + d)
+          }
         case None => state.clear()
       }
       out.map((key, _)).iterator

@@ -129,15 +129,19 @@ object EventScale {
           .as("event_type"),
         col("id").as("event_id")).cache()
       evId.count()
+      // skew mode measures the CURE (spreadSkew re-key); the uncured
+      // single-task cost is the same mode with the flag off — both
+      // recorded in SCALE.md. SPARK_GRAFT_SPREAD overrides the mode's
+      // manual choice (set "auto" to measure the probe's decision
+      // against the manual one on the same corpus)
+      val spread = sys.env.getOrElse("SPARK_GRAFT_SPREAD",
+        if (mode == "attrib_skew") "on" else "off")
       val (aRows, aSec) = timed {
-        // skew mode measures the CURE (spreadSkew re-key); the uncured
-        // single-task cost is the same mode with the flag off — both
-        // recorded in SCALE.md
         val d = Events.attribution(evId, "user_id", "us", "event_type",
           "event_id", "event_type", "purchase",
           Seq("view", "click", "signup"),
           lookbackUs = 86400000000L, model = "position",
-          unit = unit, spreadSkew = mode == "attrib_skew").cache()
+          unit = unit, spreadSkew = spread).cache()
         val rows = d.count()
         // per-conversion credit-mass closed form for the U-shape:
         // n=1 → unit; n=2 → unit; n≥3 → 2·(4u/10) + (n−2)·((2u/10)
@@ -155,7 +159,7 @@ object EventScale {
         require(bad == 0, "per-conversion credit mass violated")
         d.unpersist(false); rows
       }
-      println(f"""{"mode":"$mode","events":$n,"users":$users,"attrib_sec":$aSec%.1f,"pair_rows":$aRows}""")
+      println(f"""{"mode":"$mode","spread":"$spread","events":$n,"users":$users,"attrib_sec":$aSec%.1f,"pair_rows":$aRows}""")
       spark.stop()
       return
     }

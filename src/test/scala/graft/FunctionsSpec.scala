@@ -708,6 +708,59 @@ class FunctionsSpec extends SparkSpec {
     assert(sw === 1000000L)
   }
 
+  test("importanceResampleLlr: same selection direction as the arithmetic face, harsher on mixed docs") {
+    import graft.functions.Sampling
+    def doc(words: Seq[String], i: Long): String =
+      (0 until 30).map(j => words(((i + j) % words.size).toInt)).mkString(" ")
+    val vocabA = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val vocabB = Seq("zeta", "eta", "theta", "iota", "kappa")
+    val raw = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) doc(vocabA, i) else doc(vocabB, i),
+        if (i % 2 == 0) "A" else "B")).toDF("id", "text", "dom")
+    val target = (0L until 100L).map(i => (i, doc(vocabA, i))).toDF("tid", "ttext")
+    val llr = Sampling.importanceLlrModel(raw, $"text", target, $"ttext",
+      numBuckets = 256, n = 2)
+    // mean log ratio: positive on target-domain docs, negative off it
+    val m = raw.select($"dom",
+        Sampling.importanceLlrCol($"text", llr, n = 2).as("l"))
+      .groupBy($"dom").agg(avg($"l")).as[(String, Double)].collect().toMap
+    assert(m("A") > 0.0 && m("B") < 0.0,
+      s"A-docs must carry positive mean llr, B negative: $m")
+    // kept sample over-represents the target domain, like the
+    // arithmetic face on the same fixture
+    val kept = Sampling.importanceResampleLlr(raw, $"id", $"text", target,
+        $"ttext", numBuckets = 256, n = 2, maxRatio = 2L, salt = 3L)
+      .groupBy($"dom").agg(count(lit(1))).as[(String, Long)].collect().toMap
+    assert(kept.getOrElse("A", 0L) > 4 * kept.getOrElse("B", 0L),
+      s"kept sample must over-represent the target domain: $kept")
+    // membership is retry-stable under repartitioning
+    val re = Sampling.importanceResampleLlr(raw.repartition(13), $"id",
+        $"text", target, $"ttext", numBuckets = 256, n = 2,
+        maxRatio = 2L, salt = 3L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val orig = Sampling.importanceResampleLlr(raw, $"id", $"text", target,
+        $"ttext", numBuckets = 256, n = 2, maxRatio = 2L, salt = 3L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(re === orig)
+    // the documented divergence: on a MIXED-domain doc the geometric
+    // mean (dominated by the worst grams) sits strictly below the
+    // arithmetic mean (lifted by the best) — AM–GM made operational
+    val ratios = Sampling.importanceRatios(raw, $"text", target, $"ttext",
+      numBuckets = 256, n = 2)
+    val mixed = Seq((1L, doc(vocabA, 0L) + " " + doc(vocabB, 1L)))
+      .toDF("id", "text")
+    val pair = mixed.select(
+      Sampling.importanceWeightCol($"text", ratios, n = 2).as("wa"),
+      (exp(Sampling.importanceLlrCol($"text", llr, n = 2)) *
+        lit(1000000.0)).cast("long").as("wg")).head()
+    assert(pair.getLong(1) < pair.getLong(0),
+      s"geometric weight must undercut arithmetic on a mixed doc: $pair")
+    // gram-less docs are neutral: llr 0, weight = unit
+    val short = Seq((1L, "single")).toDF("id", "text")
+    assert(short.select(
+      Sampling.importanceLlrCol($"text", llr, n = 2)).as[Double].head() === 0.0)
+  }
+
   test("mixToBudget: kept token mass tracks the per-stratum budget; saturation keeps all") {
     import graft.functions.Sampling
     val docs = Tables.load(spark, sf001, "documents")

@@ -236,6 +236,13 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(dc - 1.0) < 0.05, dc.toString)
   }
 
+  test("effectiveDiameter: empty edge relation yields 0.0, no NPE") {
+    // self-loops erase to an empty graph: the trace sum over zero
+    // rows must coalesce to 0, not null-NPE
+    val e = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst").filter(col("src") =!= col("dst"))
+    assert(Graph.effectiveDiameter(e, 3) === 0.0)
+  }
+
   test("harmonicCentrality is partition-invariant (register max-merge is order-free)") {
     val e = (1L to 40L).map(i => (i, i % 7 + 100L)) ++ Seq((100L, 101L), (101L, 102L))
     val a = Graph.harmonicCentrality(e.toDF("src", "dst"), 5, p = 8)
@@ -278,6 +285,14 @@ class GraphSpec extends SparkSpec {
   test("sssp: zero-weight edges and direction") {
     val e = Seq((1L, 2L, 0L), (3L, 1L, 4L)) // 3→1 points INTO the seed
     assert(sssp(e, Seq(1L)) === Set((1L, 0L), (2L, 0L)))
+  }
+
+  test("sssp: negative-weight edges are dropped, not relaxed") {
+    // the -5 shortcut would undercut the honest 1→2→3 path (and a
+    // negative cycle would never converge); the contract drops it, so
+    // distances are the shortest paths over the valid subset
+    val e = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, -5L))
+    assert(sssp(e, Seq(1L)) === Set((1L, 0L), (2L, 2L), (3L, 4L)))
   }
 
   private def tri(edges: Seq[(Long, Long)]): Set[(Long, Long)] =
@@ -348,6 +363,48 @@ class GraphSpec extends SparkSpec {
     val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
       (1L, 1L))
     assert(core(messy, 2, 100) === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  private def corenessOf(edges: Seq[(Long, Long)], maxK: Int,
+      rpk: Int): Map[Long, Long] =
+    Graph.coreness(edges.toDF("src", "dst"), maxK, rpk)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("coreness: clique layers, pendants, and the maxK cap") {
+    // 4-clique {1,2,3,4} + pendant 5 on 1 + triangle {6,7,8} bridged
+    // to nothing: coreness 3 / 1 / 2 respectively
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (6L, 7L), (7L, 8L), (8L, 6L))
+    assert(corenessOf(g, maxK = 5, rpk = 10) === Map(
+      1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L,
+      6L -> 2L, 7L -> 2L, 8L -> 2L))
+    // maxK caps: the 4-clique's true coreness 3 reports as 2
+    assert(corenessOf(g, maxK = 2, rpk = 10) === Map(
+      1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L,
+      6L -> 2L, 7L -> 2L, 8L -> 2L))
+  }
+
+  test("coreness: capped rounds are deterministic (unconverged path peel)") {
+    // 5-path, threshold-2 peel converges in 2 synchronous rounds;
+    // rpk=1 stops after ONE — survivors {2,3,4} report coreness 2,
+    // the documented cap semantics the oracle can unroll exactly
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(corenessOf(path, maxK = 3, rpk = 1) === Map(
+      1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    // converged: every path node is coreness 1 (empty early-exit
+    // stops k before maxK)
+    assert(corenessOf(path, maxK = 3, rpk = 10) === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("coreness: messy edges canonicalize; agrees with kcore membership") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 1L), (3L, 9L))
+    val cn = corenessOf(messy, maxK = 4, rpk = 20)
+    assert(cn === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 9L -> 1L))
+    // cross-check: nodes with coreness ≥ k are exactly kcore(k)'s set
+    val k2 = core(messy, 2, 100).map(_._1)
+    assert(cn.filter(_._2 >= 2L).keySet === k2)
   }
 
   test("connectedComponents: chains close transitively, min-id reps, messy edges") {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Hll, HllImpl, Sampling}
+import graft.functions.{Hll, HllImpl, Sampling, SamplingImpl}
 
 class HllSpec extends SparkSpec {
   import spark.implicits._
@@ -86,6 +86,31 @@ class HllSpec extends SparkSpec {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  test("hllMerge2 scalar ≡ aggregate merge, bit-for-bit; nulls propagate") {
+    // two disjoint shard sketches: folding one into the other with the
+    // scalar expression must produce the SAME bytes as the grouped
+    // register-max over both — the delta-then-fold equivalence the
+    // frontier-pruned HyperBall rests on
+    val a = (0L until 500L).map(i => ("s", SamplingImpl.splitmix64(i)))
+    val b = (500L until 900L).map(i => ("s", SamplingImpl.splitmix64(i)))
+    def sk(rows: Seq[(String, Long)]) =
+      rows.toDF("k", "h").groupBy($"k")
+        .agg(Hll.hllSketch($"h", p = 8).as("sk"))
+    val both = sk(a ++ b).select($"sk").as[Array[Byte]].head()
+    val folded = sk(a).withColumnRenamed("sk", "ska")
+      .crossJoin(sk(b).select($"sk".as("skb")))
+      .select(Hll.hllMerge2($"ska", $"skb")).as[Array[Byte]].head()
+    assert(folded.toSeq === both.toSeq)
+    // idempotent: merging a sketch with itself is the identity
+    val sa = sk(a).select(Hll.hllMerge2($"sk", $"sk").as("m"), $"sk")
+      .as[(Array[Byte], Array[Byte])].head()
+    assert(sa._1.toSeq === sa._2.toSeq)
+    // null propagates
+    val n = sk(a).select(Hll.hllMerge2($"sk", lit(null).cast("binary")))
+      .collect().head
+    assert(n.isNullAt(0))
   }
 
   test("sketch aggregation partial-merges map-side (sketches cross the exchange, not rows)") {

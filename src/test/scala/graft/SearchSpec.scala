@@ -337,6 +337,32 @@ class SearchSpec extends SparkSpec {
       Seq((9L, 1L, 2L)))
   }
 
+  test("proximityTopK: span-first ordering, window-count and id tie-breaks, exact decode") {
+    val docs = Seq(
+      (0L, "x a y b z"),             // span 3, 1 window
+      (1L, "a b x a b"),             // span 2, 2 windows
+      (2L, "b a"),                   // span 2, 1 window
+      (3L, "a b"),                   // span 2, 1 window — id-tie with doc 2
+      (4L, "a x x x x x x x x x b"), // no window within w=5
+      (5L, "a a a")                  // missing b
+    ).toDF("doc_id", "text")
+    val pp = Search.positionalPostings(docs, $"doc_id", $"text")
+    val got = Search.proximityTopK(pp, Seq("a", "b"), windowTokens = 5, k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // order: doc1 (span 2, 3 qualifying anchors: p=0,1,3) < doc2
+    // (span 2, 1 window, lower id) < doc3; doc0's span 3 falls off at
+    // k=3; decoded (min_span, n_windows) match proximityDocs exactly
+    assert(got === Seq((1L, 1L, 2L, 3L), (2L, 2L, 2L, 1L), (3L, 3L, 2L, 1L)))
+    // k beyond matches: all ranked, decode equals the feature face
+    val all = Search.proximityTopK(pp, Seq("a", "b"), 5, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    val feat = Search.proximityDocs(pp, Seq("a", "b"), 5)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._2))).toMap
+    assert(all === feat)
+  }
+
   test("phraseDocsBatch ≡ per-phrase phraseDocs loop; one data-scale exchange") {
     val docs = Seq(
       (0L, "the cat sat on the mat"),
