@@ -73,6 +73,10 @@ object GraphScale {
         graft.functions.Graph.harmonicCentrality(ed, iters, p = 8)
       case "triangles" => graft.functions.Graph.triangles(ed)
       case "kcore" => graft.functions.Graph.kcore(ed, 2, iters)
+      // maxK 4, per-k rounds = iters: the random shape's degeneracy
+      // is small (mean degree ~1 at 2N nodes), so the empty early
+      // exit fires well inside the cap
+      case "coreness" => graft.functions.Graph.coreness(ed, 4, iters)
       case _ => graft.functions.Graph.pageRank(ed, iters)
     }
     val t0 = System.nanoTime()
@@ -158,6 +162,25 @@ object GraphScale {
         val parity = if (t.remainder(java.math.BigDecimal.valueOf(2))
           .compareTo(java.math.BigDecimal.ZERO) == 0) 0L else 1L
         (neg + parity, t)
+      case "coreness" =>
+        // distributed bounds: 1 ≤ coreness ≤ maxK, and coreness(v) ≤
+        // deg(v) (a node cannot out-survive its own degree — the
+        // undirected degree bounds every core membership). Degrees
+        // re-derived from the canonical edge set for the join.
+        val range = pr.filter(col("coreness") < 1 || col("coreness") > 4)
+          .count()
+        val canon = edges
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val deg = canon.select(col("a").as("id"))
+          .union(canon.select(col("b").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        val over = pr.join(deg, Seq("id"))
+          .filter(col("coreness") > col("deg")).count()
+        val t = pr.agg(sum(col("coreness")).cast("decimal(38,0)"))
+          .head().getDecimal(0)
+        (range + over, t)
       case _ =>
         val base = java.math.BigDecimal.valueOf((unit * 150L / 1000L) / nodeCount)
         val bad = pr.filter(col("rank") < lit(base)).count()
@@ -173,10 +196,10 @@ object GraphScale {
 
     println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
     require((op == "bfs" || op == "sssp" || op == "kcore" ||
-        nodes == nodeCount) &&
+        op == "coreness" || nodes == nodeCount) &&
       badRows == 0 && dupIds == 0 &&
       (op == "lpa" || op == "bfs" || op == "sssp" || op == "triangles" ||
-        op == "kcore" || op == "harmonic" ||
+        op == "kcore" || op == "harmonic" || op == "coreness" ||
         total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0) &&
       mismatch <= 0, "invariant violation")
     spark.stop()
