@@ -663,6 +663,97 @@ object Graph {
     res
   }
 
+  /** Per-edge triangle support over a PRE-canonicalized edge set
+    * (a, b) — the edge-level analogue of [[trianglesCanonical]],
+    * same degree-ordered orientation (wedge work ≤ m^1.5): each
+    * triangle (n0, x, y) credits its THREE canonical edges, one
+    * grouped count, zero-filled onto the edge set. Returns the
+    * checkpointed (a, b, support) relation; the caller owns it.
+    */
+  private def edgeSupport(e: DataFrame, rounds: Rounds): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val deg = undirectedDegrees(e).persist(lvl)
+    val wd = e.join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = wd.select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"),
+        when(lowFirst, struct(col("db").as("d"), col("b").as("i")))
+          .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("rv"))
+      .persist(lvl)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
+      .select(col("e1.u").as("n0"), col("e1.v").as("x"), col("e2.v").as("y"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val hits = tri.select(explode(array(
+        struct(least(col("n0"), col("x")).as("a"),
+          greatest(col("n0"), col("x")).as("b")),
+        struct(least(col("n0"), col("y")).as("a"),
+          greatest(col("n0"), col("y")).as("b")),
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")))).as("ed"))
+      .groupBy(col("ed.a").as("a"), col("ed.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+    val out = e.join(hits, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+    val res = rounds.mark(out)
+    deg.unpersist(false); oriented.unpersist(false)
+    res
+  }
+
+  /** k-truss peeling over the UNDIRECTED simple graph induced by
+    * `edges` (canonicalized like [[triangles]]): repeatedly delete
+    * every edge whose SUPPORT (triangles containing it in the
+    * current subgraph) is < k−2, synchronously, up to `maxRounds`
+    * rounds with fixpoint EARLY EXIT — at convergence the survivors
+    * are the classical k-truss. The EDGE-level cohesion companion to
+    * [[kcore]] (strictly stronger: the k-truss sits inside the
+    * (k−1)-core): a follower ring inflates degrees but not shared
+    * neighbors, so truss membership separates mutually-embedded
+    * communities from stars and chains at the EDGE where the k-core
+    * can only speak per node. Output: (a, b, support) for each
+    * surviving edge with its support IN THE SURVIVING subgraph
+    * (k = 2 degrades to "all edges + their raw support" — the
+    * per-edge triangle report).
+    *
+    * Deterministic for ANY fixed `maxRounds` (the [[kcore]]
+    * unrolling argument verbatim: synchronous rounds, round r a pure
+    * function of round r−1), so an oracle unrolls exactly
+    * `maxRounds` support-and-filter steps. Scale shape per round:
+    * one degree aggregate + the oriented wedge join (≤ m^1.5 on the
+    * CURRENT, monotonically-shrinking edge set) + one grouped count
+    * + one edge-keyed left join, all under the shared [[Rounds]]
+    * lifecycle; the fixpoint test rides the support relation already
+    * computed for the peel.
+    */
+  def ktruss(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(maxRounds >= 0, "maxRounds must be >= 0")
+    val rounds = new Rounds(edges)
+    var e = rounds.mark(canonicalUndirected(edges))
+    var r = 0
+    var fixpoint = false
+    var res: DataFrame = null
+    while (r < maxRounds && !fixpoint) {
+      val supp = edgeSupport(e, rounds)
+      val keep = supp.filter(col("support") >= k - 2)
+      if (keep.count() == supp.count()) { fixpoint = true; res = supp }
+      else {
+        val next = rounds.mark(keep.select(col("a"), col("b")))
+        rounds.release(supp); rounds.release(e)
+        e = next
+        r += 1
+      }
+    }
+    if (res == null) res = edgeSupport(e, rounds)
+    rounds.release(e)
+    res
+  }
+
   /** Connected components over the UNDIRECTED simple graph induced by
     * `edges` (first two columns = endpoints; direction, duplicates,
     * self-loops erased): (id, rep) for every node appearing in an
@@ -681,6 +772,171 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
     Dedup.connectedComponents(edges, maxIter)
+
+  /** Strongly connected components over the DIRECTED simple graph
+    * induced by `edges` (first two columns = (src, dst); duplicates
+    * collapse, self-loops participate harmlessly): (id, rep) for
+    * every node appearing in an edge, rep = the MINIMUM id of its
+    * SCC. The directed companion to [[connectedComponents]] and the
+    * web-graph bow-tie operator: the giant SCC vs IN/OUT tendril
+    * split is the classic crawl-frontier structure, and mutual-link
+    * cores (rings that cite each other) are collusion candidates
+    * exactly where one-directional citation chains are not.
+    *
+    * Algorithm: iterative min-label coloring + same-color forward
+    * flood (the relational form of Orzan's coloring / FW-BW without
+    * pivot recursion):
+    *
+    *  1. COLOR: c(v) = min id REACHABLE from v (v included) — a
+    *     frontier-pruned min propagation along REVERSE edges (only
+    *     nodes whose color improved last round can improve an
+    *     in-neighbor's — the [[sssp]] loop with min-of-label for
+    *     min-of-dist), fixpoint with early exit.
+    *  2. FLOOD: seed every root r with c(r) = r and flood FORWARD
+    *     along edges whose endpoints BOTH carry color r
+    *     (frontier-pruned, fixpoint). A flooded node v satisfies
+    *     r →* v (the flood path) and v →* r (c(v) = r means the min
+    *     v reaches is r), so flooded(r) is EXACTLY the SCC of r;
+    *     conversely every SCC whose members' minimum reachable id is
+    *     their own minimum is flooded completely this round.
+    *  3. PEEL: emit flooded nodes as (v, r), drop every edge
+    *     touching them; unflagged nodes left EDGE-LESS by the peel
+    *     are singleton SCCs (v, v) — emitted immediately. Repeat on
+    *     the remaining subgraph: an SCC whose color pointed at a
+    *     now-removed downstream component becomes a root itself.
+    *
+    * Each outer round extracts at least every current color root's
+    * SCC, so the edge set strictly shrinks; DAG regions collapse in
+    * ONE round (every node is its own root or goes edge-less).
+    * `maxOuter` caps the outer peel (nodes still unassigned at the
+    * cap are ABSENT from the output — raise the cap; the count is
+    * graph-structural: one round per layer of SCCs whose minimum
+    * points downstream). `maxPropRounds` is a WALL-TIME GUARD on the
+    * inner fixpoints, not a semantics knob: both propagations
+    * terminate on their own (the color lattice only descends, the
+    * flood only grows), but their round counts scale with the
+    * graph's min-label diameter, so a cap hit THROWS rather than
+    * emit — a partially-flooded SCC would otherwise be peeled apart
+    * and mis-reported as smaller components. Unconverged ⇒ error,
+    * never a wrong answer.
+    *
+    * Scale shape: all three phases move frontier-sized or edge-sized
+    * relations under the shared [[Rounds]] lifecycle — color joins
+    * the changed-label frontier against a dst-pinned edge layout,
+    * the flood joins the newly-flagged frontier against a src-pinned
+    * layout, and the peel is two left-anti joins; no windows, no
+    * driver-side graph state beyond the loop counters.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 20,
+      maxPropRounds: Int = 100): DataFrame = {
+    require(maxOuter >= 1, "maxOuter must be >= 1")
+    require(maxPropRounds >= 1, "maxPropRounds must be >= 1")
+    val Array(cs, cd) = edges.columns.take(2)
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var e = rounds.mark(
+      edges.select(col(cs).as("src"), col(cd).as("dst")).distinct())
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    var emptied = e.isEmpty
+    while (outer < maxOuter && !emptied) {
+      // pin both join layouts once per outer round
+      val eSrc = e.repartition(col("src")).persist(lvl)
+      val eDst = e.repartition(col("dst")).persist(lvl)
+      eSrc.count(); eDst.count()
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      // 1. COLOR — frontier-pruned min-reachable-id fixpoint
+      var color = rounds.mark(nodes.select(col("id"), col("id").as("c")))
+      var cFrontier = color
+      var r = 0
+      var cDone = false
+      while (r < maxPropRounds && !cDone) {
+        val cand = eDst.join(cFrontier.select(col("id").as("dst"),
+            col("c").as("fc")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(min(col("fc")).as("cand"))
+        val improved = rounds.mark(cand.join(color, Seq("id"))
+          .filter(col("cand") < col("c"))
+          .select(col("id"), col("cand").as("c")))
+        if (improved.isEmpty) { rounds.release(improved); cDone = true }
+        else {
+          val merged = rounds.mark(color.join(
+              improved.withColumnRenamed("c", "nc"), Seq("id"), "left")
+            .select(col("id"), coalesce(col("nc"), col("c")).as("c")))
+          rounds.release(color)
+          if (cFrontier ne color) rounds.release(cFrontier)
+          color = merged
+          cFrontier = improved
+          r += 1
+        }
+      }
+      if (cFrontier ne color) rounds.release(cFrontier)
+      require(cDone, s"color propagation did not converge within " +
+        s"$maxPropRounds rounds — raise maxPropRounds (the graph's " +
+        "min-label diameter exceeds the wall-time guard)")
+      // 2. FLOOD — forward within color classes from the roots
+      var flood = rounds.mark(color.filter(col("id") === col("c")))
+      var fFrontier = flood
+      r = 0
+      var fDone = false
+      while (r < maxPropRounds && !fDone) {
+        val cand = eSrc.join(fFrontier.select(col("id").as("src"),
+            col("c").as("fc")), Seq("src"))
+          .select(col("dst").as("id"), col("fc")).distinct()
+        val fresh = rounds.mark(cand
+          .join(color.withColumnRenamed("c", "vc"), Seq("id"))
+          .filter(col("fc") === col("vc"))
+          .select(col("id"), col("vc").as("c"))
+          .join(flood, Seq("id"), "left_anti"))
+        if (fresh.isEmpty) { rounds.release(fresh); fDone = true }
+        else {
+          val merged = rounds.mark(flood.unionByName(fresh))
+          rounds.release(flood)
+          if (fFrontier ne flood) rounds.release(fFrontier)
+          flood = merged
+          fFrontier = fresh
+          r += 1
+        }
+      }
+      if (fFrontier ne flood) rounds.release(fFrontier)
+      require(fDone, s"SCC flood did not converge within " +
+        s"$maxPropRounds rounds — raise maxPropRounds (a partially " +
+        "flooded SCC must never be peeled)")
+      // 3. PEEL — emit flooded SCCs, drop their edges, sweep the
+      // nodes the peel isolated as singletons
+      val flaggedIds = flood.select(col("id"))
+      val nextE = rounds.mark(
+        e.join(flaggedIds.withColumnRenamed("id", "src"), Seq("src"),
+            "left_anti")
+          .join(flaggedIds.withColumnRenamed("id", "dst"), Seq("dst"),
+            "left_anti")
+          .select(col("src"), col("dst")))
+      val nextNodes = nextE.select(col("src").as("id"))
+        .union(nextE.select(col("dst").as("id"))).distinct()
+      val isolated = nodes.join(flaggedIds, Seq("id"), "left_anti")
+        .join(nextNodes, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("c"))
+      val layer = rounds.mark(flood.unionByName(isolated))
+      rounds.release(flood)
+      layers += layer
+      rounds.release(color)
+      eSrc.unpersist(false); eDst.unpersist(false)
+      rounds.release(e)
+      e = nextE
+      emptied = e.isEmpty
+      outer += 1
+    }
+    val out =
+      if (layers.isEmpty) {
+        // no edges at all: empty relation with the right schema
+        e.select(col("src").as("id"), col("src").as("rep")).limit(0)
+      } else layers.reduce(_ unionByName _)
+        .select(col("id"), col("c").as("rep"))
+    val res = rounds.mark(out)
+    layers.foreach(rounds.release)
+    rounds.release(e)
+    res
+  }
 
   /** Approximate harmonic centrality via HyperBall (Boldi & Vigna,
     * 2013) — the centrality Common Crawl publishes as its page-level

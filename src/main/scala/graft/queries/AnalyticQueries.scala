@@ -382,6 +382,68 @@ object AnalyticQueries {
         maxK = 3, maxRoundsPerK = 3)
     },
 
+    // k-truss peeling on a mixed graph: EVEN 8-key blocks carry
+    // triangle strips (path + skip edges — end edges support 1,
+    // interior path edges 2), ODD blocks carry cliques of varying
+    // size (c = 2 + (k DIV 16)%3) with pendants. At k=4 the strips
+    // CASCADE to empty through the 3 rounds (dropping the
+    // support-1 edges zeroes the survivors' support), triangles and
+    // pendants die in round 1, and only the 4-cliques survive — a
+    // support-computation bug, a wrong threshold, or a broken
+    // cascade each leave different classes alive; the oracle unrolls
+    // exactly 3 synchronous support-and-filter steps (common-
+    // neighbor counts) with MATERIALIZED CTEs
+    "q_graph_ktruss" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"),
+          (col("o_orderkey") - pmod(col("o_orderkey"), lit(8L))).as("base"),
+          pmod(expr("o_orderkey DIV 8"), lit(2L)).as("par"),
+          (pmod(expr("o_orderkey DIV 16"), lit(3L)) + 2).as("c"))
+      val strip1 = o.filter(col("par") === 0 && col("r") < 7)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      val strip2 = o.filter(col("par") === 0 && col("r") < 6)
+        .select(col("k").as("src"), (col("k") + 2).as("dst"))
+      val m = o.filter(col("par") === 1 && col("r") < col("c"))
+      val clique = m.as("x").join(m.as("y"),
+          col("x.base") === col("y.base") && col("x.k") < col("y.k"))
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      val pend = o.filter(col("par") === 1 && col("r") >= 4)
+        .select(col("k").as("src"),
+          (col("base") + pmod(col("r"), col("c"))).as("dst"))
+      graft.functions.Graph.ktruss(
+        strip1.unionByName(strip2).unionByName(clique).unionByName(pend),
+        k = 4, maxRounds = 3)
+    },
+
+    // strongly connected components on block-local DIRECTED cycles of
+    // varying size (c = 2 + b%3 members per 8-key block), pendant
+    // edges INTO the cycles (reachability one way only → singleton
+    // SCCs), and one-directional base→base+8 cross chains capped at
+    // 16 blocks (DAG edges that must NOT merge — and the bound that
+    // keeps the oracle's transitive closure small). Pins direction
+    // (undirected CC would fuse everything), cycle closure at three
+    // different lengths, the pendant/cycle asymmetry, and the
+    // isolated-singleton sweep; oracle = full mutual-reachability
+    // model (recursive closure + symmetric self-join + per-node MIN)
+    "q_graph_scc" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"),
+          (col("o_orderkey") - pmod(col("o_orderkey"), lit(8L))).as("base"),
+          (pmod(expr("o_orderkey DIV 8"), lit(3L)) + 2).as("c"))
+      val cyc = o.filter(col("r") < col("c"))
+        .select(col("k").as("src"),
+          (col("base") + pmod(col("r") + 1, col("c"))).as("dst"))
+      val pend = o.filter(col("r") >= 4)
+        .select(col("k").as("src"), col("base").as("dst"))
+      val cross = o.filter(col("r") === 0 &&
+          pmod(expr("k DIV 8"), lit(16L)) =!= 15)
+        .select(col("k").as("src"), (col("k") + 8).as("dst"))
+      graft.functions.Graph.stronglyConnectedComponents(
+        cyc.unionByName(pend).unionByName(cross))
+    },
+
     // connected components on a CUT binary tree over orderkeys: keep
     // edge (k, k DIV 2) only when the parent is ODD, so the tree
     // shatters into caterpillar components (an odd spine m — 2m+1 —
@@ -1081,6 +1143,82 @@ object AnalyticQueries {
         |    SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
         |  UNION ALL SELECT DISTINCT id, 3 FROM (
         |    SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6))
+        |GROUP BY 1""".stripMargin,
+
+    "q_graph_ktruss" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS r,
+        |    o_orderkey - o_orderkey % 8 AS base,
+        |    (o_orderkey // 8) % 2 AS par,
+        |    2 + (o_orderkey // 16) % 3 AS c
+        |  FROM orders),
+        |raw AS MATERIALIZED (
+        |  SELECT k AS s, k + 1 AS d FROM o WHERE par = 0 AND r < 7
+        |  UNION ALL SELECT k, k + 2 FROM o WHERE par = 0 AND r < 6
+        |  UNION ALL
+        |  SELECT x.k, y.k FROM o x JOIN o y
+        |    ON x.base = y.base AND x.k < y.k
+        |   AND x.par = 1 AND y.par = 1 AND x.r < x.c AND y.r < y.c
+        |  UNION ALL
+        |  SELECT k, base + r % c FROM o WHERE par = 1 AND r >= 4),
+        |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a,
+        |  GREATEST(s, d) AS b FROM raw WHERE s <> d),
+        |u0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |s0 AS MATERIALIZED (SELECT e.a, e.b,
+        |  CAST(COALESCE(t.cnt, 0) AS BIGINT) AS s FROM e0 e
+        |  LEFT JOIN (SELECT e.a, e.b, COUNT(*) AS cnt FROM e0 e
+        |    JOIN u0 n1 ON n1.u = e.a JOIN u0 n2 ON n2.u = e.b
+        |     AND n2.v = n1.v GROUP BY 1, 2) t ON t.a = e.a AND t.b = e.b),
+        |e1 AS MATERIALIZED (SELECT a, b FROM s0 WHERE s >= 2),
+        |u1 AS MATERIALIZED (SELECT a AS u, b AS v FROM e1
+        |  UNION ALL SELECT b, a FROM e1),
+        |s1 AS MATERIALIZED (SELECT e.a, e.b,
+        |  CAST(COALESCE(t.cnt, 0) AS BIGINT) AS s FROM e1 e
+        |  LEFT JOIN (SELECT e.a, e.b, COUNT(*) AS cnt FROM e1 e
+        |    JOIN u1 n1 ON n1.u = e.a JOIN u1 n2 ON n2.u = e.b
+        |     AND n2.v = n1.v GROUP BY 1, 2) t ON t.a = e.a AND t.b = e.b),
+        |e2 AS MATERIALIZED (SELECT a, b FROM s1 WHERE s >= 2),
+        |u2 AS MATERIALIZED (SELECT a AS u, b AS v FROM e2
+        |  UNION ALL SELECT b, a FROM e2),
+        |s2 AS MATERIALIZED (SELECT e.a, e.b,
+        |  CAST(COALESCE(t.cnt, 0) AS BIGINT) AS s FROM e2 e
+        |  LEFT JOIN (SELECT e.a, e.b, COUNT(*) AS cnt FROM e2 e
+        |    JOIN u2 n1 ON n1.u = e.a JOIN u2 n2 ON n2.u = e.b
+        |     AND n2.v = n1.v GROUP BY 1, 2) t ON t.a = e.a AND t.b = e.b),
+        |e3 AS MATERIALIZED (SELECT a, b FROM s2 WHERE s >= 2),
+        |u3 AS MATERIALIZED (SELECT a AS u, b AS v FROM e3
+        |  UNION ALL SELECT b, a FROM e3)
+        |SELECT e.a, e.b, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS support
+        |FROM e3 e
+        |LEFT JOIN (SELECT e.a, e.b, COUNT(*) AS cnt FROM e3 e
+        |  JOIN u3 n1 ON n1.u = e.a JOIN u3 n2 ON n2.u = e.b
+        |   AND n2.v = n1.v GROUP BY 1, 2) t ON t.a = e.a AND t.b = e.b""".stripMargin,
+
+    "q_graph_scc" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS r,
+        |    o_orderkey - o_orderkey % 8 AS base,
+        |    2 + (o_orderkey // 8) % 3 AS c
+        |  FROM orders),
+        |ed AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+        |  SELECT k AS s, base + (r + 1) % c AS d FROM o WHERE r < c
+        |  UNION ALL
+        |  SELECT k, base FROM o WHERE r >= 4
+        |  UNION ALL
+        |  SELECT k, k + 8 FROM o
+        |  WHERE r = 0 AND (k // 8) % 16 <> 15)),
+        |nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+        |  SELECT s AS id FROM ed UNION ALL SELECT d FROM ed)),
+        |reach(a, b) AS (
+        |  SELECT s, d FROM ed
+        |  UNION
+        |  SELECT reach.a, ed.d FROM reach JOIN ed ON ed.s = reach.b)
+        |SELECT id, CAST(MIN(u) AS BIGINT) AS rep FROM (
+        |  SELECT id, id AS u FROM nodes
+        |  UNION ALL
+        |  SELECT r1.a AS id, r1.b AS u FROM reach r1
+        |  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
         |GROUP BY 1""".stripMargin,
 
     "q_graph_cc" ->

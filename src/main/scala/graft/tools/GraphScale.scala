@@ -46,6 +46,13 @@ object GraphScale {
           when(pmod(xxhash64(col("id"), lit(2)), lit(5)) === 0,
             pmod(xxhash64(col("id"), lit(3)), lit(16)))
             .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(n))).as("dst"))
+      case "rings" =>
+        // disjoint directed 64-cycles covering the id space: maximal
+        // SCC mass at min-label diameter 63 — exercises the scc
+        // fixpoints' depth where the random shape is acyclic-thin
+        spark.range(nEdges).select(col("id").as("src"),
+          when(pmod(col("id") + 1, lit(64L)) === 0, col("id") - 63)
+            .otherwise(col("id") + 1).as("dst"))
       case _ =>
         spark.range(nEdges).select(
           pmod(xxhash64(col("id")), lit(n)).as("src"),
@@ -77,6 +84,15 @@ object GraphScale {
       // is small (mean degree ~1 at 2N nodes), so the empty early
       // exit fires well inside the cap
       case "coreness" => graft.functions.Graph.coreness(ed, 4, iters)
+      case "scc" => graft.functions.Graph.stronglyConnectedComponents(ed)
+      // k=3 (support ≥ 1): the random shape's sparse triangle mass
+      // peels to the mutual-embedding skeleton in a few rounds; the
+      // synthetic edge-id column gives the harness's dup check a
+      // meaningful target (one row per surviving edge)
+      case "ktruss" =>
+        graft.functions.Graph.ktruss(ed, 3, iters)
+          .select((col("a") * lit(4294967296L) + col("b")).as("id"),
+            col("a"), col("b"), col("support"))
       case _ => graft.functions.Graph.pageRank(ed, iters)
     }
     val t0 = System.nanoTime()
@@ -181,6 +197,30 @@ object GraphScale {
         val t = pr.agg(sum(col("coreness")).cast("decimal(38,0)"))
           .head().getDecimal(0)
         (range + over, t)
+      case "ktruss" =>
+        // canonical edge order, non-negative supports, and the
+        // corner-sum parity: Σ support = 3 × #triangles in the
+        // SURVIVING subgraph (supports are always measured there)
+        val neg = pr.filter(col("support") < 0 ||
+          col("a") >= col("b")).count()
+        val t = pr.agg(coalesce(sum(col("support")), lit(0L))
+          .cast("decimal(38,0)")).head().getDecimal(0)
+        val parity = if (t.remainder(java.math.BigDecimal.valueOf(3))
+          .compareTo(java.math.BigDecimal.ZERO) == 0) 0L else 1L
+        (neg + parity, t)
+      case "scc" =>
+        // distributed invariants: rep ≤ id (rep is the SCC minimum);
+        // every rep maps to ITSELF (rep rows are fixpoints of the
+        // assignment); every rep is an assigned node. Output must
+        // cover all nodes (the harness does NOT exempt scc from the
+        // node-count check — an outer-cap miss fails loudly).
+        val over = pr.filter(col("rep") > col("id")).count()
+        val selfMap = pr.select(col("rep").as("id")).distinct()
+          .join(pr, Seq("id"), "left")
+          .filter(col("rep").isNull || col("rep") =!= col("id")).count()
+        val t = pr.agg(countDistinct(col("rep")).cast("decimal(38,0)"))
+          .head().getDecimal(0)
+        (over + selfMap, t)
       case _ =>
         val base = java.math.BigDecimal.valueOf((unit * 150L / 1000L) / nodeCount)
         val bad = pr.filter(col("rank") < lit(base)).count()
@@ -196,10 +236,11 @@ object GraphScale {
 
     println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
     require((op == "bfs" || op == "sssp" || op == "kcore" ||
-        op == "coreness" || nodes == nodeCount) &&
+        op == "coreness" || op == "ktruss" || nodes == nodeCount) &&
       badRows == 0 && dupIds == 0 &&
       (op == "lpa" || op == "bfs" || op == "sssp" || op == "triangles" ||
         op == "kcore" || op == "harmonic" || op == "coreness" ||
+        op == "scc" || op == "ktruss" ||
         total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0) &&
       mismatch <= 0, "invariant violation")
     spark.stop()

@@ -407,6 +407,123 @@ class GraphSpec extends SparkSpec {
     assert(cn.filter(_._2 >= 2L).keySet === k2)
   }
 
+  private def scc(edges: Seq[(Long, Long)], maxOuter: Int = 20)
+      : Map[Long, Long] =
+    Graph.stronglyConnectedComponents(edges.toDF("src", "dst"), maxOuter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("scc: cycles close, DAG edges never merge, direction matters") {
+    // cycle {1,2,3}; 3→4 one-directional; cycle {4,5}; 6→1 tendril
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (6L, 1L))
+    assert(scc(g) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // the same edges UNDIRECTED would be one component — direction
+    // is the whole point
+    val und = Graph.connectedComponents(g.toDF("src", "dst"))
+      .collect().map(_.getLong(1)).toSet
+    assert(und === Set(1L))
+  }
+
+  test("scc: pure DAG collapses to singletons in one sweep") {
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(scc(dag) === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("scc: downstream-pointing minima need a second outer round") {
+    // 1 → {2,3} cycle → {4,5} cycle → 0: every upstream SCC's
+    // min-reachable id is 0, so only SCC {0} extracts in round 1 and
+    // the cycles become roots in round 2 — pins the outer peel
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (5L, 0L))
+    assert(scc(g) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L,
+      4L -> 4L, 5L -> 4L))
+    // a too-small cap leaves the un-extracted layers ABSENT, never
+    // wrong: round 1 extracts {0} and isolates nothing else
+    val capped = scc(g, maxOuter = 1)
+    assert(capped === Map(0L -> 0L))
+  }
+
+  test("scc: shared node fuses cycles; self-loops and duplicates are harmless") {
+    // two cycles sharing node 3 are ONE SCC; 9's self-loop is a
+    // singleton SCC; duplicate edges collapse
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (9L, 9L), (1L, 2L))
+    assert(scc(g) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 9L -> 9L))
+  }
+
+  test("scc: partition-invariant") {
+    val g = (1L to 60L).map(i => (i, if (i % 10 == 0) i - 9 else i + 1))
+    val a = scc(g)
+    val b = Graph.stronglyConnectedComponents(
+        g.toDF("src", "dst").repartition(13))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // six disjoint 10-cycles, reps at the decade starts
+    assert(a === (1L to 60L).map(i => i -> ((i - 1) / 10 * 10 + 1)).toMap)
+  }
+
+  private def truss(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int = 20): Set[(Long, Long, Long)] =
+    Graph.ktruss(edges.toDF("src", "dst"), k, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("ktruss: clique supports, triangle threshold, k=2 raw report") {
+    // 4-clique {1,2,3,4} + triangle {5,6,7} + pendant (1,9)
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (6L, 7L), (7L, 5L), (1L, 9L))
+    // k=3 (support ≥ 1): pendant dies, clique (2) + triangle (1) stay
+    assert(truss(g, 3) === Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L),
+      (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L)))
+    // k=4: only the clique; k=5: nothing survives
+    assert(truss(g, 4).map(_._3) === Set(2L) && truss(g, 4).size === 6)
+    assert(truss(g, 5) === Set.empty[(Long, Long, Long)])
+    // k=2 degrades to the per-edge triangle report, pendant included
+    assert(truss(g, 2).size === 10 &&
+      truss(g, 2).contains((1L, 9L, 0L)))
+  }
+
+  test("ktruss: strip cascade peels layer by layer; maxRounds binds") {
+    // triangle strip t0..t5: skip edges and END path edges carry
+    // support 1, interior path edges 2 — k=4 drops the former in
+    // round 1, which zeroes the survivors' support (no triangles
+    // remain), so round 2 empties the graph: a true support CASCADE
+    val strip = (0L to 4L).map(i => (i, i + 1)) ++
+      (0L to 3L).map(i => (i, i + 2))
+    assert(truss(strip, 4) === Set.empty[(Long, Long, Long)])
+    // capped after ONE round: the interior path survives with its
+    // RECOMPUTED (zero) supports — the deterministic cap semantics
+    assert(truss(strip, 4, rounds = 1) ===
+      Set((1L, 2L, 0L), (2L, 3L, 0L), (3L, 4L, 0L)))
+    // rounds = 0 reports raw supports of the canonical input
+    assert(truss(strip, 4, rounds = 0).count(_._3 == 2L) === 3)
+  }
+
+  test("ktruss: messy edges canonicalize; truss sits inside the core") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (3L, 4L), (4L, 1L), (4L, 3L))
+    // triangle {1,2,3} + triangle {1,3,4} sharing edge (1,3)
+    val t3 = truss(messy, 3)
+    assert(t3 === Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 2L),
+      (3L, 4L, 1L), (1L, 4L, 1L)))
+    // every truss endpoint is a kcore(k-1) survivor (k-truss ⊆ (k-1)-core)
+    val coreNodes = core(messy, 2, 100).map(_._1)
+    assert(t3.flatMap(e => Seq(e._1, e._2)).subsetOf(coreNodes))
+  }
+
+  test("scc: unconverged propagation throws, never a wrong answer") {
+    // a 9-ring needs ~9 color rounds; a 2-round guard must abort
+    // loudly — a silently capped flood would peel the ring apart
+    val ring = (1L to 9L).map(i => (i, i % 9 + 1))
+    val e = intercept[IllegalArgumentException] {
+      Graph.stronglyConnectedComponents(ring.toDF("src", "dst"),
+        maxPropRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("maxPropRounds"))
+  }
+
   test("connectedComponents: chains close transitively, min-id reps, messy edges") {
     // two chains + an isolated pair: a pair-local rule would miss that
     // 1~2~3~4 is ONE component; reps are the component minima
