@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Graph")
+
   /** Exact integer division on non-negative decimal(38,0) columns:
     * (a - a mod b) / b is exactly representable, so the decimal divide
     * (which would otherwise round at scale 6) is exact and the cast
@@ -620,8 +622,21 @@ object Graph {
     * Output: (id, coreness). A node whose true coreness exceeds
     * `maxK` reports maxK (the cap is the documented contract — pick
     * maxK ≥ the graph's degeneracy for exact values).
+    *
+    * CONVERGENCE IS SIGNALED, not silent: a peel that hits
+    * `maxRoundsPerK` before its fixpoint (verified by one extra
+    * sub-k degree probe on the cap path only — the early exit makes
+    * converged runs probe-free) leaves survivors that report
+    * membership they may not have, so the run logs a WARNING naming
+    * the affected k thresholds — or THROWS when
+    * `requireConverged = true` — letting callers distinguish exact
+    * values from cap-truncated upper bounds (the
+    * [[stronglyConnectedComponents]] posture, soft by default
+    * because the bounded-round semantics are themselves the
+    * documented deterministic contract the gate oracle unrolls).
     */
-  def coreness(edges: DataFrame, maxK: Int, maxRoundsPerK: Int): DataFrame = {
+  def coreness(edges: DataFrame, maxK: Int, maxRoundsPerK: Int,
+      requireConverged: Boolean = false): DataFrame = {
     require(maxK >= 1, s"maxK must be >= 1, got $maxK")
     require(maxRoundsPerK >= 0, "maxRoundsPerK must be >= 0")
     val rounds = new Rounds(edges)
@@ -633,6 +648,7 @@ object Graph {
       .select(col("id"), lit(1L).as("coreness")))
     var k = 2
     var empty = false
+    val cappedKs = scala.collection.mutable.ArrayBuffer.empty[Int]
     while (k <= maxK && !empty) {
       var r = 0
       var fix = false
@@ -651,10 +667,23 @@ object Graph {
           r += 1
         }
       }
+      // cap path only: did the cap land exactly on the fixpoint?
+      if (!fix &&
+          !undirectedDegrees(e).filter(col("deg") < k).isEmpty)
+        cappedKs += k
       val layer = rounds.mark(undirectedDegrees(e)
         .select(col("id"), lit(k.toLong).as("coreness")))
       if (layer.isEmpty) { rounds.release(layer); empty = true }
       else { layers += layer; k += 1 }
+    }
+    if (cappedKs.nonEmpty) {
+      val msg = s"coreness: peel hit maxRoundsPerK=$maxRoundsPerK " +
+        s"before its fixpoint at k=${cappedKs.mkString(",")} — " +
+        "reported values at those thresholds are cap-truncated UPPER " +
+        "bounds, not exact core numbers (raise maxRoundsPerK; a path " +
+        "graph peels one layer per round)"
+      if (requireConverged) throw new IllegalStateException(msg)
+      log.warn(msg)
     }
     val res = rounds.mark(layers.reduce(_ unionByName _)
       .groupBy(col("id")).agg(max(col("coreness")).as("coreness")))
@@ -723,14 +752,21 @@ object Graph {
     * Deterministic for ANY fixed `maxRounds` (the [[kcore]]
     * unrolling argument verbatim: synchronous rounds, round r a pure
     * function of round r−1), so an oracle unrolls exactly
-    * `maxRounds` support-and-filter steps. Scale shape per round:
+    * `maxRounds` support-and-filter steps. A cap hit before the
+    * fixpoint is SIGNALED, not silent (the [[coreness]] posture):
+    * the final support pass already proves it (any surviving edge
+    * with support < k−2 means the peel was truncated and the result
+    * is a SUPERSET of the k-truss), so the run logs a WARNING — or
+    * THROWS when `requireConverged = true` — at zero extra plan
+    * cost. Scale shape per round:
     * one degree aggregate + the oriented wedge join (≤ m^1.5 on the
     * CURRENT, monotonically-shrinking edge set) + one grouped count
     * + one edge-keyed left join, all under the shared [[Rounds]]
     * lifecycle; the fixpoint test rides the support relation already
     * computed for the peel.
     */
-  def ktruss(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+  def ktruss(edges: DataFrame, k: Int, maxRounds: Int,
+      requireConverged: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(maxRounds >= 0, "maxRounds must be >= 0")
     val rounds = new Rounds(edges)
@@ -749,7 +785,16 @@ object Graph {
         r += 1
       }
     }
-    if (res == null) res = edgeSupport(e, rounds)
+    if (res == null) {
+      res = edgeSupport(e, rounds)
+      if (!res.filter(col("support") < k - 2).isEmpty) {
+        val msg = s"ktruss: peel hit maxRounds=$maxRounds before its " +
+          s"fixpoint — the returned edge set is a cap-truncated " +
+          s"SUPERSET of the $k-truss (raise maxRounds)"
+        if (requireConverged) throw new IllegalStateException(msg)
+        log.warn(msg)
+      }
+    }
     rounds.release(e)
     res
   }
@@ -808,10 +853,13 @@ object Graph {
     * Each outer round extracts at least every current color root's
     * SCC, so the edge set strictly shrinks; DAG regions collapse in
     * ONE round (every node is its own root or goes edge-less).
-    * `maxOuter` caps the outer peel (nodes still unassigned at the
-    * cap are ABSENT from the output — raise the cap; the count is
-    * graph-structural: one round per layer of SCCs whose minimum
-    * points downstream). `maxPropRounds` is a WALL-TIME GUARD on the
+    * `maxOuter` caps the outer peel, and a cap hit with edges still
+    * unpeeled THROWS — silently omitting the unassigned nodes would
+    * let a downstream join lose nodes with no signal (raise the cap;
+    * the round count is graph-structural: one round per layer of
+    * SCCs whose minimum points downstream — DAGs of SCCs need one
+    * round per such layer, rarely more than a handful).
+    * `maxPropRounds` is a WALL-TIME GUARD on the
     * inner fixpoints, not a semantics knob: both propagations
     * terminate on their own (the color lattice only descends, the
     * flood only grows), but their round counts scale with the
@@ -926,6 +974,11 @@ object Graph {
       emptied = e.isEmpty
       outer += 1
     }
+    require(emptied, s"SCC outer peel did not exhaust the graph " +
+      s"within maxOuter=$outer rounds — raise maxOuter (one round " +
+      "per layer of SCCs whose minimum reachable id points " +
+      "downstream); emitting a partial assignment would silently " +
+      "drop the unpeeled nodes")
     val out =
       if (layers.isEmpty) {
         // no edges at all: empty relation with the right schema
@@ -1153,12 +1206,16 @@ object Graph {
     *
     * Weights cast to BIGINT and must be NON-NEGATIVE for "shortest"
     * to be well-defined on cyclic graphs (a negative cycle has no
-    * minimum). The contract is ENFORCED: negative-weight edges are
-    * DROPPED in the edge prep — the [[pageRankWeighted]] posture —
-    * so the result is always a true shortest-path relation over the
-    * valid edge subset, never a silent best-within-`maxIter`
-    * relaxation. Parallel edges collapse to their lightest weight up
-    * front.
+    * minimum). The contract FAILS LOUDLY: a negative-weight edge
+    * raises at the first action on the edge prep (the check rides
+    * the weight column itself via `raise_error` inside the codegen'd
+    * projection — zero extra pass, un-prunable), naming the
+    * offending edge. Bad input data is surfaced, never silently
+    * excluded (the repo's "unconverged ⇒ error, never a different
+    * answer" posture — [[stronglyConnectedComponents]]); weight-0
+    * edges are valid ("free hop"). Callers who WANT drop semantics
+    * filter upstream, visibly. Parallel edges collapse to their
+    * lightest weight up front.
     *
     * Algorithm: frontier-pruned Bellman–Ford relaxation (the
     * distributed formulation delta-stepping generalizes — Meyer &
@@ -1186,7 +1243,13 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(cs).as("src"), col(cd).as("dst"),
         col(cw).cast("long").as("w"))
-      .filter(col("w") >= 0)
+      .select(col("src"), col("dst"),
+        when(col("w") < 0, raise_error(concat(
+            lit("sssp: negative-weight edge "), col("src"), lit("->"),
+            col("dst"), lit(" (w="), col("w"),
+            lit("); shortest paths are undefined under negative "),
+            lit("weights — filter or clamp upstream"))).cast("long"))
+          .otherwise(col("w")).as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .repartition(col("src")).persist(lvl)
     var dist = rounds.mark(seeds.select(col(seeds.columns.head).as("id"))
@@ -1232,5 +1295,155 @@ object Graph {
     out.join(in, Seq("id"), "full_outer")
       .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Deterministic uniform random-walk corpus over the DIRECTED
+    * simple graph (DeepWalk — Perozzi et al., KDD'14; node2vec's
+    * p=q=1 case): `walksPerNode` walks of up to `walkLength` steps
+    * from every node with at least one out-edge, each step choosing
+    * uniformly among the current node's out-neighbors. The walk
+    * sentences are the standard input to skip-gram graph embeddings —
+    * the link-graph face of a training-data pipeline's representation
+    * stage (walk corpus → embedding table → [[Similarity]] ANN).
+    * Output: (start, walk, step, id) in LONG form — one row per
+    * visited position, step 0 = the start itself; a walk that reaches
+    * a sink (no out-edges) STOPS, its remaining steps absent
+    * (DeepWalk's truncated-walk semantics).
+    *
+    * Determinism is the whole design: step t of walk (start, w) picks
+    * neighbor index `(splitmix64(wh XOR t) >>> 32) mod out_deg(cur)`
+    * where `wh = splitmix64(splitmix64(seed XOR start) XOR w)` is the
+    * walk's private stream key — a pure function of (seed, start, w,
+    * t), so results are bit-identical under any partitioning, retries
+    * included, and an oracle re-derives every choice (splitmix64 and
+    * the top-32-bit mod are UBIGINT-renderable, the house sampling
+    * hash posture). The modulo bias at out_deg ≪ 2³² is ≤ 2⁻³² per
+    * step — irrelevant for embedding corpora, and exactness of the
+    * DISTRIBUTION is not the contract; exactness of REPRODUCTION is.
+    *
+    * Scale shape: the ranked adjacency (src, dst, rk) — rk = the
+    * neighbor's rank in dst order, one window sort — and the
+    * out-degree relation are hash-partitioned on src ONCE and
+    * persisted; each of the `walkLength` rounds moves ONLY the
+    * walk-set relation (n·walksPerNode rows, shrinking as walks
+    * sink) through two src-keyed joins against those pinned layouts
+    * (the [[sssp]] frontier discipline — never the edge set), under
+    * the shared [[Rounds]] checkpoint lifecycle. Driver state: the
+    * step counter. At 100 TB the walk corpus dwarfs the graph — it
+    * streams out of the final union of per-step checkpoints rather
+    * than ever sitting in one task's memory.
+    */
+  def randomWalks(edges: DataFrame, walkLength: Int, walksPerNode: Int,
+      seed: Long): DataFrame = {
+    require(walkLength >= 1, s"walkLength must be >= 1, got $walkLength")
+    require(walksPerNode >= 1,
+      s"walksPerNode must be >= 1, got $walksPerNode")
+    import org.apache.spark.sql.expressions.Window
+    val Array(cs, cd) = edges.columns.take(2)
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+    val adj = e.select(col("src"), col("dst"),
+        (row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .cast("long").as("rk"))
+      .repartition(col("src")).persist(lvl)
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("dsrc"), col("deg"))
+      .repartition(col("dsrc")).persist(lvl)
+    adj.count(); deg.count()
+    val wh = Sampling.splitmix64(
+      Sampling.splitmix64(lit(seed).bitwiseXOR(col("start")))
+        .bitwiseXOR(col("w")))
+    var cur = rounds.mark(
+      e.select(col("src").as("start")).distinct()
+        .select(col("start"), explode(sequence(lit(0L),
+          lit(walksPerNode - 1L))).as("w"))
+        .select(col("start"), col("w"), col("start").as("id"), wh.as("wh")))
+    val outs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    outs += rounds.mark(cur.select(col("start"), col("w"),
+      lit(0L).as("step"), col("id")))
+    var t = 1
+    while (t <= walkLength && !cur.isEmpty) {
+      val rk = pmod(shiftrightunsigned(
+        Sampling.splitmix64(col("wh").bitwiseXOR(lit(t.toLong))), 32),
+        col("deg"))
+      val nxt = rounds.mark(
+        cur.join(deg, col("id") === col("dsrc"))
+          .select(col("start"), col("w"), col("wh"),
+            col("id").as("cs"), rk.as("crk"))
+          .join(adj.as("adjr"),
+            col("cs") === col("adjr.src") && col("crk") === col("adjr.rk"))
+          .select(col("start"), col("w"), col("adjr.dst").as("id"),
+            col("wh")))
+      outs += rounds.mark(nxt.select(col("start"), col("w"),
+        lit(t.toLong).as("step"), col("id")))
+      rounds.release(cur)
+      cur = nxt
+      t += 1
+    }
+    rounds.release(cur)
+    val res = rounds.mark(outs.reduce(_ unionByName _)
+      .select(col("start"), col("w").as("walk"), col("step"), col("id")))
+    outs.foreach(rounds.release)
+    adj.unpersist(false); deg.unpersist(false)
+    res
+  }
+
+  /** Newman modularity report for a community assignment — the
+    * standard "is this partition actually community-like?" score for
+    * [[labelPropagation]] / [[connectedComponents]] / external
+    * clusterings (Newman & Girvan 2004): over the UNDIRECTED simple
+    * graph with m edges, Q = Σ_c [ e_c/m − (d_c/2m)² ] where e_c =
+    * intra-community edges and d_c = the community's degree sum.
+    * Output: one row per community, (community, nodes, e_in, d_tot,
+    * q_num) with `q_num = 4·m·e_in − d_tot²` in exact decimal(38,0)
+    * micro-arithmetic — Q = Σ q_num / (4m²) EXACTLY, so community
+    * rankings and A/B deltas are bit-stable under any partitioning
+    * (the house integer-PageRank posture; a double Q varies with
+    * summation order). Nodes absent from `assign` default to
+    * SINGLETON communities of their own id — a partial labeling
+    * (LPA on a capped round budget, an external clustering that only
+    * labels the head) still scores, with the unlabeled tail priced
+    * honestly as isolated vertices.
+    *
+    * Scale shape: one node-sized assignment join onto each edge
+    * endpoint (two shuffles of the edge relation — the unavoidable
+    * exchange: community membership is a node property consumed at
+    * edges), then partial-aggregable grouped counts; the scalar m
+    * rides a 1-row broadcast. Nothing all-pairs, nothing driver-side.
+    */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val Array(cs, cd) = edges.columns.take(2)
+    val Array(ai, ac) = assign.columns.take(2)
+    val e = canonicalUndirected(edges)
+    val nodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+    val comm = nodes.join(
+        assign.select(col(ai).as("id"), col(ac).as("community"))
+          .groupBy(col("id")).agg(min(col("community")).as("community")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("community"), col("id"))
+        .as("community"))
+    val dec38 = "decimal(38,0)"
+    val mRel = e.agg(count(lit(1)).cast(dec38).as("m"))
+    val withC = e
+      .join(comm.select(col("id").as("a"), col("community").as("ca")), "a")
+      .join(comm.select(col("id").as("b"), col("community").as("cb")), "b")
+    val eIn = withC.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val dTot = undirectedDegrees(e)
+      .join(comm, Seq("id"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("nodes"), sum(col("deg")).as("d_tot"))
+    dTot.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
+      .crossJoin(broadcast(mRel))
+      .select(col("community"), col("nodes"), col("e_in"), col("d_tot"),
+        (lit(4).cast(dec38) * col("m") * col("e_in").cast(dec38) -
+          col("d_tot").cast(dec38) * col("d_tot").cast(dec38))
+          .cast(dec38).as("q_num"))
   }
 }

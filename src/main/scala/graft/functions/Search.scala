@@ -562,7 +562,13 @@ object Search {
     * coordination-order pattern): span ≤ windowTokens and
     * n_windows < 2³² (a per-doc anchor count, bounded by doc length;
     * clamped defensively) pack lexicographically into one exact
-    * double < 2⁵³, so the ranking rides the tasks·k-bounded map-side
+    * double < 2⁵³ — exact ONLY while windowTokens < 2²¹ (beyond that
+    * the high word times 2³² exceeds 2⁵³ and the double rounds,
+    * silently corrupting both the order and the decoded spans), so
+    * the precondition is ENFORCED by `require` rather than assumed
+    * (every realistic proximity window is ≪ 2²¹ tokens; use
+    * [[proximityDocs]] + a caller-side sort for wider windows). The
+    * ranking rides the tasks·k-bounded map-side
     * top-k ([[rankCandidates]]) — never a global sort — and an
     * oracle's ROW_NUMBER reproduces it bit-for-bit. The span columns
     * DECODE back out of the ranked key (floor-div / mod on the exact
@@ -576,6 +582,9 @@ object Search {
   def proximityTopK(postings: DataFrame, terms: Seq[String],
       windowTokens: Long, k: Int, lowercase: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(windowTokens < (1L << 21),
+      s"windowTokens must be < 2^21 for the packed rank key to stay " +
+        s"exact (got $windowTokens); use proximityDocs for wider windows")
     val d = proximityDocs(postings, terms, windowTokens, lowercase)
     val ranked = Similarity.rankTopK(
       d.select(lit(0L).as("qid"), col("doc_id").as("nid"),

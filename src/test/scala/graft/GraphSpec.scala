@@ -287,12 +287,20 @@ class GraphSpec extends SparkSpec {
     assert(sssp(e, Seq(1L)) === Set((1L, 0L), (2L, 0L)))
   }
 
-  test("sssp: negative-weight edges are dropped, not relaxed") {
+  test("sssp: negative-weight edges fail loudly, never relax or vanish") {
     // the -5 shortcut would undercut the honest 1→2→3 path (and a
-    // negative cycle would never converge); the contract drops it, so
-    // distances are the shortest paths over the valid subset
+    // negative cycle would never converge); the contract THROWS at
+    // the first action, naming the offending edge — bad input is
+    // surfaced, never silently excluded
     val e = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, -5L))
-    assert(sssp(e, Seq(1L)) === Set((1L, 0L), (2L, 2L), (3L, 4L)))
+    val ex = intercept[Exception] { sssp(e, Seq(1L)) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("negative-weight edge 1->3")))
+    // an upstream filter restores the old drop semantics, visibly
+    val filtered = e.filter(_._3 >= 0)
+    assert(sssp(filtered, Seq(1L)) === Set((1L, 0L), (2L, 2L), (3L, 4L)))
   }
 
   private def tri(edges: Seq[(Long, Long)]): Set[(Long, Long)] =
@@ -397,6 +405,36 @@ class GraphSpec extends SparkSpec {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("coreness/ktruss: cap truncation is signaled; requireConverged throws") {
+    // the rpk=1 path peel above is cap-truncated — opting into
+    // strictness turns the warning into an error naming the k
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val ce = intercept[IllegalStateException] {
+      Graph.coreness(path.toDF("src", "dst"), maxK = 3,
+        maxRoundsPerK = 1, requireConverged = true).collect()
+    }
+    assert(ce.getMessage.contains("k=2"))
+    // a converged run under the SAME caps must NOT trip the probe
+    // (cap landing exactly on the fixpoint counts as converged):
+    // threshold-2 peel of a star finishes in one round
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    assert(Graph.coreness(star.toDF("src", "dst"), maxK = 2,
+        maxRoundsPerK = 1, requireConverged = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // ktruss: the strip cascade capped mid-peel throws under
+    // strictness; uncapped the same call converges quietly
+    val strip = (0L to 4L).map(i => (i, i + 1)) ++
+      (0L to 3L).map(i => (i, i + 2))
+    val te = intercept[IllegalStateException] {
+      Graph.ktruss(strip.toDF("src", "dst"), k = 4, maxRounds = 1,
+        requireConverged = true).collect()
+    }
+    assert(te.getMessage.contains("maxRounds"))
+    assert(Graph.ktruss(strip.toDF("src", "dst"), k = 4, maxRounds = 20,
+      requireConverged = true).collect().isEmpty)
+  }
+
   test("coreness: messy edges canonicalize; agrees with kcore membership") {
     val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
       (1L, 1L), (3L, 9L))
@@ -438,10 +476,11 @@ class GraphSpec extends SparkSpec {
       (4L, 5L), (5L, 4L), (5L, 0L))
     assert(scc(g) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L,
       4L -> 4L, 5L -> 4L))
-    // a too-small cap leaves the un-extracted layers ABSENT, never
-    // wrong: round 1 extracts {0} and isolates nothing else
-    val capped = scc(g, maxOuter = 1)
-    assert(capped === Map(0L -> 0L))
+    // a too-small cap THROWS rather than silently omit the
+    // un-extracted layers — a partial assignment would lose nodes
+    // in a downstream join with no signal (the maxPropRounds posture)
+    val ex = intercept[IllegalArgumentException] { scc(g, maxOuter = 1) }
+    assert(ex.getMessage.contains("maxOuter"))
   }
 
   test("scc: shared node fuses cycles; self-loops and duplicates are harmless") {
@@ -536,5 +575,111 @@ class GraphSpec extends SparkSpec {
     val ded = graft.functions.Dedup.connectedComponents(g.toDF("i", "j"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ded === got)
+  }
+
+  private def walks(edges: Seq[(Long, Long)], len: Int, per: Int,
+      seed: Long): Seq[(Long, Long, Long, Long)] =
+    Graph.randomWalks(edges.toDF("src", "dst"), len, per, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(x => (x._1, x._2, x._3))
+
+  test("randomWalks: every hop is an edge, walks re-derive from the hash spec") {
+    // diamond with a tail: choices at 1 (→2 or →3) exercise the
+    // hash-indexed pick; 4→5 is forced; 5 is a sink mid-walk
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = walks(g, len = 4, per = 3, seed = 42L)
+    val edgeSet = g.toSet
+    // step-0 rows: one per (start, w) over starts {1,2,3,4}
+    val s0 = got.filter(_._3 == 0L)
+    assert(s0.map(x => (x._1, x._2)).toSet ===
+      (for (s <- Seq(1L, 2L, 3L, 4L); w <- 0L until 3L) yield (s, w)).toSet)
+    assert(s0.forall(x => x._1 === x._4))
+    // every consecutive pair within a walk is a real edge
+    val byWalk = got.groupBy(x => (x._1, x._2))
+    byWalk.values.foreach { rows =>
+      val path = rows.sortBy(_._3).map(_._4)
+      path.sliding(2).filter(_.size == 2).foreach { p =>
+        assert(edgeSet.contains((p(0), p(1))), s"non-edge hop in $path")
+      }
+    }
+    // full re-derivation from the documented hash spec (the oracle's
+    // computation): adjacency ranked by dst, idx = top-32 bits mod deg
+    import graft.functions.SamplingImpl.splitmix64
+    val adj = g.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).sorted.toIndexedSeq }
+    def expectWalk(start: Long, w: Long, len: Int): Seq[Long] = {
+      val wh = splitmix64(splitmix64(42L ^ start) ^ w)
+      var cur = start
+      var out = Seq(start)
+      var t = 1
+      while (t <= len && adj.contains(cur)) {
+        val ns = adj(cur)
+        val idx = ((splitmix64(wh ^ t.toLong) >>> 32) % ns.size).toInt
+        cur = ns(idx)
+        out :+= cur
+        t += 1
+      }
+      out
+    }
+    byWalk.foreach { case ((s, w), rows) =>
+      assert(rows.sortBy(_._3).map(_._4) === expectWalk(s, w, 4),
+        s"walk ($s,$w) diverged from the hash spec")
+    }
+    // sink truncation: a walk reaching 5 stops (no step rows after)
+    assert(got.filter(_._4 == 5L).forall(_._3 <= 4L))
+    // determinism + partition invariance
+    val again = Graph.randomWalks(
+        g.toDF("src", "dst").repartition(7), 4, 3, 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(x => (x._1, x._2, x._3))
+    assert(again === got)
+    // a different seed changes at least one choice at node 1
+    val other = walks(g, 4, 3, seed = 43L)
+    assert(other.nonEmpty)
+  }
+
+  test("randomWalks: uniform choice covers the neighbor set; duplicates collapse") {
+    // star 1→{2,3,4} (+ a duplicate edge): 24 walks of length 1 from
+    // node 1 must (deterministically, at this seed) hit all three
+    // neighbors, and never a non-neighbor
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 2L))
+    val got = walks(g, len = 1, per = 24, seed = 7L)
+    val nexts = got.filter(x => x._1 == 1L && x._3 == 1L).map(_._4)
+    assert(nexts.size === 24 && nexts.toSet === Set(2L, 3L, 4L))
+  }
+
+  private def mod(edges: Seq[(Long, Long)], assign: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Long, BigDecimal)] =
+    Graph.modularity(edges.toDF("src", "dst"), assign.toDF("id", "c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), BigDecimal(r.getDecimal(4))))).toMap
+
+  test("modularity: two triangles + bridge, hand-computed q_num") {
+    // triangles {1,2,3} and {4,5,6} bridged by (3,4): m=7;
+    // community 10: e_in=3, d_tot=2+2+3=7 → q_num = 4·7·3 − 49 = 35
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L))
+    val asg = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L))
+    assert(mod(g, asg) === Map(
+      10L -> ((3L, 3L, 7L, BigDecimal(35))),
+      20L -> ((3L, 3L, 7L, BigDecimal(35)))))
+    // one community holding everything scores exactly zero:
+    // 4·m·m − (2m)² = 0
+    val all = (1L to 6L).map(i => (i, 1L))
+    assert(mod(g, all) === Map(1L -> ((6L, 7L, 14L, BigDecimal(0)))))
+  }
+
+  test("modularity: unassigned nodes default to singletons; messy edges") {
+    // bridge node 3 unlabeled → singleton community 3 with e_in=0;
+    // duplicate/reversed edges and the self-loop collapse first
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L), (1L, 1L))
+    val asg = Seq((1L, 5L), (2L, 5L), (2L, 5L))
+    // canonical edges: (1,2), (2,3) → m=2; community 5 {1,2}:
+    // e_in=1, d_tot=1+2=3 → q_num = 4·2·1 − 9 = −1; singleton {3}:
+    // e_in=0, d_tot=1 → q_num = −1; Σq_num/(4m²) = −2/16
+    assert(mod(g, asg) === Map(
+      5L -> ((2L, 1L, 3L, BigDecimal(-1))),
+      3L -> ((1L, 0L, 1L, BigDecimal(-1)))))
   }
 }

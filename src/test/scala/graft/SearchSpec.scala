@@ -361,6 +361,15 @@ class SearchSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._3, r._2))).toMap
     assert(all === feat)
+    // the packed-key exactness precondition is ENFORCED: a window of
+    // 2^21 tokens would overflow the 2^53 double pack and silently
+    // corrupt the ranking — the boundary must throw, the widest
+    // exact window must not
+    val ex = intercept[IllegalArgumentException] {
+      Search.proximityTopK(pp, Seq("a", "b"), 1L << 21, k = 1)
+    }
+    assert(ex.getMessage.contains("2^21"))
+    Search.proximityTopK(pp, Seq("a", "b"), (1L << 21) - 1, k = 1).collect()
   }
 
   test("phraseDocsBatch ≡ per-phrase phraseDocs loop; one data-scale exchange") {

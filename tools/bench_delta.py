@@ -21,8 +21,13 @@ thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
 shared = sorted(set(old['queries']) & set(new['queries']))
 uo, un = set(old.get('unstable', [])), set(new.get('unstable', []))
 cal = 1.0
-if 'q_input' in shared and old['queries']['q_input'] > 0:
-    cal = new['queries']['q_input'] / old['queries']['q_input']
+qi_old = old['queries'].get('q_input', 0.0)
+qi_new = new['queries'].get('q_input', 0.0)
+if qi_old > 0 and qi_new > 0 and 'q_input' not in uo and 'q_input' not in un:
+    cal = qi_new / qi_old
+else:
+    print("CALIBRATION SKIPPED (q_input missing, zero, or flagged "
+          "unstable in a record) — calibrated column == raw (cal=1.0)")
 rows = []
 for q in shared:
     a, b = old['queries'][q], new['queries'][q]
