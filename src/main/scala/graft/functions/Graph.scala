@@ -1321,13 +1321,15 @@ object Graph {
     * step — irrelevant for embedding corpora, and exactness of the
     * DISTRIBUTION is not the contract; exactness of REPRODUCTION is.
     *
-    * Scale shape: the ranked adjacency (src, dst, rk) — rk = the
-    * neighbor's rank in dst order, one window sort — and the
-    * out-degree relation are hash-partitioned on src ONCE and
+    * Scale shape: the ranked adjacency (src, dst, rk, deg) — rk =
+    * the neighbor's rank in dst order and deg = the src's out-degree,
+    * BOTH from one window pass — is hash-partitioned on src ONCE and
     * persisted; each of the `walkLength` rounds moves ONLY the
     * walk-set relation (n·walksPerNode rows, shrinking as walks
-    * sink) through two src-keyed joins against those pinned layouts
-    * (the [[sssp]] frontier discipline — never the edge set), under
+    * sink) through ONE src-keyed join against that pinned layout
+    * (src equality drives the exchange; the rank pick is a residual
+    * predicate over the src's rows, so the degree never needs its
+    * own join — one walk-set exchange per step, the minimum), under
     * the shared [[Rounds]] checkpoint lifecycle. Driver state: the
     * step counter. At 100 TB the walk corpus dwarfs the graph — it
     * streams out of the final union of per-step checkpoints rather
@@ -1343,15 +1345,32 @@ object Graph {
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+    val w = Window.partitionBy(col("src"))
     val adj = e.select(col("src"), col("dst"),
-        (row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
-          .cast("long").as("rk"))
+        (row_number().over(w.orderBy(col("dst"))) - 1)
+          .cast("long").as("rk"),
+        count(lit(1)).over(w).as("deg"))
       .repartition(col("src")).persist(lvl)
-    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("dsrc"), col("deg"))
-      .repartition(col("dsrc")).persist(lvl)
-    adj.count(); deg.count()
+    adj.count()
+    def pick(t: Int): Column =
+      col("adjr.rk") === pmod(shiftrightunsigned(
+        Sampling.splitmix64(col("wh").bitwiseXOR(lit(t.toLong))), 32),
+        col("adjr.deg"))
+    val res = walkCorpus(e, adj, walkLength, walksPerNode, seed,
+      rounds, pick)
+    adj.unpersist(false)
+    res
+  }
+
+  /** The shared walk loop behind [[randomWalks]] and
+    * [[randomWalksWeighted]]: init (start, walk) × starts, then per
+    * step ONE src-keyed join of the walk-set against the pinned
+    * adjacency `adj` (aliased `adjr`), the face-specific `residual`
+    * predicate choosing exactly one neighbor row per live walk.
+    */
+  private def walkCorpus(e: DataFrame, adj: DataFrame, walkLength: Int,
+      walksPerNode: Int, seed: Long, rounds: Rounds,
+      residual: Int => Column): DataFrame = {
     val wh = Sampling.splitmix64(
       Sampling.splitmix64(lit(seed).bitwiseXOR(col("start")))
         .bitwiseXOR(col("w")))
@@ -1365,15 +1384,9 @@ object Graph {
       lit(0L).as("step"), col("id")))
     var t = 1
     while (t <= walkLength && !cur.isEmpty) {
-      val rk = pmod(shiftrightunsigned(
-        Sampling.splitmix64(col("wh").bitwiseXOR(lit(t.toLong))), 32),
-        col("deg"))
       val nxt = rounds.mark(
-        cur.join(deg, col("id") === col("dsrc"))
-          .select(col("start"), col("w"), col("wh"),
-            col("id").as("cs"), rk.as("crk"))
-          .join(adj.as("adjr"),
-            col("cs") === col("adjr.src") && col("crk") === col("adjr.rk"))
+        cur.join(adj.as("adjr"),
+            col("id") === col("adjr.src") && residual(t))
           .select(col("start"), col("w"), col("adjr.dst").as("id"),
             col("wh")))
       outs += rounds.mark(nxt.select(col("start"), col("w"),
@@ -1386,7 +1399,70 @@ object Graph {
     val res = rounds.mark(outs.reduce(_ unionByName _)
       .select(col("start"), col("w").as("walk"), col("step"), col("id")))
     outs.foreach(rounds.release)
-    adj.unpersist(false); deg.unpersist(false)
+    res
+  }
+
+  /** Weight-proportional random-walk corpus over a (src, dst, weight)
+    * relation — [[randomWalks]]' weighted face (node2vec on affinity /
+    * citation / co-click graphs, where transition probability follows
+    * edge strength): step t picks the neighbor whose cumulative-weight
+    * interval [lo, hi) contains `x = ⌊u32·total/2³²⌋`, u32 = the same
+    * per-walk hash stream's top 32 bits — Lemire's fast-range mapped
+    * onto the weight line, EXACT in decimal(38,0), so the choice is a
+    * pure function of (seed, start, walk, t) and the weights, bit-
+    * stable under any partitioning and UBIGINT-renderable for oracles.
+    * Resolution: weight masses differing only beyond 2⁻³² of the
+    * node's total are indistinguishable — irrelevant for corpus
+    * generation, and REPRODUCTION (not distribution) is the contract,
+    * as in the uniform face.
+    *
+    * Input contract: weights cast to BIGINT; w ≤ 0 edges are
+    * zero-probability and DROPPED (a documented semantic, not bad
+    * data — unlike [[sssp]], where a negative weight corrupts the
+    * answer and raises); parallel edges SUM their weights
+    * (the [[pageRankWeighted]] posture). Nodes whose only out-edges
+    * are non-positive become sinks.
+    *
+    * Scale shape: identical to [[randomWalks]] — the adjacency
+    * carries (lo, hi, total) from ONE window pass over the summed
+    * edge relation, pinned on src; each step is one walk-set-sized
+    * exchange, the interval pick a residual predicate on the src's
+    * rows.
+    */
+  def randomWalksWeighted(edges: DataFrame, walkLength: Int,
+      walksPerNode: Int, seed: Long): DataFrame = {
+    require(walkLength >= 1, s"walkLength must be >= 1, got $walkLength")
+    require(walksPerNode >= 1,
+      s"walksPerNode must be >= 1, got $walksPerNode")
+    import org.apache.spark.sql.expressions.Window
+    val Array(cs, cd, cw) = edges.columns.take(3)
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dec38 = "decimal(38,0)"
+    val e = edges.select(col(cs).as("src"), col(cd).as("dst"),
+        col(cw).cast("long").as("ew"))
+      .filter(col("ew") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("ew")).as("ew"))
+    val w = Window.partitionBy(col("src"))
+    val wo = w.orderBy(col("dst"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val adj = e.select(col("src"), col("dst"),
+        (sum(col("ew")).over(wo) - col("ew")).as("lo"),
+        sum(col("ew")).over(wo).as("hi"),
+        sum(col("ew")).over(w).as("tot"))
+      .repartition(col("src")).persist(lvl)
+    adj.count()
+    def pick(t: Int): Column = {
+      val u32 = shiftrightunsigned(
+        Sampling.splitmix64(col("wh").bitwiseXOR(lit(t.toLong))), 32)
+      val x = idiv(u32.cast(dec38) * col("adjr.tot").cast(dec38),
+        lit(4294967296L).cast(dec38))
+      x >= col("adjr.lo").cast(dec38) && x < col("adjr.hi").cast(dec38)
+    }
+    val res = walkCorpus(e.select(col("src"), col("dst")), adj,
+      walkLength, walksPerNode, seed, rounds, pick)
+    adj.unpersist(false)
     res
   }
 
@@ -1445,5 +1521,137 @@ object Graph {
         (lit(4).cast(dec38) * col("m") * col("e_in").cast(dec38) -
           col("d_tot").cast(dec38) * col("d_tot").cast(dec38))
           .cast(dec38).as("q_num"))
+  }
+
+  /** Sampled-source betweenness centrality over the DIRECTED simple
+    * graph — Brandes' dependency accumulation (Brandes, J.Math.Soc.
+    * 2001) batched across an explicit `seeds` source set (the
+    * standard scalable estimator: sampled sources, Brandes & Pich
+    * 2007; seeds = all nodes gives the exact directed betweenness).
+    * The broker-detection companion to the volume centralities
+    * ([[pageRank]]/[[hits]] score endorsement mass, [[harmonicCentrality]]
+    * closeness — betweenness scores CHOKEPOINTS: hosts on many
+    * shortest routes, the gateway/bridge pages volume ranks miss).
+    *
+    * Output: (id, btw) for every node in the edge set, zero-filled,
+    * in exact micro-units (`unit` = 1.0): btw(v) = Σ_{s∈seeds, s≠v}
+    * δ_s(v), where δ accumulates along the shortest-path DAG as
+    * δ(v) = Σ_{v→w, d(w)=d(v)+1} ⌊σ_v·(unit + δ_w)/σ_w⌋ — path
+    * counts σ in exact decimal(38,0), every division floored, so the
+    * score is BIT-STABLE under any partitioning (the house integer-
+    * PageRank posture; Brandes' double ratios vary with reduction
+    * order). Quantization: ≤ one micro-unit per DAG edge, far below
+    * ranking resolution at unit = 1e12.
+    *
+    * Algorithm, both phases frontier-shaped:
+    *  - FORWARD (≤ maxDepth rounds): batched BFS with path counting —
+    *    the (s, v, σ) frontier joins the src-pinned edge relation,
+    *    a (s, dst) grouped SUM accumulates σ (partial-aggregable),
+    *    a left-anti against the visited set keeps first-discovery
+    *    depths only; per-depth layers checkpoint ([[Rounds]]).
+    *  - BACKWARD (one round per depth, deepest first): layer t joins
+    *    the same pinned edges, meets layer t+1's (σ, δ) on (s, w),
+    *    floors the per-edge term, and a (s, v) grouped SUM folds it;
+    *    leaves and the cap-truncated deepest layer carry δ = 0 —
+    *    `maxDepth` bounds BOTH phases, giving the bounded-horizon
+    *    betweenness (exact when maxDepth ≥ the eccentricity of every
+    *    seed; the standard truncation for web-scale graphs, where
+    *    ultra-long geodesics carry no routing meaning).
+    *
+    * Scale shape: state is Σ_s |B_maxDepth(s)| rows — the inherent
+    * cost of per-source dependency trees; size the seed sample to
+    * the cluster (k seeds ≈ k BFS passes batched into diameter-many
+    * rounds, NOT k separate sweeps). Edge relation pinned once;
+    * every per-round exchange is frontier/layer-sized.
+    */
+  def betweenness(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 12,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    require(unit >= 1L, s"unit must be >= 1, got $unit")
+    val Array(cs, cd) = edges.columns.take(2)
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dec38 = "decimal(38,0)"
+    val e = edges.select(col(cs).as("src"), col(cd).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).persist(lvl)
+    e.count()
+    // decimal(38,0) overflow surfaces as NULL under non-ANSI Spark;
+    // sigma/delta are never organically null, so a null HERE is a
+    // path-count explosion (hub-dense graph at depth) — raise, never
+    // let a left-join coalesce downstream read it as zero
+    def guard(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(s"betweenness: $what overflowed " +
+        "decimal(38,0) — shortest-path counts explode on this graph; " +
+        "reduce maxDepth or shrink the seed sample")).cast(dec38))
+        .otherwise(c)
+    // FORWARD: per-depth layers (s, id, sigma)
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    layers += rounds.mark(seeds.select(col(seeds.columns.head).as("s"))
+      .distinct()
+      .select(col("s"), col("s").as("id"), lit(1L).cast(dec38).as("sigma")))
+    var vis = layers.head
+    var depth = 0
+    var exhausted = false
+    while (depth < maxDepth && !exhausted) {
+      val cand = e.join(layers(depth).withColumnRenamed("id", "src"),
+          Seq("src"))
+        .groupBy(col("s"), col("dst").as("id"))
+        .agg(guard(sum(col("sigma")).cast(dec38), "sigma").as("sigma"))
+      val fresh = rounds.mark(cand.join(vis.select(col("s"), col("id")),
+        Seq("s", "id"), "left_anti"))
+      if (fresh.isEmpty) { rounds.release(fresh); exhausted = true }
+      else {
+        val nv = rounds.mark(vis.unionByName(fresh))
+        if (vis ne layers.head) rounds.release(vis)
+        vis = nv
+        layers += fresh
+        depth += 1
+      }
+    }
+    if (vis ne layers.head) rounds.release(vis)
+    // BACKWARD: deepest layer's delta = 0, walk up accumulating;
+    // every delta frame stays checkpointed until the final union
+    // (frames at depth >= 1 ARE the betweenness contributions)
+    var succ = rounds.mark(layers.last
+      .withColumn("delta", lit(0L).cast(dec38)))
+    val deltaFrames = scala.collection.mutable.ArrayBuffer(succ)
+    val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (layers.size > 1) contribs += succ
+    var t = layers.size - 2
+    while (t >= 0) {
+      val terms = layers(t).withColumnRenamed("id", "src")
+        .join(e, Seq("src"))
+        .join(succ.select(col("s"), col("id").as("dst"),
+          col("sigma").as("sw"), col("delta").as("dw")), Seq("s", "dst"))
+        .groupBy(col("s"), col("src").as("id"))
+        .agg(guard(sum(guard(
+          idiv(col("sigma") * (lit(unit).cast(dec38) + col("dw")),
+            col("sw")), "delta term")).cast(dec38), "delta").as("delta"))
+      val dt = rounds.mark(layers(t)
+        .join(terms, Seq("s", "id"), "left")
+        .select(col("s"), col("id"), col("sigma"),
+          coalesce(col("delta"), lit(0L).cast(dec38)).as("delta")))
+      deltaFrames += dt
+      succ = dt
+      if (t >= 1) contribs += dt
+      t -= 1
+    }
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val btw =
+      if (contribs.isEmpty) nodes.select(col("id"),
+        lit(0L).cast(dec38).as("btw"))
+      else contribs.map(_.select(col("id"), col("delta")))
+        .reduce(_ unionByName _)
+        .groupBy(col("id")).agg(sum(col("delta")).cast(dec38).as("btw"))
+    val out = nodes.join(btw, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("btw"), lit(0L).cast(dec38)).as("btw"))
+    val res = rounds.mark(out)
+    deltaFrames.foreach(rounds.release)
+    layers.foreach(rounds.release)
+    e.unpersist(false)
+    res
   }
 }

@@ -527,6 +527,56 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Canonical URL form for web-corpus dedup and crawl-frontier
+    * keying — the normalization every CommonCrawl-scale pipeline
+    * applies before URL-level dedup, as a single codegen'd column
+    * expression (regex decomposition, NOT a UDF, so the whole pass
+    * stays inside WholeStageCodegen and every regex is mirrored
+    * verbatim by the DuckDB oracle):
+    *
+    *  - scheme and host LOWERCASED; userinfo (`user:pw@`) dropped
+    *  - default ports stripped (http:80, https:443); other explicit
+    *    ports kept
+    *  - empty path → `/`; path otherwise kept byte-exact (dot-segment
+    *    resolution and percent-encoding case are out of scope)
+    *  - fragment dropped
+    *  - query parameters SORTED (byte order — order never
+    *    distinguishes resources), empty parameters dropped, and with
+    *    `stripTracking` the utm_… / fbclid / gclid / msclkid
+    *    click-tracking family removed; an emptied query drops its `?`
+    *  - non-URL input (no `scheme://`) → NULL, so callers filter or
+    *    quarantine instead of silently passing garbage through dedup
+    *
+    * Bracketed IPv6 authorities are out of scope (reg-name hosts
+    * only — the web-corpus case). The parameter filter's lambda
+    * touches only its own variable (the house HOF discipline).
+    */
+  def urlNormalize(url: Column, stripTracking: Boolean = true): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val ff = regexp_replace(url, "#.*$", "")
+    val rest = regexp_extract(ff, "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
+    val auth = regexp_extract(rest, "^([^/?]*)", 1)
+    val hp = regexp_replace(auth, "^[^@]*@", "")
+    val host = lower(regexp_extract(hp, "^([^:]*)", 1))
+    val port = regexp_extract(hp, ":([0-9]+)$", 1)
+    val pathq = regexp_extract(rest, "^[^/?]*(.*)$", 1)
+    val rawPath = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val keep =
+      if (stripTracking)
+        (p: Column) => p =!= "" && !p.rlike("^(utm_|fbclid|gclid|msclkid)")
+      else (p: Column) => p =!= ""
+    val qs = array_join(array_sort(filter(split(query, "&"), keep)), "&")
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val out = concat(scheme, lit("://"), host, portPart, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+    when(scheme === "", lit(null).cast("string")).otherwise(out)
+  }
+
   /** TF-IDF term weights per (doc, term): tf = in-doc term count,
     * df = number of docs containing the term, idf smoothed
     * sklearn-style (ln((N+1)/(df+1)) + 1). Two hash shuffles — one on

@@ -15,6 +15,56 @@ object AnalyticQueries {
   private def d12(c: Column) = c.cast("decimal(12,2)")
   private def d6(c: Column) = c.cast("decimal(6,2)")
 
+  /** 2^64 as a DuckDB literal (HUGEINT context). */
+  private val M64 = "18446744073709551616"
+
+  /** DuckDB rendering of a wrapping 64×64→64-bit multiply `z * c mod
+    * 2^64` (the [[LlmQueries]] macro): split so every term < 2^97.
+    */
+  private def mul64(z: String, c: BigInt): String =
+    s"CAST(((CAST($z % 4294967296 AS HUGEINT) * $c) + " +
+      s"((((CAST($z AS HUGEINT) // 4294967296) * $c) % 4294967296) * 4294967296)) " +
+      s"% $M64 AS UBIGINT)"
+
+  /** DuckDB rendering of the splitmix64 finalizer over a UBIGINT
+    * expression `z0` ([[graft.functions.SamplingImpl.splitmix64]]).
+    * Inlines `z0` ~8×, so stage repeated applications through CTE
+    * columns instead of nesting the macro.
+    */
+  private def smix64Sql(z0: String): String = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    val za = s"CAST((CAST($z0 AS HUGEINT) + $c1) % $M64 AS UBIGINT)"
+    val zb = mul64(s"xor($za, $za >> 30)", c2)
+    val zc = mul64(s"xor($zb, $zb >> 27)", c3)
+    s"xor($zc, $zc >> 31)"
+  }
+
+  /** One random-walk oracle step: walks in CTE `prev` advance through
+    * the ranked adjacency `adj` by the documented hash pick
+    * (top 32 bits of splitmix64(wh XOR t), mod out-degree).
+    */
+  private def walkStepSql(prev: String, t: Int): String =
+    s"""SELECT p.start, p.w, adj.d AS id, p.wh
+       |  FROM $prev p JOIN adj ON adj.s = p.id
+       |   AND adj.rk = CAST((${smix64Sql(s"xor(p.wh, $t::UBIGINT)")} >> 32)
+       |     % CAST(adj.deg AS UBIGINT) AS BIGINT)""".stripMargin
+
+  /** One WEIGHTED random-walk oracle step: the fast-range pick
+    * x = ⌊u32·tot/2³²⌋ landing in the neighbor's cumulative-weight
+    * interval [lo, hi).
+    */
+  private def walkStepWSql(prev: String, t: Int): String = {
+    val u32 = s"(${smix64Sql(s"xor(p.wh, $t::UBIGINT)")} >> 32)"
+    s"""SELECT p.start, p.w, adj.d AS id, p.wh
+       |  FROM $prev p JOIN adj ON adj.s = p.id
+       |   AND CAST((CAST($u32 AS HUGEINT) * adj.tot) // 4294967296
+       |     AS BIGINT) >= adj.lo
+       |   AND CAST((CAST($u32 AS HUGEINT) * adj.tot) // 4294967296
+       |     AS BIGINT) < adj.hi""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q3-style: unshipped-order revenue for one segment, top 10
@@ -444,6 +494,97 @@ object AnalyticQueries {
         cyc.unionByName(pend).unionByName(cross))
     },
 
+    // deterministic random-walk corpus on block-bounded branching
+    // DAGs over orderkeys (k→k+1 for r<7, k→k+2 for r<6): interior
+    // nodes offer a REAL 2-way choice (pins the splitmix64 stream
+    // key + top-32-bit mod indexing at every step), r=6 nodes force
+    // the single edge, r=7 and off-key dsts are sinks (pins the
+    // truncated-walk stop). The oracle re-derives every choice from
+    // the UBIGINT-rendered hash spec — 3 unrolled step CTEs over the
+    // ranked adjacency, the wh stream key staged through a
+    // MATERIALIZED CTE so the splitmix64 macro never nests
+    "q_graph_walks" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"))
+      val path = o.filter(col("r") < 7)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      val skip = o.filter(col("r") < 6)
+        .select(col("k").as("src"), (col("k") + 2).as("dst"))
+      graft.functions.Graph.randomWalks(path.unionByName(skip),
+        walkLength = 3, walksPerNode = 2, seed = 42L)
+    },
+
+    // weight-proportional random walks on the same blocks, path edge
+    // weight r+1 vs skip weight 2: the cumulative-interval pick
+    // x = ⌊u32·tot/2³²⌋ ∈ [lo, hi) is live wherever both edges exist
+    // (tot = r+3, genuinely varied per node); the zero/negative-drop
+    // contract is spec-pinned. Oracle: window cumulative sums + the
+    // HUGEINT fast-range pick, 3 unrolled steps
+    "q_graph_walks_w" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"))
+      val path = o.filter(col("r") < 7)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"),
+          (col("r") + 1).as("w"))
+      val skip = o.filter(col("r") < 6)
+        .select(col("k").as("src"), (col("k") + 2).as("dst"),
+          lit(2L).as("w"))
+      graft.functions.Graph.randomWalksWeighted(path.unionByName(skip),
+        walkLength = 3, walksPerNode = 2, seed = 43L)
+    },
+
+    // sampled-source Brandes betweenness on the walks gate's
+    // path+skip blocks: from a block start, k+3 is reachable by TWO
+    // equal 2-hop routes (via k+1's skip and k+2's path), so σ=2 and
+    // the ⌊σ_v·(unit+δ_w)/σ_w⌋ ratio split is live at every block;
+    // seeds = the r=0 keys, maxDepth=3 pins the bounded-horizon
+    // truncation (the depth-3 layer is a δ=0 leaf). Oracle = exact
+    // 3-layer forward σ unroll + 3-step backward δ accumulation in
+    // HUGEINT floor division
+    "q_graph_betweenness" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"))
+      val path = o.filter(col("r") < 7)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      val skip = o.filter(col("r") < 6)
+        .select(col("k").as("src"), (col("k") + 2).as("dst"))
+      val seeds = o.filter(col("r") === 0).select(col("k").as("id"))
+      graft.functions.Graph.betweenness(path.unionByName(skip), seeds,
+          maxDepth = 3)
+        .select(col("id"), col("btw").cast("long").as("btw"))
+    },
+
+    // Newman modularity report over the coreness gate's clique-and-
+    // pendant blocks: clique members are assigned community = their
+    // block base, pendant srcs stay UNASSIGNED (the singleton
+    // default — their only edge is a boundary edge, e_in = 0), so
+    // intra-community counting, degree sums, the 4·m·e − d² exact
+    // arithmetic, and the partial-labeling contract are all pinned
+    // by one relation; q_num cast to BIGINT for the gate (the values
+    // are small at any SF that fits the oracle — the operator itself
+    // carries decimal(38,0))
+    "q_graph_modularity" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"),
+          (col("o_orderkey") - pmod(col("o_orderkey"), lit(8L))).as("base"),
+          (pmod(expr("o_orderkey DIV 8"), lit(3L)) + 2).as("c"))
+      val m = o.filter(col("r") < col("c"))
+      val clique = m.as("x").join(m.as("y"),
+          col("x.base") === col("y.base") && col("x.k") < col("y.k"))
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      val pend = o.filter(col("r") >= 4)
+        .select(col("k").as("src"),
+          (col("base") + pmod(col("r"), col("c"))).as("dst"))
+      val asg = m.select(col("k").as("id"), col("base").as("community"))
+      graft.functions.Graph.modularity(clique.unionByName(pend), asg)
+        .select(col("community"), col("nodes"), col("e_in"), col("d_tot"),
+          col("q_num").cast("long").as("q_num"))
+    },
+
     // connected components on a CUT binary tree over orderkeys: keep
     // edge (k, k DIV 2) only when the parent is ODD, so the tree
     // shatters into caterpillar components (an odd spine m — 2m+1 —
@@ -851,6 +992,151 @@ object AnalyticQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'P'""".stripMargin,
+    "q_graph_walks" ->
+      s"""WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS r FROM orders),
+        |raw AS MATERIALIZED (
+        |  SELECT k AS s, k + 1 AS d FROM o WHERE r < 7
+        |  UNION ALL SELECT k, k + 2 FROM o WHERE r < 6),
+        |e AS MATERIALIZED (SELECT DISTINCT s, d FROM raw),
+        |adj AS MATERIALIZED (SELECT s, d,
+        |    row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS rk,
+        |    COUNT(*) OVER (PARTITION BY s) AS deg
+        |  FROM e),
+        |h0 AS MATERIALIZED (SELECT start,
+        |    ${smix64Sql("xor(42::UBIGINT, CAST(start AS UBIGINT))")} AS h1
+        |  FROM (SELECT DISTINCT s AS start FROM e)),
+        |w0 AS MATERIALIZED (SELECT start, w, start AS id,
+        |    ${smix64Sql("xor(h1, CAST(w AS UBIGINT))")} AS wh
+        |  FROM h0 CROSS JOIN (SELECT UNNEST([0, 1]) AS w)),
+        |s1 AS MATERIALIZED (${walkStepSql("w0", 1)}),
+        |s2 AS MATERIALIZED (${walkStepSql("s1", 2)}),
+        |s3 AS MATERIALIZED (${walkStepSql("s2", 3)})
+        |SELECT start, CAST(w AS BIGINT) AS walk, 0::BIGINT AS step, id FROM w0
+        |UNION ALL SELECT start, w, 1, id FROM s1
+        |UNION ALL SELECT start, w, 2, id FROM s2
+        |UNION ALL SELECT start, w, 3, id FROM s3""".stripMargin,
+
+    "q_graph_walks_w" ->
+      s"""WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS r FROM orders),
+        |raw AS MATERIALIZED (
+        |  SELECT k AS s, k + 1 AS d, r + 1 AS ew FROM o WHERE r < 7
+        |  UNION ALL SELECT k, k + 2, 2 FROM o WHERE r < 6),
+        |we AS MATERIALIZED (SELECT s, d, CAST(SUM(ew) AS HUGEINT) AS ew
+        |  FROM raw GROUP BY 1, 2),
+        |adj AS MATERIALIZED (SELECT s, d,
+        |    CAST(SUM(ew) OVER (PARTITION BY s ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) - ew AS BIGINT) AS lo,
+        |    CAST(SUM(ew) OVER (PARTITION BY s ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi,
+        |    SUM(ew) OVER (PARTITION BY s) AS tot
+        |  FROM we),
+        |h0 AS MATERIALIZED (SELECT start,
+        |    ${smix64Sql("xor(43::UBIGINT, CAST(start AS UBIGINT))")} AS h1
+        |  FROM (SELECT DISTINCT s AS start FROM we)),
+        |w0 AS MATERIALIZED (SELECT start, w, start AS id,
+        |    ${smix64Sql("xor(h1, CAST(w AS UBIGINT))")} AS wh
+        |  FROM h0 CROSS JOIN (SELECT UNNEST([0, 1]) AS w)),
+        |s1 AS MATERIALIZED (${walkStepWSql("w0", 1)}),
+        |s2 AS MATERIALIZED (${walkStepWSql("s1", 2)}),
+        |s3 AS MATERIALIZED (${walkStepWSql("s2", 3)})
+        |SELECT start, CAST(w AS BIGINT) AS walk, 0::BIGINT AS step, id FROM w0
+        |UNION ALL SELECT start, w, 1, id FROM s1
+        |UNION ALL SELECT start, w, 2, id FROM s2
+        |UNION ALL SELECT start, w, 3, id FROM s3""".stripMargin,
+
+    "q_graph_betweenness" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS r FROM orders),
+        |raw AS MATERIALIZED (
+        |  SELECT k AS s, k + 1 AS d FROM o WHERE r < 7
+        |  UNION ALL SELECT k, k + 2 FROM o WHERE r < 6),
+        |e AS MATERIALIZED (SELECT DISTINCT s AS src, d AS dst FROM raw
+        |  WHERE s <> d),
+        |l0 AS MATERIALIZED (SELECT k AS s, k AS id, 1::HUGEINT AS sigma
+        |  FROM o WHERE r = 0),
+        |l1 AS MATERIALIZED (
+        |  SELECT l.s, e.dst AS id, CAST(SUM(l.sigma) AS HUGEINT) AS sigma
+        |  FROM l0 l JOIN e ON e.src = l.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+        |    WHERE v.s = l.s AND v.id = e.dst)
+        |  GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (
+        |  SELECT l.s, e.dst AS id, CAST(SUM(l.sigma) AS HUGEINT) AS sigma
+        |  FROM l1 l JOIN e ON e.src = l.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+        |      WHERE v.s = l.s AND v.id = e.dst)
+        |    AND NOT EXISTS (SELECT 1 FROM l1 v
+        |      WHERE v.s = l.s AND v.id = e.dst)
+        |  GROUP BY 1, 2),
+        |l3 AS MATERIALIZED (
+        |  SELECT l.s, e.dst AS id, CAST(SUM(l.sigma) AS HUGEINT) AS sigma
+        |  FROM l2 l JOIN e ON e.src = l.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+        |      WHERE v.s = l.s AND v.id = e.dst)
+        |    AND NOT EXISTS (SELECT 1 FROM l1 v
+        |      WHERE v.s = l.s AND v.id = e.dst)
+        |    AND NOT EXISTS (SELECT 1 FROM l2 v
+        |      WHERE v.s = l.s AND v.id = e.dst)
+        |  GROUP BY 1, 2),
+        |d3 AS MATERIALIZED (SELECT s, id, sigma, 0::HUGEINT AS delta
+        |  FROM l3),
+        |d2 AS MATERIALIZED (
+        |  SELECT l.s, l.id, l.sigma,
+        |    COALESCE(SUM((l.sigma * (1000000000000::HUGEINT + w.delta))
+        |      // w.sigma), 0::HUGEINT) AS delta
+        |  FROM l2 l LEFT JOIN e ON e.src = l.id
+        |  LEFT JOIN d3 w ON w.s = l.s AND w.id = e.dst
+        |  GROUP BY 1, 2, 3),
+        |d1 AS MATERIALIZED (
+        |  SELECT l.s, l.id, l.sigma,
+        |    COALESCE(SUM((l.sigma * (1000000000000::HUGEINT + w.delta))
+        |      // w.sigma), 0::HUGEINT) AS delta
+        |  FROM l1 l LEFT JOIN e ON e.src = l.id
+        |  LEFT JOIN d2 w ON w.s = l.s AND w.id = e.dst
+        |  GROUP BY 1, 2, 3),
+        |acc AS (SELECT id, delta FROM d1
+        |  UNION ALL SELECT id, delta FROM d2
+        |  UNION ALL SELECT id, delta FROM d3),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+        |SELECT n.id, CAST(COALESCE(SUM(a.delta), 0) AS BIGINT) AS btw
+        |FROM nodes n LEFT JOIN acc a ON a.id = n.id
+        |GROUP BY 1""".stripMargin,
+
+    "q_graph_modularity" ->
+      """WITH o AS MATERIALIZED (SELECT o_orderkey AS k, o_orderkey % 8 AS r,
+        |    o_orderkey - o_orderkey % 8 AS base,
+        |    2 + (o_orderkey // 8) % 3 AS c
+        |  FROM orders),
+        |m AS MATERIALIZED (SELECT k, base FROM o WHERE r < c),
+        |raw AS MATERIALIZED (
+        |  SELECT x.k AS s, y.k AS d FROM m x JOIN m y
+        |    ON x.base = y.base AND x.k < y.k
+        |  UNION ALL
+        |  SELECT k, base + r % c FROM o WHERE r >= 4),
+        |e AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e),
+        |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+        |asg AS (SELECT k AS id, base AS community FROM o WHERE r < c),
+        |comm AS (SELECT n.id, COALESCE(a.community, n.id) AS community
+        |  FROM nodes n LEFT JOIN asg a ON a.id = n.id),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |ein AS (SELECT ca.community, COUNT(*) AS e_in FROM e
+        |  JOIN comm ca ON ca.id = e.a JOIN comm cb ON cb.id = e.b
+        |  WHERE ca.community = cb.community GROUP BY 1),
+        |dt AS (SELECT c.community, COUNT(*) AS nodes, SUM(d.deg) AS d_tot
+        |  FROM comm c JOIN deg d ON d.id = c.id GROUP BY 1)
+        |SELECT dt.community, CAST(dt.nodes AS BIGINT) AS nodes,
+        |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+        |  CAST(dt.d_tot AS BIGINT) AS d_tot,
+        |  CAST(4 * (SELECT m FROM mm) * CAST(COALESCE(ein.e_in, 0) AS HUGEINT)
+        |    - CAST(dt.d_tot AS HUGEINT) * CAST(dt.d_tot AS HUGEINT)
+        |    AS BIGINT) AS q_num
+        |FROM dt LEFT JOIN ein ON ein.community = dt.community""".stripMargin,
+
     "q_graph_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
         |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

@@ -768,6 +768,37 @@ object LlmQueries {
         length(Text.normalize($"text", foldDigits = true)).cast("long").as("n_chars"))
     },
 
+    // canonical URL normalization: six deterministic raw-URL shapes
+    // built from doc columns — uppercase scheme/host + default port +
+    // tracking params + fragment (0), userinfo + default https port
+    // (1), kept non-default port + stripped fbclid + duplicate-key
+    // sort (2), trailing empty param (3), empty path + fragment on a
+    // non-http scheme whose :2121 must SURVIVE (4), and a non-URL
+    // that must map to NULL (5). The oracle hand-derives the expected
+    // canonical string PER SHAPE (independent derivation — not a
+    // re-run of the same regex pipeline), so every normalization rule
+    // is pinned by value
+    "q_text_url" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val raw = docs.select($"doc_id", $"source",
+        when($"doc_id" % 6 === 0, concat(
+            lit("HTTP://WWW.Example.COM:80/a/"), $"doc_id",
+            lit("?utm_source=x&b=2&a=1#frag")))
+          .when($"doc_id" % 6 === 1,
+            concat(lit("https://User:Pw@Example.com:443/p/"), $"doc_id"))
+          .when($"doc_id" % 6 === 2, concat(
+            lit("https://CDN.example.com:8443/img?z=9&y=2&fbclid="),
+            $"doc_id", lit("&y=10")))
+          .when($"doc_id" % 6 === 3, concat(
+            lit("http://example.com/"), $"source", lit("/x?q="),
+            $"doc_id", lit("&")))
+          .when($"doc_id" % 6 === 4,
+            lit("ftp://Files.example.org:2121#top"))
+          .otherwise(concat(lit("doc "), $"doc_id")).as("url"))
+      raw.select($"doc_id", Text.urlNormalize($"url").as("url_norm"))
+    },
+
     // novelty / memorization-risk scoring: the score face of
     // decontamination — per train doc, distinct 5-grams and how many
     // the held-out reference already contains. The Bloom prefilter +
@@ -1842,6 +1873,17 @@ object LlmQueries {
         |    '[!-/:-@\[-`{-~]', ' ', 'g'), '[0-9]', '0', 'g'),
         |    '[ \t\n\r]+', ' ', 'g')) AS norm
         |FROM documents)""".stripMargin,
+    "q_text_url" ->
+      """SELECT doc_id, CASE doc_id % 6
+        |  WHEN 0 THEN 'http://www.example.com/a/' || CAST(doc_id AS VARCHAR)
+        |    || '?a=1&b=2'
+        |  WHEN 1 THEN 'https://example.com/p/' || CAST(doc_id AS VARCHAR)
+        |  WHEN 2 THEN 'https://cdn.example.com:8443/img?y=10&y=2&z=9'
+        |  WHEN 3 THEN 'http://example.com/' || source || '/x?q='
+        |    || CAST(doc_id AS VARCHAR)
+        |  WHEN 4 THEN 'ftp://files.example.org:2121/'
+        |  ELSE NULL END AS url_norm
+        |FROM documents""".stripMargin,
     "q_text_novelty" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (

@@ -93,6 +93,17 @@ object GraphScale {
         graft.functions.Graph.ktruss(ed, 3, iters)
           .select((col("a") * lit(4294967296L) + col("b")).as("id"),
             col("a"), col("b"), col("support"))
+      // deterministic walk corpus: `iters` steps, one walk per node;
+      // the synthetic id makes the harness dup check pin "one row per
+      // (start, walk, step)" — start ids are < 2n, so the packing is
+      // collision-free at every decade
+      case "betweenness" =>
+        graft.functions.Graph.betweenness(ed, seeds, iters)
+      case "walks" =>
+        graft.functions.Graph.randomWalks(ed, iters, 1, 42L)
+          .select(((col("start") * lit(2) + col("walk")) *
+              lit(iters + 1L) + col("step")).as("id"),
+            col("start"), col("walk"), col("step"), col("id").as("node"))
       case _ => graft.functions.Graph.pageRank(ed, iters)
     }
     val t0 = System.nanoTime()
@@ -221,6 +232,40 @@ object GraphScale {
         val t = pr.agg(countDistinct(col("rep")).cast("decimal(38,0)"))
           .head().getDecimal(0)
         (over + selfMap, t)
+      case "betweenness" =>
+        // non-negative scores, zero-filled coverage of exactly the
+        // non-self-loop edge nodes (self-loops are erased by the op)
+        val neg = pr.filter(col("btw") < 0).count()
+        val expected = edges.filter(col("src") =!= col("dst"))
+          .select(col("src").as("id"))
+          .union(edges.filter(col("src") =!= col("dst"))
+            .select(col("dst").as("id"))).distinct().count()
+        val cover = if (nodes == expected) 0L else 1L
+        val t = pr.agg(coalesce(sum(col("btw")), lit(0L))
+          .cast("decimal(38,0)")).head().getDecimal(0)
+        (neg + cover, t)
+      case "walks" =>
+        // distributed invariants: every consecutive hop is a real
+        // edge (the correctness core — a wrong rank join or hash
+        // mismatch fabricates hops), step 0 covers every src exactly
+        // once per walk, and steps are gap-free per walk
+        val hops = pr.as("p").join(pr.as("q"),
+            col("p.start") === col("q.start") &&
+              col("p.walk") === col("q.walk") &&
+              col("p.step") + 1 === col("q.step"))
+          .select(col("p.node").as("hsrc"), col("q.node").as("hdst"))
+        val badHop = hops.join(
+          edges.select(col("src").as("hsrc"), col("dst").as("hdst"))
+            .distinct(), Seq("hsrc", "hdst"), "left_anti").count()
+        val starts = edges.select(col("src")).distinct().count()
+        val s0bad = if (pr.filter(col("step") === 0).count() == starts) 0L
+          else 1L
+        val gaps = pr.groupBy(col("start"), col("walk"))
+          .agg(count(lit(1)).as("cnt"), max(col("step")).as("mx"))
+          .filter(col("cnt") =!= col("mx") + 1).count()
+        val t = pr.agg(count(lit(1)).cast("decimal(38,0)"))
+          .head().getDecimal(0)
+        (badHop + s0bad + gaps, t)
       case _ =>
         val base = java.math.BigDecimal.valueOf((unit * 150L / 1000L) / nodeCount)
         val bad = pr.filter(col("rank") < lit(base)).count()
@@ -236,11 +281,13 @@ object GraphScale {
 
     println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
     require((op == "bfs" || op == "sssp" || op == "kcore" ||
-        op == "coreness" || op == "ktruss" || nodes == nodeCount) &&
+        op == "coreness" || op == "ktruss" || op == "walks" ||
+        op == "betweenness" || nodes == nodeCount) &&
       badRows == 0 && dupIds == 0 &&
       (op == "lpa" || op == "bfs" || op == "sssp" || op == "triangles" ||
         op == "kcore" || op == "harmonic" || op == "coreness" ||
-        op == "scc" || op == "ktruss" ||
+        op == "scc" || op == "ktruss" || op == "walks" ||
+        op == "betweenness" ||
         total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0) &&
       mismatch <= 0, "invariant violation")
     spark.stop()

@@ -1327,6 +1327,33 @@ class FunctionsSpec extends SparkSpec {
       "<EMAIL> at <IP> ref <NUM>"))
   }
 
+  test("urlNormalize canonicalizes scheme/host/port/query and nulls non-URLs") {
+    val got = Seq(
+      "HTTP://WWW.Example.COM:80/a/7?utm_source=x&b=2&a=1#frag",
+      "https://User:Pw@Example.com:443/p/9",
+      "https://CDN.example.com:8443/img?z=9&y=2&fbclid=11&y=10",
+      "http://example.com/s/x?q=3&",
+      "ftp://Files.example.org:2121#top",
+      "http://example.com",
+      "doc 5",
+      "https://a.io/?utm_source=x&utm_medium=y").toDF("text")
+      .select(Text.urlNormalize(col("text"))).as[String].collect().toSeq
+    assert(got === Seq(
+      "http://www.example.com/a/7?a=1&b=2",
+      "https://example.com/p/9",
+      "https://cdn.example.com:8443/img?y=10&y=2&z=9",
+      "http://example.com/s/x?q=3",
+      "ftp://files.example.org:2121/",
+      "http://example.com/",
+      null,
+      "https://a.io/"))
+    // stripTracking=false keeps the click-id family, still sorted
+    val kept = Seq("http://A.io/p?utm_b=2&utm_a=1").toDF("text")
+      .select(Text.urlNormalize(col("text"), stripTracking = false))
+      .as[String].collect().toSeq
+    assert(kept === Seq("http://a.io/p?utm_a=1&utm_b=2"))
+  }
+
   test("decontaminate flags only train docs overlapping the eval set") {
     val evalSet = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
     val train = Seq(

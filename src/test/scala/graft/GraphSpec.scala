@@ -648,6 +648,83 @@ class GraphSpec extends SparkSpec {
     assert(nexts.size === 24 && nexts.toSet === Set(2L, 3L, 4L))
   }
 
+  test("randomWalksWeighted: interval picks re-derive; weights sum; non-positive drop") {
+    import graft.functions.SamplingImpl.splitmix64
+    // 1→2 carries 1/4 of the mass (and is split across parallel
+    // edges that must SUM), 1→3 carries 3/4; 1→9 has only
+    // non-positive weight — a zero-probability edge that must vanish
+    val g = Seq((1L, 2L, 1L), (1L, 3L, 2L), (1L, 3L, 1L),
+      (1L, 9L, 0L), (1L, 9L, -5L), (2L, 4L, 7L), (3L, 4L, 7L))
+    val got = Graph.randomWalksWeighted(g.toDF("src", "dst", "w"),
+        walkLength = 2, walksPerNode = 16, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(x => (x._1, x._2, x._3))
+    assert(!got.exists(_._4 == 9L))
+    // full re-derivation of every step-1 choice from node 1: the
+    // cumulative intervals in dst order are 2→[0,1), 3→[1,4)
+    val oneHops = got.filter(x => x._1 == 1L && x._3 == 1L)
+      .map(x => x._2 -> x._4).toMap
+    assert(oneHops.size === 16)
+    for ((wk, nxt) <- oneHops) {
+      val wh = splitmix64(splitmix64(5L ^ 1L) ^ wk)
+      val u32 = splitmix64(wh ^ 1L) >>> 32
+      val x = (BigInt(u32) * 4 / BigInt(2).pow(32)).toLong
+      assert(nxt === (if (x < 1) 2L else 3L), s"walk $wk: x=$x")
+    }
+    // at this seed both intervals are hit (3/4-vs-1/4 over 16 draws)
+    assert(oneHops.values.toSet === Set(2L, 3L))
+    // partition invariance
+    val again = Graph.randomWalksWeighted(
+        g.toDF("src", "dst", "w").repartition(7), 2, 16, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(x => (x._1, x._2, x._3))
+    assert(again === got)
+  }
+
+  private def btw(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxDepth: Int = 12): Map[Long, BigDecimal] =
+    Graph.betweenness(edges.toDF("src", "dst"), seeds.toDF("id"), maxDepth)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+
+  test("betweenness: diamond dependency accumulation, hand-computed") {
+    // 1→{2,3}→4→5: two equal-length routes split σ(4)=2, so the
+    // Brandes ratio σ_v/σ_w = 1/2 is live on both mid nodes
+    val u = BigDecimal(1000000000000L)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    // from seed 1: δ(4)=u (sole route to 5), δ(2)=δ(3)=⌊1·(u+u)/2⌋=u
+    assert(btw(g, Seq(1L)) === Map(1L -> BigDecimal(0), 2L -> u,
+      3L -> u, 4L -> u, 5L -> BigDecimal(0)))
+    // adding seed 2 routes one more geodesic through 4 (2→4→5)
+    assert(btw(g, Seq(1L, 2L)) === Map(1L -> BigDecimal(0), 2L -> u,
+      3L -> u, 4L -> (u * 2), 5L -> BigDecimal(0)))
+    // maxDepth=2 truncates the horizon at node 4 (δ=0 leaf): the mid
+    // nodes keep only their ⌊(u+0)/2⌋ share — the documented
+    // bounded-horizon semantics, never a wrong full-depth answer
+    assert(btw(g, Seq(1L), maxDepth = 2) === Map(1L -> BigDecimal(0),
+      2L -> u / 2, 3L -> u / 2, 4L -> BigDecimal(0),
+      5L -> BigDecimal(0)))
+  }
+
+  test("betweenness: direction respected, cycles, off-graph seeds, invariance") {
+    val u = BigDecimal(1000000000000L)
+    // 3-cycle, all nodes seeded (+99 off-graph, must contribute
+    // nothing): each node is interior to exactly one 2-hop geodesic
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(btw(ring, Seq(1L, 2L, 3L, 99L)) ===
+      Map(1L -> u, 2L -> u, 3L -> u))
+    // reversing an edge kills the only path through it: 1→2←3 has no
+    // interior node from seed 1
+    assert(btw(Seq((1L, 2L), (3L, 2L)), Seq(1L)) ===
+      Map(1L -> BigDecimal(0), 2L -> BigDecimal(0), 3L -> BigDecimal(0)))
+    // partition invariance (exact decimal arithmetic end-to-end)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val a = btw(g, Seq(1L, 2L, 3L))
+    val b = Graph.betweenness(g.toDF("src", "dst").repartition(13),
+        Seq(1L, 2L, 3L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert(a === b)
+  }
+
   private def mod(edges: Seq[(Long, Long)], assign: Seq[(Long, Long)])
       : Map[Long, (Long, Long, Long, BigDecimal)] =
     Graph.modularity(edges.toDF("src", "dst"), assign.toDF("id", "c"))
