@@ -1590,6 +1590,9 @@ object Graph {
     layers += rounds.mark(seeds.select(col(seeds.columns.head).as("s"))
       .distinct()
       .select(col("s"), col("s").as("id"), lit(1L).cast(dec38).as("sigma")))
+    // the visited set is a LAZY union of the per-depth checkpoints —
+    // re-marking it every round would double the forward phase's
+    // checkpoint work for a relation the anti-join only reads once
     var vis = layers.head
     var depth = 0
     var exhausted = false
@@ -1602,14 +1605,11 @@ object Graph {
         Seq("s", "id"), "left_anti"))
       if (fresh.isEmpty) { rounds.release(fresh); exhausted = true }
       else {
-        val nv = rounds.mark(vis.unionByName(fresh))
-        if (vis ne layers.head) rounds.release(vis)
-        vis = nv
+        vis = vis.unionByName(fresh)
         layers += fresh
         depth += 1
       }
     }
-    if (vis ne layers.head) rounds.release(vis)
     // BACKWARD: deepest layer's delta = 0, walk up accumulating;
     // every delta frame stays checkpointed until the final union
     // (frames at depth >= 1 ARE the betweenness contributions)
@@ -1652,6 +1652,205 @@ object Graph {
     deltaFrames.foreach(rounds.release)
     layers.foreach(rounds.release)
     e.unpersist(false)
+    res
+  }
+
+  /** Weighted Newman modularity report — [[modularity]] over a
+    * (src, dst, weight) relation (Newman 2004, weighted networks):
+    * W = the total undirected edge weight replaces m, per-community
+    * intra-weight w_in replaces e_in, weighted degree (strength)
+    * s_tot replaces d_tot, and q_num = 4·W·w_in − s_tot² in exact
+    * decimal(38,0) — Q = Σ q_num/(4W²) EXACTLY. Canonicalization:
+    * direction erased, parallel/reversed edges SUM their weights,
+    * self-loops dropped, non-positive net weights dropped as
+    * zero-mass (the [[randomWalksWeighted]] posture — a "no edge").
+    * Unassigned nodes default to singletons as in the unweighted
+    * face. Same two-shuffle scale shape.
+    */
+  def modularityWeighted(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val Array(cs, cd, cw) = edges.columns.take(3)
+    val Array(ai, ac) = assign.columns.take(2)
+    val dec38 = "decimal(38,0)"
+    val e = edges.select(least(col(cs), col(cd)).as("a"),
+        greatest(col(cs), col(cd)).as("b"),
+        col(cw).cast("long").as("ew"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("ew")).as("ew"))
+      .filter(col("ew") > 0)
+    val nodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+    val comm = nodes.join(
+        assign.select(col(ai).as("id"), col(ac).as("community"))
+          .groupBy(col("id")).agg(min(col("community")).as("community")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("community"), col("id"))
+        .as("community"))
+    val wRel = e.agg(sum(col("ew")).cast(dec38).as("tw"))
+    val withC = e
+      .join(comm.select(col("id").as("a"), col("community").as("ca")), "a")
+      .join(comm.select(col("id").as("b"), col("community").as("cb")), "b")
+    val wIn = withC.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(sum(col("ew")).as("w_in"))
+    val strength = e.select(col("a").as("id"), col("ew"))
+      .union(e.select(col("b").as("id"), col("ew")))
+      .groupBy(col("id")).agg(sum(col("ew")).as("st"))
+    val sTot = strength.join(comm, Seq("id"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("nodes"), sum(col("st")).as("s_tot"))
+    sTot.join(wIn, Seq("community"), "left")
+      .select(col("community"), col("nodes"),
+        coalesce(col("w_in"), lit(0L)).as("w_in"), col("s_tot"))
+      .crossJoin(broadcast(wRel))
+      .select(col("community"), col("nodes"), col("w_in"), col("s_tot"),
+        (lit(4).cast(dec38) * col("tw") * col("w_in").cast(dec38) -
+          col("s_tot").cast(dec38) * col("s_tot").cast(dec38))
+          .cast(dec38).as("q_num"))
+  }
+
+  /** Degree assortativity over the UNDIRECTED simple graph (Newman,
+    * PRL 2002): the Pearson correlation of endpoint degrees across
+    * edges — positive on social-style graphs (hubs link hubs),
+    * negative on web/biological-style graphs (hubs link leaves), the
+    * one-number mixing diagnostic next to [[degrees]] and
+    * [[clusteringCoefficient]] in link-corpus profiling. Output: ONE
+    * row (m, num, den) in exact decimal(38,0) over the both-
+    * orientations edge list (2m rows, j = source-end degree,
+    * k = target-end degree; Σj = Σk by symmetry):
+    * num = 2m·Σjk − (Σj)², den = 2m·Σj² − (Σj)², and
+    * r = num/den exactly — the caller divides at whatever precision
+    * it wants; the relation itself stays bit-stable cross-engine
+    * (double Pearson varies with summation order — the
+    * [[Profile.corrExact]] posture). den = 0 (degree-regular graph,
+    * r undefined) is returned as-is, never divided here.
+    *
+    * Scale shape: one degree aggregate, one degree join onto each
+    * edge endpoint (the same two unavoidable exchanges as
+    * [[modularity]]), one global 1-row aggregate.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val e = canonicalUndirected(edges)
+    val deg = undirectedDegrees(e)
+    val pairs = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    // both orientations at once: Σj = Σ(da+db), Σjk = 2Σ(da·db),
+    // Σj² = Σ(da²+db²), 2m = 2·count
+    pairs.agg(
+        count(lit(1)).cast(dec38).as("m"),
+        sum(col("da").cast(dec38) + col("db").cast(dec38))
+          .cast(dec38).as("sj"),
+        sum(col("da").cast(dec38) * col("db").cast(dec38))
+          .cast(dec38).as("sjk1"),
+        sum(col("da").cast(dec38) * col("da").cast(dec38) +
+          col("db").cast(dec38) * col("db").cast(dec38))
+          .cast(dec38).as("sj2"))
+      .select(col("m"),
+        (lit(2).cast(dec38) * col("m") * lit(2).cast(dec38) * col("sjk1") -
+          col("sj") * col("sj")).cast(dec38).as("num"),
+        (lit(2).cast(dec38) * col("m") * col("sj2") -
+          col("sj") * col("sj")).cast(dec38).as("den"))
+  }
+
+  /** Second-order biased random walks — node2vec (Grover & Leskovec,
+    * KDD'16) with the search bias expressed as three INTEGER weights
+    * instead of the paper's continuous (p, q): at step t with
+    * previous node u and current node v, a candidate out-neighbor x
+    * of v weighs `returnW` when x = u (the paper's 1/p), `commonW`
+    * when the edge u→x exists (the paper's 1 — distance-1
+    * candidates), and `exploreW` otherwise (the paper's 1/q); set
+    * (returnW, commonW, exploreW) = (⌊1000/p⌋, 1000, ⌊1000/q⌋) to
+    * reproduce a (p, q) configuration at per-mille resolution —
+    * only the RATIOS matter. Step 1 has no previous node and picks
+    * UNIFORMLY (the paper's first step). The pick itself is the
+    * [[randomWalksWeighted]] machinery: cumulative candidate
+    * intervals in dst order, the per-walk hash stream's fast-range
+    * point — a pure function of (seed, start, walk, t) and the
+    * weights, bit-stable and oracle-renderable. Directed edges
+    * throughout (symmetrize upstream for the paper's undirected
+    * setting); a walk whose candidates all weigh 0 stops (documented:
+    * zero-weight = unreachable, as in the weighted face).
+    *
+    * Scale shape — the honest second-order cost: step t expands the
+    * walk set by the current nodes' out-degrees (candidate relation ≈
+    * walks × avg out-degree), flags the u→x membership with one
+    * (prev, dst)-keyed join against the edge set, and folds the
+    * cumulative intervals with one per-walk window — per step, two
+    * candidate-sized exchanges + one walk-set-sized window sort,
+    * against the once-pinned adjacency. First-order walks
+    * ([[randomWalks]]) stay the cheap path when no bias is needed.
+    */
+  def randomWalksBiased(edges: DataFrame, walkLength: Int,
+      walksPerNode: Int, seed: Long, returnW: Long = 1000L,
+      commonW: Long = 1000L, exploreW: Long = 1000L): DataFrame = {
+    require(walkLength >= 1, s"walkLength must be >= 1, got $walkLength")
+    require(walksPerNode >= 1,
+      s"walksPerNode must be >= 1, got $walksPerNode")
+    require(returnW >= 0 && commonW >= 0 && exploreW >= 0,
+      "bias weights must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val Array(cs, cd) = edges.columns.take(2)
+    val rounds = new Rounds(edges)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dec38 = "decimal(38,0)"
+    val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+    val adj = e.repartition(col("src")).persist(lvl)
+    val em = e.select(col("src").as("pv"), col("dst").as("emcd"),
+        lit(1L).as("common"))
+      .repartition(col("pv")).persist(lvl)
+    adj.count(); em.count()
+    val whc = Sampling.splitmix64(
+      Sampling.splitmix64(lit(seed).bitwiseXOR(col("start")))
+        .bitwiseXOR(col("w")))
+    var cur = rounds.mark(
+      e.select(col("src").as("start")).distinct()
+        .select(col("start"), explode(sequence(lit(0L),
+          lit(walksPerNode - 1L))).as("w"))
+        .select(col("start"), col("w"), col("start").as("id"),
+          lit(null).cast("long").as("prev"), whc.as("wh")))
+    val outs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    outs += rounds.mark(cur.select(col("start"), col("w"),
+      lit(0L).as("step"), col("id")))
+    var t = 1
+    while (t <= walkLength && !cur.isEmpty) {
+      val cand = cur.join(adj.as("adjr"), col("id") === col("adjr.src"))
+        .select(col("start"), col("w"), col("wh"), col("prev"),
+          col("id").as("cv"), col("adjr.dst").as("cd"))
+        .join(em, col("prev") === col("pv") &&
+          col("cd") === col("emcd"), "left")
+        .select(col("start"), col("w"), col("wh"), col("prev"),
+          col("cv"), col("cd"),
+          when(col("prev").isNull, lit(1L))
+            .when(col("cd") === col("prev"), lit(returnW))
+            .when(col("common").isNotNull, lit(commonW))
+            .otherwise(lit(exploreW)).as("cw"))
+        .filter(col("cw") > 0)
+      val win = Window.partitionBy(col("start"), col("w"))
+      val wo = win.orderBy(col("cd"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val u32 = shiftrightunsigned(
+        Sampling.splitmix64(col("wh").bitwiseXOR(lit(t.toLong))), 32)
+      val x = idiv(u32.cast(dec38) * col("tot").cast(dec38),
+        lit(4294967296L).cast(dec38))
+      val nxt = rounds.mark(cand
+        .withColumn("tot", sum(col("cw")).over(win))
+        .withColumn("hi", sum(col("cw")).over(wo))
+        .withColumn("lo", col("hi") - col("cw"))
+        .filter(x >= col("lo").cast(dec38) && x < col("hi").cast(dec38))
+        .select(col("start"), col("w"), col("cd").as("id"),
+          col("cv").as("prev"), col("wh")))
+      outs += rounds.mark(nxt.select(col("start"), col("w"),
+        lit(t.toLong).as("step"), col("id")))
+      rounds.release(cur)
+      cur = nxt
+      t += 1
+    }
+    rounds.release(cur)
+    val res = rounds.mark(outs.reduce(_ unionByName _)
+      .select(col("start"), col("w").as("walk"), col("step"), col("id")))
+    outs.foreach(rounds.release)
+    adj.unpersist(false); em.unpersist(false)
     res
   }
 }

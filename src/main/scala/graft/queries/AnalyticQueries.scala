@@ -41,6 +41,31 @@ object AnalyticQueries {
     s"xor($zc, $zc >> 31)"
   }
 
+  /** One node2vec oracle step: candidate expansion from CTE `prev`
+    * over edge CTE `e` (s, d), the return/common/explore class CASE,
+    * positive-weight filter, per-walk cumulative intervals, and the
+    * fast-range pick.
+    */
+  private def walkStepN2vSql(prev: String, t: Int, rw: Long, cw: Long,
+      ew: Long): String = {
+    val u32 = s"(${smix64Sql(s"xor(q.wh, $t::UBIGINT)")} >> 32)"
+    val x = s"CAST((CAST($u32 AS HUGEINT) * q.tot) // 4294967296 AS BIGINT)"
+    s"""SELECT start, w, wh, cv AS prev, cd AS id FROM (
+       |  SELECT c.*, SUM(cw) OVER (PARTITION BY start, w) AS tot,
+       |    SUM(cw) OVER (PARTITION BY start, w ORDER BY cd
+       |      ROWS UNBOUNDED PRECEDING) AS hi
+       |  FROM (
+       |    SELECT p.start, p.w, p.wh, p.id AS cv, a.d AS cd,
+       |      CASE WHEN p.prev IS NULL THEN 1
+       |           WHEN a.d = p.prev THEN $rw
+       |           WHEN EXISTS (SELECT 1 FROM e m
+       |             WHERE m.s = p.prev AND m.d = a.d) THEN $cw
+       |           ELSE $ew END AS cw
+       |    FROM $prev p JOIN e a ON a.s = p.id) c
+       |  WHERE cw > 0) q
+       |WHERE $x >= q.hi - q.cw AND $x < q.hi""".stripMargin
+  }
+
   /** One random-walk oracle step: walks in CTE `prev` advance through
     * the ranked adjacency `adj` by the documented hash pick
     * (top 32 bits of splitmix64(wh XOR t), mod out-degree).
@@ -494,6 +519,59 @@ object AnalyticQueries {
         cyc.unionByName(pend).unionByName(cross))
     },
 
+    // weighted modularity over the same clique-and-pendant blocks,
+    // edge weight = 1 + (src+dst) % 5 — parallel/reversed raw edges
+    // must SUM into the canonical weight, pendant srcs stay
+    // unassigned (weighted singleton default), and q_num =
+    // 4·W·w_in − s_tot² is exact decimal arithmetic; independent SQL
+    // aggregation oracle
+    "q_graph_modularity_w" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"),
+          (col("o_orderkey") - pmod(col("o_orderkey"), lit(8L))).as("base"),
+          (pmod(expr("o_orderkey DIV 8"), lit(3L)) + 2).as("c"))
+      val m = o.filter(col("r") < col("c"))
+      val clique = m.as("x").join(m.as("y"),
+          col("x.base") === col("y.base") && col("x.k") < col("y.k"))
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      val pend = o.filter(col("r") >= 4)
+        .select(col("k").as("src"),
+          (col("base") + pmod(col("r"), col("c"))).as("dst"))
+      val we = clique.unionByName(pend)
+        .select(col("src"), col("dst"),
+          (pmod(col("src") + col("dst"), lit(5L)) + 1).as("w"))
+      val asg = m.select(col("k").as("id"), col("base").as("community"))
+      graft.functions.Graph.modularityWeighted(we, asg)
+        .select(col("community"), col("nodes"), col("w_in"), col("s_tot"),
+          col("q_num").cast("long").as("q_num"))
+    },
+
+    // degree assortativity: one exact-integer Pearson relation
+    // (m, num, den) over the clique+pendant mixing graph — cliques
+    // are assortative (equal degrees link), pendants disassortative
+    // (degree-1 leaves hang on clique members), so num is a genuine
+    // balance of both signs; oracle = one SQL aggregation over the
+    // degree-joined edge list in HUGEINT
+    "q_graph_assortativity" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"),
+          (col("o_orderkey") - pmod(col("o_orderkey"), lit(8L))).as("base"),
+          (pmod(expr("o_orderkey DIV 8"), lit(3L)) + 2).as("c"))
+      val m = o.filter(col("r") < col("c"))
+      val clique = m.as("x").join(m.as("y"),
+          col("x.base") === col("y.base") && col("x.k") < col("y.k"))
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      val pend = o.filter(col("r") >= 4)
+        .select(col("k").as("src"),
+          (col("base") + pmod(col("r"), col("c"))).as("dst"))
+      graft.functions.Graph.assortativity(clique.unionByName(pend))
+        .select(col("m").cast("long").as("m"),
+          col("num").cast("long").as("num"),
+          col("den").cast("long").as("den"))
+    },
+
     // deterministic random-walk corpus on block-bounded branching
     // DAGs over orderkeys (k→k+1 for r<7, k→k+2 for r<6): interior
     // nodes offer a REAL 2-way choice (pins the splitmix64 stream
@@ -533,6 +611,29 @@ object AnalyticQueries {
           lit(2L).as("w"))
       graft.functions.Graph.randomWalksWeighted(path.unionByName(skip),
         walkLength = 3, walksPerNode = 2, seed = 43L)
+    },
+
+    // node2vec second-order walks on blocks with reciprocal edges:
+    // forward k→k+1, backward k→k−1 (so the previous node is a live
+    // RETURN candidate), skip k→k+2 (so from cur=k+1 with prev=k the
+    // candidate k+2 is COMMON — edge k→k+2 exists — while k+3 is
+    // EXPLORE); weights (250, 1000, 500) ≡ (p, q) = (4, 2). Oracle:
+    // per step, candidate expansion + EXISTS membership class + the
+    // per-walk window cumulative pick, 3 unrolled steps
+    "q_graph_walks_n2v" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"))
+      val fwd = o.filter(col("r") < 7)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      val back = o.filter(col("r") >= 1)
+        .select(col("k").as("src"), (col("k") - 1).as("dst"))
+      val skip = o.filter(col("r") < 6)
+        .select(col("k").as("src"), (col("k") + 2).as("dst"))
+      graft.functions.Graph.randomWalksBiased(
+        fwd.unionByName(back).unionByName(skip),
+        walkLength = 3, walksPerNode = 2, seed = 47L,
+        returnW = 250L, commonW = 1000L, exploreW = 500L)
     },
 
     // sampled-source Brandes betweenness on the walks gate's
@@ -992,6 +1093,70 @@ object AnalyticQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'P'""".stripMargin,
+    "q_graph_modularity_w" ->
+      """WITH o AS MATERIALIZED (SELECT o_orderkey AS k, o_orderkey % 8 AS r,
+        |    o_orderkey - o_orderkey % 8 AS base,
+        |    2 + (o_orderkey // 8) % 3 AS c
+        |  FROM orders),
+        |m AS MATERIALIZED (SELECT k, base FROM o WHERE r < c),
+        |raw AS MATERIALIZED (
+        |  SELECT x.k AS s, y.k AS d FROM m x JOIN m y
+        |    ON x.base = y.base AND x.k < y.k
+        |  UNION ALL
+        |  SELECT k, base + r % c FROM o WHERE r >= 4),
+        |e AS MATERIALIZED (
+        |  SELECT a, b, CAST(SUM(ew) AS HUGEINT) AS ew FROM (
+        |    SELECT LEAST(s, d) AS a, GREATEST(s, d) AS b,
+        |      1 + (s + d) % 5 AS ew
+        |    FROM raw WHERE s <> d)
+        |  GROUP BY 1, 2 HAVING SUM(ew) > 0),
+        |tw AS (SELECT SUM(ew) AS tw FROM e),
+        |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+        |asg AS (SELECT k AS id, base AS community FROM o WHERE r < c),
+        |comm AS (SELECT n.id, COALESCE(a.community, n.id) AS community
+        |  FROM nodes n LEFT JOIN asg a ON a.id = n.id),
+        |st AS (SELECT id, SUM(ew) AS st FROM (
+        |  SELECT a AS id, ew FROM e UNION ALL SELECT b, ew FROM e)
+        |  GROUP BY 1),
+        |win AS (SELECT ca.community, SUM(e.ew) AS w_in FROM e
+        |  JOIN comm ca ON ca.id = e.a JOIN comm cb ON cb.id = e.b
+        |  WHERE ca.community = cb.community GROUP BY 1),
+        |stt AS (SELECT c.community, COUNT(*) AS nodes, SUM(s.st) AS s_tot
+        |  FROM comm c JOIN st s ON s.id = c.id GROUP BY 1)
+        |SELECT stt.community, CAST(stt.nodes AS BIGINT) AS nodes,
+        |  CAST(COALESCE(win.w_in, 0) AS BIGINT) AS w_in,
+        |  CAST(stt.s_tot AS BIGINT) AS s_tot,
+        |  CAST(4 * (SELECT tw FROM tw) * CAST(COALESCE(win.w_in, 0) AS HUGEINT)
+        |    - CAST(stt.s_tot AS HUGEINT) * CAST(stt.s_tot AS HUGEINT)
+        |    AS BIGINT) AS q_num
+        |FROM stt LEFT JOIN win ON win.community = stt.community""".stripMargin,
+
+    "q_graph_assortativity" ->
+      """WITH o AS MATERIALIZED (SELECT o_orderkey AS k, o_orderkey % 8 AS r,
+        |    o_orderkey - o_orderkey % 8 AS base,
+        |    2 + (o_orderkey // 8) % 3 AS c
+        |  FROM orders),
+        |m AS MATERIALIZED (SELECT k, base FROM o WHERE r < c),
+        |raw AS MATERIALIZED (
+        |  SELECT x.k AS s, y.k AS d FROM m x JOIN m y
+        |    ON x.base = y.base AND x.k < y.k
+        |  UNION ALL
+        |  SELECT k, base + r % c FROM o WHERE r >= 4),
+        |e AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |deg AS (SELECT id, CAST(COUNT(*) AS HUGEINT) AS deg FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |p AS (SELECT da.deg AS da, db.deg AS db FROM e
+        |  JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+        |agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+        |    SUM(da + db) AS sj, SUM(da * db) AS sjk1,
+        |    SUM(da * da + db * db) AS sj2
+        |  FROM p)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |  CAST(2 * m * 2 * sjk1 - sj * sj AS BIGINT) AS num,
+        |  CAST(2 * m * sj2 - sj * sj AS BIGINT) AS den
+        |FROM agg""".stripMargin,
+
     "q_graph_walks" ->
       s"""WITH o AS MATERIALIZED (
         |  SELECT o_orderkey AS k, o_orderkey % 8 AS r FROM orders),
@@ -1012,6 +1177,29 @@ object AnalyticQueries {
         |s1 AS MATERIALIZED (${walkStepSql("w0", 1)}),
         |s2 AS MATERIALIZED (${walkStepSql("s1", 2)}),
         |s3 AS MATERIALIZED (${walkStepSql("s2", 3)})
+        |SELECT start, CAST(w AS BIGINT) AS walk, 0::BIGINT AS step, id FROM w0
+        |UNION ALL SELECT start, w, 1, id FROM s1
+        |UNION ALL SELECT start, w, 2, id FROM s2
+        |UNION ALL SELECT start, w, 3, id FROM s3""".stripMargin,
+
+    "q_graph_walks_n2v" ->
+      s"""WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS r FROM orders),
+        |raw AS MATERIALIZED (
+        |  SELECT k AS s, k + 1 AS d FROM o WHERE r < 7
+        |  UNION ALL SELECT k, k - 1 FROM o WHERE r >= 1
+        |  UNION ALL SELECT k, k + 2 FROM o WHERE r < 6),
+        |e AS MATERIALIZED (SELECT DISTINCT s, d FROM raw),
+        |h0 AS MATERIALIZED (SELECT start,
+        |    ${smix64Sql("xor(47::UBIGINT, CAST(start AS UBIGINT))")} AS h1
+        |  FROM (SELECT DISTINCT s AS start FROM e)),
+        |w0 AS MATERIALIZED (SELECT start, w, start AS id,
+        |    CAST(NULL AS BIGINT) AS prev,
+        |    ${smix64Sql("xor(h1, CAST(w AS UBIGINT))")} AS wh
+        |  FROM h0 CROSS JOIN (SELECT UNNEST([0, 1]) AS w)),
+        |s1 AS MATERIALIZED (${walkStepN2vSql("w0", 1, 250L, 1000L, 500L)}),
+        |s2 AS MATERIALIZED (${walkStepN2vSql("s1", 2, 250L, 1000L, 500L)}),
+        |s3 AS MATERIALIZED (${walkStepN2vSql("s2", 3, 250L, 1000L, 500L)})
         |SELECT start, CAST(w AS BIGINT) AS walk, 0::BIGINT AS step, id FROM w0
         |UNION ALL SELECT start, w, 1, id FROM s1
         |UNION ALL SELECT start, w, 2, id FROM s2

@@ -104,6 +104,14 @@ object GraphScale {
           .select(((col("start") * lit(2) + col("walk")) *
               lit(iters + 1L) + col("step")).as("id"),
             col("start"), col("walk"), col("step"), col("id").as("node"))
+      // node2vec face, (p, q) = (4, 2): same output shape, so it
+      // shares the walks invariants below
+      case "walks_n2v" =>
+        graft.functions.Graph.randomWalksBiased(ed, iters, 1, 42L,
+            returnW = 250L, commonW = 1000L, exploreW = 500L)
+          .select(((col("start") * lit(2) + col("walk")) *
+              lit(iters + 1L) + col("step")).as("id"),
+            col("start"), col("walk"), col("step"), col("id").as("node"))
       case _ => graft.functions.Graph.pageRank(ed, iters)
     }
     val t0 = System.nanoTime()
@@ -244,7 +252,7 @@ object GraphScale {
         val t = pr.agg(coalesce(sum(col("btw")), lit(0L))
           .cast("decimal(38,0)")).head().getDecimal(0)
         (neg + cover, t)
-      case "walks" =>
+      case "walks" | "walks_n2v" =>
         // distributed invariants: every consecutive hop is a real
         // edge (the correctness core — a wrong rank join or hash
         // mismatch fabricates hops), step 0 covers every src exactly
@@ -282,12 +290,12 @@ object GraphScale {
     println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
     require((op == "bfs" || op == "sssp" || op == "kcore" ||
         op == "coreness" || op == "ktruss" || op == "walks" ||
-        op == "betweenness" || nodes == nodeCount) &&
+        op == "walks_n2v" || op == "betweenness" || nodes == nodeCount) &&
       badRows == 0 && dupIds == 0 &&
       (op == "lpa" || op == "bfs" || op == "sssp" || op == "triangles" ||
         op == "kcore" || op == "harmonic" || op == "coreness" ||
         op == "scc" || op == "ktruss" || op == "walks" ||
-        op == "betweenness" ||
+        op == "walks_n2v" || op == "betweenness" ||
         total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0) &&
       mismatch <= 0, "invariant violation")
     spark.stop()

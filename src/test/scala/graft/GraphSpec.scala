@@ -681,6 +681,79 @@ class GraphSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("randomWalksBiased: node2vec classes re-derive; pure-return oscillates") {
+    import graft.functions.SamplingImpl.splitmix64
+    // from prev=1, cur=2 the candidate classes are all live:
+    // 1 = return, 3 = common (1→3 exists), 4 = explore (1→4 absent)
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (2L, 4L),
+      (3L, 4L))
+    val eset = g.toSet
+    val adjm = g.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).sorted.toIndexedSeq }
+    def expect(start: Long, wk: Long, len: Int, seed: Long,
+        rw: Long, cw: Long, ew: Long): Seq[Long] = {
+      val wh = splitmix64(splitmix64(seed ^ start) ^ wk)
+      var prev = -1L
+      var cur = start
+      var out = Seq(start)
+      var t = 1
+      var live = true
+      while (t <= len && live) {
+        val pos = adjm.getOrElse(cur, IndexedSeq.empty).map { d =>
+          val wt =
+            if (prev < 0) 1L
+            else if (d == prev) rw
+            else if (eset.contains((prev, d))) cw
+            else ew
+          (d, wt)
+        }.filter(_._2 > 0)
+        val tot = pos.map(_._2).sum
+        if (pos.isEmpty) live = false
+        else {
+          val u32 = splitmix64(wh ^ t.toLong) >>> 32
+          val x = (BigInt(u32) * tot / BigInt(2).pow(32)).toLong
+          var acc = 0L
+          var chosen = -1L
+          pos.foreach { case (d, wt) =>
+            if (chosen < 0 && x < acc + wt) chosen = d
+            acc += wt
+          }
+          prev = cur; cur = chosen; out :+= cur; t += 1
+        }
+      }
+      out
+    }
+    def run(rw: Long, cw: Long, ew: Long, seed: Long = 9L) =
+      Graph.randomWalksBiased(g.toDF("src", "dst"), walkLength = 4,
+          walksPerNode = 6, seed = seed, returnW = rw, commonW = cw,
+          exploreW = ew)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    // general weights: every walk re-derives from the documented spec
+    val got = run(500L, 1000L, 250L)
+    got.groupBy(x => (x._1, x._2)).foreach { case ((s, wk), rows) =>
+      assert(rows.sortBy(_._3).map(_._4) ===
+        expect(s, wk, 4, 9L, 500L, 1000L, 250L),
+        s"walk ($s,$wk) diverged")
+    }
+    // pure-return: a walk that steps 1→2 must oscillate 1,2,1,2;
+    // one that steps 1→3 strands (no positive candidate from 3 with
+    // prev=1: no return edge, 4 is neither return nor common)
+    val pr = run(1000L, 0L, 0L)
+    pr.groupBy(x => (x._1, x._2)).filter(_._1._1 == 1L)
+      .foreach { case ((_, wk), rows) =>
+        val path = rows.sortBy(_._3).map(_._4)
+        if (path(1) == 2L) assert(path === Seq(1L, 2L, 1L, 2L, 1L))
+        else assert(path === Seq(1L, 3L))
+      }
+    // partition invariance
+    val again = Graph.randomWalksBiased(
+        g.toDF("src", "dst").repartition(7), 4, 6, 9L, 500L, 1000L, 250L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(again.sorted === got.sorted)
+  }
+
   private def btw(edges: Seq[(Long, Long)], seeds: Seq[Long],
       maxDepth: Int = 12): Map[Long, BigDecimal] =
     Graph.betweenness(edges.toDF("src", "dst"), seeds.toDF("id"), maxDepth)
@@ -745,6 +818,47 @@ class GraphSpec extends SparkSpec {
     // 4·m·m − (2m)² = 0
     val all = (1L to 6L).map(i => (i, 1L))
     assert(mod(g, all) === Map(1L -> ((6L, 7L, 14L, BigDecimal(0)))))
+  }
+
+  test("modularityWeighted: weights sum into canonical edges, exact q_num") {
+    // triangle with reversed-duplicate (2,1) summing into (1,2):
+    // canonical weights (1,2)=5, (2,3)=1, (1,3)=1 → W=7; net-zero
+    // pair (4,5) cancels and the nodes vanish
+    val g = Seq((1L, 2L, 2L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (4L, 5L, 2L), (5L, 4L, -2L))
+    def mw(asg: Seq[(Long, Long)]) =
+      Graph.modularityWeighted(g.toDF("src", "dst", "w"),
+          asg.toDF("id", "c"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), BigDecimal(r.getDecimal(4))))).toMap
+    // all one community: 4·W·W − (2W)² = 0 exactly
+    assert(mw(Seq((1L, 1L), (2L, 1L), (3L, 1L))) ===
+      Map(1L -> ((3L, 7L, 14L, BigDecimal(0)))))
+    // {1,2} labeled, 3 unassigned → singleton: strengths 6/6/2,
+    // q_num(5) = 4·7·5 − 12² = −4; q_num(3) = 0 − 2² = −4
+    assert(mw(Seq((1L, 5L), (2L, 5L))) === Map(
+      5L -> ((2L, 5L, 12L, BigDecimal(-4))),
+      3L -> ((1L, 0L, 2L, BigDecimal(-4)))))
+  }
+
+  test("assortativity: hand-computed signs — path, star, regular") {
+    def ass(edges: Seq[(Long, Long)]): (BigDecimal, BigDecimal, BigDecimal) = {
+      val r = Graph.assortativity(edges.toDF("src", "dst")).head()
+      (BigDecimal(r.getDecimal(0)), BigDecimal(r.getDecimal(1)),
+        BigDecimal(r.getDecimal(2)))
+    }
+    // path 1-2-3: r = num/den = −4/4 = −1 (leaves on the hub only)
+    assert(ass(Seq((1L, 2L), (2L, 3L))) ===
+      ((BigDecimal(2), BigDecimal(-4), BigDecimal(4))))
+    // star: perfectly disassortative, r = −36/36 = −1
+    assert(ass(Seq((1L, 2L), (1L, 3L), (1L, 4L))) ===
+      ((BigDecimal(3), BigDecimal(-36), BigDecimal(36))))
+    // triangle: degree-regular → den = 0 returned undivided
+    assert(ass(Seq((1L, 2L), (2L, 3L), (3L, 1L))) ===
+      ((BigDecimal(3), BigDecimal(0), BigDecimal(0))))
+    // messy input canonicalizes (dup + reverse + self-loop)
+    assert(ass(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L))) ===
+      ((BigDecimal(2), BigDecimal(-4), BigDecimal(4))))
   }
 
   test("modularity: unassigned nodes default to singletons; messy edges") {
