@@ -1853,4 +1853,36 @@ object Graph {
     adj.unpersist(false); em.unpersist(false)
     res
   }
+
+  /** Skip-gram training pairs from a walk corpus — the consumer stage
+    * completing the DeepWalk/node2vec pipeline ([[randomWalks]] /
+    * [[randomWalksBiased]] → THIS → embedding trainer): for every
+    * pair of positions on the same walk within `window` steps,
+    * emit (center, context) — both directions, the skip-gram
+    * convention — aggregated to (center, context, cnt) so the
+    * training input is a compact multiset instead of a blown-up pair
+    * list (cnt IS the multiplicity; a trainer weights by it).
+    * Exact counts, order-free, bit-stable.
+    *
+    * Input: the walk relation (start, walk, step, id) as produced by
+    * the walk operators. Scale shape: one self-join keyed on
+    * (start, walk) — walk-length-bounded fan-out per key (≤ 2·window
+    * partners per position, so the pair relation is ≤ 2·window ×
+    * corpus rows), then one partial-aggregable grouped count on
+    * (center, context). No windows, no driver state.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val Array(c0, c1, c2, c3) = walks.columns.take(4)
+    val w = walks.select(col(c0).as("start"), col(c1).as("walk"),
+      col(c2).as("step"), col(c3).as("id"))
+    w.as("p").join(w.as("q"),
+        col("p.start") === col("q.start") &&
+          col("p.walk") === col("q.walk") &&
+          col("q.step") =!= col("p.step") &&
+          col("q.step") >= col("p.step") - window &&
+          col("q.step") <= col("p.step") + window)
+      .groupBy(col("p.id").as("center"), col("q.id").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

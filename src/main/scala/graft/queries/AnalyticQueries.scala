@@ -76,6 +76,38 @@ object AnalyticQueries {
        |   AND adj.rk = CAST((${smix64Sql(s"xor(p.wh, $t::UBIGINT)")} >> 32)
        |     % CAST(adj.deg AS UBIGINT) AS BIGINT)""".stripMargin
 
+  /** The q_graph_walks oracle body: 3 unrolled hash-pick steps over
+    * the ranked adjacency, ending in a `corpus` CTE (start, walk,
+    * step, id) — shared by the walks gate and the skip-gram-pairs
+    * gate (which self-joins the same corpus).
+    */
+  private def walksCorpusSql: String =
+    s"""WITH o AS MATERIALIZED (
+       |  SELECT o_orderkey AS k, o_orderkey % 8 AS r FROM orders),
+       |raw AS MATERIALIZED (
+       |  SELECT k AS s, k + 1 AS d FROM o WHERE r < 7
+       |  UNION ALL SELECT k, k + 2 FROM o WHERE r < 6),
+       |e AS MATERIALIZED (SELECT DISTINCT s, d FROM raw),
+       |adj AS MATERIALIZED (SELECT s, d,
+       |    row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS rk,
+       |    COUNT(*) OVER (PARTITION BY s) AS deg
+       |  FROM e),
+       |h0 AS MATERIALIZED (SELECT start,
+       |    ${smix64Sql("xor(42::UBIGINT, CAST(start AS UBIGINT))")} AS h1
+       |  FROM (SELECT DISTINCT s AS start FROM e)),
+       |w0 AS MATERIALIZED (SELECT start, w, start AS id,
+       |    ${smix64Sql("xor(h1, CAST(w AS UBIGINT))")} AS wh
+       |  FROM h0 CROSS JOIN (SELECT UNNEST([0, 1]) AS w)),
+       |s1 AS MATERIALIZED (${walkStepSql("w0", 1)}),
+       |s2 AS MATERIALIZED (${walkStepSql("s1", 2)}),
+       |s3 AS MATERIALIZED (${walkStepSql("s2", 3)}),
+       |corpus AS MATERIALIZED (
+       |  SELECT start, CAST(w AS BIGINT) AS walk, 0::BIGINT AS step, id
+       |  FROM w0
+       |  UNION ALL SELECT start, w, 1, id FROM s1
+       |  UNION ALL SELECT start, w, 2, id FROM s2
+       |  UNION ALL SELECT start, w, 3, id FROM s3)""".stripMargin
+
   /** One WEIGHTED random-walk oracle step: the fast-range pick
     * x = ⌊u32·tot/2³²⌋ landing in the neighbor's cumulative-weight
     * interval [lo, hi).
@@ -611,6 +643,25 @@ object AnalyticQueries {
           lit(2L).as("w"))
       graft.functions.Graph.randomWalksWeighted(path.unionByName(skip),
         walkLength = 3, walksPerNode = 2, seed = 43L)
+    },
+
+    // skip-gram pairs over the q_graph_walks corpus (window ±2): the
+    // trainer-input multiset (center, context, cnt) — pins the
+    // self-join bounds (same walk only, step distance 1..2, both
+    // directions) and the exact multiplicities; oracle = the shared
+    // walks-corpus CTEs + the same self-join aggregation
+    "q_graph_walk_pairs" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"))
+      val path = o.filter(col("r") < 7)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      val skip = o.filter(col("r") < 6)
+        .select(col("k").as("src"), (col("k") + 2).as("dst"))
+      val walks = graft.functions.Graph.randomWalks(
+        path.unionByName(skip), walkLength = 3, walksPerNode = 2,
+        seed = 42L)
+      graft.functions.Graph.skipGramPairs(walks, window = 2)
     },
 
     // node2vec second-order walks on blocks with reciprocal edges:
@@ -1157,30 +1208,18 @@ object AnalyticQueries {
         |  CAST(2 * m * sj2 - sj * sj AS BIGINT) AS den
         |FROM agg""".stripMargin,
 
-    "q_graph_walks" ->
-      s"""WITH o AS MATERIALIZED (
-        |  SELECT o_orderkey AS k, o_orderkey % 8 AS r FROM orders),
-        |raw AS MATERIALIZED (
-        |  SELECT k AS s, k + 1 AS d FROM o WHERE r < 7
-        |  UNION ALL SELECT k, k + 2 FROM o WHERE r < 6),
-        |e AS MATERIALIZED (SELECT DISTINCT s, d FROM raw),
-        |adj AS MATERIALIZED (SELECT s, d,
-        |    row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS rk,
-        |    COUNT(*) OVER (PARTITION BY s) AS deg
-        |  FROM e),
-        |h0 AS MATERIALIZED (SELECT start,
-        |    ${smix64Sql("xor(42::UBIGINT, CAST(start AS UBIGINT))")} AS h1
-        |  FROM (SELECT DISTINCT s AS start FROM e)),
-        |w0 AS MATERIALIZED (SELECT start, w, start AS id,
-        |    ${smix64Sql("xor(h1, CAST(w AS UBIGINT))")} AS wh
-        |  FROM h0 CROSS JOIN (SELECT UNNEST([0, 1]) AS w)),
-        |s1 AS MATERIALIZED (${walkStepSql("w0", 1)}),
-        |s2 AS MATERIALIZED (${walkStepSql("s1", 2)}),
-        |s3 AS MATERIALIZED (${walkStepSql("s2", 3)})
-        |SELECT start, CAST(w AS BIGINT) AS walk, 0::BIGINT AS step, id FROM w0
-        |UNION ALL SELECT start, w, 1, id FROM s1
-        |UNION ALL SELECT start, w, 2, id FROM s2
-        |UNION ALL SELECT start, w, 3, id FROM s3""".stripMargin,
+    "q_graph_walks" -> (walksCorpusSql +
+      "\nSELECT start, walk, step, id FROM corpus"),
+
+    "q_graph_walk_pairs" -> (walksCorpusSql +
+      """
+        |SELECT p.id AS center, q.id AS context,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM corpus p JOIN corpus q
+        |  ON p.start = q.start AND p.walk = q.walk
+        | AND q.step <> p.step
+        | AND q.step BETWEEN p.step - 2 AND p.step + 2
+        |GROUP BY 1, 2""".stripMargin),
 
     "q_graph_walks_n2v" ->
       s"""WITH o AS MATERIALIZED (

@@ -681,6 +681,31 @@ class GraphSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("skipGramPairs: window bounds, both directions, exact multiplicities") {
+    // two walks share the (10,20) adjacency → cnt 2; cross-walk and
+    // beyond-window pairs must not appear; singleton walks pair nothing
+    val walks = Seq(
+      (1L, 0L, 0L, 10L), (1L, 0L, 1L, 20L), (1L, 0L, 2L, 30L),
+      (1L, 0L, 3L, 40L),
+      (1L, 1L, 0L, 10L), (1L, 1L, 1L, 20L),
+      (2L, 0L, 0L, 50L)).toDF("start", "walk", "step", "id")
+    def pairs(window: Int): Map[(Long, Long), Long] =
+      Graph.skipGramPairs(walks, window).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p2 = pairs(2)
+    assert(p2 === Map(
+      (10L, 20L) -> 2L, (20L, 10L) -> 2L, (10L, 30L) -> 1L,
+      (30L, 10L) -> 1L, (20L, 30L) -> 1L, (30L, 20L) -> 1L,
+      (20L, 40L) -> 1L, (40L, 20L) -> 1L, (30L, 40L) -> 1L,
+      (40L, 30L) -> 1L))
+    // symmetric by construction
+    assert(p2.forall { case ((a, b), c) => p2((b, a)) === c })
+    // window=1 keeps only adjacent positions
+    assert(pairs(1) === Map(
+      (10L, 20L) -> 2L, (20L, 10L) -> 2L, (20L, 30L) -> 1L,
+      (30L, 20L) -> 1L, (30L, 40L) -> 1L, (40L, 30L) -> 1L))
+  }
+
   test("randomWalksBiased: node2vec classes re-derive; pure-return oscillates") {
     import graft.functions.SamplingImpl.splitmix64
     // from prev=1, cur=2 the candidate classes are all live:
