@@ -433,4 +433,54 @@ object Profile {
         get(col("tk"), lit(0)).getField("id").as("top_value"),
         get(col("tk"), lit(0)).getField("sim").cast("long").as("top_n"))
   }
+
+  /** Exact 2×K chi-square homogeneity report — the experiment-readout
+    * companion to [[corrExact]] (A/B/n conversion analysis: "do the
+    * variants convert at the same rate?"): input = ONE ROW PER UNIT
+    * with a group key and a 0/1 outcome flag; output = one row per
+    * group, (grp, n, x, chi2_micro) where n = units, x = conversions,
+    * and chi2_micro = the group's additive chi-square contribution in
+    * MICRO-UNITS (1e6): Σ_g chi2_micro / 1e6 is the classic 2×K
+    * statistic (df = K−1) to three-decimal resolution.
+    *
+    * Exact-integer face (the house [[graft.functions.Graph]] integer-
+    * PageRank posture — a double chi-square varies with summation
+    * order): each group's contribution collapses algebraically to
+    * (x·N − n·X)² / (n·X·(N−X)) with N, X the grand totals, and is
+    * evaluated as a TWO-STAGE decimal(38,0) floor division (quotient
+    * first, remainder scaled by 1e6 — the direct unit·A product would
+    * overflow 38 digits at web-scale N). Bit-stable under any
+    * partitioning; quantization ≤ 1e-6 per group. Degenerate margins
+    * (X = 0 or X = N: nobody or everybody converts) have zero
+    * deviation by construction and report chi2_micro = 0 rather than
+    * dividing by the zero variance.
+    *
+    * Scale shape: one grouped aggregate over the unit relation
+    * (partial-aggregable), a 1-row grand-total broadcast, pure
+    * codegen'd arithmetic per group row. The flag must be 0/1 — feed
+    * `max(when(...))` per unit upstream for "did the user ever
+    * convert" semantics.
+    */
+  def chiSquareReport(df: DataFrame, group: Column, flag: Column): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val g = df.select(group.as("grp"), flag.cast("long").as("f"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("f")).as("x"))
+    val tot = g.agg(sum(col("n")).cast(dec38).as("nn"),
+      sum(col("x")).cast(dec38).as("xx"))
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast(dec38)
+    val dev = col("x").cast(dec38) * col("nn") -
+      col("n").cast(dec38) * col("xx")
+    val a = (dev * dev).cast(dec38)
+    val b = (col("n").cast(dec38) * col("xx") * (col("nn") - col("xx")))
+      .cast(dec38)
+    val unit = lit(1000000L).cast(dec38)
+    g.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n"), col("x"),
+        when(b === lit(0L).cast(dec38), lit(0L).cast(dec38))
+          .otherwise((idiv(a, b) * unit +
+            idiv((a - idiv(a, b) * b) * unit, b)).cast(dec38))
+          .as("chi2_micro"))
+  }
 }

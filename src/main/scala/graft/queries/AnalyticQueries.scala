@@ -197,6 +197,24 @@ object AnalyticQueries {
         tolerance = Some(expr("INTERVAL 1 DAY"))))
     },
 
+    // exact 2×K chi-square experiment readout: unit = user, variant
+    // = user_id % 3, outcome = "ever purchased" — the per-variant
+    // additive contribution in micro-units pins the collapsed
+    // (x·N − n·X)²/(n·X·(N−X)) algebra and the floor quantization;
+    // oracle = the same formula in HUGEINT (one-stage floor ≡ the
+    // op's overflow-safe two-stage at any non-overflowing scale)
+    "q_events_ab" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val units = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+        .select(pmod(col("user_id"), lit(3L)).as("variant"), col("conv"))
+      graft.functions.Profile.chiSquareReport(units, col("variant"),
+          col("conv"))
+        .select(col("grp").as("variant"), col("n"), col("x"),
+          col("chi2_micro").cast("long").as("chi2_micro"))
+    },
+
     // KEYLESS as-of: each click matched to the latest prior purchase of
     // ANY user — binned two-level scan, no single global window
     "q_asof_global" -> { (s, dir) =>
@@ -1144,6 +1162,22 @@ object AnalyticQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'P'""".stripMargin,
+    "q_events_ab" ->
+      """WITH u AS (SELECT user_id % 3 AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT variant, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(conv) AS HUGEINT) AS x
+        |  FROM u GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn, SUM(x) AS xx FROM g)
+        |SELECT g.variant, CAST(g.n AS BIGINT) AS n,
+        |  CAST(g.x AS BIGINT) AS x,
+        |  CAST(CASE WHEN t.xx = 0 OR t.nn = t.xx THEN 0
+        |    ELSE ((g.x * t.nn - g.n * t.xx) * (g.x * t.nn - g.n * t.xx)
+        |      * 1000000) // (g.n * t.xx * (t.nn - t.xx))
+        |    END AS BIGINT) AS chi2_micro
+        |FROM g CROSS JOIN t""".stripMargin,
+
     "q_graph_modularity_w" ->
       """WITH o AS MATERIALIZED (SELECT o_orderkey AS k, o_orderkey % 8 AS r,
         |    o_orderkey - o_orderkey % 8 AS base,

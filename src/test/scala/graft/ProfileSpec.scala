@@ -253,4 +253,35 @@ class ProfileSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
       Seq((100L, 3L, 7L, 2L), (200L, 2L, 3L, 1L)))
   }
+
+  test("chiSquareReport: hand-computed 2x2, degenerate margins, invariance") {
+    import org.apache.spark.sql.functions.col
+    // A: 4 units 2 conversions, B: 4 units 0 → classic 2×2 chi² =
+    // 8·(2·4 − 2·0)²/(4·4·2·6) = 8/3 ≈ 2.666666; each group
+    // contributes (x·N − n·X)²/(n·X·(N−X)) = 64/48 → 1333333 micro
+    val units = Seq(("A", 1L), ("A", 1L), ("A", 0L), ("A", 0L),
+      ("B", 0L), ("B", 0L), ("B", 0L), ("B", 0L)).toDF("g", "f")
+    def rep(df: org.apache.spark.sql.DataFrame) =
+      Profile.chiSquareReport(df, col("g"), col("f"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3))))).toMap
+    assert(rep(units) === Map(
+      "A" -> ((4L, 2L, BigDecimal(1333333))),
+      "B" -> ((4L, 0L, BigDecimal(1333333)))))
+    // degenerate margin: nobody converts → zero contributions, no
+    // division by the zero variance
+    val none = Seq(("A", 0L), ("B", 0L)).toDF("g", "f")
+    assert(rep(none) === Map(
+      "A" -> ((1L, 0L, BigDecimal(0))),
+      "B" -> ((1L, 0L, BigDecimal(0)))))
+    // everybody converts → same by symmetry
+    val all = Seq(("A", 1L), ("B", 1L)).toDF("g", "f")
+    assert(rep(all) === Map(
+      "A" -> ((1L, 1L, BigDecimal(0))),
+      "B" -> ((1L, 1L, BigDecimal(0)))))
+    // equal rates → exactly zero chi², and partition invariance
+    val eq = Seq(("A", 1L), ("A", 0L), ("B", 1L), ("B", 0L)).toDF("g", "f")
+    assert(rep(eq).values.map(_._3).sum === BigDecimal(0))
+    assert(rep(units.repartition(7)) === rep(units))
+  }
 }
