@@ -527,6 +527,38 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Flesch–Kincaid readability report — the classic grade-level
+    * quality feature (Kincaid et al. 1975) next to [[qualityScore]] /
+    * [[gopherQuality]]-style filters, as one codegen'd struct column:
+    * (words, sentences, syllables, fk_micro) with
+    * fk = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    * in MICRO-UNITS via exact integer floor divisions (the two ratio
+    * terms floor independently — deterministic, oracle-renderable;
+    * quantization ≤ 2e-6 grades). Counts are regex-run counts with
+    * EXPLICIT ASCII classes so Java regex and RE2 agree byte-for-byte
+    * (the [[normalize]] oracle posture): words = runs of
+    * non-[space/tab/newline/CR], sentences = runs of [.!?] (0 clamps
+    * to 1 in the ratio — headline-only docs), syllables = vowel-group
+    * runs [aeiouy]+ on the lowercased text (the standard cheap
+    * approximation; hyphenation-grade syllabification is out of
+    * scope). Empty/whitespace docs report fk_micro NULL (a ratio over
+    * zero words is meaningless — callers filter or quarantine).
+    * fk_micro is NEGATIVE for trivially short fragments, exactly as
+    * the formula behaves.
+    */
+  def readability(text: Column): Column = {
+    def longDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = regexp_count(text, lit("[^ \t\n\r]+")).cast("long")
+    val sRaw = regexp_count(text, lit("[.!?]+")).cast("long")
+    val syl = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    val fk = when(w === 0, lit(null).cast("long"))
+      .otherwise(longDiv(lit(390000L) * w, greatest(sRaw, lit(1L))) +
+        longDiv(lit(11800000L) * syl, w) - lit(15590000L))
+    struct(w.as("words"), sRaw.as("sentences"), syl.as("syllables"),
+      fk.as("fk_micro"))
+  }
+
   /** Canonical URL form for web-corpus dedup and crawl-frontier
     * keying — the normalization every CommonCrawl-scale pipeline
     * applies before URL-level dedup, as a single codegen'd column

@@ -768,6 +768,22 @@ object LlmQueries {
         length(Text.normalize($"text", foldDigits = true)).cast("long").as("n_chars"))
     },
 
+    // Flesch–Kincaid readability per doc: regex-run counts with
+    // explicit ASCII classes (Java/RE2 byte parity) + two exact
+    // integer floor divisions in micro-units; punctuation injected
+    // deterministically on doc_id%4==0 rows so the sentence count and
+    // the s=0→1 clamp are both differentially live
+    "q_text_readability" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val txt = when($"doc_id" % 4 === 0,
+          concat($"text", lit(". Done! Right?")))
+        .otherwise($"text")
+      docs.select($"doc_id", Text.readability(txt).as("r"))
+        .select($"doc_id", $"r.words", $"r.sentences", $"r.syllables",
+          $"r.fk_micro")
+    },
+
     // canonical URL normalization: six deterministic raw-URL shapes
     // built from doc columns — uppercase scheme/host + default port +
     // tracking params + fragment (0), userinfo + default https port
@@ -1873,6 +1889,24 @@ object LlmQueries {
         |    '[!-/:-@\[-`{-~]', ' ', 'g'), '[0-9]', '0', 'g'),
         |    '[ \t\n\r]+', ' ', 'g')) AS norm
         |FROM documents)""".stripMargin,
+    "q_text_readability" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text || '. Done! Right?'
+        |       ELSE text END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[^ \t\n\r]+')) AS BIGINT) AS words,
+        |  CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT) AS sentences,
+        |  CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
+        |    AS syllables
+        |  FROM d)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CASE WHEN words = 0 THEN NULL
+        |    ELSE (390000 * words) // GREATEST(sentences, 1)
+        |      + (11800000 * syllables) // words - 15590000
+        |  END AS fk_micro
+        |FROM c""".stripMargin,
+
     "q_text_url" ->
       """SELECT doc_id, CASE doc_id % 6
         |  WHEN 0 THEN 'http://www.example.com/a/' || CAST(doc_id AS VARCHAR)

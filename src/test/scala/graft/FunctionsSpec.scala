@@ -1327,6 +1327,29 @@ class FunctionsSpec extends SparkSpec {
       "<EMAIL> at <IP> ref <NUM>"))
   }
 
+  test("readability: hand-computed counts and FK micro-grades") {
+    val got = Seq(
+      "Hello world. How are you?", // w 5, s 2, syl 2+1+1+2+1 = 7
+      "no punct here",             // w 3, s 0→1, syl 1+1+2 = 4
+      "   ",                       // w 0 → fk NULL
+      "Try!!  Stop?!"              // w 2, s 2 (runs), syl 1+1
+    ).toDF("text")
+      .select(Text.readability(col("text")).as("r"))
+      .select(col("r.words"), col("r.sentences"), col("r.syllables"),
+        col("r.fk_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    // fk(5,2,7) = 975000 + 16520000 − 15590000 = 1905000
+    // fk(3,1,4) = 1170000 + 15733333 − 15590000 = 1313333
+    // fk(2,2,2) = 390000 + 11800000 − 15590000 = −3400000 (negative
+    // on trivial fragments, as the formula behaves)
+    assert(got === Seq(
+      (5L, 2L, 7L, 1905000L),
+      (3L, 0L, 4L, 1313333L),
+      (0L, 0L, 0L, null),
+      (2L, 2L, 2L, -3400000L)))
+  }
+
   test("urlNormalize canonicalizes scheme/host/port/query and nulls non-URLs") {
     val got = Seq(
       "HTTP://WWW.Example.COM:80/a/7?utm_source=x&b=2&a=1#frag",
