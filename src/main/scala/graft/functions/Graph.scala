@@ -1490,7 +1490,6 @@ object Graph {
     * rides a 1-row broadcast. Nothing all-pairs, nothing driver-side.
     */
   def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
-    val Array(cs, cd) = edges.columns.take(2)
     val Array(ai, ac) = assign.columns.take(2)
     val e = canonicalUndirected(edges)
     val nodes = e.select(col("a").as("id"))
@@ -1644,7 +1643,9 @@ object Graph {
         lit(0L).cast(dec38).as("btw"))
       else contribs.map(_.select(col("id"), col("delta")))
         .reduce(_ unionByName _)
-        .groupBy(col("id")).agg(sum(col("delta")).cast(dec38).as("btw"))
+        .groupBy(col("id"))
+        .agg(guard(sum(col("delta")).cast(dec38), "betweenness total")
+          .as("btw"))
     val out = nodes.join(btw, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("btw"), lit(0L).cast(dec38)).as("btw"))
@@ -1661,9 +1662,10 @@ object Graph {
     * intra-weight w_in replaces e_in, weighted degree (strength)
     * s_tot replaces d_tot, and q_num = 4·W·w_in − s_tot² in exact
     * decimal(38,0) — Q = Σ q_num/(4W²) EXACTLY. Canonicalization:
-    * direction erased, parallel/reversed edges SUM their weights,
-    * self-loops dropped, non-positive net weights dropped as
-    * zero-mass (the [[randomWalksWeighted]] posture — a "no edge").
+    * non-positive weights dropped PER EDGE as zero-mass FIRST
+    * (exactly the [[randomWalksWeighted]] posture, so the graph you
+    * walked is the graph you score), THEN direction erased and the
+    * surviving parallel/reversed edges SUM; self-loops dropped.
     * Unassigned nodes default to singletons as in the unweighted
     * face. Same two-shuffle scale shape.
     */
@@ -1674,9 +1676,8 @@ object Graph {
     val e = edges.select(least(col(cs), col(cd)).as("a"),
         greatest(col(cs), col(cd)).as("b"),
         col(cw).cast("long").as("ew"))
-      .filter(col("a") =!= col("b"))
+      .filter(col("a") =!= col("b") && col("ew") > 0)
       .groupBy(col("a"), col("b")).agg(sum(col("ew")).as("ew"))
-      .filter(col("ew") > 0)
     val nodes = e.select(col("a").as("id"))
       .union(e.select(col("b").as("id"))).distinct()
     val comm = nodes.join(
@@ -1796,10 +1797,12 @@ object Graph {
     val dec38 = "decimal(38,0)"
     val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
     val adj = e.repartition(col("src")).persist(lvl)
-    val em = e.select(col("src").as("pv"), col("dst").as("emcd"),
-        lit(1L).as("common"))
-      .repartition(col("pv")).persist(lvl)
-    adj.count(); em.count()
+    // the membership side is a PROJECTION of the already-pinned
+    // adjacency — same cache, same src partitioning (the subset rule
+    // covers the (pv, emcd) join clustering), no second persist
+    val em = adj.select(col("src").as("pv"), col("dst").as("emcd"),
+      lit(1L).as("common"))
+    adj.count()
     val whc = Sampling.splitmix64(
       Sampling.splitmix64(lit(seed).bitwiseXOR(col("start")))
         .bitwiseXOR(col("w")))
@@ -1850,7 +1853,7 @@ object Graph {
     val res = rounds.mark(outs.reduce(_ unionByName _)
       .select(col("start"), col("w").as("walk"), col("step"), col("id")))
     outs.foreach(rounds.release)
-    adj.unpersist(false); em.unpersist(false)
+    adj.unpersist(false)
     res
   }
 

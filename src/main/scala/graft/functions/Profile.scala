@@ -470,17 +470,28 @@ object Profile {
       sum(col("x")).cast(dec38).as("xx"))
     def idiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast(dec38)
+    // decimal(38,0) overflow surfaces as NULL under non-ANSI Spark;
+    // none of these terms is organically null, so a null IS an
+    // overflow (dev² at astronomically large N) — raise, never emit
+    // a silent NULL statistic (the Graph.betweenness posture)
+    def guarded(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(s"chiSquareReport: $what " +
+        "overflowed decimal(38,0) — the unit count is beyond the " +
+        "exact range; pre-aggregate or shard the experiment"))
+        .cast(dec38)).otherwise(c)
     val dev = col("x").cast(dec38) * col("nn") -
       col("n").cast(dec38) * col("xx")
-    val a = (dev * dev).cast(dec38)
-    val b = (col("n").cast(dec38) * col("xx") * (col("nn") - col("xx")))
-      .cast(dec38)
+    val a = guarded((dev * dev).cast(dec38), "squared deviation")
+    val b = guarded(
+      (col("n").cast(dec38) * col("xx") * (col("nn") - col("xx")))
+        .cast(dec38), "variance denominator")
     val unit = lit(1000000L).cast(dec38)
     g.crossJoin(broadcast(tot))
       .select(col("grp"), col("n"), col("x"),
         when(b === lit(0L).cast(dec38), lit(0L).cast(dec38))
-          .otherwise((idiv(a, b) * unit +
-            idiv((a - idiv(a, b) * b) * unit, b)).cast(dec38))
+          .otherwise(guarded((idiv(a, b) * unit +
+            idiv((a - idiv(a, b) * b) * unit, b)).cast(dec38),
+            "chi2 contribution"))
           .as("chi2_micro"))
   }
 }

@@ -547,8 +547,14 @@ object Text {
     * the formula behaves.
     */
   def readability(text: Column): Column = {
-    def longDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
+    // decimal(38,0) floor division (the Graph.idiv pattern): a LONG
+    // '/' is double division, exact only under 2^53 — a pathological
+    // multi-GB doc would silently round the quotient
+    def longDiv(a: Column, b: Column): Column = {
+      val ad = a.cast("decimal(38,0)")
+      val bd = b.cast("decimal(38,0)")
+      ((ad - pmod(ad, bd)) / bd).cast("long")
+    }
     val w = regexp_count(text, lit("[^ \t\n\r]+")).cast("long")
     val sRaw = regexp_count(text, lit("[.!?]+")).cast("long")
     val syl = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
@@ -597,7 +603,11 @@ object Text {
     val query = regexp_extract(pathq, "\\?(.*)$", 1)
     val keep =
       if (stripTracking)
-        (p: Column) => p =!= "" && !p.rlike("^(utm_|fbclid|gclid|msclkid)")
+        // names anchored: utm_* is a prefix FAMILY, but fbclid/gclid/
+        // msclkid are exact keys — 'gclid_backup=1' is a distinct
+        // resource and must survive (name followed by '=' or end)
+        (p: Column) => p =!= "" &&
+          !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)")
       else (p: Column) => p =!= ""
     val qs = array_join(array_sort(filter(split(query, "&"), keep)), "&")
     val portPart = when(port === "" ||

@@ -1193,8 +1193,8 @@ object AnalyticQueries {
         |  SELECT a, b, CAST(SUM(ew) AS HUGEINT) AS ew FROM (
         |    SELECT LEAST(s, d) AS a, GREATEST(s, d) AS b,
         |      1 + (s + d) % 5 AS ew
-        |    FROM raw WHERE s <> d)
-        |  GROUP BY 1, 2 HAVING SUM(ew) > 0),
+        |    FROM raw WHERE s <> d AND 1 + (s + d) % 5 > 0)
+        |  GROUP BY 1, 2),
         |tw AS (SELECT SUM(ew) AS tw FROM e),
         |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
         |asg AS (SELECT k AS id, base AS community FROM o WHERE r < c),

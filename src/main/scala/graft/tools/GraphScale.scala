@@ -93,12 +93,12 @@ object GraphScale {
         graft.functions.Graph.ktruss(ed, 3, iters)
           .select((col("a") * lit(4294967296L) + col("b")).as("id"),
             col("a"), col("b"), col("support"))
+      case "betweenness" =>
+        graft.functions.Graph.betweenness(ed, seeds, iters)
       // deterministic walk corpus: `iters` steps, one walk per node;
       // the synthetic id makes the harness dup check pin "one row per
       // (start, walk, step)" — start ids are < 2n, so the packing is
       // collision-free at every decade
-      case "betweenness" =>
-        graft.functions.Graph.betweenness(ed, seeds, iters)
       case "walks" =>
         graft.functions.Graph.randomWalks(ed, iters, 1, 42L)
           .select(((col("start") * lit(2) + col("walk")) *

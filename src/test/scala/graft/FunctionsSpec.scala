@@ -1375,6 +1375,13 @@ class FunctionsSpec extends SparkSpec {
       .select(Text.urlNormalize(col("text"), stripTracking = false))
       .as[String].collect().toSeq
     assert(kept === Seq("http://a.io/p?utm_a=1&utm_b=2"))
+    // the click-id names are ANCHORED: gclid_backup is a distinct
+    // resource key and must survive where gclid (with or without a
+    // value) is stripped
+    val anchored = Seq("http://a.io/p?gclid_backup=1&gclid=2&gclid")
+      .toDF("text")
+      .select(Text.urlNormalize(col("text"))).as[String].collect().toSeq
+    assert(anchored === Seq("http://a.io/p?gclid_backup=1"))
   }
 
   test("decontaminate flags only train docs overlapping the eval set") {

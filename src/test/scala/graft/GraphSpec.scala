@@ -845,10 +845,12 @@ class GraphSpec extends SparkSpec {
     assert(mod(g, all) === Map(1L -> ((6L, 7L, 14L, BigDecimal(0)))))
   }
 
-  test("modularityWeighted: weights sum into canonical edges, exact q_num") {
-    // triangle with reversed-duplicate (2,1) summing into (1,2):
-    // canonical weights (1,2)=5, (2,3)=1, (1,3)=1 → W=7; net-zero
-    // pair (4,5) cancels and the nodes vanish
+  test("modularityWeighted: per-edge drop then sum, exact q_num") {
+    // reversed-duplicate (2,1,+3) sums into (1,2) → weight 5; the
+    // NEGATIVE (5,4,−2) drops PER EDGE (the randomWalksWeighted
+    // posture — the graph you walked is the graph you score), so
+    // (4,5,+2) SURVIVES at weight 2 rather than net-cancelling.
+    // Canonical: (1,2)=5, (2,3)=1, (1,3)=1, (4,5)=2 → W=9
     val g = Seq((1L, 2L, 2L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 1L, 1L),
       (4L, 5L, 2L), (5L, 4L, -2L))
     def mw(asg: Seq[(Long, Long)]) =
@@ -856,14 +858,26 @@ class GraphSpec extends SparkSpec {
           asg.toDF("id", "c"))
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
           r.getLong(3), BigDecimal(r.getDecimal(4))))).toMap
-    // all one community: 4·W·W − (2W)² = 0 exactly
-    assert(mw(Seq((1L, 1L), (2L, 1L), (3L, 1L))) ===
-      Map(1L -> ((3L, 7L, 14L, BigDecimal(0)))))
-    // {1,2} labeled, 3 unassigned → singleton: strengths 6/6/2,
-    // q_num(5) = 4·7·5 − 12² = −4; q_num(3) = 0 − 2² = −4
-    assert(mw(Seq((1L, 5L), (2L, 5L))) === Map(
-      5L -> ((2L, 5L, 12L, BigDecimal(-4))),
-      3L -> ((1L, 0L, 2L, BigDecimal(-4)))))
+    // {1,2,3} one community (w_in 7, strengths 6+6+2=14 →
+    // 4·9·7 − 196 = 56); 4 and 5 unassigned singletons with only the
+    // boundary edge: w_in 0, strength 2 → −4 each
+    assert(mw(Seq((1L, 1L), (2L, 1L), (3L, 1L))) === Map(
+      1L -> ((3L, 7L, 14L, BigDecimal(56))),
+      4L -> ((1L, 0L, 2L, BigDecimal(-4))),
+      5L -> ((1L, 0L, 2L, BigDecimal(-4)))))
+    // partial labeling: {1,2} → 100, everything else singleton
+    assert(mw(Seq((1L, 100L), (2L, 100L))) === Map(
+      100L -> ((2L, 5L, 12L, BigDecimal(36))),
+      3L -> ((1L, 0L, 2L, BigDecimal(-4))),
+      4L -> ((1L, 0L, 2L, BigDecimal(-4))),
+      5L -> ((1L, 0L, 2L, BigDecimal(-4)))))
+    // a graph whose every edge nets positive under one community
+    // scores exactly zero: 4·W·W − (2W)²
+    val tri = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L))
+    assert(Graph.modularityWeighted(tri.toDF("src", "dst", "w"),
+        Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "c"))
+      .collect().map(r => BigDecimal(r.getDecimal(4))).sum ===
+      BigDecimal(0))
   }
 
   test("assortativity: hand-computed signs — path, star, regular") {
