@@ -589,13 +589,65 @@ object Text {
     * only — the web-corpus case). The parameter filter's lambda
     * touches only its own variable (the house HOF discipline).
     */
+  /** Lowercased host of a `scheme://` URL (userinfo and port
+    * stripped) — the shared decomposition behind [[urlNormalize]] /
+    * [[urlHost]] / [[urlDomain]]. Empty string on non-URLs; callers
+    * null it out against the scheme check.
+    */
+  private def rawHost(url: Column): Column = {
+    val ff = regexp_replace(url, "#.*$", "")
+    val rest = regexp_extract(ff, "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
+    val auth = regexp_extract(rest, "^([^/?]*)", 1)
+    val hp = regexp_replace(auth, "^[^@]*@", "")
+    lower(regexp_extract(hp, "^([^:]*)", 1))
+  }
+
+  /** Lowercased host of a URL — the per-site grouping key for crawl
+    * stats and host-level quality priors ([[urlNormalize]]'s host
+    * component standalone). Userinfo and port stripped; non-URL
+    * input → NULL, matching the normalize contract.
+    */
+  def urlHost(url: Column): Column = {
+    val scheme = regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    when(scheme === "", lit(null).cast("string")).otherwise(rawHost(url))
+  }
+
+  /** Registrable-domain HEURISTIC of a URL's host — the per-publisher
+    * rollup key (sub.shop.example.com and www.example.com are one
+    * publisher): the last two labels, or the last THREE when the
+    * second-level label is a generic registry slot (co, com, net,
+    * org, gov, ac, edu) under a two-letter ccTLD (amazon.co.uk,
+    * b.gov.cn). A deliberate approximation — the real answer is the
+    * Public Suffix List, a mutable external dataset this library
+    * will not embed; the heuristic covers the dominant web-corpus
+    * mass and is DOCUMENTED as such (pass your own PSL-joined
+    * mapping for registry-exact rollups). Single-label hosts
+    * (localhost) pass through; non-URLs → NULL. Label access is
+    * null-safe `get()` (the ANSI posture — out-of-range reads are
+    * conditions here, never errors).
+    */
+  def urlDomain(url: Column): Column = {
+    val host = urlHost(url)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val tld = get(labels, n - 1)
+    val sl = get(labels, n - 2)
+    val third = get(labels, n - 3)
+    val ccSld = Seq("co", "com", "net", "org", "gov", "ac", "edu")
+    when(host.isNull, lit(null).cast("string"))
+      .when(third.isNotNull && sl.isin(ccSld: _*) && length(tld) === 2,
+        concat_ws(".", third, sl, tld))
+      .when(sl.isNotNull, concat_ws(".", sl, tld))
+      .otherwise(host)
+  }
+
   def urlNormalize(url: Column, stripTracking: Boolean = true): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val ff = regexp_replace(url, "#.*$", "")
     val rest = regexp_extract(ff, "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
     val auth = regexp_extract(rest, "^([^/?]*)", 1)
     val hp = regexp_replace(auth, "^[^@]*@", "")
-    val host = lower(regexp_extract(hp, "^([^:]*)", 1))
+    val host = rawHost(url)
     val port = regexp_extract(hp, ":([0-9]+)$", 1)
     val pathq = regexp_extract(rest, "^[^/?]*(.*)$", 1)
     val rawPath = regexp_extract(pathq, "^([^?]*)", 1)

@@ -768,6 +768,28 @@ object LlmQueries {
         length(Text.normalize($"text", foldDigits = true)).cast("long").as("n_chars"))
     },
 
+    // host + registrable-domain extraction: six deterministic URL
+    // shapes exercising the heuristic's branches — www subdomain
+    // (last-2), generic-slot-under-ccTLD (last-3: amazon.co.uk,
+    // b.gov.cn), single-label passthrough, bare 2-label, userinfo
+    // strip, and the non-URL NULL; oracle hand-derives host and
+    // domain per shape (independent of the regex pipeline)
+    "q_text_url_domain" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val raw = docs.select($"doc_id",
+        when($"doc_id" % 6 === 0, lit("https://WWW.Example.COM/x"))
+          .when($"doc_id" % 6 === 1,
+            lit("http://Shop.Amazon.co.uk:8080/p"))
+          .when($"doc_id" % 6 === 2, lit("https://a.b.GOV.cn/"))
+          .when($"doc_id" % 6 === 3, lit("http://localhost:8080/"))
+          .when($"doc_id" % 6 === 4,
+            lit("https://u:p@x.example.org?q=1"))
+          .otherwise(concat(lit("doc "), $"doc_id")).as("url"))
+      raw.select($"doc_id", Text.urlHost($"url").as("host"),
+        Text.urlDomain($"url").as("domain"))
+    },
+
     // Flesch–Kincaid readability per doc: regex-run counts with
     // explicit ASCII classes (Java/RE2 byte parity) + two exact
     // integer floor divisions in micro-units; punctuation injected
@@ -1889,6 +1911,18 @@ object LlmQueries {
         |    '[!-/:-@\[-`{-~]', ' ', 'g'), '[0-9]', '0', 'g'),
         |    '[ \t\n\r]+', ' ', 'g')) AS norm
         |FROM documents)""".stripMargin,
+    "q_text_url_domain" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'shop.amazon.co.uk'
+        |    WHEN 2 THEN 'a.b.gov.cn' WHEN 3 THEN 'localhost'
+        |    WHEN 4 THEN 'x.example.org' ELSE NULL END AS host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'example.com' WHEN 1 THEN 'amazon.co.uk'
+        |    WHEN 2 THEN 'b.gov.cn' WHEN 3 THEN 'localhost'
+        |    WHEN 4 THEN 'example.org' ELSE NULL END AS domain
+        |FROM documents""".stripMargin,
+
     "q_text_readability" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN doc_id % 4 = 0 THEN text || '. Done! Right?'

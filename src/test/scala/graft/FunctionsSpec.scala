@@ -1327,6 +1327,29 @@ class FunctionsSpec extends SparkSpec {
       "<EMAIL> at <IP> ref <NUM>"))
   }
 
+  test("urlHost/urlDomain: heuristic branches, userinfo, non-URL null") {
+    val cases = Seq(
+      "https://WWW.Example.COM/x" -> (("www.example.com", "example.com")),
+      "http://Shop.Amazon.co.uk:8080/p" ->
+        (("shop.amazon.co.uk", "amazon.co.uk")),
+      "https://a.b.GOV.cn/" -> (("a.b.gov.cn", "b.gov.cn")),
+      "http://localhost:8080/" -> (("localhost", "localhost")),
+      "https://u:p@x.example.org?q=1" ->
+        (("x.example.org", "example.org")),
+      // 3 labels with a NON-generic second level: last-2 only
+      "http://sub.example.org/" -> (("sub.example.org", "example.org")),
+      // generic slot but 3-letter TLD: NOT the ccTLD form → last-2
+      "http://a.co.xyz/" -> (("a.co.xyz", "co.xyz")),
+      "https://example.com" -> (("example.com", "example.com")))
+    val got = cases.map(_._1).toDF("u")
+      .select(Text.urlHost(col("u")), Text.urlDomain(col("u")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === cases.map(_._2))
+    val nul = Seq("not a url").toDF("u")
+      .select(Text.urlHost(col("u")), Text.urlDomain(col("u"))).head()
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
+  }
+
   test("readability: hand-computed counts and FK micro-grades") {
     val got = Seq(
       "Hello world. How are you?", // w 5, s 2, syl 2+1+1+2+1 = 7
