@@ -621,7 +621,15 @@ object Graph {
     *
     * Output: (id, coreness). A node whose true coreness exceeds
     * `maxK` reports maxK (the cap is the documented contract — pick
-    * maxK ≥ the graph's degeneracy for exact values).
+    * maxK ≥ the graph's degeneracy for exact values). `maxK = 0` is
+    * AUTO-DEGENERACY mode: peel until the graph empties, so every
+    * node reports its exact core number and the maximum reported
+    * value IS the graph's degeneracy — no a-priori bound needed.
+    * Auto mode always terminates (the k = degeneracy + 1 peel
+    * empties the graph and fires the early exit), and the edge work
+    * is the same k-shell telescoping sum as a correctly-guessed cap;
+    * the only reason to pass a finite maxK is to stop early when
+    * only "coreness ≥ small k" matters on a graph with a deep core.
     *
     * CONVERGENCE IS SIGNALED, not silent: a peel that hits
     * `maxRoundsPerK` before its fixpoint (verified by one extra
@@ -637,7 +645,8 @@ object Graph {
     */
   def coreness(edges: DataFrame, maxK: Int, maxRoundsPerK: Int,
       requireConverged: Boolean = false): DataFrame = {
-    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    require(maxK >= 0,
+      s"maxK must be >= 1, or 0 for auto-degeneracy mode, got $maxK")
     require(maxRoundsPerK >= 0, "maxRoundsPerK must be >= 0")
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -649,7 +658,7 @@ object Graph {
     var k = 2
     var empty = false
     val cappedKs = scala.collection.mutable.ArrayBuffer.empty[Int]
-    while (k <= maxK && !empty) {
+    while ((maxK == 0 || k <= maxK) && !empty) {
       var r = 0
       var fix = false
       while (r < maxRoundsPerK && !fix) {
@@ -677,11 +686,17 @@ object Graph {
       else { layers += layer; k += 1 }
     }
     if (cappedKs.nonEmpty) {
+      // k-core is monotone in the edge set: a truncated peel at k
+      // hands a SUPERSET edge set to every later threshold, so all
+      // thresholds >= the first capped k are potentially inflated —
+      // even those whose own peels converged.
       val msg = s"coreness: peel hit maxRoundsPerK=$maxRoundsPerK " +
         s"before its fixpoint at k=${cappedKs.mkString(",")} — " +
-        "reported values at those thresholds are cap-truncated UPPER " +
-        "bounds, not exact core numbers (raise maxRoundsPerK; a path " +
-        "graph peels one layer per round)"
+        s"reported values at ALL thresholds >= ${cappedKs.min} are " +
+        "cap-truncated UPPER bounds, not exact core numbers (each " +
+        "truncated peel carries surplus edges into every later " +
+        "threshold; raise maxRoundsPerK — a path graph peels one " +
+        "layer per round)"
       if (requireConverged) throw new IllegalStateException(msg)
       log.warn(msg)
     }
@@ -754,49 +769,97 @@ object Graph {
     * function of round r−1), so an oracle unrolls exactly
     * `maxRounds` support-and-filter steps. A cap hit before the
     * fixpoint is SIGNALED, not silent (the [[coreness]] posture):
-    * the final support pass already proves it (any surviving edge
-    * with support < k−2 means the peel was truncated and the result
-    * is a SUPERSET of the k-truss), so the run logs a WARNING — or
-    * THROWS when `requireConverged = true` — at zero extra plan
-    * cost. Scale shape per round:
-    * one degree aggregate + the oriented wedge join (≤ m^1.5 on the
-    * CURRENT, monotonically-shrinking edge set) + one grouped count
-    * + one edge-keyed left join, all under the shared [[Rounds]]
-    * lifecycle; the fixpoint test rides the support relation already
-    * computed for the peel.
+    * the final support relation already proves it (any surviving
+    * edge with support < k−2 means the peel was truncated and the
+    * result is a SUPERSET of the k-truss), so the run logs a
+    * WARNING — or THROWS when `requireConverged = true` — at zero
+    * extra plan cost.
+    *
+    * Scale shape: the full oriented wedge join (≤ m^1.5) runs ONCE,
+    * on the input graph; every later round maintains support
+    * INCREMENTALLY — a triangle dies exactly when its first member
+    * edge dies, so the round enumerates only triangles CONTAINING a
+    * just-deleted edge (per deleted edge (x, y): common neighbors z
+    * via one adjacency probe + one pair semi-join — work ∝ the
+    * cascade's wedge mass Σ deg(x), not the survivor set's m^1.5),
+    * dedupes the triple (a triangle with 2–3 deleted member edges
+    * counts ONCE), and subtracts each lost triangle from its
+    * SURVIVING member edges. The deleted relation is cascade-sized,
+    * so AQE broadcasts it against the adjacency scans on real
+    * cascades and the survivor relation never re-exchanges for
+    * support; the maintained values are exactly the survivor
+    * subgraph's support at every round (a triangle survives iff all
+    * three edges do), so results are bit-identical to the
+    * full-recompute formulation, cap semantics included. All under
+    * the shared [[Rounds]] lifecycle; the fixpoint test rides the
+    * maintained support relation.
     */
   def ktruss(edges: DataFrame, k: Int, maxRounds: Int,
       requireConverged: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(maxRounds >= 0, "maxRounds must be >= 0")
     val rounds = new Rounds(edges)
-    var e = rounds.mark(canonicalUndirected(edges))
+    var supp = {
+      val e0 = rounds.mark(canonicalUndirected(edges))
+      val s0 = edgeSupport(e0, rounds)
+      rounds.release(e0)
+      s0
+    }
     var r = 0
     var fixpoint = false
-    var res: DataFrame = null
     while (r < maxRounds && !fixpoint) {
-      val supp = edgeSupport(e, rounds)
-      val keep = supp.filter(col("support") >= k - 2)
-      if (keep.count() == supp.count()) { fixpoint = true; res = supp }
+      val deleted = rounds.mark(
+        supp.filter(col("support") < k - 2).select(col("a"), col("b")))
+      if (deleted.isEmpty) { rounds.release(deleted); fixpoint = true }
       else {
-        val next = rounds.mark(keep.select(col("a"), col("b")))
-        rounds.release(supp); rounds.release(e)
-        e = next
+        val keep = rounds.mark(supp.filter(col("support") >= k - 2))
+        // triangles of the PRE-deletion graph containing a deleted
+        // edge: z is a common neighbor of both endpoints (the
+        // adjacency is two scans of the checkpointed support
+        // relation — no re-exchange; `deleted` is the small side)
+        val nbr = supp.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(supp.select(col("b").as("u"), col("a").as("v")))
+        val lost = deleted
+          .join(nbr, col("u") === col("a"))
+          .select(col("a"), col("b"), col("v").as("z"))
+          .filter(col("z") =!= col("b"))
+          .join(nbr.select(col("u").as("u2"), col("v").as("z2")),
+            col("u2") === col("b") && col("z2") === col("z"), "left_semi")
+        // canonical triple ONCE per lost triangle (it may carry 2-3
+        // deleted member edges and be found once per each)
+        val tri = lost
+          .select(array_sort(array(col("a"), col("b"), col("z"))).as("t"))
+          .distinct()
+        val lostEd = tri.select(explode(array(
+            struct(element_at(col("t"), 1).as("a"),
+              element_at(col("t"), 2).as("b")),
+            struct(element_at(col("t"), 1).as("a"),
+              element_at(col("t"), 3).as("b")),
+            struct(element_at(col("t"), 2).as("a"),
+              element_at(col("t"), 3).as("b")))).as("ed"))
+          .select(col("ed.a").as("a"), col("ed.b").as("b"))
+        val loss = lostEd
+          .join(keep.select(col("a"), col("b")), Seq("a", "b"),
+            "left_semi")
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("loss"))
+        val next = rounds.mark(keep.join(loss, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("support") - coalesce(col("loss"), lit(0L)))
+              .as("support")))
+        rounds.release(keep); rounds.release(deleted)
+        rounds.release(supp)
+        supp = next
         r += 1
       }
     }
-    if (res == null) {
-      res = edgeSupport(e, rounds)
-      if (!res.filter(col("support") < k - 2).isEmpty) {
-        val msg = s"ktruss: peel hit maxRounds=$maxRounds before its " +
-          s"fixpoint — the returned edge set is a cap-truncated " +
-          s"SUPERSET of the $k-truss (raise maxRounds)"
-        if (requireConverged) throw new IllegalStateException(msg)
-        log.warn(msg)
-      }
+    if (!fixpoint && !supp.filter(col("support") < k - 2).isEmpty) {
+      val msg = s"ktruss: peel hit maxRounds=$maxRounds before its " +
+        s"fixpoint — the returned edge set is a cap-truncated " +
+        s"SUPERSET of the $k-truss (raise maxRounds)"
+      if (requireConverged) throw new IllegalStateException(msg)
+      log.warn(msg)
     }
-    rounds.release(e)
-    res
+    supp
   }
 
   /** Connected components over the UNDIRECTED simple graph induced by
@@ -828,10 +891,26 @@ object Graph {
     * cores (rings that cite each other) are collusion candidates
     * exactly where one-directional citation chains are not.
     *
-    * Algorithm: iterative min-label coloring + same-color forward
-    * flood (the relational form of Orzan's coloring / FW-BW without
-    * pivot recursion):
+    * Algorithm: iterative trim + min-label coloring + same-color
+    * forward flood (the relational form of FW-BW-Trim — McLendon et
+    * al., J.Par.Dist.Comp. 2005 — with Orzan-style coloring in place
+    * of pivot recursion):
     *
+    *  0. TRIM: iteratively peel nodes with in-degree 0 or
+    *     out-degree 0 in the CURRENT subgraph — no such node can lie
+    *     on a cycle, so each is a PROVABLE singleton SCC, emitted
+    *     immediately ((v, v)); nodes stripped of their last edge by
+    *     a peel round are singletons too. One degree aggregate + two
+    *     semi-joins per round, fixpoint with early exit. The
+    *     acyclic-thin common case (DAG-like web frontiers, random
+    *     sparse graphs — every SCC a singleton) exhausts HERE, in
+    *     edge-local rounds over a geometrically-shrinking edge set,
+    *     and never pays min-label propagation at all; cycle-free
+    *     tendrils of mixed graphs (the bow-tie IN/OUT mass) peel
+    *     before the color fixpoint prices them. A `maxPropRounds`
+    *     cap hit on trim is BENIGN (unlike color/flood): trim is an
+    *     optimization, and untrimmed mass falls through to the
+    *     complete color+flood path.
     *  1. COLOR: c(v) = min id REACHABLE from v (v included) — a
     *     frontier-pruned min propagation along REVERSE edges (only
     *     nodes whose color improved last round can improve an
@@ -868,12 +947,14 @@ object Graph {
     * and mis-reported as smaller components. Unconverged ⇒ error,
     * never a wrong answer.
     *
-    * Scale shape: all three phases move frontier-sized or edge-sized
-    * relations under the shared [[Rounds]] lifecycle — color joins
-    * the changed-label frontier against a dst-pinned edge layout,
-    * the flood joins the newly-flagged frontier against a src-pinned
-    * layout, and the peel is two left-anti joins; no windows, no
-    * driver-side graph state beyond the loop counters.
+    * Scale shape: all four phases move frontier-sized or edge-sized
+    * relations under the shared [[Rounds]] lifecycle — trim is one
+    * partial-aggregable degree-presence aggregate + two semi-joins
+    * over the geometrically-shrinking edge set per round, color
+    * joins the changed-label frontier against a dst-pinned edge
+    * layout, the flood joins the newly-flagged frontier against a
+    * src-pinned layout, and the peel is two left-anti joins; no
+    * windows, no driver-side graph state beyond the loop counters.
     */
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 20,
       maxPropRounds: Int = 100): DataFrame = {
@@ -888,6 +969,57 @@ object Graph {
     var outer = 0
     var emptied = e.isEmpty
     while (outer < maxOuter && !emptied) {
+      // 0. TRIM — peel in-degree-0 / out-degree-0 nodes to fixpoint:
+      // provable singleton SCCs, emitted without touching the color
+      // machinery. Each round: one partial-aggregable degree-presence
+      // aggregate, two left-semi joins of the shrinking edge set, and
+      // a node-sized anti-join sweeping nodes the peel left edge-less
+      // (they must be emitted NOW — the next round's aggregate no
+      // longer sees them). A cap hit here is benign: remaining mass
+      // falls through to the complete color+flood path below.
+      var tr = 0
+      var tDone = false
+      while (tr < maxPropRounds && !tDone) {
+        // one aggregate per round, checkpointed; trimmed/keep are
+        // cheap filters over its stored node-sized relation
+        val dd = rounds.mark(
+          e.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
+            .unionByName(
+              e.select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
+            .groupBy(col("id"))
+            .agg(max(col("o")).as("o"), max(col("i")).as("i")))
+        val trimmed = rounds.mark(
+          dd.filter(col("o") === 0 || col("i") === 0)
+            .select(col("id"), col("id").as("c")))
+        if (trimmed.isEmpty) {
+          rounds.release(trimmed); rounds.release(dd); tDone = true
+        } else {
+          val keep = dd.filter(col("o") === 1 && col("i") === 1)
+            .select(col("id"))
+          val nextE = rounds.mark(
+            e.join(keep.withColumnRenamed("id", "src"), Seq("src"),
+                "left_semi")
+              .join(keep.withColumnRenamed("id", "dst"), Seq("dst"),
+                "left_semi")
+              .select(col("src"), col("dst")))
+          // kept nodes whose every edge died with a trimmed partner:
+          // gone from the edge set, provably cycle-free → singletons
+          val vanished = keep.join(
+              nextE.select(col("src").as("id"))
+                .union(nextE.select(col("dst").as("id"))),
+              Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("c"))
+          val layer = rounds.mark(trimmed.unionByName(vanished))
+          rounds.release(trimmed); rounds.release(dd)
+          layers += layer
+          rounds.release(e)
+          e = nextE
+          tr += 1
+        }
+      }
+      emptied = e.isEmpty
+      if (emptied) { outer += 1 }
+      else {
       // pin both join layouts once per outer round
       val eSrc = e.repartition(col("src")).persist(lvl)
       val eDst = e.repartition(col("dst")).persist(lvl)
@@ -973,6 +1105,7 @@ object Graph {
       e = nextE
       emptied = e.isEmpty
       outer += 1
+      }
     }
     require(emptied, s"SCC outer peel did not exhaust the graph " +
       s"within maxOuter=$outer rounds — raise maxOuter (one round " +
@@ -1204,12 +1337,16 @@ object Graph {
     * at 0 (including seeds absent from the edge set — distance-from-
     * set is defined on the set), unreached nodes absent.
     *
-    * Weights cast to BIGINT and must be NON-NEGATIVE for "shortest"
-    * to be well-defined on cyclic graphs (a negative cycle has no
-    * minimum). The contract FAILS LOUDLY: a negative-weight edge
-    * raises at the first action on the edge prep (the check rides
-    * the weight column itself via `raise_error` inside the codegen'd
-    * projection — zero extra pass, un-prunable), naming the
+    * Weights cast to BIGINT and must be NON-NEGATIVE and NON-NULL
+    * for "shortest" to be well-defined on cyclic graphs (a negative
+    * cycle has no minimum; a NULL weight — NULL input, or in
+    * non-ANSI sessions a non-numeric value nulled by the cast — has
+    * no order at all and would propagate NULL distances that
+    * re-enter the improvement filter forever; under ANSI, Spark's
+    * own cast error covers the non-numeric case upstream of this
+    * guard). The contract FAILS LOUDLY on both: the check
+    * rides the weight column itself via `raise_error` inside the
+    * codegen'd projection (zero extra pass, un-prunable), naming the
     * offending edge. Bad input data is surfaced, never silently
     * excluded (the repo's "unconverged ⇒ error, never a different
     * answer" posture — [[stronglyConnectedComponents]]); weight-0
@@ -1244,11 +1381,13 @@ object Graph {
     val e = edges.select(col(cs).as("src"), col(cd).as("dst"),
         col(cw).cast("long").as("w"))
       .select(col("src"), col("dst"),
-        when(col("w") < 0, raise_error(concat(
-            lit("sssp: negative-weight edge "), col("src"), lit("->"),
-            col("dst"), lit(" (w="), col("w"),
-            lit("); shortest paths are undefined under negative "),
-            lit("weights — filter or clamp upstream"))).cast("long"))
+        when(col("w").isNull || col("w") < 0, raise_error(concat(
+            lit("sssp: negative- or null-weight edge "), col("src"),
+            lit("->"), col("dst"),
+            lit(" (w="), coalesce(col("w").cast("string"), lit("NULL")),
+            lit("); shortest paths are undefined under negative or "),
+            lit("non-numeric/null weights — filter or clamp upstream")))
+            .cast("long"))
           .otherwise(col("w")).as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .repartition(col("src")).persist(lvl)
@@ -1439,18 +1578,43 @@ object Graph {
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dec38 = "decimal(38,0)"
+    // Cumulative-interval sums in decimal(38,0), NOT raw LONG: long
+    // window sums of caller-supplied weights wrap silently under
+    // non-ANSI Spark and would corrupt the interval picks with no
+    // signal. In decimal the overflow fails loudly under EITHER
+    // session mode: ANSI raises its own arithmetic error, and under
+    // non-ANSI the sum surfaces as NULL — which `tot` never is
+    // organically (ew > 0, non-null, partitions non-empty), so the
+    // null-check raises (the betweenness posture). Guarding tot
+    // covers lo/hi too: prefix sums of positive terms are bounded by
+    // the total.
     val e = edges.select(col(cs).as("src"), col(cd).as("dst"),
         col(cw).cast("long").as("ew"))
       .filter(col("ew") > 0)
-      .groupBy(col("src"), col("dst")).agg(sum(col("ew")).as("ew"))
+      .groupBy(col("src"), col("dst")).agg(sum(dec(col("ew"))).as("ew0"))
+      // window SUM skips nulls, so an overflowed (null) parallel-edge
+      // sum would be silently excluded from the intervals — guard it
+      // here, where null ⇔ overflow (inputs are non-null post-filter)
+      .select(col("src"), col("dst"),
+        when(col("ew0").isNull, raise_error(concat(
+            lit("randomWalksWeighted: parallel-edge weight sum "),
+            lit("overflowed decimal(38,0) at "), col("src"),
+            lit("->"), col("dst"), lit(" — rescale the weights")))
+          .cast("decimal(38,0)")).otherwise(col("ew0")).as("ew"))
     val w = Window.partitionBy(col("src"))
     val wo = w.orderBy(col("dst"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    val totRaw = sum(col("ew")).over(w)
     val adj = e.select(col("src"), col("dst"),
         (sum(col("ew")).over(wo) - col("ew")).as("lo"),
         sum(col("ew")).over(wo).as("hi"),
-        sum(col("ew")).over(w).as("tot"))
+        when(totRaw.isNull, raise_error(concat(
+            lit("randomWalksWeighted: per-node weight total "),
+            lit("overflowed decimal(38,0) at src="), col("src"),
+            lit(" — the cumulative-interval pick is undefined; "),
+            lit("rescale the weights")))
+          .cast("decimal(38,0)")).otherwise(totRaw).as("tot"))
       .repartition(col("src")).persist(lvl)
     adj.count()
     def pick(t: Int): Column = {
@@ -1836,10 +2000,23 @@ object Graph {
         Sampling.splitmix64(col("wh").bitwiseXOR(lit(t.toLong))), 32)
       val x = idiv(u32.cast(dec38) * col("tot").cast(dec38),
         lit(4294967296L).cast(dec38))
+      // cumulative sums in decimal(38,0) with the null-means-overflow
+      // raise (the randomWalksWeighted guard): long window sums of
+      // the caller's bias weights would wrap silently; decimal fails
+      // loudly under both session modes (ANSI raises, non-ANSI NULLs
+      // into this check). cw is non-null (the CASE is exhaustive) and
+      // positive post-filter, so a null total ⇔ overflow, and the
+      // prefix hi is bounded by it.
+      val totRaw = sum(col("cw").cast(dec38)).over(win)
       val nxt = rounds.mark(cand
-        .withColumn("tot", sum(col("cw")).over(win))
-        .withColumn("hi", sum(col("cw")).over(wo))
-        .withColumn("lo", col("hi") - col("cw"))
+        .withColumn("tot", when(totRaw.isNull, raise_error(concat(
+            lit("randomWalksBiased: per-step candidate weight total "),
+            lit("overflowed decimal(38,0) at walk ("), col("start"),
+            lit(","), col("w"),
+            lit(") — rescale returnW/commonW/exploreW")))
+          .cast(dec38)).otherwise(totRaw))
+        .withColumn("hi", sum(col("cw").cast(dec38)).over(wo))
+        .withColumn("lo", col("hi") - col("cw").cast(dec38))
         .filter(x >= col("lo").cast(dec38) && x < col("hi").cast(dec38))
         .select(col("start"), col("w"), col("cd").as("id"),
           col("cv").as("prev"), col("wh")))
@@ -1887,5 +2064,112 @@ object Graph {
           col("q.step") <= col("p.step") + window)
       .groupBy(col("p.id").as("center"), col("q.id").as("context"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Deterministic negative samples for skip-gram training — the
+    * stage completing the embedding-corpus contract
+    * ([[randomWalks]] → [[skipGramPairs]] → THIS → trainer): for
+    * every input (center, context) row, draw `k` negatives from the
+    * unigram^0.75 distribution (the word2vec smoothing — Mikolov et
+    * al., NIPS'13) over `freqs`, a (node, frequency) relation
+    * (canonically `walks.groupBy("id").count()`; non-positive
+    * frequencies drop, duplicate node rows sum).
+    *
+    * Determinism is the whole design (the [[randomWalks]] posture):
+    * draw j of pair (c, x) lands at
+    * `pos = ⌊u32·total/2³²⌋` with `u32` the top 32 bits of
+    * `splitmix64(splitmix64(splitmix64(seed XOR c) XOR x) XOR j)` —
+    * a pure function of (seed, c, x, j) and the frequency table, so
+    * results are bit-identical under any partitioning and an oracle
+    * re-derives every draw. The ^0.75 weight is
+    * `floor(sqrt(sqrt(f³)) · 1024)` — sqrt is IEEE
+    * correctly-rounded in both the JVM and DuckDB (pow is NOT,
+    * which is why the exponent is decomposed into two square
+    * roots), so the weight table itself is engine-portable and the
+    * 1024 scale keeps three binary digits of sub-integer
+    * resolution. Draws colliding with the pair's own center or
+    * context are KEPT (word2vec's re-draw loop is a distribution
+    * nicety, not a correctness condition — and dropping would make
+    * the output size data-dependent); trainers that want strict
+    * negatives filter `neg != center AND neg != context`, visibly.
+    *
+    * Scale shape: the weight table is laid out as cumulative
+    * intervals TWO-LEVEL — `buckets` hash groups (`id mod buckets`)
+    * each carrying an in-bucket prefix sum from one
+    * bucket-partitioned window pass (NO global-order window over
+    * the vocabulary), plus a buckets-sized offset relation whose
+    * own prefix sum is the only single-partition window (B rows —
+    * pick `buckets` ≈ vocabulary/10⁶ at scale). Each draw maps to
+    * its bucket through the BROADCAST offset relation (interval
+    * residual on a B-row build side), then to its node through one
+    * bucket-equi join with the in-bucket interval as a residual
+    * predicate — the corpus-sized draw relation moves through
+    * exactly ONE vocabulary-sized exchange. The vocabulary subtree
+    * is evaluated twice (offsets + probe build) — vocabulary-sized,
+    * never corpus-sized. Total-weight overflow of decimal(38,0)
+    * raises (the [[randomWalksWeighted]] guard); an EMPTY frequency
+    * table yields an empty result, not an error.
+    *
+    * Output: (center, context, j, neg) — j = 0..k−1 the draw index,
+    * so the result is replay-stable and joinable back onto the pair
+    * multiset.
+    */
+  def skipGramNegatives(pairs: DataFrame, freqs: DataFrame, k: Int,
+      seed: Long, buckets: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = "decimal(38,0)"
+    val Array(pc, px) = pairs.columns.take(2)
+    val Array(fi, ff) = freqs.columns.take(2)
+    val uni = freqs.select(col(fi).as("id"), col(ff).cast("long").as("f"))
+      .filter(col("f") > 0)
+      .groupBy(col("id")).agg(sum(col("f")).as("f"))
+      .select(col("id"), pmod(col("id"), lit(buckets.toLong)).as("bk"),
+        floor(sqrt(sqrt(col("f").cast("double") * col("f") * col("f")))
+          * 1024).cast(dec38).as("w"))
+    val wb = Window.partitionBy(col("bk")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = uni.select(col("id"), col("bk"), col("w"),
+      (sum(col("w")).over(wb) - col("w")).as("wlo"),
+      sum(col("w")).over(wb).as("whi"))
+    // bucket totals ride the bucket-partitioned prefix relation (max
+    // prefix = total — the subset rule keeps this shuffle-free); the
+    // B-row offset window is the only global sort, by construction
+    val bkt = wn.groupBy(col("bk")).agg(max(col("whi")).as("btot"))
+    val wo = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bko = bkt.select(col("bk"), col("btot"),
+      (sum(col("btot")).over(wo) - col("btot")).as("boff"))
+    val totRel = bko.agg(sum(col("btot")).as("tot0"),
+        count(lit(1)).as("nb"))
+      .select(when(col("nb") > 0 && col("tot0").isNull, raise_error(
+          lit("skipGramNegatives: unigram^0.75 weight total " +
+            "overflowed decimal(38,0) — shrink the corpus frequency " +
+            "scale")).cast(dec38))
+        .otherwise(col("tot0")).as("tot"))
+    val draws = pairs.select(col(pc).as("center"), col(px).as("context"))
+      .select(col("center"), col("context"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("j"))
+      .withColumn("h1",
+        Sampling.splitmix64(lit(seed).bitwiseXOR(col("center"))))
+      .withColumn("h2",
+        Sampling.splitmix64(col("h1").bitwiseXOR(col("context"))))
+      .withColumn("ph",
+        Sampling.splitmix64(col("h2").bitwiseXOR(col("j"))))
+      .crossJoin(broadcast(totRel))
+      .select(col("center"), col("context"), col("j"),
+        idiv(shiftrightunsigned(col("ph"), 32).cast(dec38) *
+          col("tot").cast(dec38), lit(4294967296L).cast(dec38)).as("x"))
+    draws
+      .join(broadcast(bko),
+        col("x") >= col("boff") && col("x") < col("boff") + col("btot"))
+      .select(col("center"), col("context"), col("j"), col("bk"),
+        (col("x") - col("boff")).as("xb"))
+      .as("d")
+      .join(wn.as("u"), col("d.bk") === col("u.bk") &&
+        col("d.xb") >= col("u.wlo") && col("d.xb") < col("u.whi"))
+      .select(col("d.center").as("center"), col("d.context").as("context"),
+        col("d.j").as("j"), col("u.id").as("neg"))
   }
 }

@@ -541,7 +541,13 @@ object Text {
     * to 1 in the ratio — headline-only docs), syllables = vowel-group
     * runs [aeiouy]+ on the lowercased text (the standard cheap
     * approximation; hyphenation-grade syllabification is out of
-    * scope). Empty/whitespace docs report fk_micro NULL (a ratio over
+    * scope). BIAS DIRECTION: vowel-group counting has no silent-e or
+    * vowel-team handling, so it OVERCOUNTS syllables on silent-e- and
+    * -ed/-es-dense English ('make' → 2, 'stopped' → 2) and fk_micro
+    * skews HIGH (harder-looking) on such text — tune grade-level
+    * thresholds against this measure itself, not against a
+    * dictionary-syllabified FK. Empty/whitespace docs report
+    * fk_micro NULL (a ratio over
     * zero words is meaningless — callers filter or quarantine).
     * fk_micro is NEGATIVE for trivially short fragments, exactly as
     * the formula behaves.
@@ -565,30 +571,6 @@ object Text {
       fk.as("fk_micro"))
   }
 
-  /** Canonical URL form for web-corpus dedup and crawl-frontier
-    * keying — the normalization every CommonCrawl-scale pipeline
-    * applies before URL-level dedup, as a single codegen'd column
-    * expression (regex decomposition, NOT a UDF, so the whole pass
-    * stays inside WholeStageCodegen and every regex is mirrored
-    * verbatim by the DuckDB oracle):
-    *
-    *  - scheme and host LOWERCASED; userinfo (`user:pw@`) dropped
-    *  - default ports stripped (http:80, https:443); other explicit
-    *    ports kept
-    *  - empty path → `/`; path otherwise kept byte-exact (dot-segment
-    *    resolution and percent-encoding case are out of scope)
-    *  - fragment dropped
-    *  - query parameters SORTED (byte order — order never
-    *    distinguishes resources), empty parameters dropped, and with
-    *    `stripTracking` the utm_… / fbclid / gclid / msclkid
-    *    click-tracking family removed; an emptied query drops its `?`
-    *  - non-URL input (no `scheme://`) → NULL, so callers filter or
-    *    quarantine instead of silently passing garbage through dedup
-    *
-    * Bracketed IPv6 authorities are out of scope (reg-name hosts
-    * only — the web-corpus case). The parameter filter's lambda
-    * touches only its own variable (the house HOF discipline).
-    */
   /** Lowercased host of a `scheme://` URL (userinfo and port
     * stripped) — the shared decomposition behind [[urlNormalize]] /
     * [[urlHost]] / [[urlDomain]]. Empty string on non-URLs; callers
@@ -609,7 +591,12 @@ object Text {
     */
   def urlHost(url: Column): Column = {
     val scheme = regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    when(scheme === "", lit(null).cast("string")).otherwise(rawHost(url))
+    // a scheme-valid but HOSTLESS input ('https:///x', 'http://?a=1')
+    // is malformed, not an empty-host resource — NULL it so dedup
+    // keyed on host quarantines it with the other non-URLs instead of
+    // collapsing every hostless string onto one empty key
+    when(scheme === "" || rawHost(url) === "", lit(null).cast("string"))
+      .otherwise(rawHost(url))
   }
 
   /** Registrable-domain HEURISTIC of a URL's host — the per-publisher
@@ -620,8 +607,9 @@ object Text {
     * b.gov.cn). A deliberate approximation — the real answer is the
     * Public Suffix List, a mutable external dataset this library
     * will not embed; the heuristic covers the dominant web-corpus
-    * mass and is DOCUMENTED as such (pass your own PSL-joined
-    * mapping for registry-exact rollups). Single-label hosts
+    * mass and is DOCUMENTED as such ([[urlDomainPsl]] accepts your
+    * own public-suffix relation for registry-exact rollups, with
+    * this heuristic as its miss fallback). Single-label hosts
     * (localhost) pass through; non-URLs → NULL. Label access is
     * null-safe `get()` (the ANSI posture — out-of-range reads are
     * conditions here, never errors).
@@ -641,6 +629,84 @@ object Text {
       .otherwise(host)
   }
 
+  /** Registry-exact registrable domain via a CALLER-SUPPLIED public-
+    * suffix relation — the escape hatch [[urlDomain]]'s scaladoc
+    * promises: `suffixes`' first column holds plain suffix strings
+    * (the Public Suffix List's rule lines — 'com', 'co.uk',
+    * 'github.io'; wildcard and exception rules are out of scope —
+    * expand them upstream), and each row's registrable domain is the
+    * label before the LONGEST matching suffix. Hosts that ARE a
+    * public suffix ('github.io' itself) yield NULL — they name a
+    * registry slot, not a registrant; hosts matching NO suffix fall
+    * back to the [[urlDomain]] heuristic, so a partial suffix list
+    * degrades gracefully instead of nulling the tail. Non-URLs and
+    * hostless inputs stay NULL.
+    *
+    * Scale shape: the suffix relation is deduped, lowercased, and
+    * BROADCAST; matching is four broadcast left joins (suffixes are
+    * at most 4 labels — the PSL's practical depth, documented), one
+    * per candidate tail length, so the corpus-sized relation never
+    * exchanges and the whole pass stays map-side. Returns `df` plus
+    * the `out` column.
+    */
+  def urlDomainPsl(df: org.apache.spark.sql.DataFrame, url: Column,
+      suffixes: org.apache.spark.sql.DataFrame,
+      out: String = "domain"): org.apache.spark.sql.DataFrame = {
+    val sfx = suffixes
+      .select(lower(col(suffixes.columns.head)).as("__sfx")).distinct()
+    var d = df.withColumn("__h", urlHost(url))
+      .withColumn("__ls", split(col("__h"), "\\."))
+      .withColumn("__n", size(col("__ls")))
+    for (k <- 1 to 4) {
+      d = d.withColumn(s"__t$k", when(col("__n") >= k,
+          concat_ws(".",
+            slice(col("__ls"), col("__n") - lit(k) + 1, lit(k)))))
+        .join(broadcast(sfx.withColumnRenamed("__sfx", s"__m$k")),
+          col(s"__t$k") === col(s"__m$k"), "left")
+    }
+    // a matched suffix consuming the WHOLE host names a registry
+    // slot, not a registrant → NULL; otherwise prepend one label
+    def domFor(k: Int): Column =
+      when(col("__n") > k, concat(
+        element_at(col("__ls"), col("__n") - k), lit("."),
+        col(s"__m$k"))).otherwise(lit(null).cast("string"))
+    val dom = when(col("__h").isNull, lit(null).cast("string"))
+      .when(col("__m4").isNotNull, domFor(4))
+      .when(col("__m3").isNotNull, domFor(3))
+      .when(col("__m2").isNotNull, domFor(2))
+      .when(col("__m1").isNotNull, domFor(1))
+      .otherwise(urlDomain(url))
+    d.withColumn(out, dom)
+      .drop((1 to 4).flatMap(k => Seq(s"__t$k", s"__m$k")) ++
+        Seq("__h", "__ls", "__n"): _*)
+  }
+
+  /** Canonical URL form for web-corpus dedup and crawl-frontier
+    * keying — the normalization every CommonCrawl-scale pipeline
+    * applies before URL-level dedup, as a single codegen'd column
+    * expression (regex decomposition, NOT a UDF, so the whole pass
+    * stays inside WholeStageCodegen and every regex is mirrored
+    * verbatim by the DuckDB oracle):
+    *
+    *  - scheme and host LOWERCASED; userinfo (`user:pw@`) dropped
+    *  - default ports stripped (http:80, https:443); other explicit
+    *    ports kept
+    *  - empty path → `/`; path otherwise kept byte-exact (dot-segment
+    *    resolution and percent-encoding case are out of scope)
+    *  - fragment dropped
+    *  - query parameters SORTED (byte order — order never
+    *    distinguishes resources), empty parameters dropped, and with
+    *    `stripTracking` the utm_… / fbclid / gclid / msclkid
+    *    click-tracking family removed; an emptied query drops its `?`
+    *  - non-URL input (no `scheme://`) → NULL, and so does a
+    *    scheme-valid but HOSTLESS input ('https:///x') — callers
+    *    filter or quarantine instead of silently passing garbage
+    *    through dedup
+    *
+    * Bracketed IPv6 authorities are out of scope (reg-name hosts
+    * only — the web-corpus case). The parameter filter's lambda
+    * touches only its own variable (the house HOF discipline).
+    */
   def urlNormalize(url: Column, stripTracking: Boolean = true): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val ff = regexp_replace(url, "#.*$", "")
@@ -668,7 +734,10 @@ object Text {
       .otherwise(concat(lit(":"), port))
     val out = concat(scheme, lit("://"), host, portPart, path,
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
-    when(scheme === "", lit(null).cast("string")).otherwise(out)
+    // hostless-but-schemed inputs are malformed → NULL (the urlHost
+    // contract), never a 'scheme:///' pseudo-resource
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(out)
   }
 
   /** TF-IDF term weights per (doc, term): tf = in-doc term count,

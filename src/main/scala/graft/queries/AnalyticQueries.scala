@@ -108,6 +108,64 @@ object AnalyticQueries {
        |  UNION ALL SELECT start, w, 2, id FROM s2
        |  UNION ALL SELECT start, w, 3, id FROM s3)""".stripMargin
 
+  /** The coreness oracle: exact per-k unroll of the incremental
+    * synchronous peel over the clique-and-pendant fixture — shared
+    * verbatim by the capped (maxK = 3) and auto-degeneracy (maxK = 0)
+    * gates, whose outputs must be bit-identical on this fixture
+    * (degeneracy 3).
+    */
+  private val corenessOracleSql: String =
+    """WITH o AS MATERIALIZED (SELECT o_orderkey AS k, o_orderkey % 8 AS r,
+      |    o_orderkey - o_orderkey % 8 AS base,
+      |    2 + (o_orderkey // 8) % 3 AS c
+      |  FROM orders),
+      |m AS MATERIALIZED (SELECT k, base FROM o WHERE r < c),
+      |raw AS MATERIALIZED (
+      |  SELECT x.k AS s, y.k AS d FROM m x JOIN m y
+      |    ON x.base = y.base AND x.k < y.k
+      |  UNION ALL
+      |  SELECT k, base + r % c FROM o WHERE r >= 4),
+      |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+      |  FROM raw WHERE s <> d),
+      |d1 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+      |  SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+      |k1 AS MATERIALIZED (SELECT id FROM d1 WHERE deg >= 2),
+      |e1 AS MATERIALIZED (SELECT a, b FROM e0
+      |  WHERE a IN (SELECT id FROM k1) AND b IN (SELECT id FROM k1)),
+      |d2 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+      |  SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+      |k2 AS MATERIALIZED (SELECT id FROM d2 WHERE deg >= 2),
+      |e2 AS MATERIALIZED (SELECT a, b FROM e1
+      |  WHERE a IN (SELECT id FROM k2) AND b IN (SELECT id FROM k2)),
+      |d3 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+      |  SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+      |k3 AS MATERIALIZED (SELECT id FROM d3 WHERE deg >= 2),
+      |e3 AS MATERIALIZED (SELECT a, b FROM e2
+      |  WHERE a IN (SELECT id FROM k3) AND b IN (SELECT id FROM k3)),
+      |d4 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+      |  SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+      |k4 AS MATERIALIZED (SELECT id FROM d4 WHERE deg >= 3),
+      |e4 AS MATERIALIZED (SELECT a, b FROM e3
+      |  WHERE a IN (SELECT id FROM k4) AND b IN (SELECT id FROM k4)),
+      |d5 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+      |  SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1),
+      |k5 AS MATERIALIZED (SELECT id FROM d5 WHERE deg >= 3),
+      |e5 AS MATERIALIZED (SELECT a, b FROM e4
+      |  WHERE a IN (SELECT id FROM k5) AND b IN (SELECT id FROM k5)),
+      |d6 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+      |  SELECT a AS id FROM e5 UNION ALL SELECT b FROM e5) GROUP BY 1),
+      |k6 AS MATERIALIZED (SELECT id FROM d6 WHERE deg >= 3),
+      |e6 AS MATERIALIZED (SELECT a, b FROM e5
+      |  WHERE a IN (SELECT id FROM k6) AND b IN (SELECT id FROM k6))
+      |SELECT id, CAST(MAX(cor) AS BIGINT) AS coreness FROM (
+      |  SELECT DISTINCT id, 1 AS cor FROM (
+      |    SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+      |  UNION ALL SELECT DISTINCT id, 2 FROM (
+      |    SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+      |  UNION ALL SELECT DISTINCT id, 3 FROM (
+      |    SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6))
+      |GROUP BY 1""".stripMargin
+
   /** One WEIGHTED random-walk oracle step: the fast-range pick
     * x = ⌊u32·tot/2³²⌋ landing in the neighbor's cumulative-weight
     * interval [lo, hi).
@@ -507,6 +565,29 @@ object AnalyticQueries {
         maxK = 3, maxRoundsPerK = 3)
     },
 
+    // AUTO-DEGENERACY coreness (maxK = 0): same clique-and-pendant
+    // fixture, no a-priori bound — the peel runs until the k=4 round
+    // empties the 4-cliques, so the realized degeneracy is 3 and the
+    // result must HASH-MATCH the capped maxK=3 run exactly (shared
+    // oracle); pins that auto mode adds no phantom layers and stops
+    // at the true degeneracy
+    "q_graph_coreness_auto" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"),
+          (col("o_orderkey") - pmod(col("o_orderkey"), lit(8L))).as("base"),
+          (pmod(expr("o_orderkey DIV 8"), lit(3L)) + 2).as("c"))
+      val m = o.filter(col("r") < col("c"))
+      val clique = m.as("x").join(m.as("y"),
+          col("x.base") === col("y.base") && col("x.k") < col("y.k"))
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      val pend = o.filter(col("r") >= 4)
+        .select(col("k").as("src"),
+          (col("base") + pmod(col("r"), col("c"))).as("dst"))
+      graft.functions.Graph.coreness(clique.unionByName(pend),
+        maxK = 0, maxRoundsPerK = 3)
+    },
+
     // k-truss peeling on a mixed graph: EVEN 8-key blocks carry
     // triangle strips (path + skip edges — end edges support 1,
     // interior path edges 2), ODD blocks carry cliques of varying
@@ -680,6 +761,32 @@ object AnalyticQueries {
         path.unionByName(skip), walkLength = 3, walksPerNode = 2,
         seed = 42L)
       graft.functions.Graph.skipGramPairs(walks, window = 2)
+    },
+
+    // deterministic negative sampling over the same corpus: k=2
+    // draws per (center, context) pair from the unigram^0.75
+    // distribution (weight = floor(sqrt(sqrt(f^3))*1024 — sqrt is
+    // IEEE-exact in BOTH engines, which is why the oracle can
+    // re-derive the weight table bit-for-bit), two-level
+    // bucket-interval pick at buckets=8 so the bucket offset join
+    // and the in-bucket residual are both multi-bucket live; the
+    // oracle re-derives every draw from the staged splitmix64
+    // stream (seed 91 → center → context → j)
+    "q_graph_walk_negs" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("r"))
+      val path = o.filter(col("r") < 7)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      val skip = o.filter(col("r") < 6)
+        .select(col("k").as("src"), (col("k") + 2).as("dst"))
+      val walks = graft.functions.Graph.randomWalks(
+        path.unionByName(skip), walkLength = 3, walksPerNode = 2,
+        seed = 42L)
+      val pairs = graft.functions.Graph.skipGramPairs(walks, window = 2)
+      val freqs = walks.groupBy(col("id")).count()
+      graft.functions.Graph.skipGramNegatives(pairs, freqs, k = 2,
+        seed = 91L, buckets = 8)
     },
 
     // node2vec second-order walks on blocks with reciprocal edges:
@@ -1255,6 +1362,52 @@ object AnalyticQueries {
         | AND q.step BETWEEN p.step - 2 AND p.step + 2
         |GROUP BY 1, 2""".stripMargin),
 
+    "q_graph_walk_negs" -> (walksCorpusSql + s""",
+        |pairsn AS MATERIALIZED (
+        |  SELECT p.id AS center, q.id AS context
+        |  FROM corpus p JOIN corpus q
+        |    ON p.start = q.start AND p.walk = q.walk
+        |   AND q.step <> p.step
+        |   AND q.step BETWEEN p.step - 2 AND p.step + 2
+        |  GROUP BY 1, 2),
+        |freq AS MATERIALIZED (SELECT id, COUNT(*) AS f FROM corpus
+        |  GROUP BY 1),
+        |uni AS MATERIALIZED (SELECT id, id % 8 AS bk,
+        |    CAST(FLOOR(SQRT(SQRT(CAST(f AS DOUBLE) * f * f)) * 1024)
+        |      AS HUGEINT) AS w
+        |  FROM freq WHERE f > 0),
+        |wnn AS MATERIALIZED (SELECT id, bk, w,
+        |    SUM(w) OVER (PARTITION BY bk ORDER BY id
+        |      ROWS UNBOUNDED PRECEDING) AS whi
+        |  FROM uni),
+        |bkt AS MATERIALIZED (SELECT bk, MAX(whi) AS btot FROM wnn
+        |  GROUP BY 1),
+        |bko AS MATERIALIZED (SELECT bk, btot,
+        |    SUM(btot) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) - btot
+        |      AS boff
+        |  FROM bkt),
+        |tt AS MATERIALIZED (SELECT SUM(btot) AS tot FROM bkt),
+        |n0 AS MATERIALIZED (SELECT center, context, j,
+        |    ${smix64Sql("xor(91::UBIGINT, CAST(center AS UBIGINT))")} AS h1
+        |  FROM pairsn CROSS JOIN (SELECT UNNEST([0, 1]) AS j)),
+        |n1 AS MATERIALIZED (SELECT center, context, j,
+        |    ${smix64Sql("xor(h1, CAST(context AS UBIGINT))")} AS h2
+        |  FROM n0),
+        |n2 AS MATERIALIZED (SELECT center, context, j,
+        |    ${smix64Sql("xor(h2, CAST(j AS UBIGINT))")} AS ph
+        |  FROM n1),
+        |dx AS MATERIALIZED (SELECT center, context, j,
+        |    CAST((CAST((ph >> 32) AS HUGEINT) * (SELECT tot FROM tt))
+        |      // 4294967296 AS HUGEINT) AS x
+        |  FROM n2)
+        |SELECT d.center, d.context, CAST(d.j AS BIGINT) AS j,
+        |  w.id AS neg
+        |FROM dx d
+        |JOIN bko b ON d.x >= b.boff AND d.x < b.boff + b.btot
+        |JOIN wnn w ON w.bk = b.bk
+        | AND d.x - b.boff >= w.whi - w.w
+        | AND d.x - b.boff < w.whi""".stripMargin),
+
     "q_graph_walks_n2v" ->
       s"""WITH o AS MATERIALIZED (
         |  SELECT o_orderkey AS k, o_orderkey % 8 AS r FROM orders),
@@ -1640,57 +1793,13 @@ object AnalyticQueries {
     // threshold-3 rounds FROM THE 2-CORE SURVIVORS; coreness = max
     // layer membership (extra rounds past a fixpoint are no-ops, so
     // the unroll equals the operator's early-exited loop)
-    "q_graph_coreness" ->
-      """WITH o AS MATERIALIZED (SELECT o_orderkey AS k, o_orderkey % 8 AS r,
-        |    o_orderkey - o_orderkey % 8 AS base,
-        |    2 + (o_orderkey // 8) % 3 AS c
-        |  FROM orders),
-        |m AS MATERIALIZED (SELECT k, base FROM o WHERE r < c),
-        |raw AS MATERIALIZED (
-        |  SELECT x.k AS s, y.k AS d FROM m x JOIN m y
-        |    ON x.base = y.base AND x.k < y.k
-        |  UNION ALL
-        |  SELECT k, base + r % c FROM o WHERE r >= 4),
-        |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
-        |  FROM raw WHERE s <> d),
-        |d1 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
-        |  SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
-        |k1 AS MATERIALIZED (SELECT id FROM d1 WHERE deg >= 2),
-        |e1 AS MATERIALIZED (SELECT a, b FROM e0
-        |  WHERE a IN (SELECT id FROM k1) AND b IN (SELECT id FROM k1)),
-        |d2 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
-        |  SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
-        |k2 AS MATERIALIZED (SELECT id FROM d2 WHERE deg >= 2),
-        |e2 AS MATERIALIZED (SELECT a, b FROM e1
-        |  WHERE a IN (SELECT id FROM k2) AND b IN (SELECT id FROM k2)),
-        |d3 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
-        |  SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
-        |k3 AS MATERIALIZED (SELECT id FROM d3 WHERE deg >= 2),
-        |e3 AS MATERIALIZED (SELECT a, b FROM e2
-        |  WHERE a IN (SELECT id FROM k3) AND b IN (SELECT id FROM k3)),
-        |d4 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
-        |  SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
-        |k4 AS MATERIALIZED (SELECT id FROM d4 WHERE deg >= 3),
-        |e4 AS MATERIALIZED (SELECT a, b FROM e3
-        |  WHERE a IN (SELECT id FROM k4) AND b IN (SELECT id FROM k4)),
-        |d5 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
-        |  SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1),
-        |k5 AS MATERIALIZED (SELECT id FROM d5 WHERE deg >= 3),
-        |e5 AS MATERIALIZED (SELECT a, b FROM e4
-        |  WHERE a IN (SELECT id FROM k5) AND b IN (SELECT id FROM k5)),
-        |d6 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
-        |  SELECT a AS id FROM e5 UNION ALL SELECT b FROM e5) GROUP BY 1),
-        |k6 AS MATERIALIZED (SELECT id FROM d6 WHERE deg >= 3),
-        |e6 AS MATERIALIZED (SELECT a, b FROM e5
-        |  WHERE a IN (SELECT id FROM k6) AND b IN (SELECT id FROM k6))
-        |SELECT id, CAST(MAX(cor) AS BIGINT) AS coreness FROM (
-        |  SELECT DISTINCT id, 1 AS cor FROM (
-        |    SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
-        |  UNION ALL SELECT DISTINCT id, 2 FROM (
-        |    SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
-        |  UNION ALL SELECT DISTINCT id, 3 FROM (
-        |    SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6))
-        |GROUP BY 1""".stripMargin,
+    "q_graph_coreness" -> corenessOracleSql,
+
+    // auto-degeneracy mode must reproduce the capped run bit-for-bit
+    // on this fixture (degeneracy 3 < the k=4 empty-out), so the
+    // SAME oracle pins it — any phantom k≥4 layer or missed early
+    // exit breaks the hash
+    "q_graph_coreness_auto" -> corenessOracleSql,
 
     "q_graph_ktruss" ->
       """WITH o AS MATERIALIZED (

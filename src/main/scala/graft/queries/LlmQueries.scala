@@ -772,19 +772,22 @@ object LlmQueries {
     // shapes exercising the heuristic's branches — www subdomain
     // (last-2), generic-slot-under-ccTLD (last-3: amazon.co.uk,
     // b.gov.cn), single-label passthrough, bare 2-label, userinfo
-    // strip, and the non-URL NULL; oracle hand-derives host and
-    // domain per shape (independent of the regex pipeline)
+    // strip, the hostless-but-schemed NULL (shape 5 — malformed
+    // 'http://?a=1' must quarantine, never key an empty host), and
+    // the non-URL NULL; oracle hand-derives host and domain per
+    // shape (independent of the regex pipeline)
     "q_text_url_domain" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
       val raw = docs.select($"doc_id",
-        when($"doc_id" % 6 === 0, lit("https://WWW.Example.COM/x"))
-          .when($"doc_id" % 6 === 1,
+        when($"doc_id" % 7 === 0, lit("https://WWW.Example.COM/x"))
+          .when($"doc_id" % 7 === 1,
             lit("http://Shop.Amazon.co.uk:8080/p"))
-          .when($"doc_id" % 6 === 2, lit("https://a.b.GOV.cn/"))
-          .when($"doc_id" % 6 === 3, lit("http://localhost:8080/"))
-          .when($"doc_id" % 6 === 4,
+          .when($"doc_id" % 7 === 2, lit("https://a.b.GOV.cn/"))
+          .when($"doc_id" % 7 === 3, lit("http://localhost:8080/"))
+          .when($"doc_id" % 7 === 4,
             lit("https://u:p@x.example.org?q=1"))
+          .when($"doc_id" % 7 === 5, lit("http://?a=1"))
           .otherwise(concat(lit("doc "), $"doc_id")).as("url"))
       raw.select($"doc_id", Text.urlHost($"url").as("host"),
         Text.urlDomain($"url").as("domain"))
@@ -811,28 +814,31 @@ object LlmQueries {
     // tracking params + fragment (0), userinfo + default https port
     // (1), kept non-default port + stripped fbclid + duplicate-key
     // sort (2), trailing empty param (3), empty path + fragment on a
-    // non-http scheme whose :2121 must SURVIVE (4), and a non-URL
-    // that must map to NULL (5). The oracle hand-derives the expected
-    // canonical string PER SHAPE (independent derivation — not a
-    // re-run of the same regex pipeline), so every normalization rule
-    // is pinned by value
+    // non-http scheme whose :2121 must SURVIVE (4), a hostless-but-
+    // schemed input that must map to NULL, not 'https:///…' (5), and
+    // a non-URL that must map to NULL (6). The oracle hand-derives
+    // the expected canonical string PER SHAPE (independent
+    // derivation — not a re-run of the same regex pipeline), so
+    // every normalization rule is pinned by value
     "q_text_url" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
       val raw = docs.select($"doc_id", $"source",
-        when($"doc_id" % 6 === 0, concat(
+        when($"doc_id" % 7 === 0, concat(
             lit("HTTP://WWW.Example.COM:80/a/"), $"doc_id",
             lit("?utm_source=x&b=2&a=1#frag")))
-          .when($"doc_id" % 6 === 1,
+          .when($"doc_id" % 7 === 1,
             concat(lit("https://User:Pw@Example.com:443/p/"), $"doc_id"))
-          .when($"doc_id" % 6 === 2, concat(
+          .when($"doc_id" % 7 === 2, concat(
             lit("https://CDN.example.com:8443/img?z=9&y=2&fbclid="),
             $"doc_id", lit("&y=10")))
-          .when($"doc_id" % 6 === 3, concat(
+          .when($"doc_id" % 7 === 3, concat(
             lit("http://example.com/"), $"source", lit("/x?q="),
             $"doc_id", lit("&")))
-          .when($"doc_id" % 6 === 4,
+          .when($"doc_id" % 7 === 4,
             lit("ftp://Files.example.org:2121#top"))
+          .when($"doc_id" % 7 === 5,
+            concat(lit("https:///x/"), $"doc_id"))
           .otherwise(concat(lit("doc "), $"doc_id")).as("url"))
       raw.select($"doc_id", Text.urlNormalize($"url").as("url_norm"))
     },
@@ -1913,14 +1919,16 @@ object LlmQueries {
         |FROM documents)""".stripMargin,
     "q_text_url_domain" ->
       """SELECT doc_id,
-        |  CASE doc_id % 6
+        |  CASE doc_id % 7
         |    WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'shop.amazon.co.uk'
         |    WHEN 2 THEN 'a.b.gov.cn' WHEN 3 THEN 'localhost'
-        |    WHEN 4 THEN 'x.example.org' ELSE NULL END AS host,
-        |  CASE doc_id % 6
+        |    WHEN 4 THEN 'x.example.org'
+        |    WHEN 5 THEN NULL ELSE NULL END AS host,
+        |  CASE doc_id % 7
         |    WHEN 0 THEN 'example.com' WHEN 1 THEN 'amazon.co.uk'
         |    WHEN 2 THEN 'b.gov.cn' WHEN 3 THEN 'localhost'
-        |    WHEN 4 THEN 'example.org' ELSE NULL END AS domain
+        |    WHEN 4 THEN 'example.org'
+        |    WHEN 5 THEN NULL ELSE NULL END AS domain
         |FROM documents""".stripMargin,
 
     "q_text_readability" ->
@@ -1942,7 +1950,7 @@ object LlmQueries {
         |FROM c""".stripMargin,
 
     "q_text_url" ->
-      """SELECT doc_id, CASE doc_id % 6
+      """SELECT doc_id, CASE doc_id % 7
         |  WHEN 0 THEN 'http://www.example.com/a/' || CAST(doc_id AS VARCHAR)
         |    || '?a=1&b=2'
         |  WHEN 1 THEN 'https://example.com/p/' || CAST(doc_id AS VARCHAR)
@@ -1950,6 +1958,7 @@ object LlmQueries {
         |  WHEN 3 THEN 'http://example.com/' || source || '/x?q='
         |    || CAST(doc_id AS VARCHAR)
         |  WHEN 4 THEN 'ftp://files.example.org:2121/'
+        |  WHEN 5 THEN NULL
         |  ELSE NULL END AS url_norm
         |FROM documents""".stripMargin,
     "q_text_novelty" ->

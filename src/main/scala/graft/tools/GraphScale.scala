@@ -53,6 +53,35 @@ object GraphScale {
         spark.range(nEdges).select(col("id").as("src"),
           when(pmod(col("id") + 1, lit(64L)) === 0, col("id") - 63)
             .otherwise(col("id") + 1).as("dst"))
+      case "ktmix" =>
+        // cascade-vs-survivor mix for incremental k-truss: per
+        // 16-id block, ids 0-7 carry a triangle strip (path r<7 +
+        // skip r<6 — at k=4 the strip CASCADES to empty: skips and
+        // end path edges die round 1, stripped interiors round 2)
+        // while ids 8-15 carry two 4-cliques (support 2 = k−2,
+        // SURVIVE untouched). Round 2+ must cost ∝ the strip
+        // cascade, never re-enumerating the surviving cliques'
+        // wedges — the full-recompute formulation pays the clique
+        // mass every round, the incremental one only the cascade.
+        // 25 edges per block.
+        {
+          val blocks = math.max(1L, nEdges / 25L)
+          val o = spark.range(blocks * 16)
+            .select(col("id").as("k"), pmod(col("id"), lit(16L)).as("r"),
+              (col("id") - pmod(col("id"), lit(16L))).as("base"))
+          val strip1 = o.filter(col("r") < 7)
+            .select(col("k").as("src"), (col("k") + 1).as("dst"))
+          val strip2 = o.filter(col("r") < 6)
+            .select(col("k").as("src"), (col("k") + 2).as("dst"))
+          val m = o.filter(col("r") >= 8)
+            .select(col("k"), col("base"),
+              (col("base") + when(col("r") < 12, lit(8L))
+                .otherwise(lit(12L))).as("cl"))
+          val clique = m.as("x").join(m.as("y"),
+              col("x.cl") === col("y.cl") && col("x.k") < col("y.k"))
+            .select(col("x.k").as("src"), col("y.k").as("dst"))
+          strip1.unionByName(strip2).unionByName(clique)
+        }
       case _ =>
         spark.range(nEdges).select(
           pmod(xxhash64(col("id")), lit(n)).as("src"),
@@ -90,7 +119,10 @@ object GraphScale {
       // synthetic edge-id column gives the harness's dup check a
       // meaningful target (one row per surviving edge)
       case "ktruss" =>
-        graft.functions.Graph.ktruss(ed, 3, iters)
+        // ktmix runs at k=4, where its strip mass cascades and its
+        // clique mass survives; the random shape keeps k=3
+        graft.functions.Graph.ktruss(ed, if (shape == "ktmix") 4 else 3,
+            iters)
           .select((col("a") * lit(4294967296L) + col("b")).as("id"),
             col("a"), col("b"), col("support"))
       case "betweenness" =>
@@ -226,7 +258,17 @@ object GraphScale {
           .cast("decimal(38,0)")).head().getDecimal(0)
         val parity = if (t.remainder(java.math.BigDecimal.valueOf(3))
           .compareTo(java.math.BigDecimal.ZERO) == 0) 0L else 1L
-        (neg + parity, t)
+        // ktmix's closed form: every strip edge cascades away, the
+        // two 4-cliques per block survive (12 edges, support 2 each)
+        // — any incremental-decrement error leaves strays or wrong
+        // supports
+        val mixBad = if (shape != "ktmix") 0L else {
+          val blocks = math.max(1L, nEdges / 25L)
+          val wrong = pr.filter(col("support") =!= 2).count()
+          val cnt = pr.count()
+          wrong + math.abs(cnt - blocks * 12L)
+        }
+        (neg + parity + mixBad, t)
       case "scc" =>
         // distributed invariants: rep ≤ id (rep is the SCC minimum);
         // every rep maps to ITSELF (rep rows are fixpoints of the

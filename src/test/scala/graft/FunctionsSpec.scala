@@ -1345,9 +1345,38 @@ class FunctionsSpec extends SparkSpec {
       .select(Text.urlHost(col("u")), Text.urlDomain(col("u")))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got === cases.map(_._2))
-    val nul = Seq("not a url").toDF("u")
-      .select(Text.urlHost(col("u")), Text.urlDomain(col("u"))).head()
-    assert(nul.isNullAt(0) && nul.isNullAt(1))
+    // non-URLs AND hostless-but-schemed malformations both null —
+    // neither may collapse onto an empty-string host key
+    for (bad <- Seq("not a url", "https:///x", "http://?a=1",
+        "http://user@:8080/p")) {
+      val nul = Seq(bad).toDF("u")
+        .select(Text.urlHost(col("u")), Text.urlDomain(col("u"))).head()
+      assert(nul.isNullAt(0) && nul.isNullAt(1), s"for input: $bad")
+    }
+  }
+
+  test("urlDomainPsl: longest suffix wins, PSL beats heuristic, miss falls back") {
+    // mini-PSL with a heuristic-vs-PSL disagreement: github.io is a
+    // public suffix, so foo.github.io's registrable domain is the
+    // whole host — the heuristic would answer github.io
+    val psl = Seq("com", "co.uk", "io", "github.io").toDF("suffix")
+    val cases = Seq(
+      "https://foo.GitHub.io/p" -> "foo.github.io", // PSL: suffix+1
+      "https://github.io/" -> null, // host IS a suffix → no registrant
+      "http://a.b.example.com/" -> "example.com", // longest = com
+      "http://Shop.Amazon.co.uk:8080/p" -> "amazon.co.uk", // co.uk > uk-miss
+      "http://localhost:1234/" -> "localhost", // no match → heuristic
+      "https://a.b.GOV.cn/" -> "b.gov.cn", // miss → heuristic ccSLD form
+      "doc 7" -> null, // non-URL stays null
+      "https:///x" -> null) // hostless stays null
+    val got = Text.urlDomainPsl(
+        cases.map(_._1).toDF("u"), col("u"), psl, out = "dom")
+      .select(col("u"), col("dom")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null
+        else r.getString(1))).toMap
+    for ((u, want) <- cases) assert(got(u) === want, s"for input: $u")
+    // original columns survive untouched and the row count is stable
+    assert(got.size === cases.size)
   }
 
   test("readability: hand-computed counts and FK micro-grades") {
@@ -1382,6 +1411,8 @@ class FunctionsSpec extends SparkSpec {
       "ftp://Files.example.org:2121#top",
       "http://example.com",
       "doc 5",
+      "https:///x/5",
+      "http://?a=1",
       "https://a.io/?utm_source=x&utm_medium=y").toDF("text")
       .select(Text.urlNormalize(col("text"))).as[String].collect().toSeq
     assert(got === Seq(
@@ -1392,6 +1423,8 @@ class FunctionsSpec extends SparkSpec {
       "ftp://files.example.org:2121/",
       "http://example.com/",
       null,
+      null, // hostless-but-schemed: malformed, never 'https:///…'
+      null, // ditto with a query and no authority at all
       "https://a.io/"))
     // stripTracking=false keeps the click-id family, still sorted
     val kept = Seq("http://A.io/p?utm_b=2&utm_a=1").toDF("text")

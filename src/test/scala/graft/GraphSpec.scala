@@ -287,7 +287,7 @@ class GraphSpec extends SparkSpec {
     assert(sssp(e, Seq(1L)) === Set((1L, 0L), (2L, 0L)))
   }
 
-  test("sssp: negative-weight edges fail loudly, never relax or vanish") {
+  test("sssp: negative- and null-weight edges fail loudly, never relax or vanish") {
     // the -5 shortcut would undercut the honest 1→2→3 path (and a
     // negative cycle would never converge); the contract THROWS at
     // the first action, naming the offending edge — bad input is
@@ -297,10 +297,24 @@ class GraphSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("negative-weight edge 1->3")))
+    assert(msgs(ex).exists(_.contains("negative- or null-weight edge 1->3")))
     // an upstream filter restores the old drop semantics, visibly
     val filtered = e.filter(_._3 >= 0)
     assert(sssp(filtered, Seq(1L)) === Set((1L, 0L), (2L, 2L), (3L, 4L)))
+    // a NULL weight raises too: NULL < 0 is NULL, so a filter-shaped
+    // guard would let it through, propagate NULL candidate distances,
+    // and re-select the same nodes every round — the loop would never
+    // converge and the output would silently carry NULL distances.
+    // (A non-numeric string weight never reaches this guard: the
+    // session runs ANSI, so the BIGINT cast itself fails loudly.)
+    val en = Seq((1L, 2L, Some(2L)), (2L, 3L, None))
+      .toDF("src", "dst", "w")
+    val exn = intercept[Exception] {
+      Graph.sssp(en, Seq(1L).toDF("id"))
+        .collect()
+    }
+    assert(msgs(exn).exists(_.contains("negative- or null-weight edge 2->3")))
+    assert(msgs(exn).exists(_.contains("w=NULL")))
   }
 
   private def tri(edges: Seq[(Long, Long)]): Set[(Long, Long)] =
@@ -445,6 +459,24 @@ class GraphSpec extends SparkSpec {
     assert(cn.filter(_._2 >= 2L).keySet === k2)
   }
 
+  test("coreness: maxK=0 auto-degeneracy equals a generous cap, reports the degeneracy") {
+    // K4 + a triangle hung off it + a pendant: degeneracy 3. Auto
+    // mode (maxK=0) must reproduce a cap that exceeds the degeneracy
+    // bit-for-bit, and its maximum value IS the degeneracy — no
+    // a-priori bound needed, no phantom layers past the empty-out
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val g = k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 9L))
+    val auto = corenessOf(g, maxK = 0, rpk = 20)
+    val capped = corenessOf(g, maxK = 10, rpk = 20)
+    assert(auto === capped)
+    assert(auto.values.max === 3L)
+    assert(auto === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 9L -> 1L))
+    // a single edge: auto peels at k=2 straight to empty — coreness 1
+    assert(corenessOf(Seq((7L, 8L)), maxK = 0, rpk = 20) ===
+      Map(7L -> 1L, 8L -> 1L))
+  }
+
   private def scc(edges: Seq[(Long, Long)], maxOuter: Int = 20)
       : Map[Long, Long] =
     Graph.stronglyConnectedComponents(edges.toDF("src", "dst"), maxOuter)
@@ -470,17 +502,46 @@ class GraphSpec extends SparkSpec {
 
   test("scc: downstream-pointing minima need a second outer round") {
     // 1 → {2,3} cycle → {4,5} cycle → 0: every upstream SCC's
-    // min-reachable id is 0, so only SCC {0} extracts in round 1 and
-    // the cycles become roots in round 2 — pins the outer peel
+    // min-reachable id is 0; the trim prepass peels the 1- and
+    // 0-tendrils, and the cycles extract over the outer peel
     val g = Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L),
       (4L, 5L), (5L, 4L), (5L, 0L))
     assert(scc(g) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L,
       4L -> 4L, 5L -> 4L))
     // a too-small cap THROWS rather than silently omit the
     // un-extracted layers — a partial assignment would lose nodes
-    // in a downstream join with no signal (the maxPropRounds posture)
-    val ex = intercept[IllegalArgumentException] { scc(g, maxOuter = 1) }
+    // in a downstream join with no signal (the maxPropRounds
+    // posture). The fixture must be ALL-cycle (trim absorbs
+    // tendrils without spending outer rounds): a chain of three
+    // 2-cycles {8,9} → {4,5} → {0,1} extracts exactly one cycle per
+    // outer round — min-reachable everywhere is 0, so only {0,1}
+    // roots in round 1, {4,5} in round 2, {8,9} in round 3
+    val chain = Seq((8L, 9L), (9L, 8L), (4L, 5L), (5L, 4L),
+      (0L, 1L), (1L, 0L), (9L, 4L), (5L, 0L))
+    assert(scc(chain) === Map(0L -> 0L, 1L -> 0L, 4L -> 4L, 5L -> 4L,
+      8L -> 8L, 9L -> 8L))
+    val ex = intercept[IllegalArgumentException] {
+      scc(chain, maxOuter = 2)
+    }
     assert(ex.getMessage.contains("maxOuter"))
+  }
+
+  test("scc trim: chains vanish mid-node, tendrils peel without outer rounds") {
+    // chain 1→2→3: round 1 trims 1 (in-0) and 3 (out-0); node 2 —
+    // in/out degree 1 at aggregate time — loses BOTH edges to the
+    // peel and must be swept as a vanished singleton, not lost
+    assert(scc(Seq((1L, 2L), (2L, 3L))) ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // tendrils both INTO and OUT OF a cycle trim away, then the
+    // cycle floods: 1→{2,3 cycle}→4
+    assert(scc(Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L))) ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+    // a long pure path peels from both ends, one layer per trim
+    // round, inside ONE outer round (maxOuter = 1 suffices — the
+    // trim fixpoint is capped by maxPropRounds, not maxOuter)
+    val path = (1L until 12L).map(i => (i, i + 1))
+    assert(scc(path, maxOuter = 1) ===
+      (1L to 12L).map(i => i -> i).toMap)
   }
 
   test("scc: shared node fuses cycles; self-loops and duplicates are harmless") {
@@ -704,6 +765,42 @@ class GraphSpec extends SparkSpec {
     assert(pairs(1) === Map(
       (10L, 20L) -> 2L, (20L, 10L) -> 2L, (20L, 30L) -> 1L,
       (30L, 20L) -> 1L, (30L, 40L) -> 1L, (40L, 30L) -> 1L))
+  }
+
+  test("skipGramNegatives: every draw re-derives; boundaries, drops, sums, invariance") {
+    import graft.functions.SamplingImpl.splitmix64
+    // unigram^0.75 weights: f=1 → 1024, f=16 → 16^0.75·1024 = 8192,
+    // f=81 → 27·1024 = 27648; buckets=2 splits {2}(bk0) from
+    // {1,3}(bk1), so the two-level pick is multi-bucket live:
+    // global intervals 2→[0,8192), 1→[8192,9216), 3→[9216,36864)
+    val freqs = Seq((1L, 1L), (2L, 16L), (3L, 81L), (9L, 0L),
+      (8L, -3L)).toDF("id", "f")
+    val pairs = Seq((10L, 20L, 1L), (20L, 10L, 1L))
+      .toDF("center", "context", "cnt")
+    def runNegs(p: org.apache.spark.sql.DataFrame,
+        f: org.apache.spark.sql.DataFrame) =
+      Graph.skipGramNegatives(p, f, k = 4, seed = 7L, buckets = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(x => (x._1, x._2, x._3))
+    val got = runNegs(pairs, freqs)
+    // exactly one draw per (pair, j); zero/negative-frequency nodes
+    // never appear
+    assert(got.size === 8)
+    assert(!got.exists(x => x._4 == 9L || x._4 == 8L))
+    // full re-derivation of every draw from the hash spec
+    for ((c, x, j, neg) <- got) {
+      val ph = splitmix64(splitmix64(splitmix64(7L ^ c) ^ x) ^ j)
+      val pos = (BigInt(ph >>> 32) * 36864 / BigInt(2).pow(32)).toLong
+      val expect = if (pos < 8192) 2L else if (pos < 9216) 1L else 3L
+      assert(neg === expect, s"pair ($c,$x) draw $j: pos=$pos")
+    }
+    // duplicate frequency rows SUM into one node weight: splitting
+    // f(2)=16 into 6+10 changes nothing
+    val split = Seq((1L, 1L), (2L, 6L), (2L, 10L), (3L, 81L))
+      .toDF("id", "f")
+    assert(runNegs(pairs, split) === got)
+    // partition invariance
+    assert(runNegs(pairs.repartition(7), freqs.repartition(5)) === got)
   }
 
   test("randomWalksBiased: node2vec classes re-derive; pure-return oscillates") {
