@@ -776,23 +776,27 @@ object Graph {
     * extra plan cost.
     *
     * Scale shape: the full oriented wedge join (≤ m^1.5) runs ONCE,
-    * on the input graph; every later round maintains support
-    * INCREMENTALLY — a triangle dies exactly when its first member
-    * edge dies, so the round enumerates only triangles CONTAINING a
-    * just-deleted edge (per deleted edge (x, y): common neighbors z
-    * via one adjacency probe + one pair semi-join — work ∝ the
-    * cascade's wedge mass Σ deg(x), not the survivor set's m^1.5),
-    * dedupes the triple (a triangle with 2–3 deleted member edges
-    * counts ONCE), and subtracts each lost triangle from its
-    * SURVIVING member edges. The deleted relation is cascade-sized,
-    * so AQE broadcasts it against the adjacency scans on real
-    * cascades and the survivor relation never re-exchanges for
-    * support; the maintained values are exactly the survivor
-    * subgraph's support at every round (a triangle survives iff all
-    * three edges do), so results are bit-identical to the
-    * full-recompute formulation, cap semantics included. All under
-    * the shared [[Rounds]] lifecycle; the fixpoint test rides the
-    * maintained support relation.
+    * on the input graph; every later round is ADAPTIVE. The thin-
+    * cascade branch maintains support INCREMENTALLY — a triangle
+    * dies exactly when its first member edge dies, so the round
+    * enumerates only triangles CONTAINING a just-deleted edge (per
+    * deleted edge (x, y): common neighbors z via one adjacency
+    * probe + one pair semi-join — work ∝ the cascade's wedge mass
+    * Σ deg(x), not the survivor set's m^1.5), dedupes the triple (a
+    * triangle with 2–3 deleted member edges counts ONCE), and
+    * subtracts each lost triangle from its SURVIVING member edges;
+    * the deleted relation is cascade-sized, so AQE broadcasts it
+    * against the adjacency scans and the survivor relation never
+    * re-exchanges. The mass-extinction branch (deleted > surviving,
+    * e.g. the first round at k ≫ the graph's truss depth) instead
+    * RE-RUNS the wedge join on the small survivor subgraph — there
+    * the cascade IS the graph and recompute ∝ survivors is the
+    * cheap side. Both branches produce the survivor subgraph's
+    * exact support (a triangle survives iff all three edges do), so
+    * the choice is bit-invisible in the output and the round budget
+    * semantics are unchanged. All under the shared [[Rounds]]
+    * lifecycle; the fixpoint test rides the maintained support
+    * relation.
     */
   def ktruss(edges: DataFrame, k: Int, maxRounds: Int,
       requireConverged: Boolean = false): DataFrame = {
@@ -810,42 +814,62 @@ object Graph {
     while (r < maxRounds && !fixpoint) {
       val deleted = rounds.mark(
         supp.filter(col("support") < k - 2).select(col("a"), col("b")))
-      if (deleted.isEmpty) { rounds.release(deleted); fixpoint = true }
+      val delCnt = deleted.count()
+      if (delCnt == 0) { rounds.release(deleted); fixpoint = true }
       else {
         val keep = rounds.mark(supp.filter(col("support") >= k - 2))
-        // triangles of the PRE-deletion graph containing a deleted
-        // edge: z is a common neighbor of both endpoints (the
-        // adjacency is two scans of the checkpointed support
-        // relation — no re-exchange; `deleted` is the small side)
-        val nbr = supp.select(col("a").as("u"), col("b").as("v"))
-          .unionByName(supp.select(col("b").as("u"), col("a").as("v")))
-        val lost = deleted
-          .join(nbr, col("u") === col("a"))
-          .select(col("a"), col("b"), col("v").as("z"))
-          .filter(col("z") =!= col("b"))
-          .join(nbr.select(col("u").as("u2"), col("v").as("z2")),
-            col("u2") === col("b") && col("z2") === col("z"), "left_semi")
-        // canonical triple ONCE per lost triangle (it may carry 2-3
-        // deleted member edges and be found once per each)
-        val tri = lost
-          .select(array_sort(array(col("a"), col("b"), col("z"))).as("t"))
-          .distinct()
-        val lostEd = tri.select(explode(array(
-            struct(element_at(col("t"), 1).as("a"),
-              element_at(col("t"), 2).as("b")),
-            struct(element_at(col("t"), 1).as("a"),
-              element_at(col("t"), 3).as("b")),
-            struct(element_at(col("t"), 2).as("a"),
-              element_at(col("t"), 3).as("b")))).as("ed"))
-          .select(col("ed.a").as("a"), col("ed.b").as("b"))
-        val loss = lostEd
-          .join(keep.select(col("a"), col("b")), Seq("a", "b"),
-            "left_semi")
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("loss"))
-        val next = rounds.mark(keep.join(loss, Seq("a", "b"), "left")
-          .select(col("a"), col("b"),
-            (col("support") - coalesce(col("loss"), lit(0L)))
-              .as("support")))
+        val keepCnt = keep.count()
+        // ADAPTIVE branch: incremental decrement costs ∝ the
+        // cascade's wedge mass, full recompute ∝ the survivor set's.
+        // A mass-extinction round (most edges below threshold — the
+        // k ≫ truss-depth first round on a thin graph) is cheaper
+        // recomputed over the small survivor graph; a thin cascade
+        // over a big survivor set is cheaper decremented. Both
+        // produce the survivor subgraph's exact support, so the
+        // choice is invisible in the output (bit-identical either
+        // way) and the round stays deterministic.
+        val next = if (delCnt > keepCnt) {
+          val keepE = rounds.mark(keep.select(col("a"), col("b")))
+          val s = edgeSupport(keepE, rounds)
+          rounds.release(keepE)
+          s
+        } else {
+          // triangles of the PRE-deletion graph containing a deleted
+          // edge: z is a common neighbor of both endpoints (the
+          // adjacency is two scans of the checkpointed support
+          // relation — no re-exchange; `deleted` is the small side)
+          val nbr = supp.select(col("a").as("u"), col("b").as("v"))
+            .unionByName(supp.select(col("b").as("u"), col("a").as("v")))
+          val lost = deleted
+            .join(nbr, col("u") === col("a"))
+            .select(col("a"), col("b"), col("v").as("z"))
+            .filter(col("z") =!= col("b"))
+            .join(nbr.select(col("u").as("u2"), col("v").as("z2")),
+              col("u2") === col("b") && col("z2") === col("z"),
+              "left_semi")
+          // canonical triple ONCE per lost triangle (it may carry
+          // 2-3 deleted member edges and be found once per each)
+          val tri = lost
+            .select(array_sort(array(col("a"), col("b"), col("z")))
+              .as("t"))
+            .distinct()
+          val lostEd = tri.select(explode(array(
+              struct(element_at(col("t"), 1).as("a"),
+                element_at(col("t"), 2).as("b")),
+              struct(element_at(col("t"), 1).as("a"),
+                element_at(col("t"), 3).as("b")),
+              struct(element_at(col("t"), 2).as("a"),
+                element_at(col("t"), 3).as("b")))).as("ed"))
+            .select(col("ed.a").as("a"), col("ed.b").as("b"))
+          val loss = lostEd
+            .join(keep.select(col("a"), col("b")), Seq("a", "b"),
+              "left_semi")
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("loss"))
+          rounds.mark(keep.join(loss, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("support") - coalesce(col("loss"), lit(0L)))
+                .as("support")))
+        }
         rounds.release(keep); rounds.release(deleted)
         rounds.release(supp)
         supp = next
@@ -899,9 +923,10 @@ object Graph {
     *  0. TRIM: iteratively peel nodes with in-degree 0 or
     *     out-degree 0 in the CURRENT subgraph — no such node can lie
     *     on a cycle, so each is a PROVABLE singleton SCC, emitted
-    *     immediately ((v, v)); nodes stripped of their last edge by
-    *     a peel round are singletons too. One degree aggregate + two
-    *     semi-joins per round, fixpoint with early exit. The
+    *     immediately ((v, v)). One partial-aggregable degree
+    *     aggregate + two anti-joins against the (cascade-sized,
+    *     AQE-broadcastable) trimmed set per round, fixpoint with
+    *     early exit. The
     *     acyclic-thin common case (DAG-like web frontiers, random
     *     sparse graphs — every SCC a singleton) exhausts HERE, in
     *     edge-local rounds over a geometrically-shrinking edge set,
@@ -924,10 +949,13 @@ object Graph {
     *     conversely every SCC whose members' minimum reachable id is
     *     their own minimum is flooded completely this round.
     *  3. PEEL: emit flooded nodes as (v, r), drop every edge
-    *     touching them; unflagged nodes left EDGE-LESS by the peel
-    *     are singleton SCCs (v, v) — emitted immediately. Repeat on
-    *     the remaining subgraph: an SCC whose color pointed at a
-    *     now-removed downstream component becomes a root itself.
+    *     touching them. Repeat on the remaining subgraph: an SCC
+    *     whose color pointed at a now-removed downstream component
+    *     becomes a root itself. Nodes left EDGE-LESS anywhere along
+    *     the way (their last edge died with a trimmed or flooded
+    *     partner) are provably singleton SCCs, swept as (v, v) by
+    *     ONE end-of-operator anti-join against the pinned original
+    *     node set — no per-round isolation bookkeeping.
     *
     * Each outer round extracts at least every current color root's
     * SCC, so the edge set strictly shrinks; DAG regions collapse in
@@ -965,6 +993,12 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var e = rounds.mark(
       edges.select(col(cs).as("src"), col(cd).as("dst")).distinct())
+    // the full node set, pinned once: nodes that drop out of the
+    // edge set un-emitted (their last edge died with a trimmed or
+    // flooded partner) are provably singleton SCCs, swept by ONE
+    // anti-join at the end instead of per-round bookkeeping
+    val nodes0 = rounds.mark(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     var emptied = e.isEmpty
@@ -980,38 +1014,31 @@ object Graph {
       var tr = 0
       var tDone = false
       while (tr < maxPropRounds && !tDone) {
-        // one aggregate per round, checkpointed; trimmed/keep are
-        // cheap filters over its stored node-sized relation
-        val dd = rounds.mark(
+        // one partial-aggregable degree-presence pass → the trimmed
+        // set, checkpointed directly (no intermediate relation);
+        // nodes stripped of their LAST edge by a peel are swept by
+        // the single end-of-operator missing-node pass, not here
+        val trimmed = rounds.mark(
           e.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
             .unionByName(
               e.select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
             .groupBy(col("id"))
-            .agg(max(col("o")).as("o"), max(col("i")).as("i")))
-        val trimmed = rounds.mark(
-          dd.filter(col("o") === 0 || col("i") === 0)
+            .agg(max(col("o")).as("o"), max(col("i")).as("i"))
+            .filter(col("o") === 0 || col("i") === 0)
             .select(col("id"), col("id").as("c")))
         if (trimmed.isEmpty) {
-          rounds.release(trimmed); rounds.release(dd); tDone = true
+          rounds.release(trimmed); tDone = true
         } else {
-          val keep = dd.filter(col("o") === 1 && col("i") === 1)
-            .select(col("id"))
+          // anti-join on the TRIMMED side (not semi on keep): the
+          // cascade is the small side, so AQE broadcasts it and the
+          // edge relation streams map-side on thin cascades
           val nextE = rounds.mark(
-            e.join(keep.withColumnRenamed("id", "src"), Seq("src"),
-                "left_semi")
-              .join(keep.withColumnRenamed("id", "dst"), Seq("dst"),
-                "left_semi")
+            e.join(trimmed.select(col("id").as("src")), Seq("src"),
+                "left_anti")
+              .join(trimmed.select(col("id").as("dst")), Seq("dst"),
+                "left_anti")
               .select(col("src"), col("dst")))
-          // kept nodes whose every edge died with a trimmed partner:
-          // gone from the edge set, provably cycle-free → singletons
-          val vanished = keep.join(
-              nextE.select(col("src").as("id"))
-                .union(nextE.select(col("dst").as("id"))),
-              Seq("id"), "left_anti")
-            .select(col("id"), col("id").as("c"))
-          val layer = rounds.mark(trimmed.unionByName(vanished))
-          rounds.release(trimmed); rounds.release(dd)
-          layers += layer
+          layers += trimmed
           rounds.release(e)
           e = nextE
           tr += 1
@@ -1082,8 +1109,8 @@ object Graph {
       require(fDone, s"SCC flood did not converge within " +
         s"$maxPropRounds rounds — raise maxPropRounds (a partially " +
         "flooded SCC must never be peeled)")
-      // 3. PEEL — emit flooded SCCs, drop their edges, sweep the
-      // nodes the peel isolated as singletons
+      // 3. PEEL — emit flooded SCCs, drop their edges (nodes the
+      // peel isolates are caught by the final missing-node sweep)
       val flaggedIds = flood.select(col("id"))
       val nextE = rounds.mark(
         e.join(flaggedIds.withColumnRenamed("id", "src"), Seq("src"),
@@ -1091,14 +1118,7 @@ object Graph {
           .join(flaggedIds.withColumnRenamed("id", "dst"), Seq("dst"),
             "left_anti")
           .select(col("src"), col("dst")))
-      val nextNodes = nextE.select(col("src").as("id"))
-        .union(nextE.select(col("dst").as("id"))).distinct()
-      val isolated = nodes.join(flaggedIds, Seq("id"), "left_anti")
-        .join(nextNodes, Seq("id"), "left_anti")
-        .select(col("id"), col("id").as("c"))
-      val layer = rounds.mark(flood.unionByName(isolated))
-      rounds.release(flood)
-      layers += layer
+      layers += flood
       rounds.release(color)
       eSrc.unpersist(false); eDst.unpersist(false)
       rounds.release(e)
@@ -1112,14 +1132,18 @@ object Graph {
       "per layer of SCCs whose minimum reachable id points " +
       "downstream); emitting a partial assignment would silently " +
       "drop the unpeeled nodes")
-    val out =
-      if (layers.isEmpty) {
-        // no edges at all: empty relation with the right schema
-        e.select(col("src").as("id"), col("src").as("rep")).limit(0)
-      } else layers.reduce(_ unionByName _)
-        .select(col("id"), col("c").as("rep"))
-    val res = rounds.mark(out)
+    // final sweep: every node never emitted by trim or flood lost
+    // its edges to removed partners — provably cycle-free, singleton
+    val emitted = layers.foldLeft(
+      nodes0.select(col("id"), col("id").as("c")).limit(0))(
+      _ unionByName _)
+    val missing = nodes0
+      .join(emitted.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("c"))
+    val res = rounds.mark(emitted.unionByName(missing)
+      .select(col("id"), col("c").as("rep")))
     layers.foreach(rounds.release)
+    rounds.release(nodes0)
     rounds.release(e)
     res
   }
@@ -2093,22 +2117,30 @@ object Graph {
     * the output size data-dependent); trainers that want strict
     * negatives filter `neg != center AND neg != context`, visibly.
     *
-    * Scale shape: the weight table is laid out as cumulative
-    * intervals TWO-LEVEL — `buckets` hash groups (`id mod buckets`)
-    * each carrying an in-bucket prefix sum from one
-    * bucket-partitioned window pass (NO global-order window over
-    * the vocabulary), plus a buckets-sized offset relation whose
-    * own prefix sum is the only single-partition window (B rows —
-    * pick `buckets` ≈ vocabulary/10⁶ at scale). Each draw maps to
-    * its bucket through the BROADCAST offset relation (interval
-    * residual on a B-row build side), then to its node through one
-    * bucket-equi join with the in-bucket interval as a residual
-    * predicate — the corpus-sized draw relation moves through
-    * exactly ONE vocabulary-sized exchange. The vocabulary subtree
-    * is evaluated twice (offsets + probe build) — vocabulary-sized,
-    * never corpus-sized. Total-weight overflow of decimal(38,0)
-    * raises (the [[randomWalksWeighted]] guard); an EMPTY frequency
-    * table yields an empty result, not an error.
+    * Scale shape, in two parts. (1) PREFIX SUMS without a global
+    * window: `buckets` hash groups (`id mod buckets`) each carry an
+    * in-bucket prefix sum from one bucket-partitioned window pass,
+    * and only the buckets-sized offset relation pays a
+    * single-partition window (B rows — pick `buckets` ≈
+    * vocabulary/10⁶ at scale); global interval [glo, ghi) = bucket
+    * offset + in-bucket prefix, folded on via one BROADCAST join.
+    * (2) The PICK is an interval-bin equi-join, NOT a bucket join:
+    * a bucket-keyed join has only `buckets` distinct keys, so at
+    * corpus scale it degenerates into a per-bucket cross product.
+    * Instead the weight line is cut into fixed-width bins
+    * (W = 1024·max(4, tot/(4096·n)) — deterministic, derived from
+    * the table itself), each node's interval replicates into the
+    * bins it spans (explode of a short sequence; total replication
+    * ≤ ~5× the vocabulary because total bins ≤ 4n), each draw
+    * probes exactly its own bin (`x div W`), and the in-bin
+    * interval residual selects the single owner. Every weight is
+    * ≥ 1024 (f ≥ 1 ⇒ floor(sqrt(sqrt(1))·1024) = 1024), so a bin
+    * holds at most W/1024 + 2 candidate intervals — near-constant
+    * for realistic frequency tables. The corpus-sized draw relation
+    * moves through exactly ONE bin-keyed exchange. Total-weight
+    * overflow of decimal(38,0) raises (the [[randomWalksWeighted]]
+    * guard); an EMPTY frequency table yields an empty result, not
+    * an error.
     *
     * Output: (center, context, j, neg) — j = 0..k−1 the draw index,
     * so the result is replay-stable and joinable back onto the pair
@@ -2141,13 +2173,34 @@ object Graph {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bko = bkt.select(col("bk"), col("btot"),
       (sum(col("btot")).over(wo) - col("btot")).as("boff"))
+    // one row: the guarded grand total, the vocabulary size, and the
+    // deterministic bin width derived from both
     val totRel = bko.agg(sum(col("btot")).as("tot0"),
         count(lit(1)).as("nb"))
-      .select(when(col("nb") > 0 && col("tot0").isNull, raise_error(
-          lit("skipGramNegatives: unigram^0.75 weight total " +
-            "overflowed decimal(38,0) — shrink the corpus frequency " +
-            "scale")).cast(dec38))
-        .otherwise(col("tot0")).as("tot"))
+      .crossJoin(broadcast(
+        uni.agg(count(lit(1)).cast(dec38).as("nvocab"))))
+      .select(
+        when(col("nb") > 0 && col("tot0").isNull, raise_error(
+            lit("skipGramNegatives: unigram^0.75 weight total " +
+              "overflowed decimal(38,0) — shrink the corpus frequency " +
+              "scale")).cast(dec38))
+          .otherwise(col("tot0")).as("tot"),
+        col("nvocab"))
+      .select(col("tot"),
+        (lit(1024).cast(dec38) * greatest(lit(4).cast(dec38),
+          idiv(col("tot"), lit(4096).cast(dec38) *
+            greatest(col("nvocab"), lit(1).cast(dec38))))).as("binw"))
+    // global intervals via the broadcast bucket offsets, then each
+    // interval replicated into the fixed-width bins it spans
+    val glob = wn.join(broadcast(bko.select(col("bk"), col("boff"))),
+        Seq("bk"))
+      .select(col("id"), (col("boff") + col("wlo")).as("glo"),
+        (col("boff") + col("whi")).as("ghi"))
+    val binned = glob.crossJoin(broadcast(totRel.select(col("binw"))))
+      .select(col("id"), col("glo"), col("ghi"),
+        explode(sequence(idiv(col("glo"), col("binw")).cast("long"),
+          idiv(col("ghi") - lit(1).cast(dec38), col("binw"))
+            .cast("long"))).as("bin"))
     val draws = pairs.select(col(pc).as("center"), col(px).as("context"))
       .select(col("center"), col("context"),
         explode(sequence(lit(0L), lit(k - 1L))).as("j"))
@@ -2160,15 +2213,13 @@ object Graph {
       .crossJoin(broadcast(totRel))
       .select(col("center"), col("context"), col("j"),
         idiv(shiftrightunsigned(col("ph"), 32).cast(dec38) *
-          col("tot").cast(dec38), lit(4294967296L).cast(dec38)).as("x"))
-    draws
-      .join(broadcast(bko),
-        col("x") >= col("boff") && col("x") < col("boff") + col("btot"))
-      .select(col("center"), col("context"), col("j"), col("bk"),
-        (col("x") - col("boff")).as("xb"))
-      .as("d")
-      .join(wn.as("u"), col("d.bk") === col("u.bk") &&
-        col("d.xb") >= col("u.wlo") && col("d.xb") < col("u.whi"))
+          col("tot").cast(dec38), lit(4294967296L).cast(dec38)).as("x"),
+        col("binw"))
+      .select(col("center"), col("context"), col("j"), col("x"),
+        idiv(col("x"), col("binw")).cast("long").as("bin"))
+    draws.as("d")
+      .join(binned.as("u"), col("d.bin") === col("u.bin") &&
+        col("d.x") >= col("u.glo") && col("d.x") < col("u.ghi"))
       .select(col("d.center").as("center"), col("d.context").as("context"),
         col("d.j").as("j"), col("u.id").as("neg"))
   }

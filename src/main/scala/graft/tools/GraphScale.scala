@@ -136,6 +136,19 @@ object GraphScale {
           .select(((col("start") * lit(2) + col("walk")) *
               lit(iters + 1L) + col("step")).as("id"),
             col("start"), col("walk"), col("step"), col("id").as("node"))
+      // embedding-corpus tail: walks → skip-gram pairs → k=2
+      // negative draws from the corpus unigram^0.75 distribution at
+      // buckets=1024; the packed id pins exactly one row per
+      // ((center, context), j)
+      case "negs" =>
+        val w = graft.functions.Graph.randomWalks(ed, iters, 1, 42L)
+        val pairs = graft.functions.Graph.skipGramPairs(w, 2)
+        val freqs = w.groupBy(col("id")).count()
+        graft.functions.Graph.skipGramNegatives(pairs, freqs, k = 2,
+            seed = 91L, buckets = 1024)
+          .select(((col("center") * lit(nEdges * 2L) + col("context"))
+              * 2 + col("j")).as("id"),
+            col("center"), col("context"), col("j"), col("neg"))
       // node2vec face, (p, q) = (4, 2): same output shape, so it
       // shares the walks invariants below
       case "walks_n2v" =>
@@ -316,6 +329,20 @@ object GraphScale {
         val t = pr.agg(count(lit(1)).cast("decimal(38,0)"))
           .head().getDecimal(0)
         (badHop + s0bad + gaps, t)
+      case "negs" =>
+        // one draw per ((center, context), j): row count = 2 × the
+        // pair-multiset size; every neg must be a positive-frequency
+        // corpus node (walks re-derive deterministically)
+        val w = graft.functions.Graph.randomWalks(edges, iters, 1, 42L)
+        val nPairs = graft.functions.Graph.skipGramPairs(w, 2).count()
+        val sizeBad = if (nodes == nPairs * 2) 0L else 1L
+        val corpusNodes = w.groupBy(col("id")).count()
+          .filter(col("count") > 0).select(col("id").as("neg"))
+        val offCorpus = pr.join(corpusNodes, Seq("neg"), "left_anti")
+          .count()
+        val t = pr.agg(count(lit(1)).cast("decimal(38,0)"))
+          .head().getDecimal(0)
+        (sizeBad + offCorpus, t)
       case _ =>
         val base = java.math.BigDecimal.valueOf((unit * 150L / 1000L) / nodeCount)
         val bad = pr.filter(col("rank") < lit(base)).count()
@@ -332,12 +359,13 @@ object GraphScale {
     println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
     require((op == "bfs" || op == "sssp" || op == "kcore" ||
         op == "coreness" || op == "ktruss" || op == "walks" ||
-        op == "walks_n2v" || op == "betweenness" || nodes == nodeCount) &&
+        op == "walks_n2v" || op == "negs" || op == "betweenness" ||
+        nodes == nodeCount) &&
       badRows == 0 && dupIds == 0 &&
       (op == "lpa" || op == "bfs" || op == "sssp" || op == "triangles" ||
         op == "kcore" || op == "harmonic" || op == "coreness" ||
         op == "scc" || op == "ktruss" || op == "walks" ||
-        op == "walks_n2v" || op == "betweenness" ||
+        op == "walks_n2v" || op == "negs" || op == "betweenness" ||
         total.compareTo(java.math.BigDecimal.valueOf(unit)) <= 0) &&
       mismatch <= 0, "invariant violation")
     spark.stop()
