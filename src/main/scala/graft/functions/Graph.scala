@@ -829,10 +829,9 @@ object Graph {
         // choice is invisible in the output (bit-identical either
         // way) and the round stays deterministic.
         val next = if (delCnt > keepCnt) {
-          val keepE = rounds.mark(keep.select(col("a"), col("b")))
-          val s = edgeSupport(keepE, rounds)
-          rounds.release(keepE)
-          s
+          // a projection over keep's checkpoint — edgeSupport's
+          // scans all read the stored relation, no extra mark
+          edgeSupport(keep.select(col("a"), col("b")), rounds)
         } else {
           // triangles of the PRE-deletion graph containing a deleted
           // edge: z is a common neighbor of both endpoints (the
@@ -977,7 +976,7 @@ object Graph {
     *
     * Scale shape: all four phases move frontier-sized or edge-sized
     * relations under the shared [[Rounds]] lifecycle — trim is one
-    * partial-aggregable degree-presence aggregate + two semi-joins
+    * partial-aggregable degree-presence aggregate + two anti-joins
     * over the geometrically-shrinking edge set per round, color
     * joins the changed-label frontier against a dst-pinned edge
     * layout, the flood joins the newly-flagged frontier against a
@@ -1006,11 +1005,10 @@ object Graph {
       // 0. TRIM — peel in-degree-0 / out-degree-0 nodes to fixpoint:
       // provable singleton SCCs, emitted without touching the color
       // machinery. Each round: one partial-aggregable degree-presence
-      // aggregate, two left-semi joins of the shrinking edge set, and
-      // a node-sized anti-join sweeping nodes the peel left edge-less
-      // (they must be emitted NOW — the next round's aggregate no
-      // longer sees them). A cap hit here is benign: remaining mass
-      // falls through to the complete color+flood path below.
+      // aggregate + two anti-joins of the shrinking edge set against
+      // the cascade-sized trimmed set. A cap hit here is benign:
+      // remaining mass falls through to the complete color+flood
+      // path below.
       var tr = 0
       var tDone = false
       while (tr < maxPropRounds && !tDone) {

@@ -767,11 +767,12 @@ object AnalyticQueries {
     // draws per (center, context) pair from the unigram^0.75
     // distribution (weight = floor(sqrt(sqrt(f^3))*1024 — sqrt is
     // IEEE-exact in BOTH engines, which is why the oracle can
-    // re-derive the weight table bit-for-bit), two-level
-    // bucket-interval pick at buckets=8 so the bucket offset join
-    // and the in-bucket residual are both multi-bucket live; the
-    // oracle re-derives every draw from the staged splitmix64
-    // stream (seed 91 → center → context → j)
+    // re-derive the weight table bit-for-bit); buckets=8 makes the
+    // two-level prefix sums multi-bucket live, and the engine-side
+    // interval-bin pick is pure join strategy — the oracle
+    // re-derives each draw MATHEMATICALLY (global offset intervals +
+    // the staged splitmix64 stream, seed 91 → center → context → j),
+    // so it pins the result independent of the join shape
     "q_graph_walk_negs" -> { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey").as("k"),
