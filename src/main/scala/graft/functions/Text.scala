@@ -631,23 +631,27 @@ object Text {
 
   /** Registry-exact registrable domain via a CALLER-SUPPLIED public-
     * suffix relation — the escape hatch [[urlDomain]]'s scaladoc
-    * promises: `suffixes`' first column holds plain suffix strings
-    * (the Public Suffix List's rule lines — 'com', 'co.uk',
-    * 'github.io'; wildcard and exception rules are out of scope —
-    * expand them upstream), and each row's registrable domain is the
-    * label before the LONGEST matching suffix. Hosts that ARE a
-    * public suffix ('github.io' itself) yield NULL — they name a
-    * registry slot, not a registrant; hosts matching NO suffix fall
-    * back to the [[urlDomain]] heuristic, so a partial suffix list
-    * degrades gracefully instead of nulling the tail. Non-URLs and
-    * hostless inputs stay NULL.
+    * promises: `suffixes`' first column holds Public Suffix List
+    * rule lines VERBATIM — plain suffixes ('com', 'co.uk',
+    * 'github.io'), wildcard rules ('*.ck': every LABEL.ck is a
+    * public suffix), and exception rules ('!www.ck': www.ck is a
+    * registrable domain despite the wildcard). PSL semantics: an
+    * exception rule beats everything; otherwise the LONGEST matching
+    * rule wins; the registrable domain is the matched public suffix
+    * plus one label. Hosts that ARE a public suffix ('github.io',
+    * 'b.ck' under '*.ck') yield NULL — they name a registry slot,
+    * not a registrant; hosts matching NO rule fall back to the
+    * [[urlDomain]] heuristic, so a partial suffix list degrades
+    * gracefully instead of nulling the tail. Non-URLs and hostless
+    * inputs stay NULL. Depth bound: effective suffixes up to 4
+    * labels (exact and exception) / wildcards '*.X' with X up to 3
+    * labels — the PSL's practical depth, documented.
     *
-    * Scale shape: the suffix relation is deduped, lowercased, and
-    * BROADCAST; matching is four broadcast left joins (suffixes are
-    * at most 4 labels — the PSL's practical depth, documented), one
-    * per candidate tail length, so the corpus-sized relation never
-    * exchanges and the whole pass stays map-side. Returns `df` plus
-    * the `out` column.
+    * Scale shape: the rule relation is deduped, lowercased, and
+    * BROADCAST; matching is eleven broadcast left joins (4 exact +
+    * 4 exception + 3 wildcard candidate forms, one per tail length),
+    * so the corpus-sized relation never exchanges and the whole pass
+    * stays map-side. Returns `df` plus the `out` column.
     */
   def urlDomainPsl(df: org.apache.spark.sql.DataFrame, url: Column,
       suffixes: org.apache.spark.sql.DataFrame,
@@ -663,21 +667,44 @@ object Text {
             slice(col("__ls"), col("__n") - lit(k) + 1, lit(k)))))
         .join(broadcast(sfx.withColumnRenamed("__sfx", s"__m$k")),
           col(s"__t$k") === col(s"__m$k"), "left")
+        // exception rule '!tail' — matches any host whose k-tail
+        // equals the rule's labels; its registrable domain IS that
+        // tail (the rule minus '!' is suffix+1 by construction)
+        .join(broadcast(sfx.withColumnRenamed("__sfx", s"__e$k")),
+          concat(lit("!"), col(s"__t$k")) === col(s"__e$k"), "left")
+    }
+    // wildcard rule '*.X' — an EFFECTIVE suffix of k labels when X
+    // is the host's (k−1)-tail and a label exists to fill the '*'
+    // (n ≥ k); the matched public suffix is the host's own k-tail
+    for (k <- 2 to 4) {
+      d = d.join(broadcast(sfx.withColumnRenamed("__sfx", s"__w$k")),
+        when(col("__n") >= k, concat(lit("*."), col(s"__t${k - 1}")))
+          === col(s"__w$k"), "left")
     }
     // a matched suffix consuming the WHOLE host names a registry
     // slot, not a registrant → NULL; otherwise prepend one label
     def domFor(k: Int): Column =
       when(col("__n") > k, concat(
         element_at(col("__ls"), col("__n") - k), lit("."),
-        col(s"__m$k"))).otherwise(lit(null).cast("string"))
+        col(s"__t$k"))).otherwise(lit(null).cast("string"))
+    def hitAt(k: Int): Column =
+      if (k >= 2) col(s"__m$k").isNotNull || col(s"__w$k").isNotNull
+      else col(s"__m$k").isNotNull
     val dom = when(col("__h").isNull, lit(null).cast("string"))
-      .when(col("__m4").isNotNull, domFor(4))
-      .when(col("__m3").isNotNull, domFor(3))
-      .when(col("__m2").isNotNull, domFor(2))
-      .when(col("__m1").isNotNull, domFor(1))
+      // exceptions first (PSL: an exception rule prevails outright),
+      // longest exception wins; its registrable domain is the tail
+      .when(col("__e4").isNotNull, col("__t4"))
+      .when(col("__e3").isNotNull, col("__t3"))
+      .when(col("__e2").isNotNull, col("__t2"))
+      .when(col("__e1").isNotNull, col("__t1"))
+      .when(hitAt(4), domFor(4))
+      .when(hitAt(3), domFor(3))
+      .when(hitAt(2), domFor(2))
+      .when(hitAt(1), domFor(1))
       .otherwise(urlDomain(url))
     d.withColumn(out, dom)
-      .drop((1 to 4).flatMap(k => Seq(s"__t$k", s"__m$k")) ++
+      .drop((1 to 4).flatMap(k => Seq(s"__t$k", s"__m$k", s"__e$k")) ++
+        (2 to 4).map(k => s"__w$k") ++
         Seq("__h", "__ls", "__n"): _*)
   }
 

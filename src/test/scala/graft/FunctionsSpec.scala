@@ -1358,8 +1358,11 @@ class FunctionsSpec extends SparkSpec {
   test("urlDomainPsl: longest suffix wins, PSL beats heuristic, miss falls back") {
     // mini-PSL with a heuristic-vs-PSL disagreement: github.io is a
     // public suffix, so foo.github.io's registrable domain is the
-    // whole host — the heuristic would answer github.io
-    val psl = Seq("com", "co.uk", "io", "github.io").toDF("suffix")
+    // whole host — the heuristic would answer github.io. Includes a
+    // wildcard rule (*.ck: every LABEL.ck is a public suffix) and
+    // its exception (!www.ck), the real PSL's ck shape.
+    val psl = Seq("com", "co.uk", "io", "github.io", "*.ck", "!www.ck")
+      .toDF("suffix")
     val cases = Seq(
       "https://foo.GitHub.io/p" -> "foo.github.io", // PSL: suffix+1
       "https://github.io/" -> null, // host IS a suffix → no registrant
@@ -1367,6 +1370,11 @@ class FunctionsSpec extends SparkSpec {
       "http://Shop.Amazon.co.uk:8080/p" -> "amazon.co.uk", // co.uk > uk-miss
       "http://localhost:1234/" -> "localhost", // no match → heuristic
       "https://a.b.GOV.cn/" -> "b.gov.cn", // miss → heuristic ccSLD form
+      "http://x.a.b.ck/" -> "a.b.ck", // wildcard: b.ck is the suffix
+      "http://a.b.ck/" -> "a.b.ck", // wildcard suffix b.ck + 1 label
+      "http://b.ck/" -> null, // host IS a wildcard public suffix
+      "http://WWW.ck/" -> "www.ck", // exception beats the wildcard
+      "http://x.www.ck/" -> "www.ck", // exception tail wins above too
       "doc 7" -> null, // non-URL stays null
       "https:///x" -> null) // hostless stays null
     val got = Text.urlDomainPsl(
