@@ -648,6 +648,13 @@ object Graph {
     require(maxK >= 0,
       s"maxK must be >= 1, or 0 for auto-degeneracy mode, got $maxK")
     require(maxRoundsPerK >= 0, "maxRoundsPerK must be >= 0")
+    // auto mode terminates via the peel-to-empty early exit, which a
+    // zero-round peel can never reach: the k-loop would run forever,
+    // one Spark job per k — refuse the combination up front
+    require(maxK > 0 || maxRoundsPerK >= 1,
+      "coreness: auto-degeneracy mode (maxK = 0) requires " +
+        "maxRoundsPerK >= 1 — a zero-round peel never empties the " +
+        "graph, so the unbounded k-loop would never terminate")
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var e = rounds.mark(canonicalUndirected(edges))
@@ -974,6 +981,26 @@ object Graph {
     * and mis-reported as smaller components. Unconverged ⇒ error,
     * never a wrong answer.
     *
+    * LONG-CYCLE ACCELERATION (adaptive relation squaring): plain
+    * label propagation pays one round per label hop, so a cycle of
+    * length L costs O(L) rounds — the measured worst wall/edge shape
+    * (disjoint 64-cycles). When a propagation loop is still
+    * unconverged after a few rounds, its edge relation SQUARES:
+    * prop ← dedup(prop ∪ prop∘prop), adding shortcut pairs that are
+    * themselves genuine reachability pairs (src →* dst), so the
+    * fixpoint is untouched while the remaining label diameter halves
+    * per squaring — O(log L) rounds where the shapes demand it. Each
+    * squaring re-arms the frontier to the full relation (shortcuts
+    * can improve nodes a pruned frontier no longer covers), and the
+    * squared relation is size-capped (~24× the round's edge count,
+    * checked before adoption) so hub-dense graphs where composition
+    * would blow up simply keep the plain frontier loop; shapes that
+    * converge inside the threshold never pay a single composition
+    * join. The flood loop accelerates independently the same way
+    * (reusing the color loop's squared relation when one exists) —
+    * forward flood distance can exceed the min-label diameter (short
+    * paths TO the minimum, one long path FROM it).
+    *
     * Scale shape: all four phases move frontier-sized or edge-sized
     * relations under the shared [[Rounds]] lifecycle — trim is one
     * partial-aggregable degree-presence aggregate + two anti-joins
@@ -982,6 +1009,12 @@ object Graph {
     * layout, the flood joins the newly-flagged frontier against a
     * src-pinned layout, and the peel is two left-anti joins; no
     * windows, no driver-side graph state beyond the loop counters.
+    * The loop relations are thin (two longs), so the operator sizes
+    * its own shuffle width (~200k rows/task, clamped to
+    * [defaultParallelism, 1024]) for the duration of the call
+    * instead of inheriting a session knob tuned for sketch-payload
+    * operators (measured 1.75× at 10M edges), restoring the session
+    * setting on exit.
     */
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 20,
       maxPropRounds: Int = 100): DataFrame = {
@@ -992,6 +1025,14 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var e = rounds.mark(
       edges.select(col(cs).as("src"), col(cd).as("dst")).distinct())
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val edgeCount0 = e.count()
+    val loopParts = math.max(
+      spark.sparkContext.defaultParallelism.toLong,
+      math.min(1024L, edgeCount0 / 200000L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     // the full node set, pinned once: nodes that drop out of the
     // edge set un-emitted (their last edge died with a trimmed or
     // flooded partner) are provably singleton SCCs, swept by ONE
@@ -1049,15 +1090,36 @@ object Graph {
       val eSrc = e.repartition(col("src")).persist(lvl)
       val eDst = e.repartition(col("dst")).persist(lvl)
       eSrc.count(); eDst.count()
+      val eCnt = math.max(e.count(), 1L)
+      // squared-relation lifecycle: compose prop with itself, dedup,
+      // pin on the loop's probe side; adopted only under the size cap
+      // (composition on hub-dense graphs can blow up — the plain
+      // frontier loop is the fallback, not an error)
+      val sqCap = 24L * eCnt
+      def squareOf(p: DataFrame, pin: String): Option[DataFrame] = {
+        val comp = p.as("a").join(p.as("b"),
+            col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        val sq = p.select(col("src"), col("dst")).unionByName(comp)
+          .filter(col("src") =!= col("dst")).distinct()
+          .repartition(col(pin)).persist(lvl)
+        if (sq.count() > sqCap) { sq.unpersist(false); None }
+        else Some(sq)
+      }
+      val squareAfter = 6
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
-      // 1. COLOR — frontier-pruned min-reachable-id fixpoint
+      // 1. COLOR — frontier-pruned min-reachable-id fixpoint over a
+      // propagation relation that squares when the loop drags
       var color = rounds.mark(nodes.select(col("id"), col("id").as("c")))
       var cFrontier = color
+      var cProp = eDst
+      var cOwned: DataFrame = null
+      var cCanSquare = true
       var r = 0
       var cDone = false
       while (r < maxPropRounds && !cDone) {
-        val cand = eDst.join(cFrontier.select(col("id").as("dst"),
+        val cand = cProp.join(cFrontier.select(col("id").as("dst"),
             col("c").as("fc")), Seq("dst"))
           .groupBy(col("src").as("id")).agg(min(col("fc")).as("cand"))
         val improved = rounds.mark(cand.join(color, Seq("id"))
@@ -1071,21 +1133,45 @@ object Graph {
           rounds.release(color)
           if (cFrontier ne color) rounds.release(cFrontier)
           color = merged
-          cFrontier = improved
           r += 1
+          if (cCanSquare && r >= squareAfter) {
+            squareOf(cProp, "dst") match {
+              case Some(sq) =>
+                if (cOwned ne null) cOwned.unpersist(false)
+                cOwned = sq; cProp = sq
+                // shortcuts can improve nodes a pruned frontier no
+                // longer covers — re-arm with a full-relation round
+                rounds.release(improved)
+                cFrontier = color
+              case None =>
+                cCanSquare = false
+                cFrontier = improved
+            }
+          } else cFrontier = improved
         }
       }
       if (cFrontier ne color) rounds.release(cFrontier)
       require(cDone, s"color propagation did not converge within " +
         s"$maxPropRounds rounds — raise maxPropRounds (the graph's " +
         "min-label diameter exceeds the wall-time guard)")
-      // 2. FLOOD — forward within color classes from the roots
+      // 2. FLOOD — forward within color classes from the roots; the
+      // flood relation inherits the color loop's squared relation
+      // (re-pinned on src) and can square further on its own: flood
+      // distance can exceed the min-label diameter
+      var fProp = eSrc
+      var fOwned: DataFrame = null
+      if (cOwned ne null) {
+        val s = cOwned.repartition(col("src")).persist(lvl)
+        s.count()
+        fOwned = s; fProp = s
+      }
+      var fCanSquare = true
       var flood = rounds.mark(color.filter(col("id") === col("c")))
       var fFrontier = flood
       r = 0
       var fDone = false
       while (r < maxPropRounds && !fDone) {
-        val cand = eSrc.join(fFrontier.select(col("id").as("src"),
+        val cand = fProp.join(fFrontier.select(col("id").as("src"),
             col("c").as("fc")), Seq("src"))
           .select(col("dst").as("id"), col("fc")).distinct()
         val fresh = rounds.mark(cand
@@ -1099,8 +1185,19 @@ object Graph {
           rounds.release(flood)
           if (fFrontier ne flood) rounds.release(fFrontier)
           flood = merged
-          fFrontier = fresh
           r += 1
+          if (fCanSquare && r >= squareAfter) {
+            squareOf(fProp, "src") match {
+              case Some(sq) =>
+                if (fOwned ne null) fOwned.unpersist(false)
+                fOwned = sq; fProp = sq
+                rounds.release(fresh)
+                fFrontier = flood
+              case None =>
+                fCanSquare = false
+                fFrontier = fresh
+            }
+          } else fFrontier = fresh
         }
       }
       if (fFrontier ne flood) rounds.release(fFrontier)
@@ -1119,6 +1216,8 @@ object Graph {
       layers += flood
       rounds.release(color)
       eSrc.unpersist(false); eDst.unpersist(false)
+      if (cOwned ne null) cOwned.unpersist(false)
+      if (fOwned ne null) fOwned.unpersist(false)
       rounds.release(e)
       e = nextE
       emptied = e.isEmpty
@@ -1144,6 +1243,7 @@ object Graph {
     rounds.release(nodes0)
     rounds.release(e)
     res
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Approximate harmonic centrality via HyperBall (Boldi & Vigna,
@@ -2110,10 +2210,16 @@ object Graph {
     * roots), so the weight table itself is engine-portable and the
     * 1024 scale keeps three binary digits of sub-integer
     * resolution. Draws colliding with the pair's own center or
-    * context are KEPT (word2vec's re-draw loop is a distribution
-    * nicety, not a correctness condition — and dropping would make
-    * the output size data-dependent); trainers that want strict
-    * negatives filter `neg != center AND neg != context`, visibly.
+    * context are KEPT by default (word2vec's re-draw loop is a
+    * distribution nicety, not a correctness condition — and dropping
+    * makes the output size data-dependent); `dropSelfCollisions =
+    * true` applies the strict-negatives filter `neg != center AND
+    * neg != context` INSIDE the operator so trainers don't each
+    * re-derive it. The flag ONLY filters — both modes share the
+    * identical deterministic draws (same (seed, c, x, j) → pos), so
+    * strict output is exactly the default output minus collision
+    * rows, and j indices keep their draw identity (they are NOT
+    * re-densified; a pair may emit fewer than k rows).
     *
     * Scale shape, in two parts. (1) PREFIX SUMS without a global
     * window: `buckets` hash groups (`id mod buckets`) each carry an
@@ -2145,7 +2251,8 @@ object Graph {
     * multiset.
     */
   def skipGramNegatives(pairs: DataFrame, freqs: DataFrame, k: Int,
-      seed: Long, buckets: Int = 256): DataFrame = {
+      seed: Long, buckets: Int = 256,
+      dropSelfCollisions: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     import org.apache.spark.sql.expressions.Window
@@ -2215,10 +2322,14 @@ object Graph {
         col("binw"))
       .select(col("center"), col("context"), col("j"), col("x"),
         idiv(col("x"), col("binw")).cast("long").as("bin"))
-    draws.as("d")
+    val picked = draws.as("d")
       .join(binned.as("u"), col("d.bin") === col("u.bin") &&
         col("d.x") >= col("u.glo") && col("d.x") < col("u.ghi"))
       .select(col("d.center").as("center"), col("d.context").as("context"),
         col("d.j").as("j"), col("u.id").as("neg"))
+    if (dropSelfCollisions)
+      picked.filter(col("neg") =!= col("center") &&
+        col("neg") =!= col("context"))
+    else picked
   }
 }

@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  private lazy val logger =
+    org.slf4j.LoggerFactory.getLogger("graft.Text")
+
   /** Canonical text normalization — the pre-dedup/pre-fingerprint
     * step every large pipeline runs so near-duplicates differing only
     * in case, punctuation, spacing, or numerals collapse onto one
@@ -643,25 +646,62 @@ object Text {
     * not a registrant; hosts matching NO rule fall back to the
     * [[urlDomain]] heuristic, so a partial suffix list degrades
     * gracefully instead of nulling the tail. Non-URLs and hostless
-    * inputs stay NULL. Depth bound: effective suffixes up to 4
-    * labels (exact and exception) / wildcards '*.X' with X up to 3
-    * labels — the PSL's practical depth, documented.
+    * inputs stay NULL. Depth bound: effective suffixes up to 5
+    * labels (exact and exception) / wildcards '*.X' with X up to 4
+    * labels — deep enough for the PSL private section's 5-label
+    * rules (s3.dualstack.&lt;region&gt;.amazonaws.com). Rules BEYOND
+    * the bound are never matched; they are DETECTED up front and
+    * logged as a WARNING naming examples (the signaled-truncation
+    * posture of coreness/ktruss), or THROW when `strictDepth =
+    * true` — a caller feeding a deeper future PSL gets a signal,
+    * never a silent heuristic fallback.
     *
     * Scale shape: the rule relation is deduped, lowercased, and
-    * BROADCAST; matching is eleven broadcast left joins (4 exact +
-    * 4 exception + 3 wildcard candidate forms, one per tail length),
+    * BROADCAST; matching is fourteen broadcast left joins (5 exact +
+    * 5 exception + 4 wildcard candidate forms, one per tail length),
     * so the corpus-sized relation never exchanges and the whole pass
-    * stays map-side. Returns `df` plus the `out` column.
+    * stays map-side. Returns `df` plus the `out` column; an existing
+    * `out` column is REPLACED (the withColumn contract). The
+    * operator reserves the temp names `__h __ls __n __t1..__t5
+    * __m1..__m5 __e1..__e5 __w2..__w5` and REFUSES input that
+    * already carries any of them — silently overwriting caller data
+    * would corrupt pass-through columns.
     */
   def urlDomainPsl(df: org.apache.spark.sql.DataFrame, url: Column,
       suffixes: org.apache.spark.sql.DataFrame,
-      out: String = "domain"): org.apache.spark.sql.DataFrame = {
+      out: String = "domain",
+      strictDepth: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("__h", "__ls", "__n") ++
+      (1 to 5).flatMap(k => Seq(s"__t$k", s"__m$k", s"__e$k")) ++
+      (2 to 5).map(k => s"__w$k")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"urlDomainPsl: input columns ${clash.mkString(", ")} collide " +
+        "with the operator's reserved temp names — rename them first")
     val sfx = suffixes
       .select(lower(col(suffixes.columns.head)).as("__sfx")).distinct()
+    // depth audit on the (small, broadcastable-by-contract) rule
+    // relation: rules deeper than the match joins can reach would
+    // silently fall through to the heuristic — signal instead
+    val labelsOf = when(col("__sfx").startsWith("!"),
+        size(split(substring(col("__sfx"), 2, 1 << 24), "\\.")))
+      .otherwise(size(split(col("__sfx"), "\\.")))
+    // one bound covers all three rule forms: exact rules > 5 labels,
+    // exception tails > 5 labels, wildcards '*.X' with X > 4 labels
+    // (the '*' token makes the split 5 exactly at the bound)
+    val tooDeep = sfx.filter(labelsOf > 5)
+      .limit(6).collect().map(_.getString(0))
+    if (tooDeep.nonEmpty) {
+      val msg = "urlDomainPsl: suffix rules beyond the 5-label depth " +
+        "bound are IGNORED (their hosts take the heuristic " +
+        s"fallback): ${tooDeep.mkString(", ")}"
+      if (strictDepth) throw new IllegalArgumentException(msg)
+      logger.warn(msg)
+    }
     var d = df.withColumn("__h", urlHost(url))
       .withColumn("__ls", split(col("__h"), "\\."))
       .withColumn("__n", size(col("__ls")))
-    for (k <- 1 to 4) {
+    for (k <- 1 to 5) {
       d = d.withColumn(s"__t$k", when(col("__n") >= k,
           concat_ws(".",
             slice(col("__ls"), col("__n") - lit(k) + 1, lit(k)))))
@@ -676,7 +716,7 @@ object Text {
     // wildcard rule '*.X' — an EFFECTIVE suffix of k labels when X
     // is the host's (k−1)-tail and a label exists to fill the '*'
     // (n ≥ k); the matched public suffix is the host's own k-tail
-    for (k <- 2 to 4) {
+    for (k <- 2 to 5) {
       d = d.join(broadcast(sfx.withColumnRenamed("__sfx", s"__w$k")),
         when(col("__n") >= k, concat(lit("*."), col(s"__t${k - 1}")))
           === col(s"__w$k"), "left")
@@ -690,21 +730,39 @@ object Text {
     def hitAt(k: Int): Column =
       if (k >= 2) col(s"__m$k").isNotNull || col(s"__w$k").isNotNull
       else col(s"__m$k").isNotNull
+    // the no-match fallback re-expressed over the ALREADY-COMPUTED
+    // __h/__ls/__n attributes instead of calling urlDomain(url):
+    // semantically identical (the __h-null case is handled first
+    // below), but referencing attributes keeps the fused join
+    // stage's generated code small — re-inlining the full regex
+    // decomposition here was what pushed the whole-stage class past
+    // janino's limits and dropped the stage to interpreted eval
+    val fTld = get(col("__ls"), col("__n") - 1)
+    val fSl = get(col("__ls"), col("__n") - 2)
+    val fThird = get(col("__ls"), col("__n") - 3)
+    val ccSld = Seq("co", "com", "net", "org", "gov", "ac", "edu")
+    val heur = when(
+        fThird.isNotNull && fSl.isin(ccSld: _*) && length(fTld) === 2,
+        concat_ws(".", fThird, fSl, fTld))
+      .when(fSl.isNotNull, concat_ws(".", fSl, fTld))
+      .otherwise(col("__h"))
     val dom = when(col("__h").isNull, lit(null).cast("string"))
       // exceptions first (PSL: an exception rule prevails outright),
       // longest exception wins; its registrable domain is the tail
+      .when(col("__e5").isNotNull, col("__t5"))
       .when(col("__e4").isNotNull, col("__t4"))
       .when(col("__e3").isNotNull, col("__t3"))
       .when(col("__e2").isNotNull, col("__t2"))
       .when(col("__e1").isNotNull, col("__t1"))
+      .when(hitAt(5), domFor(5))
       .when(hitAt(4), domFor(4))
       .when(hitAt(3), domFor(3))
       .when(hitAt(2), domFor(2))
       .when(hitAt(1), domFor(1))
-      .otherwise(urlDomain(url))
+      .otherwise(heur)
     d.withColumn(out, dom)
-      .drop((1 to 4).flatMap(k => Seq(s"__t$k", s"__m$k", s"__e$k")) ++
-        (2 to 4).map(k => s"__w$k") ++
+      .drop((1 to 5).flatMap(k => Seq(s"__t$k", s"__m$k", s"__e$k")) ++
+        (2 to 5).map(k => s"__w$k") ++
         Seq("__h", "__ls", "__n"): _*)
   }
 

@@ -793,6 +793,43 @@ object LlmQueries {
         Text.urlDomain($"url").as("domain"))
     },
 
+    // registry-exact registrable domain against a caller-supplied
+    // mini-PSL: eleven deterministic shapes exercising every rule
+    // form — exact match (com), multi-label (co.uk, pinned lowercase
+    // via a duplicate uppercase rule line), the private-section
+    // heuristic disagreement (foo.github.io is registrable under the
+    // github.io rule where the heuristic answers github.io), wildcard
+    // (*.ck), exception-beats-wildcard (!www.ck), suffix-only hosts →
+    // NULL (both exact github.io and wildcard b.ck forms), a 5-label
+    // private-section rule (s3.dualstack.<region>.amazonaws style —
+    // the depth the 4-label bound used to silently miss), the
+    // no-match heuristic fallback, and the hostless/non-URL NULLs.
+    // The oracle hand-derives the expected domain per shape.
+    "q_text_url_psl" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val psl = Seq("com", "CO.UK", "co.uk", "github.io", "*.ck",
+        "!www.ck", "s3.dualstack.ap-northeast-1.amazonaws.com")
+        .toDF("rule")
+      val raw = docs.select($"doc_id",
+        when($"doc_id" % 11 === 0, lit("https://A.Example.COM/x"))
+          .when($"doc_id" % 11 === 1,
+            lit("http://Shop.Amazon.co.uk:8080/p"))
+          .when($"doc_id" % 11 === 2, lit("https://foo.GitHub.io/"))
+          .when($"doc_id" % 11 === 3, lit("https://x.a.b.ck/"))
+          .when($"doc_id" % 11 === 4, lit("http://WWW.ck/x"))
+          .when($"doc_id" % 11 === 5, lit("https://GitHub.io/"))
+          .when($"doc_id" % 11 === 6, lit(
+            "https://bucket.s3.dualstack.ap-northeast-1.amazonaws.com/k"))
+          .when($"doc_id" % 11 === 7,
+            lit("https://u:p@x.example.org?q=1"))
+          .when($"doc_id" % 11 === 8, lit("http://?a=1"))
+          .when($"doc_id" % 11 === 9, lit("http://b.ck/"))
+          .otherwise(concat(lit("doc "), $"doc_id")).as("url"))
+      Text.urlDomainPsl(raw, $"url", psl, out = "domain")
+        .select($"doc_id", $"domain")
+    },
+
     // Flesch–Kincaid readability per doc: regex-run counts with
     // explicit ASCII classes (Java/RE2 byte parity) + two exact
     // integer floor divisions in micro-units; punctuation injected
@@ -1929,6 +1966,22 @@ object LlmQueries {
         |    WHEN 2 THEN 'b.gov.cn' WHEN 3 THEN 'localhost'
         |    WHEN 4 THEN 'example.org'
         |    WHEN 5 THEN NULL ELSE NULL END AS domain
+        |FROM documents""".stripMargin,
+
+    "q_text_url_psl" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 11
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'amazon.co.uk'
+        |    WHEN 2 THEN 'foo.github.io'
+        |    WHEN 3 THEN 'a.b.ck'
+        |    WHEN 4 THEN 'www.ck'
+        |    WHEN 5 THEN NULL
+        |    WHEN 6 THEN 'bucket.s3.dualstack.ap-northeast-1.amazonaws.com'
+        |    WHEN 7 THEN 'example.org'
+        |    WHEN 8 THEN NULL
+        |    WHEN 9 THEN NULL
+        |    ELSE NULL END AS domain
         |FROM documents""".stripMargin,
 
     "q_text_readability" ->

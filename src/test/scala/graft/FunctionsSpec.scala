@@ -1387,6 +1387,49 @@ class FunctionsSpec extends SparkSpec {
     assert(got.size === cases.size)
   }
 
+  test("urlDomainPsl: 5-label private-section rules match; depth audit signals; temp names guarded") {
+    // the real PSL's deepest private-section shape: a 5-label exact
+    // rule (s3.dualstack.<region>.amazonaws.com) must match — the
+    // old 4-label bound silently fell back to the heuristic here
+    val psl = Seq("com", "s3.dualstack.ap-northeast-1.amazonaws.com")
+      .toDF("suffix")
+    val cases = Seq(
+      // suffix + 1 label → the registrable bucket domain (6 labels)
+      "https://B1.s3.dualstack.ap-northeast-1.amazonaws.com/k" ->
+        "b1.s3.dualstack.ap-northeast-1.amazonaws.com",
+      // the 5-label suffix itself names a registry slot → NULL
+      "https://s3.dualstack.ap-northeast-1.amazonaws.com/" -> null,
+      // longest rule wins over the co-matching 'com'
+      "https://x.y.amazonaws.com/" -> "amazonaws.com")
+    val got = Text.urlDomainPsl(
+        cases.map(_._1).toDF("u"), col("u"), psl, out = "dom")
+      .select(col("u"), col("dom")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null
+        else r.getString(1))).toMap
+    for ((u, want) <- cases) assert(got(u) === want, s"for input: $u")
+    // a rule BEYOND the 5-label bound is ignored (heuristic fallback
+    // for its hosts) — and strictDepth turns the warning into a raise
+    val deep = Seq("com", "a.b.c.d.e.f").toDF("suffix")
+    val fb = Text.urlDomainPsl(
+        Seq("https://x.a.b.c.d.e.f/").toDF("u"), col("u"), deep,
+        out = "dom")
+      .select(col("dom")).head().getString(0)
+    assert(fb === "e.f") // heuristic last-2, not the deep rule
+    val e1 = intercept[IllegalArgumentException] {
+      Text.urlDomainPsl(Seq("https://x.com/").toDF("u"), col("u"),
+        deep, out = "dom", strictDepth = true)
+    }
+    assert(e1.getMessage.contains("a.b.c.d.e.f"))
+    // input columns colliding with reserved temp names are refused —
+    // a silent overwrite would corrupt pass-through data
+    val e2 = intercept[IllegalArgumentException] {
+      Text.urlDomainPsl(
+        Seq(("https://x.com/", 1L)).toDF("u", "__n"), col("u"),
+        psl, out = "dom")
+    }
+    assert(e2.getMessage.contains("__n"))
+  }
+
   test("readability: hand-computed counts and FK micro-grades") {
     val got = Seq(
       "Hello world. How are you?", // w 5, s 2, syl 2+1+1+2+1 = 7

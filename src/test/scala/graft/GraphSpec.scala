@@ -803,6 +803,95 @@ class GraphSpec extends SparkSpec {
     assert(runNegs(pairs.repartition(7), freqs.repartition(5)) === got)
   }
 
+  test("skipGramNegatives: dropSelfCollisions only filters — both modes share draws") {
+    // three-node vocabulary with pairs drawn FROM the vocabulary, so
+    // self-collisions (neg == center or context) actually occur and
+    // the strict mode is differentially live
+    val freqs = Seq((1L, 5L), (2L, 9L), (3L, 2L)).toDF("id", "f")
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L)).toDF("center", "context")
+    def run(strict: Boolean) =
+      Graph.skipGramNegatives(pairs, freqs, k = 6, seed = 11L,
+          buckets = 2, dropSelfCollisions = strict)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(x => (x._1, x._2, x._3))
+    val dflt = run(strict = false)
+    val strict = run(strict = true)
+    // default keeps every (pair, j) draw; collisions exist (the test
+    // would be vacuous otherwise)
+    assert(dflt.size === 36)
+    assert(dflt.exists(x => x._4 == x._1 || x._4 == x._2))
+    // the flag ONLY filters: strict output is exactly the default
+    // minus collision rows — same draws, j indices intact
+    assert(strict === dflt.filterNot(x => x._4 == x._1 || x._4 == x._2))
+  }
+
+  test("walk-corpus incremental refresh: only walks visiting touched sources recompute") {
+    // the OPERATORS.md CDC recipe, asserted exact: after an edge
+    // delta, a walk whose every visited node kept its out-adjacency
+    // re-derives bit-identically (the hash pick reads only
+    // (seed, start, walk, t) and the visited node's own ranked
+    // adjacency) — so refresh = keep walks never visiting a touched
+    // source, recompute exactly the (start, walk) keys that do, plus
+    // walks of brand-new sources
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 6L),
+      (6L, 5L), (7L, 5L))
+    // delta: 5 loses (5,6) and gains (5,8); new sources 8 and 9
+    val e1 = e0.filterNot(_ == (5L, 6L)) ++
+      Seq((5L, 8L), (8L, 5L), (9L, 1L))
+    def runW(s: Seq[(Long, Long)]) =
+      Graph.randomWalks(s.toDF("src", "dst"), 5, 2, 17L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val old = runW(e0)
+    val full = runW(e1)
+    val touched = Set(5L, 8L, 9L) // out-adjacency changed or new
+    val newStarts = full.map(_._1).toSet.diff(old.map(_._1).toSet)
+    val affected = old.filter(x => touched.contains(x._4))
+      .map(x => (x._1, x._2)).toSet ++
+      newStarts.flatMap(s => Seq((s, 0L), (s, 1L)))
+    val refreshed = old.filterNot(x => affected.contains((x._1, x._2))) ++
+      full.filter(x => affected.contains((x._1, x._2)))
+    assert(refreshed.toSet === full.toSet)
+    // the reuse is non-vacuous: the {1..4}-cycle walks never touch 5
+    // and are carried over, not recomputed
+    assert(old.exists(x => !affected.contains((x._1, x._2))))
+  }
+
+  test("scc: long cycles converge via relation squaring inside a tight round guard") {
+    // a 200-cycle has min-label diameter 199: the plain frontier
+    // loop needs ~199 color rounds and would throw at
+    // maxPropRounds = 40 — convergence inside the guard IS the
+    // squaring path working, and the assignment must still be exact
+    val ring = (0L until 200L).map(i => (i, (i + 1) % 200))
+    val got = Graph.stronglyConnectedComponents(
+        ring.toDF("src", "dst"), maxPropRounds = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until 200L).map(i => i -> 0L).toMap)
+    // two 80-cycles bridged ONE-WAY plus trim tendrils: squared
+    // shortcut pairs are reachability pairs, so direction must
+    // survive squaring (no cross-cycle merge through the bridge)
+    val g2 = (0L until 80L).map(i => (i, (i + 1) % 80)) ++
+      (100L until 180L).map(i => (i, if (i == 179L) 100L else i + 1)) ++
+      Seq((7L, 100L), (500L, 0L), (179L, 600L))
+    val got2 = Graph.stronglyConnectedComponents(
+        g2.toDF("src", "dst"), maxPropRounds = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 80L).map(i => i -> 0L).toMap ++
+      (100L until 180L).map(i => i -> 100L).toMap ++
+      Map(500L -> 500L, 600L -> 600L)
+    assert(got2 === want)
+  }
+
+  test("coreness: auto mode with a zero-round peel is refused up front") {
+    // maxK = 0 + maxRoundsPerK = 0 can never reach the peel-to-empty
+    // early exit — the k-loop would run a Spark job per k forever
+    val e = intercept[IllegalArgumentException] {
+      Graph.coreness(Seq((1L, 2L)).toDF("src", "dst"), 0, 0)
+    }
+    assert(e.getMessage.contains("auto-degeneracy"))
+  }
+
   test("randomWalksBiased: node2vec classes re-derive; pure-return oscillates") {
     import graft.functions.SamplingImpl.splitmix64
     // from prev=1, cur=2 the candidate classes are all live:
