@@ -785,7 +785,11 @@ object Dedup {
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      sym.join(m, "u").where(col("v") > col("u"))
+      // shuffle_hash on the node-sized star-center aggregate: every
+      // relation here derives from the round checkpoint (no stats →
+      // never broadcast), so sort-merge would sort BOTH edge-scale
+      // sides every round; hashing m leaves sym streaming (guide §3.1)
+      sym.join(m.hint("shuffle_hash"), "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
     }
 
@@ -793,7 +797,7 @@ object Dedup {
     // neighbors to the minimum of those neighbors
     def smallStar(e: DataFrame): DataFrame = {
       val m = e.groupBy("u").agg(min("v").as("m"))
-      e.join(m, "u")
+      e.join(m.hint("shuffle_hash"), "u")
         .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
         .where(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))

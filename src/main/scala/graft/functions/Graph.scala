@@ -68,9 +68,17 @@ object Graph {
       s"dampingPermille in [0,1000], got $dampingPermille")
     require(unit > 0, "unit must be positive")
     val Array(cs, cd) = edges.columns.take(2)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // e0 feeds the node derivation, the out-degree aggregate, AND the
+    // pinned loop relation; nodes0 feeds the N aggregate and the
+    // teleport vector — without the persists the canonicalized edge
+    // subtree re-computes ~4x during the build (measured: the build
+    // was 5 s of the sf0.1 gate's 7 s wall; guide §1.2 "don't compute
+    // things twice")
     val e0 = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+      .persist(lvl)
     val nodes0 = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id"))).distinct()
+      .union(e0.select(col("dst").as("id"))).distinct().persist(lvl)
     // N and the constant per-node base term: a 1-row relation,
     // broadcast into the update — never a driver-side collect
     def consts(nodes: DataFrame) = nodes.agg(dec(count(lit(1))).as("n"))
@@ -80,12 +88,20 @@ object Graph {
         idiv(dec(lit(unit)), col("n")).as("r0"))
     def rank0(nodes: DataFrame) = nodes.crossJoin(broadcast(consts(nodes)))
       .select(col("id"), col("r0").as("rank"))
-    if (iterations == 0) return rank0(nodes0)
+    if (iterations == 0) {
+      // degenerate path: hand back the lazy plan without holding the
+      // caches (they would outlive the call — the result re-derives)
+      e0.unpersist(false); nodes0.unpersist(false)
+      return rank0(nodes0)
+    }
     // per-node base/init: the uniform teleport vector, carried as
     // columns so the loop is shared with the seed-personalized form
     val based = nodes0.crossJoin(broadcast(consts(nodes0)))
       .select(col("id"), col("base"), col("r0"))
-    propagate(e0, based, iterations, dampingPermille)
+    val res = propagate(e0, based, iterations, dampingPermille,
+      longExact = unit <= LongExactUnitBound)
+    e0.unpersist(false); nodes0.unpersist(false)
+    res
   }
 
   /** Edge-weighted PageRank: a node's rank splits across its
@@ -112,12 +128,15 @@ object Graph {
       s"dampingPermille in [0,1000], got $dampingPermille")
     require(unit > 0, "unit must be positive")
     val Array(cs, cd, cw) = edges.columns.take(3)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persisted for the same multi-consumer reason as [[pageRank]]
     val e0 = edges.select(col(cs).as("src"), col(cd).as("dst"),
         col(cw).cast("long").as("w"))
       .filter(col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .persist(lvl)
     val nodes0 = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id"))).distinct()
+      .union(e0.select(col("dst").as("id"))).distinct().persist(lvl)
     def consts(nodes: DataFrame) = nodes.agg(dec(count(lit(1))).as("n"))
       .select(col("n"),
         idiv(idiv(dec(lit(unit)) * dec(lit(1000 - dampingPermille)),
@@ -125,8 +144,14 @@ object Graph {
         idiv(dec(lit(unit)), col("n")).as("r0"))
     val based = nodes0.crossJoin(broadcast(consts(nodes0)))
       .select(col("id"), col("base"), col("r0"))
-    if (iterations == 0) based.select(col("id"), col("r0").as("rank"))
-    else propagate(e0, based, iterations, dampingPermille)
+    if (iterations == 0) {
+      e0.unpersist(false); nodes0.unpersist(false)
+      based.select(col("id"), col("r0").as("rank"))
+    } else {
+      val res = propagate(e0, based, iterations, dampingPermille)
+      e0.unpersist(false); nodes0.unpersist(false)
+      res
+    }
   }
 
   /** Seed-personalized PageRank — TrustRank (Gyöngyi et al.,
@@ -149,9 +174,12 @@ object Graph {
       s"dampingPermille in [0,1000], got $dampingPermille")
     require(unit > 0, "unit must be positive")
     val Array(cs, cd) = edges.columns.take(2)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persisted for the same multi-consumer reason as [[pageRank]]
     val e0 = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
+      .persist(lvl)
     val nodes0 = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id"))).distinct()
+      .union(e0.select(col("dst").as("id"))).distinct().persist(lvl)
     val seedIds = seeds.select(col(seeds.columns.head).as("id")).distinct()
     val flagged = nodes0.join(seedIds.withColumn("s", lit(1)), Seq("id"), "left")
       .select(col("id"), coalesce(col("s"), lit(0)).as("s"))
@@ -166,9 +194,15 @@ object Graph {
       .select(col("id"),
         when(col("s") === 1, col("sbase")).otherwise(dec(lit(0))).as("base"),
         when(col("s") === 1, col("sr0")).otherwise(dec(lit(0))).as("r0"))
-    if (iterations == 0)
+    if (iterations == 0) {
+      e0.unpersist(false); nodes0.unpersist(false)
       based.select(col("id"), col("r0").as("rank"))
-    else propagate(e0, based, iterations, dampingPermille)
+    } else {
+      val res = propagate(e0, based, iterations, dampingPermille,
+        longExact = unit <= LongExactUnitBound)
+      e0.unpersist(false); nodes0.unpersist(false)
+      res
+    }
   }
 
   /** The shared power-iteration loop: `based` is (id, base, r0) — the
@@ -186,37 +220,90 @@ object Graph {
     * unrecoverable (observed once at 126M nodes on an 8 GB heap under
     * GC-pressure eviction).
     */
+  /** Largest `unit` for which the UNIFORM power iteration is run in
+    * native LONG arithmetic instead of decimal(38,0): every loop value
+    * is non-negative and bounded by the total teleport mass (floors
+    * only shed mass, so Σ rank ≤ unit in every round and each rank,
+    * contribution, and contribution sum is ≤ unit individually), so
+    * the largest intermediate is dampingPermille·agg ≤ 1000·unit ≤
+    * 9·10¹⁸ < 2⁶³−1 — provably overflow-free, making the long path
+    * BIT-IDENTICAL to the decimal path (non-negative long division IS
+    * the floor) at a fraction of the per-row cost (decimal(38,0) is
+    * software Int128; the graph loops are the measured hot path).
+    * Units above the bound, and the weighted face (rank·w is
+    * caller-weight-unbounded), keep the decimal(38,0) arithmetic and
+    * its loud-overflow posture.
+    */
+  private val LongExactUnitBound = 9000000000000000L
+
   private def propagate(e0: DataFrame, based0: DataFrame, iterations: Int,
-      dampingPermille: Int): DataFrame = {
+      dampingPermille: Int, longExact: Boolean = false): DataFrame = {
     val rounds = new Rounds(e0)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = e0.persist(lvl)
-    val based = based0.persist(lvl)
     // weighted flavor: when the edge relation carries a `w` column,
     // a node's mass splits w_uv/Σ_u w instead of 1/outdeg — for
     // constant w the floor divisions cancel exactly
     // (⌊r·w/(w·od)⌋ = ⌊r/od⌋), so the uniform path is the w≡1 case
     val weighted = e0.columns.contains("w")
     val wc = if (weighted) col("w") else lit(1L)
-    val outdeg = e.groupBy(col("src")).agg(dec(sum(wc)).as("od")).persist(lvl)
-    var cur = rounds.mark(based.select(col("id"), col("r0").as("rank")))
-    for (_ <- 0 until iterations) {
+    // the out-mass denominator is a node property consumed at edges:
+    // fold it into the edge relation ONCE and pin the result on src,
+    // so each iteration joins only the node-sized rank relation
+    // against a stationary layout — the per-iteration outdeg join and
+    // both full-edge exchanges disappear (guide §2.4; the bfs/sssp
+    // pinned-layout precedent). Long od in the longExact path: counts
+    // and weight sums are ≤ the decimal od by construction there.
+    val outdeg = e0.groupBy(col("src")).agg(
+      (if (longExact) sum(wc).cast("long") else dec(sum(wc))).as("od"))
+    val e = e0.join(outdeg, Seq("src"))
+      .repartition(col("src")).persist(lvl)
+    e.count()
+    val based = (if (longExact)
+        based0.select(col("id"), col("base").cast("long").as("base"),
+          col("r0").cast("long").as("r0"))
+      else based0)
+      .repartition(col("id")).persist(lvl)
+    var cur = rounds.mark(based.select(col("id"),
+      (if (longExact && iterations == 0) col("r0").cast("decimal(38,0)")
+       else col("r0")).as("rank")))
+    for (it <- 0 until iterations) {
       val rank = cur
-      val contrib = e.join(rank, e("src") === rank("id"))
-        .join(outdeg, Seq("src"))
+      // non-negative long division IS the floor, so `DIV` on the long
+      // path equals idiv on the decimal path bit-for-bit (see
+      // [[LongExactUnitBound]] for the no-overflow proof)
+      // shuffle_hash on the node-sized rank side: sort-merge would
+      // re-SORT the pinned edge relation every round (the sort is not
+      // cacheable); hash-building the rank side costs |N|/P per
+      // partition and leaves the edge side streaming (guide §3.1)
+      val contrib = e.join(rank.hint("shuffle_hash"),
+          e("src") === rank("id"))
         .select(col("dst").as("id"),
           (if (weighted) idiv(dec(col("rank")) * dec(col("w")), col("od"))
+           else if (longExact) expr("rank DIV od")
            else idiv(col("rank"), col("od"))).as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).cast("decimal(38,0)").as("agg"))
-      val next = rounds.mark(based.join(contrib, Seq("id"), "left")
-        .select(col("id"),
+        .groupBy(col("id")).agg(
+          (if (longExact) sum(col("c")).cast("long")
+           else sum(col("c")).cast("decimal(38,0)")).as("agg"))
+      // the final long-path round casts back to decimal(38,0) inside
+      // the same checkpoint, so the public schema never changes and
+      // no extra materialization job runs
+      val rankExpr =
+        if (longExact) {
+          val r = col("base") + expr(
+            s"(${dampingPermille}L * coalesce(agg, 0L)) DIV 1000L")
+          if (it == iterations - 1) r.cast("decimal(38,0)")
+          else r.cast("long")
+        } else
           (col("base") + idiv(dec(lit(dampingPermille)) *
             coalesce(col("agg"), dec(lit(0))), dec(lit(1000))))
-            .cast("decimal(38,0)").as("rank")))
+            .cast("decimal(38,0)")
+      val next = rounds.mark(
+        based.join(contrib.hint("shuffle_hash"), Seq("id"), "left")
+          .select(col("id"), rankExpr.as("rank")))
       rounds.release(cur)
       cur = next
     }
-    e.unpersist(false); based.unpersist(false); outdeg.unpersist(false)
+    e.unpersist(false); based.unpersist(false)
     cur
   }
 
@@ -263,7 +350,12 @@ object Graph {
       // normalized() references its input twice (total + scaling):
       // persist the raw relation across the round's materialization
       // so the edge join runs once, not twice
-      val aRaw = e.join(h, e("src") === h("id"))
+      // shuffle_hash on the node-sized score side: sort-merge would
+      // sort the edge relation every round; hash-building the score
+      // side leaves the edge side streaming (guide §3.1). Pinning
+      // eSrc/eDst layouts was MEASURED SLOWER here (hits runs 2
+      // iterations; two extra cache builds never amortize)
+      val aRaw = e.join(h.hint("shuffle_hash"), e("src") === h("id"))
         .groupBy(e("dst").as("id"))
         .agg(sum(col("hub")).cast("decimal(38,0)").as("auth"))
         .persist(lvl)
@@ -271,7 +363,7 @@ object Graph {
       aRaw.unpersist(false)
       rounds.release(a)
       a = aNext
-      val hRaw = e.join(a, e("dst") === a("id"))
+      val hRaw = e.join(a.hint("shuffle_hash"), e("dst") === a("id"))
         .groupBy(e("src").as("id"))
         .agg(sum(col("auth")).cast("decimal(38,0)").as("hub"))
         .persist(lvl)
@@ -315,22 +407,26 @@ object Graph {
     val Array(cs, cd) = edges.columns.take(2)
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // pinned on src: every round joins the label relation on src, so
+    // with the stationary layout only the node-sized label relation
+    // exchanges per round (guide §2.4; the bfs/sssp precedent)
     val e = edges.select(col(cs).as("src"), col(cd).as("dst")).distinct()
-      .persist(lvl)
+      .repartition(col("src")).persist(lvl)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
     var lab = rounds.mark(nodes.select(col("id"), col("id").as("label")))
     for (_ <- 0 until iterations) {
-      val best = e.join(lab, e("src") === lab("id"))
+      val best = e.join(lab.hint("shuffle_hash"), e("src") === lab("id"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst").as("id"))
         .agg(max(struct(col("cnt").as("c"),
           bitwise_not(col("label")).as("nl"))).as("m"))
         .select(col("id"), bitwise_not(col("m.nl")).as("adopted"))
-      val next = rounds.mark(lab.join(best, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("adopted"), col("label")).as("label")))
+      val next = rounds.mark(
+        lab.join(best.hint("shuffle_hash"), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("adopted"), col("label")).as("label")))
       rounds.release(lab)
       lab = next
     }
@@ -375,11 +471,15 @@ object Graph {
     var depth = 1
     var exhausted = false
     while (depth <= maxDepth && !exhausted) {
-      val next = rounds.mark(e.join(frontier, e("src") === frontier("id"))
-        .select(e("dst").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
-        .withColumn("dist", lit(depth.toLong)))
-      if (next.isEmpty) { rounds.release(next); exhausted = true }
+      // shuffle_hash: sort-merge would re-sort the pinned edge set
+      // AND the frontier every round; hashing the frontier (and the
+      // discovered set for the anti-join) leaves both streaming
+      val (next, nNext) = rounds.markN(
+        e.join(frontier.hint("shuffle_hash"), e("src") === frontier("id"))
+          .select(e("dst").as("id")).distinct()
+          .join(dist.hint("shuffle_hash"), Seq("id"), "left_anti")
+          .withColumn("dist", lit(depth.toLong)))
+      if (nNext == 0) { rounds.release(next); exhausted = true }
       else {
         val acc = rounds.mark(dist.unionByName(next))
         rounds.release(dist)
@@ -477,11 +577,18 @@ object Graph {
         when(lowFirst, struct(col("db").as("d"), col("b").as("i")))
           .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("rv"))
       .persist(lvl)
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
+    // both joins hinted shuffle_hash: sort-merge would SORT the
+    // wedge relation (m^1.5 rows — the dominant CPU term measured at
+    // sf0.1: 416 task-seconds, mostly sort) where a shuffled-hash
+    // join only builds a hash map of the EDGE-sized side per
+    // partition (|E|/P rows — bounded, and P scales with the
+    // cluster), guide §3.1
+    val wedges = oriented.as("e1").join(oriented.as("e2").hint("shuffle_hash"),
         col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
       .select(col("e1.u").as("n0"), col("e1.v").as("x"), col("e2.v").as("y"))
     val tri = wedges.join(
-      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      oriented.select(col("u").as("x"), col("v").as("y"))
+        .hint("shuffle_hash"), Seq("x", "y"))
     val cnt = tri.select(explode(array(col("n0"), col("x"), col("y"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
     val out = deg.select(col("id")).join(cnt, Seq("id"), "left")
@@ -568,7 +675,12 @@ object Graph {
     while (r < maxRounds && !done) {
       val deg = degOf(e).persist(lvl)
       val keep = deg.filter(col("deg") >= k).select(col("id"))
-      if (deg.count() == keep.count()) { deg.unpersist(false); done = true }
+      // one aggregate answers the fixpoint test (total == survivors)
+      // that two separate count() jobs used to: the agg job also
+      // materializes the persisted degree relation for the joins
+      val fx = deg.agg(count(lit(1)).as("t"),
+        count(when(col("deg") >= k, 1)).as("s")).head()
+      if (fx.getLong(0) == fx.getLong(1)) { deg.unpersist(false); done = true }
       else {
         val next = rounds.mark(
           e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
@@ -671,7 +783,10 @@ object Graph {
       while (r < maxRoundsPerK && !fix) {
         val deg = undirectedDegrees(e).persist(lvl)
         val keep = deg.filter(col("deg") >= k).select(col("id"))
-        if (deg.count() == keep.count()) { deg.unpersist(false); fix = true }
+        // one aggregate for the fixpoint test (the kcore posture)
+        val fx = deg.agg(count(lit(1)).as("t"),
+          count(when(col("deg") >= k, 1)).as("s")).head()
+        if (fx.getLong(0) == fx.getLong(1)) { deg.unpersist(false); fix = true }
         else {
           val next = rounds.mark(
             e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
@@ -687,9 +802,9 @@ object Graph {
       if (!fix &&
           !undirectedDegrees(e).filter(col("deg") < k).isEmpty)
         cappedKs += k
-      val layer = rounds.mark(undirectedDegrees(e)
+      val (layer, nLayer) = rounds.markN(undirectedDegrees(e)
         .select(col("id"), lit(k.toLong).as("coreness")))
-      if (layer.isEmpty) { rounds.release(layer); empty = true }
+      if (nLayer == 0) { rounds.release(layer); empty = true }
       else { layers += layer; k += 1 }
     }
     if (cappedKs.nonEmpty) {
@@ -734,11 +849,14 @@ object Graph {
         when(lowFirst, struct(col("db").as("d"), col("b").as("i")))
           .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("rv"))
       .persist(lvl)
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
+    // shuffle_hash hints: the trianglesCanonical rationale (never
+    // sort the wedge relation; build the edge-sized side)
+    val wedges = oriented.as("e1").join(oriented.as("e2").hint("shuffle_hash"),
         col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
       .select(col("e1.u").as("n0"), col("e1.v").as("x"), col("e2.v").as("y"))
     val tri = wedges.join(
-      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      oriented.select(col("u").as("x"), col("v").as("y"))
+        .hint("shuffle_hash"), Seq("x", "y"))
     val hits = tri.select(explode(array(
         struct(least(col("n0"), col("x")).as("a"),
           greatest(col("n0"), col("x")).as("b")),
@@ -1023,14 +1141,17 @@ object Graph {
     val Array(cs, cd) = edges.columns.take(2)
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var e = rounds.mark(
+    // every emptiness/size probe below rides the count the mark
+    // already runs (markN) — a separate .count()/.isEmpty costs one
+    // extra Spark job per probe, round-multiplied (measured: 136 jobs
+    // for 17 s of task time on the sf0.1 gate — job-overhead-bound)
+    var (e, eN) = rounds.markN(
       edges.select(col(cs).as("src"), col(cd).as("dst")).distinct())
     val spark = edges.sparkSession
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val edgeCount0 = e.count()
     val loopParts = math.max(
       spark.sparkContext.defaultParallelism.toLong,
-      math.min(1024L, edgeCount0 / 200000L)).toInt
+      math.min(1024L, eN / 200000L)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
     // the full node set, pinned once: nodes that drop out of the
@@ -1041,7 +1162,7 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct())
     val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
-    var emptied = e.isEmpty
+    var emptied = eN == 0
     while (outer < maxOuter && !emptied) {
       // 0. TRIM — peel in-degree-0 / out-degree-0 nodes to fixpoint:
       // provable singleton SCCs, emitted without touching the color
@@ -1057,7 +1178,7 @@ object Graph {
         // set, checkpointed directly (no intermediate relation);
         // nodes stripped of their LAST edge by a peel are swept by
         // the single end-of-operator missing-node pass, not here
-        val trimmed = rounds.mark(
+        val (trimmed, nTrim) = rounds.markN(
           e.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
             .unionByName(
               e.select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
@@ -1065,13 +1186,13 @@ object Graph {
             .agg(max(col("o")).as("o"), max(col("i")).as("i"))
             .filter(col("o") === 0 || col("i") === 0)
             .select(col("id"), col("id").as("c")))
-        if (trimmed.isEmpty) {
+        if (nTrim == 0) {
           rounds.release(trimmed); tDone = true
         } else {
           // anti-join on the TRIMMED side (not semi on keep): the
           // cascade is the small side, so AQE broadcasts it and the
           // edge relation streams map-side on thin cascades
-          val nextE = rounds.mark(
+          val (nextE, nE) = rounds.markN(
             e.join(trimmed.select(col("id").as("src")), Seq("src"),
                 "left_anti")
               .join(trimmed.select(col("id").as("dst")), Seq("dst"),
@@ -1080,17 +1201,19 @@ object Graph {
           layers += trimmed
           rounds.release(e)
           e = nextE
+          eN = nE
           tr += 1
         }
       }
-      emptied = e.isEmpty
+      emptied = eN == 0
       if (emptied) { outer += 1 }
       else {
-      // pin both join layouts once per outer round
+      // pin both join layouts once per outer round (materialized
+      // lazily inside their first consuming round — a separate
+      // count() job would add no work, only a job)
       val eSrc = e.repartition(col("src")).persist(lvl)
       val eDst = e.repartition(col("dst")).persist(lvl)
-      eSrc.count(); eDst.count()
-      val eCnt = math.max(e.count(), 1L)
+      val eCnt = math.max(eN, 1L)
       // squared-relation lifecycle: compose prop with itself, dedup,
       // pin on the loop's probe side; adopted only under the size cap
       // (composition on hub-dense graphs can blow up — the plain
@@ -1122,10 +1245,10 @@ object Graph {
         val cand = cProp.join(cFrontier.select(col("id").as("dst"),
             col("c").as("fc")), Seq("dst"))
           .groupBy(col("src").as("id")).agg(min(col("fc")).as("cand"))
-        val improved = rounds.mark(cand.join(color, Seq("id"))
+        val (improved, nImp) = rounds.markN(cand.join(color, Seq("id"))
           .filter(col("cand") < col("c"))
           .select(col("id"), col("cand").as("c")))
-        if (improved.isEmpty) { rounds.release(improved); cDone = true }
+        if (nImp == 0) { rounds.release(improved); cDone = true }
         else {
           val merged = rounds.mark(color.join(
               improved.withColumnRenamed("c", "nc"), Seq("id"), "left")
@@ -1174,12 +1297,12 @@ object Graph {
         val cand = fProp.join(fFrontier.select(col("id").as("src"),
             col("c").as("fc")), Seq("src"))
           .select(col("dst").as("id"), col("fc")).distinct()
-        val fresh = rounds.mark(cand
+        val (fresh, nFresh) = rounds.markN(cand
           .join(color.withColumnRenamed("c", "vc"), Seq("id"))
           .filter(col("fc") === col("vc"))
           .select(col("id"), col("vc").as("c"))
           .join(flood, Seq("id"), "left_anti"))
-        if (fresh.isEmpty) { rounds.release(fresh); fDone = true }
+        if (nFresh == 0) { rounds.release(fresh); fDone = true }
         else {
           val merged = rounds.mark(flood.unionByName(fresh))
           rounds.release(flood)
@@ -1207,7 +1330,7 @@ object Graph {
       // 3. PEEL — emit flooded SCCs, drop their edges (nodes the
       // peel isolates are caught by the final missing-node sweep)
       val flaggedIds = flood.select(col("id"))
-      val nextE = rounds.mark(
+      val (nextE, nE2) = rounds.markN(
         e.join(flaggedIds.withColumnRenamed("id", "src"), Seq("src"),
             "left_anti")
           .join(flaggedIds.withColumnRenamed("id", "dst"), Seq("dst"),
@@ -1220,7 +1343,8 @@ object Graph {
       if (fOwned ne null) fOwned.unpersist(false)
       rounds.release(e)
       e = nextE
-      emptied = e.isEmpty
+      eN = nE2
+      emptied = eN == 0
       outer += 1
       }
     }
@@ -1361,7 +1485,11 @@ object Graph {
   }
 
   private def hyperBall(edges: DataFrame, maxRadius: Int,
-      p: Int): DataFrame = hyperBallTrace(edges, maxRadius, p)._1
+      p: Int): DataFrame =
+    // trace off: the per-round N(t) read is one full ball-table pass
+    // (the sk payload is 2^p bytes/row) that only effectiveDiameter
+    // consumes — harmonic/lin/reachability callers skip it
+    hyperBallTrace(edges, maxRadius, p, wantTrace = false)._1
 
   /** FRONTIER-PRUNED sweep (the [[sssp]] insight applied to sketch
     * propagation): a node's ball can only grow this round if some
@@ -1382,7 +1510,8 @@ object Graph {
     * record the per-round decay).
     */
   private def hyperBallTrace(edges: DataFrame, maxRadius: Int,
-      p: Int): (DataFrame, Vector[java.math.BigDecimal]) = {
+      p: Int, wantTrace: Boolean = true):
+      (DataFrame, Vector[java.math.BigDecimal]) = {
     require(maxRadius >= 1, "maxRadius must be >= 1")
     val rounds = new Rounds(edges)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1405,7 +1534,7 @@ object Graph {
           lit(0).cast("decimal(38,6)")).cast("decimal(38,6)"))
         .head().getDecimal(0)
     val trace = Vector.newBuilder[java.math.BigDecimal]
-    trace += nOf(cur)
+    if (wantTrace) trace += nOf(cur)
     // measurement hook (GraphScale): per-round frontier size + wall,
     // the decay evidence for the frontier-pruned formulation
     val traceRounds = sys.env.contains("SPARK_GRAFT_TRACE_ROUNDS")
@@ -1414,12 +1543,16 @@ object Graph {
     while (t <= maxRadius && !done) {
       val t0 = System.nanoTime()
       val frontierN = if (traceRounds) changed.count() else -1L
-      val pulled = e.join(changed.withColumnRenamed("id", "src"),
-          Seq("src"))
+      // shuffle_hash: both the frontier and the delta are stats-less
+      // checkpoint derivations — sort-merge would re-sort the pinned
+      // edge layout / the ball table (2^p-byte payload rows) per round
+      val pulled = e.join(changed.withColumnRenamed("id", "src")
+          .hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("id"), col("sk"))
       val delta = pulled.groupBy(col("id"))
         .agg(Hll.hllMerge(col("sk")).as("__dsk"))
-      val nxt = rounds.mark(cur.join(delta, Seq("id"), "left")
+      val nxt = rounds.mark(cur.join(delta.hint("shuffle_hash"),
+          Seq("id"), "left")
         .withColumn("__nsk", when(col("__dsk").isNull, col("sk"))
           .otherwise(Hll.hllMerge2(col("sk"), col("__dsk"))))
         .withColumn("__grew", col("__nsk") =!= col("sk"))
@@ -1441,7 +1574,7 @@ object Graph {
         rounds.release(nxt); done = true
       } else {
         rounds.release(cur); cur = nxt; changed = nextChanged; t += 1
-        trace += nOf(cur)
+        if (wantTrace) trace += nOf(cur)
       }
     }
     e.unpersist(false)
@@ -1519,13 +1652,16 @@ object Graph {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val cand = e.join(frontier, e("src") === frontier("id"))
+      // shuffle_hash: the bfs rationale — never re-sort the pinned
+      // edge layout for a frontier-sized probe
+      val cand = e.join(frontier.hint("shuffle_hash"),
+          e("src") === frontier("id"))
         .select(e("dst").as("id"), (frontier("dist") + e("w")).as("cand"))
         .groupBy(col("id")).agg(min(col("cand")).as("cand"))
-      val improved = rounds.mark(cand.join(dist, Seq("id"), "left")
+      val (improved, nImp) = rounds.markN(cand.join(dist, Seq("id"), "left")
         .filter(col("dist").isNull || col("cand") < col("dist"))
         .select(col("id"), col("cand").as("dist")))
-      if (improved.isEmpty) { rounds.release(improved); converged = true }
+      if (nImp == 0) { rounds.release(improved); converged = true }
       else {
         val merged = rounds.mark(
           dist.join(improved.withColumnRenamed("dist", "nd"), Seq("id"),
@@ -1635,31 +1771,38 @@ object Graph {
     val wh = Sampling.splitmix64(
       Sampling.splitmix64(lit(seed).bitwiseXOR(col("start")))
         .bitwiseXOR(col("w")))
-    var cur = rounds.mark(
+    // ONE checkpoint per step: the per-step output rows are a pure
+    // projection of that step's walk-set checkpoint, so a second
+    // "outs" mark per step (a full second materialization job +
+    // walk-set-sized copy) is redundant — the step checkpoints stay
+    // alive until the final union reads them, exactly the peak
+    // storage the old outs copies already paid. Emptiness rides the
+    // count the mark already runs (markN), not a per-step isEmpty job.
+    var (cur, curN) = rounds.markN(
       e.select(col("src").as("start")).distinct()
         .select(col("start"), explode(sequence(lit(0L),
           lit(walksPerNode - 1L))).as("w"))
         .select(col("start"), col("w"), col("start").as("id"), wh.as("wh")))
-    val outs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    outs += rounds.mark(cur.select(col("start"), col("w"),
-      lit(0L).as("step"), col("id")))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    steps += cur
     var t = 1
-    while (t <= walkLength && !cur.isEmpty) {
-      val nxt = rounds.mark(
+    while (t <= walkLength && curN > 0) {
+      val (nxt, n) = rounds.markN(
         cur.join(adj.as("adjr"),
             col("id") === col("adjr.src") && residual(t))
           .select(col("start"), col("w"), col("adjr.dst").as("id"),
             col("wh")))
-      outs += rounds.mark(nxt.select(col("start"), col("w"),
-        lit(t.toLong).as("step"), col("id")))
-      rounds.release(cur)
+      steps += nxt
       cur = nxt
+      curN = n
       t += 1
     }
-    rounds.release(cur)
-    val res = rounds.mark(outs.reduce(_ unionByName _)
+    val res = rounds.mark(steps.zipWithIndex.map { case (df, i) =>
+        df.select(col("start"), col("w"), lit(i.toLong).as("step"),
+          col("id"))
+      }.reduce(_ unionByName _)
       .select(col("start"), col("w").as("walk"), col("step"), col("id")))
-    outs.foreach(rounds.release)
+    steps.foreach(rounds.release)
     res
   }
 
@@ -1882,13 +2025,17 @@ object Graph {
     var depth = 0
     var exhausted = false
     while (depth < maxDepth && !exhausted) {
-      val cand = e.join(layers(depth).withColumnRenamed("id", "src"),
-          Seq("src"))
+      // shuffle_hash building the EDGE side: the per-source layers
+      // are the big relation here (Σ_s |B_t(s)| rows); sort-merge
+      // would sort them every depth, hashing |E|/P per task instead
+      val cand = e.hint("shuffle_hash")
+        .join(layers(depth).withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("s"), col("dst").as("id"))
         .agg(guard(sum(col("sigma")).cast(dec38), "sigma").as("sigma"))
-      val fresh = rounds.mark(cand.join(vis.select(col("s"), col("id")),
-        Seq("s", "id"), "left_anti"))
-      if (fresh.isEmpty) { rounds.release(fresh); exhausted = true }
+      val (fresh, nFresh) = rounds.markN(
+        cand.join(vis.select(col("s"), col("id")), Seq("s", "id"),
+          "left_anti"))
+      if (nFresh == 0) { rounds.release(fresh); exhausted = true }
       else {
         vis = vis.unionByName(fresh)
         layers += fresh
@@ -1906,7 +2053,7 @@ object Graph {
     var t = layers.size - 2
     while (t >= 0) {
       val terms = layers(t).withColumnRenamed("id", "src")
-        .join(e, Seq("src"))
+        .join(e.hint("shuffle_hash"), Seq("src"))
         .join(succ.select(col("s"), col("id").as("dst"),
           col("sigma").as("sw"), col("delta").as("dw")), Seq("s", "dst"))
         .groupBy(col("s"), col("src").as("id"))
@@ -2092,17 +2239,19 @@ object Graph {
     val whc = Sampling.splitmix64(
       Sampling.splitmix64(lit(seed).bitwiseXOR(col("start")))
         .bitwiseXOR(col("w")))
-    var cur = rounds.mark(
+    // single checkpoint per step + markN emptiness — the walkCorpus
+    // posture (see [[randomWalks]]): per-step outputs are projections
+    // of the step checkpoints, which live until the final union
+    var (cur, curN) = rounds.markN(
       e.select(col("src").as("start")).distinct()
         .select(col("start"), explode(sequence(lit(0L),
           lit(walksPerNode - 1L))).as("w"))
         .select(col("start"), col("w"), col("start").as("id"),
           lit(null).cast("long").as("prev"), whc.as("wh")))
-    val outs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    outs += rounds.mark(cur.select(col("start"), col("w"),
-      lit(0L).as("step"), col("id")))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    steps += cur
     var t = 1
-    while (t <= walkLength && !cur.isEmpty) {
+    while (t <= walkLength && curN > 0) {
       val cand = cur.join(adj.as("adjr"), col("id") === col("adjr.src"))
         .select(col("start"), col("w"), col("wh"), col("prev"),
           col("id").as("cv"), col("adjr.dst").as("cd"))
@@ -2130,7 +2279,7 @@ object Graph {
       // positive post-filter, so a null total ⇔ overflow, and the
       // prefix hi is bounded by it.
       val totRaw = sum(col("cw").cast(dec38)).over(win)
-      val nxt = rounds.mark(cand
+      val (nxt, n) = rounds.markN(cand
         .withColumn("tot", when(totRaw.isNull, raise_error(concat(
             lit("randomWalksBiased: per-step candidate weight total "),
             lit("overflowed decimal(38,0) at walk ("), col("start"),
@@ -2142,16 +2291,17 @@ object Graph {
         .filter(x >= col("lo").cast(dec38) && x < col("hi").cast(dec38))
         .select(col("start"), col("w"), col("cd").as("id"),
           col("cv").as("prev"), col("wh")))
-      outs += rounds.mark(nxt.select(col("start"), col("w"),
-        lit(t.toLong).as("step"), col("id")))
-      rounds.release(cur)
+      steps += nxt
       cur = nxt
+      curN = n
       t += 1
     }
-    rounds.release(cur)
-    val res = rounds.mark(outs.reduce(_ unionByName _)
+    val res = rounds.mark(steps.zipWithIndex.map { case (df, i) =>
+        df.select(col("start"), col("w"), lit(i.toLong).as("step"),
+          col("id"))
+      }.reduce(_ unionByName _)
       .select(col("start"), col("w").as("walk"), col("step"), col("id")))
-    outs.foreach(rounds.release)
+    steps.foreach(rounds.release)
     adj.unpersist(false)
     res
   }

@@ -23,17 +23,26 @@ private[graft] final class Rounds(anchor: DataFrame) {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
-  def mark(r: DataFrame): DataFrame =
+  def mark(r: DataFrame): DataFrame = markN(r)._1
+
+  /** [[mark]], returning the materialized row count alongside the
+    * checkpoint. The count job ALREADY runs inside every mark — loops
+    * that need an emptiness/fixpoint test should read it from here
+    * instead of calling `.isEmpty`/`.count()` on the checkpoint,
+    * which launches one extra (small but round-multiplied) Spark job
+    * per round.
+    */
+  def markN(r: DataFrame): (DataFrame, Long) =
     if (reliable) {
       val p = r.persist(lvl)
       val ck = p.checkpoint(false)
-      ck.count()
+      val n = ck.count()
       p.unpersist(false)
-      ck
+      (ck, n)
     } else {
       val ck = r.localCheckpoint(false)
-      ck.count()
-      ck
+      val n = ck.count()
+      (ck, n)
     }
 
   def release(m: DataFrame): Unit =
