@@ -40,4 +40,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the sf0.1 triangle wedge join — a 7x first-run artifact, not
   // algorithm cost).
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JIT code cache: the 225-query suite compiles thousands of
+  // whole-stage-codegen classes in one JVM; at the JDK 17 default
+  // (240 MB) the cache fills mid-suite and the sweeper/disabled-JIT
+  // tail runs CPU-bound queries 2-3x slower STABLY (measured r16:
+  // q_graph_hits 17.4 s in-suite vs 7.1 s isolated, q_graph_kcore
+  // 5.3 vs 2.2 — same classes, same plans). Reserved, not committed,
+  // so a larger reservation costs nothing when unused.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

@@ -131,10 +131,20 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
-    // Compact summary as the FINAL stdout line (<120 bytes): the full
-    // line above is ~3.6 KB and a bounded tail-capture can start
-    // mid-line; this one always survives whole. build.sbt sets
-    // showSuccess/showTiming := false so sbt appends nothing after it.
+    // MEASUREMENT-RECORD FIX (r16): the full line above is ~22 KB with
+    // 225 queries and a bounded tail-capture starts mid-line, so the
+    // per-query medians never survived to the perf comparison (r14/r15
+    // both parsed only the final compact total). Re-emit each median as
+    // its own short line (<120 bytes, parseable standalone) so any
+    // line-oriented bounded capture keeps as many whole records as it
+    // has room for. The numbers are identical to the `queries` map in
+    // the full record; nothing is timed differently.
+    results.foreach { case (k, v, _) =>
+      println(f"""{"metric":"query","name":"$k","sec":$v%.4f}""")
+    }
+    // Compact summary as the FINAL stdout line (<120 bytes): always
+    // survives whole. build.sbt sets showSuccess/showTiming := false
+    // so sbt appends nothing after it.
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}"""
     println(compact)
   }

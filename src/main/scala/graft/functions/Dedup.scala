@@ -466,9 +466,12 @@ object Dedup {
       stopwords: Seq[String], minQuality: Double,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
       maxBucketSize: Int = -1): DataFrame = {
-    val scored = df.select(idCol.as("id"), text.as("text"),
-      Text.qualityScore(text, stopwords).as("quality"))
-    val kept = scored.filter(col("quality") >= minQuality)
+    // kept is read twice (signature build + final anti-join): one
+    // eager checkpoint runs the quality scan once (see [[curateFull]])
+    val rounds = new Rounds(df)
+    val kept = rounds.mark(df.select(idCol.as("id"), text.as("text"),
+        Text.qualityScore(text, stopwords).as("quality"))
+      .filter(col("quality") >= minQuality))
     val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands,
         threshold, resolveCap(maxBucketSize, df))
       .select(col("j").as("drop_id")).distinct()
@@ -887,9 +890,12 @@ object Dedup {
       stopwords: Seq[String], minQuality: Double,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
       maxBucketSize: Int = -1): DataFrame = {
-    val scored = df.select(idCol.as("id"), text.as("text"),
-      Text.qualityScore(text, stopwords).as("quality"))
-    val kept = scored.filter(col("quality") >= minQuality)
+    // kept read twice (signature build + final anti-join): checkpoint
+    // the quality scan once (see [[curateFull]])
+    val rounds = new Rounds(df)
+    val kept = rounds.mark(df.select(idCol.as("id"), text.as("text"),
+        Text.qualityScore(text, stopwords).as("quality"))
+      .filter(col("quality") >= minQuality))
     // the pipeline owns its pair-generation caches: connectedComponents
     // materializes the pairs into its round checkpoints (it runs Spark
     // actions), so nothing downstream references them — release before
@@ -943,9 +949,13 @@ object Dedup {
       stopwords: Seq[String], minQuality: Double,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
       maxBucketSize: Int = -1): DataFrame = {
-    val scored = df.select(idCol.as("id"), text.as("text"),
-      Text.qualityScore(text, stopwords).as("quality"))
-    val kept = scored.filter(col("quality") >= minQuality)
+    // kept read THREE times here (signature build, the keeper scores,
+    // the final anti-join): checkpoint the quality scan once (see
+    // [[curateFull]])
+    val rounds = new Rounds(df)
+    val kept = rounds.mark(df.select(idCol.as("id"), text.as("text"),
+        Text.qualityScore(text, stopwords).as("quality"))
+      .filter(col("quality") >= minQuality))
     val scope = new CacheScope
     val pairs = minhashLshPairs(kept, col("id"), col("text"), n, numHashes, bands,
       threshold, resolveCap(maxBucketSize, df), scope)
@@ -974,12 +984,25 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int, threshold: Double,
       decontamN: Int, decontamMinShared: Int,
       maxBucketSize: Int = -1): DataFrame = {
-    val scored = df.select(idCol.as("id"), Text.redactPii(text).as("text"))
-      .withColumn("quality", Text.qualityScore(col("text"), stopwords))
-    val kept = scored.filter(col("quality") >= minQuality)
+    // The scrub+score scan (PII regex + quality over every document)
+    // is the pipeline's most expensive per-row expression, and `uniq`
+    // is read by THREE independent consumers (the MinHash signature
+    // build, the decontamination re-shingle, the final anti-join) —
+    // without materialization each re-runs the whole scan (r16
+    // JobProbe: 21 task-sec, mostly the repeated scrub). Eager
+    // checkpoints (the graph-family [[Rounds]] lifecycle) run the scan
+    // ONCE; the kept checkpoint is released as soon as uniq
+    // supersedes it, and uniq's blocks follow the result's lifetime
+    // (the documented final-round contract).
+    val rounds = new Rounds(df)
+    val kept = rounds.mark(
+      df.select(idCol.as("id"), Text.redactPii(text).as("text"))
+        .withColumn("quality", Text.qualityScore(col("text"), stopwords))
+        .filter(col("quality") >= minQuality))
     val keepers = kept.groupBy(Text.fingerprint(col("text")).as("fp"))
       .agg(min(col("id")).as("id")).select(col("id"))
-    val uniq = kept.join(keepers, "id")
+    val uniq = rounds.mark(kept.join(keepers, "id"))
+    rounds.release(kept)
     // pipeline-owned caches: released once connectedComponents has
     // materialized the pairs into its round checkpoints (see CacheScope)
     val scope = new CacheScope

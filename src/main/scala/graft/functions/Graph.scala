@@ -236,6 +236,37 @@ object Graph {
     */
   private val LongExactUnitBound = 9000000000000000L
 
+  /** Ceiling on MEASURED build-side rows per shuffle partition for the
+    * EDGE-sided shuffle_hash hints (the wedge self-join/closing join
+    * and the betweenness frontier⋈edge loops). ShuffledHashJoin's
+    * build map cannot spill, so past this bound the hint is withheld
+    * and the planner keeps sort-merge's graceful-spill fallback
+    * (r15 ADVICE: the hints were unconditional — correct and faster at
+    * the gate scale, an executor-OOM risk on large graphs with modest
+    * parallelism). ~2M rows of (long, long, struct) is low hundreds of
+    * MB of hash map per task — safe for typical task memory; a cluster
+    * with bigger executors can raise the conf, and parallelism scaling
+    * with the data keeps the hint on at every GraphScale decade with
+    * proportional partitions. NODE-sized build hints (rank/frontier/
+    * label/star-center checkpoints) are not gated: their build side is
+    * node-scale by construction.
+    */
+  private val HashBuildRowsConf = "spark.graft.hashBuildRowsPerPartition"
+  private val HashBuildRowsDefault = 2000000L
+
+  /** `df.hint("shuffle_hash")` only when `buildRows` spread over the
+    * session's shuffle partitions stays under the per-partition bound;
+    * otherwise `df` unhinted (planner's choice — sort-merge for the
+    * stats-less relations this guards).
+    */
+  private def hashHintIfBounded(df: DataFrame, buildRows: Long): DataFrame = {
+    val spark = df.sparkSession
+    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val cap = spark.conf.getOption(HashBuildRowsConf).map(_.toLong)
+      .getOrElse(HashBuildRowsDefault)
+    if (buildRows <= cap * p) df.hint("shuffle_hash") else df
+  }
+
   private def propagate(e0: DataFrame, based0: DataFrame, iterations: Int,
       dampingPermille: Int, longExact: Boolean = false): DataFrame = {
     val rounds = new Rounds(e0)
@@ -245,6 +276,12 @@ object Graph {
     // constant w the floor divisions cancel exactly
     // (⌊r·w/(w·od)⌋ = ⌊r/od⌋), so the uniform path is the w≡1 case
     val weighted = e0.columns.contains("w")
+    // the LongExactUnitBound overflow proof holds only for the UNIFORM
+    // face (rank·w mass is caller-weight-unbounded): enforce the
+    // invariant here rather than at call sites, so a future weighted
+    // caller can never take the long branch into silent wraparound
+    require(!(weighted && longExact),
+      "propagate: longExact is provably safe only for the unweighted face")
     val wc = if (weighted) col("w") else lit(1L)
     // the out-mass denominator is a node property consumed at edges:
     // fold it into the edge relation ONCE and pin the result on src,
@@ -577,18 +614,23 @@ object Graph {
         when(lowFirst, struct(col("db").as("d"), col("b").as("i")))
           .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("rv"))
       .persist(lvl)
-    // both joins hinted shuffle_hash: sort-merge would SORT the
-    // wedge relation (m^1.5 rows — the dominant CPU term measured at
-    // sf0.1: 416 task-seconds, mostly sort) where a shuffled-hash
-    // join only builds a hash map of the EDGE-sized side per
-    // partition (|E|/P rows — bounded, and P scales with the
-    // cluster), guide §3.1
-    val wedges = oriented.as("e1").join(oriented.as("e2").hint("shuffle_hash"),
+    // the count both materializes the pinned orientation ONCE for its
+    // three readers and sizes the hint gate below
+    val eN = oriented.count()
+    // both joins hinted shuffle_hash (bounded — see hashHintIfBounded):
+    // sort-merge would SORT the wedge relation (m^1.5 rows — the
+    // dominant CPU term measured at sf0.1: 416 task-seconds, mostly
+    // sort) where a shuffled-hash join only builds a hash map of the
+    // EDGE-sized side per partition (|E|/P rows — bounded, and P
+    // scales with the cluster), guide §3.1
+    val wedges = oriented.as("e1")
+      .join(hashHintIfBounded(oriented.as("e2"), eN),
         col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
       .select(col("e1.u").as("n0"), col("e1.v").as("x"), col("e2.v").as("y"))
     val tri = wedges.join(
-      oriented.select(col("u").as("x"), col("v").as("y"))
-        .hint("shuffle_hash"), Seq("x", "y"))
+      hashHintIfBounded(
+        oriented.select(col("u").as("x"), col("v").as("y")), eN),
+      Seq("x", "y"))
     val cnt = tri.select(explode(array(col("n0"), col("x"), col("y"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
     val out = deg.select(col("id")).join(cnt, Seq("id"), "left")
@@ -849,14 +891,17 @@ object Graph {
         when(lowFirst, struct(col("db").as("d"), col("b").as("i")))
           .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("rv"))
       .persist(lvl)
-    // shuffle_hash hints: the trianglesCanonical rationale (never
-    // sort the wedge relation; build the edge-sized side)
-    val wedges = oriented.as("e1").join(oriented.as("e2").hint("shuffle_hash"),
+    // shuffle_hash hints, size-gated: the trianglesCanonical rationale
+    // (never sort the wedge relation; build the edge-sized side)
+    val eN = oriented.count()
+    val wedges = oriented.as("e1")
+      .join(hashHintIfBounded(oriented.as("e2"), eN),
         col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
       .select(col("e1.u").as("n0"), col("e1.v").as("x"), col("e2.v").as("y"))
     val tri = wedges.join(
-      oriented.select(col("u").as("x"), col("v").as("y"))
-        .hint("shuffle_hash"), Seq("x", "y"))
+      hashHintIfBounded(
+        oriented.select(col("u").as("x"), col("v").as("y")), eN),
+      Seq("x", "y"))
     val hits = tri.select(explode(array(
         struct(least(col("n0"), col("x")).as("a"),
           greatest(col("n0"), col("x")).as("b")),
@@ -2003,7 +2048,7 @@ object Graph {
     val e = edges.select(col(cs).as("src"), col(cd).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .repartition(col("src")).persist(lvl)
-    e.count()
+    val eN = e.count()
     // decimal(38,0) overflow surfaces as NULL under non-ANSI Spark;
     // sigma/delta are never organically null, so a null HERE is a
     // path-count explosion (hub-dense graph at depth) — raise, never
@@ -2015,9 +2060,13 @@ object Graph {
         .otherwise(c)
     // FORWARD: per-depth layers (s, id, sigma)
     val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    layers += rounds.mark(seeds.select(col(seeds.columns.head).as("s"))
-      .distinct()
-      .select(col("s"), col("s").as("id"), lit(1L).cast(dec38).as("sigma")))
+    val layerCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (seedLayer, nSeeds) = rounds.markN(
+      seeds.select(col(seeds.columns.head).as("s"))
+        .distinct()
+        .select(col("s"), col("s").as("id"), lit(1L).cast(dec38).as("sigma")))
+    layers += seedLayer
+    layerCounts += nSeeds
     // the visited set is a LAZY union of the per-depth checkpoints —
     // re-marking it every round would double the forward phase's
     // checkpoint work for a relation the anti-join only reads once
@@ -2025,10 +2074,11 @@ object Graph {
     var depth = 0
     var exhausted = false
     while (depth < maxDepth && !exhausted) {
-      // shuffle_hash building the EDGE side: the per-source layers
-      // are the big relation here (Σ_s |B_t(s)| rows); sort-merge
-      // would sort them every depth, hashing |E|/P per task instead
-      val cand = e.hint("shuffle_hash")
+      // shuffle_hash building the EDGE side (size-gated): the
+      // per-source layers are the big relation here (Σ_s |B_t(s)|
+      // rows); sort-merge would sort them every depth, hashing |E|/P
+      // per task instead
+      val cand = hashHintIfBounded(e, eN)
         .join(layers(depth).withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("s"), col("dst").as("id"))
         .agg(guard(sum(col("sigma")).cast(dec38), "sigma").as("sigma"))
@@ -2039,31 +2089,63 @@ object Graph {
       else {
         vis = vis.unionByName(fresh)
         layers += fresh
+        layerCounts += nFresh
         depth += 1
       }
     }
+    // LONG fast path for the backward phase (the pageRank LongExact
+    // precedent, provable here only AFTER the forward phase): every
+    // per-edge term is σ_v·(unit + δ_w) with σ_v ≤ maxσ (one cheap
+    // aggregate over the checkpointed layers) and δ_w ≤ unit·D, where
+    // D = Σ_{t≥1} n_t (the non-seed layer rows) upper-bounds any
+    // seed's deeper-target count — Brandes' δ_s(v) = Σ_t σ_st(v)/σ_st
+    // is at most the number of deeper targets, the unit-scaled
+    // recursion multiplies that by `unit`, and flooring only ever
+    // decreases δ (monotone in every δ_w). So when
+    // maxσ·unit·(1 + D) < 2⁶³ the whole backward phase runs in native
+    // long, bit-identical to the decimal path (non-negative long DIV
+    // is the floor); otherwise the decimal(38,0) path with its
+    // loud-overflow guards runs as before.
+    val deeperPairs = layerCounts.drop(1).sum
+    val maxSigma: BigDecimal =
+      if (layers.size <= 1) BigDecimal(1)
+      else {
+        val r = layers.map(_.select(col("sigma"))).reduce(_ unionByName _)
+          .agg(max(col("sigma"))).head()
+        if (r.isNullAt(0)) BigDecimal(1) else BigDecimal(r.getDecimal(0))
+      }
+    val useLong = maxSigma * BigDecimal(unit) * BigDecimal(1L + deeperPairs) <=
+      BigDecimal(Long.MaxValue)
+    val zeroDelta = if (useLong) lit(0L) else lit(0L).cast(dec38)
+    def sigmaOut(c: Column): Column = if (useLong) c.cast("long") else c
     // BACKWARD: deepest layer's delta = 0, walk up accumulating;
     // every delta frame stays checkpointed until the final union
     // (frames at depth >= 1 ARE the betweenness contributions)
     var succ = rounds.mark(layers.last
-      .withColumn("delta", lit(0L).cast(dec38)))
+      .select(col("s"), col("id"), sigmaOut(col("sigma")).as("sigma"))
+      .withColumn("delta", zeroDelta))
     val deltaFrames = scala.collection.mutable.ArrayBuffer(succ)
     val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (layers.size > 1) contribs += succ
     var t = layers.size - 2
     while (t >= 0) {
+      val termCol =
+        if (useLong)
+          expr(s"(CAST(sigma AS BIGINT) * (${unit}L + dw)) DIV sw")
+        else guard(
+          idiv(col("sigma") * (lit(unit).cast(dec38) + col("dw")),
+            col("sw")), "delta term")
       val terms = layers(t).withColumnRenamed("id", "src")
-        .join(e.hint("shuffle_hash"), Seq("src"))
+        .join(hashHintIfBounded(e, eN), Seq("src"))
         .join(succ.select(col("s"), col("id").as("dst"),
           col("sigma").as("sw"), col("delta").as("dw")), Seq("s", "dst"))
         .groupBy(col("s"), col("src").as("id"))
-        .agg(guard(sum(guard(
-          idiv(col("sigma") * (lit(unit).cast(dec38) + col("dw")),
-            col("sw")), "delta term")).cast(dec38), "delta").as("delta"))
+        .agg((if (useLong) sum(termCol)
+          else guard(sum(termCol).cast(dec38), "delta")).as("delta"))
       val dt = rounds.mark(layers(t)
         .join(terms, Seq("s", "id"), "left")
-        .select(col("s"), col("id"), col("sigma"),
-          coalesce(col("delta"), lit(0L).cast(dec38)).as("delta")))
+        .select(col("s"), col("id"), sigmaOut(col("sigma")).as("sigma"),
+          coalesce(col("delta"), zeroDelta).as("delta")))
       deltaFrames += dt
       succ = dt
       if (t >= 1) contribs += dt
@@ -2074,7 +2156,9 @@ object Graph {
     val btw =
       if (contribs.isEmpty) nodes.select(col("id"),
         lit(0L).cast(dec38).as("btw"))
-      else contribs.map(_.select(col("id"), col("delta")))
+      else contribs.map(_.select(col("id"),
+          (if (useLong) col("delta").cast(dec38) else col("delta"))
+            .as("delta")))
         .reduce(_ unionByName _)
         .groupBy(col("id"))
         .agg(guard(sum(col("delta")).cast(dec38), "betweenness total")

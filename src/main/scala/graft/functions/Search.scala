@@ -44,10 +44,35 @@ object Search {
     * docs (they count in BM25's N and the avgdl denominator), which is
     * what lets [[updateIndex]] adjust the scalars exactly under CDC.
     */
-  final case class SearchIndex(postings: DataFrame, lexicon: DataFrame,
-      docs: DataFrame, nDocs: Long, totalTokens: Long,
-      lowercase: Boolean = false) {
+  final class SearchIndex(val postings: DataFrame, val lexicon: DataFrame,
+      val docs: DataFrame, statsFn: () => (Long, Long),
+      val lowercase: Boolean = false) {
+    /** (nDocs, totalTokens), computed AT MOST ONCE and only when a
+      * consumer actually needs the scalars (bm25 scoring, writeIndex,
+      * the CDC scalar adjustments). The match-face consumers
+      * ([[matchCounts]], [[phraseDocs]]…) never touch them, so an
+      * index built only to serve those never pays the full-corpus
+      * stats aggregation the eager field ran on every build (r16:
+      * one whole tokenize pass per gate on the q_search_bm25/update/
+      * rrf paths).
+      */
+    lazy val stats: (Long, Long) = statsFn()
+    def nDocs: Long = stats._1
+    def totalTokens: Long = stats._2
     def avgdl: Double = totalTokens.toDouble / math.max(nDocs, 1L).toDouble
+    def copy(postings: DataFrame = this.postings,
+        lexicon: DataFrame = this.lexicon, docs: DataFrame = this.docs,
+        lowercase: Boolean = this.lowercase): SearchIndex =
+      new SearchIndex(postings, lexicon, docs, () => stats, lowercase)
+  }
+
+  object SearchIndex {
+    /** Eager-scalar constructor (the pre-r16 shape), for callers that
+      * already hold the stats. */
+    def apply(postings: DataFrame, lexicon: DataFrame, docs: DataFrame,
+        nDocs: Long, totalTokens: Long, lowercase: Boolean = false): SearchIndex =
+      new SearchIndex(postings, lexicon, docs, () => (nDocs, totalTokens),
+        lowercase)
   }
 
   /** Build the inverted index over `(idCol, textCol)`. Tokenization is
@@ -73,10 +98,12 @@ object Search {
     val lexicon = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val members = toks.select(col("doc_id"),
       coalesce(size(col("w")), lit(0)).cast("long").as("dl"))
-    val stats = toks.agg(count(lit(1)).as("n"),
-      sum(coalesce(size(col("w")), lit(0)).cast("long")).as("t")).head()
-    SearchIndex(postings, lexicon, members, stats.getLong(0),
-      if (stats.isNullAt(1)) 0L else stats.getLong(1), lowercase)
+    // scalars LAZY (one full tokenize pass) — see SearchIndex.stats
+    new SearchIndex(postings, lexicon, members, () => {
+      val stats = toks.agg(count(lit(1)).as("n"),
+        sum(coalesce(size(col("w")), lit(0)).cast("long")).as("t")).head()
+      (stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1))
+    }, lowercase)
   }
 
   /** Merge indexes over DOC-DISJOINT corpora (the incremental-build
@@ -89,12 +116,12 @@ object Search {
       s"analyzer mismatch: cannot merge a lowercase=${a.lowercase} index " +
         s"with a lowercase=${b.lowercase} one (their postings disagree on " +
         "term identity; rebuild one side with the other's analyzer)")
-    SearchIndex(
+    new SearchIndex(
       a.postings.unionByName(b.postings),
       a.lexicon.unionByName(b.lexicon)
         .groupBy(col("term")).agg(sum(col("df")).as("df")),
       a.docs.unionByName(b.docs),
-      a.nDocs + b.nDocs, a.totalTokens + b.totalTokens, a.lowercase)
+      () => (a.nDocs + b.nDocs, a.totalTokens + b.totalTokens), a.lowercase)
   }
 
   /** Persist the index: postings hash-partitioned on term and sorted
@@ -164,10 +191,12 @@ object Search {
       .unionByName(fresh.postings)
     val docs2 = index.docs.join(ids, Seq("doc_id"), "left_anti")
       .unionByName(fresh.docs)
-    val (lexicon2, depN, depT) = adjustedDerived(index, ids, fresh)
-    SearchIndex(postings2, lexicon2, docs2,
-      index.nDocs - depN + fresh.nDocs,
-      index.totalTokens - depT + fresh.totalTokens, index.lowercase)
+    val (lexicon2, depFn) = adjustedDerived(index, ids, fresh)
+    new SearchIndex(postings2, lexicon2, docs2, () => {
+      val (depN, depT) = depFn()
+      (index.nDocs - depN + fresh.nDocs,
+        index.totalTokens - depT + fresh.totalTokens)
+    }, index.lowercase)
   }
 
   /** The derived state an update must adjust exactly: the ±df lexicon
@@ -176,7 +205,7 @@ object Search {
     * one docs scan, both against the broadcast changed-id set.
     */
   private def adjustedDerived(index: SearchIndex, ids: DataFrame,
-      fresh: SearchIndex): (DataFrame, Long, Long) = {
+      fresh: SearchIndex): (DataFrame, () => (Long, Long)) = {
     val removed = index.postings.join(ids, Seq("doc_id"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("__r"))
     val lexicon2 = index.lexicon
@@ -186,9 +215,13 @@ object Search {
         (coalesce(col("df"), lit(0L)) - coalesce(col("__r"), lit(0L)) +
           coalesce(col("__a"), lit(0L))).as("df"))
       .filter(col("df") > 0L)
-    val dep = index.docs.join(ids, Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
-    (lexicon2, dep.getLong(0), if (dep.isNullAt(1)) 0L else dep.getLong(1))
+    // the departed-member scalars ride the lazy-stats contract: the
+    // docs scan runs only when a consumer forces the index scalars
+    (lexicon2, () => {
+      val dep = index.docs.join(ids, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+      (dep.getLong(0), if (dep.isNullAt(1)) 0L else dep.getLong(1))
+    })
   }
 
   /** Merge-on-read index maintenance — the log-structured completion
@@ -226,7 +259,8 @@ object Search {
         .write.mode("append").parquet(s"$dir/tombstones")
       // only the vocab-sized lexicon + 1-row stats rewrite eagerly
       // (delete+rename swap; derived state, rebuildable from the logs)
-      val (lexicon2, depN, depT) = adjustedDerived(current, ids, fresh)
+      val (lexicon2, depFn) = adjustedDerived(current, ids, fresh)
+      val (depN, depT) = depFn()
       lexicon2.write.mode("overwrite").parquet(s"$dir/lexicon_next")
       swapDir(spark, dir, "lexicon_next", "lexicon")
       import spark.implicits._
@@ -388,9 +422,32 @@ object Search {
     * a caller probing a `lowercase` index must fold its terms the same
     * way (the packaged rankers do this via the index flag).
     */
-  def matchCounts(index: SearchIndex, qterms: DataFrame): DataFrame = {
-    val qdf = index.lexicon.join(broadcast(qterms), Seq("term"))
-    index.postings.join(broadcast(qdf), Seq("term"))
+  def matchCounts(index: SearchIndex, qterms: DataFrame,
+      pushdownMaxTerms: Int = 0): DataFrame = {
+    // OPT-IN term pushdown, the [[phraseDocsBatch]]/[[bm25TopKIndexed]]
+    // pattern: collect the query batch's distinct terms (capped) and
+    // prune BOTH index relations with an `IN (terms…)` predicate —
+    // result unchanged (the filter is a superset of what the inner
+    // joins admit), but on a persisted term-sorted index the predicate
+    // reaches parquet and the (term, doc) aggregate runs over only the
+    // query terms' rows. DEFAULT OFF (r16 measurement): on a
+    // low-selectivity batch the prune admits ~everything and still
+    // costs the collect job plus per-row set probes on both index
+    // subtrees — the differential gate's corpus-derived batch covers
+    // its whole vocabulary and measured 4.2 → 5.4 s with the prune on.
+    // Serving callers with selective term sets opt in with a cap.
+    val distinctTerms =
+      if (pushdownMaxTerms <= 0) Array.empty[org.apache.spark.sql.Row]
+      else qterms.select(col("term")).distinct()
+        .limit(pushdownMaxTerms + 1).collect()
+    val (post, lex) =
+      if (pushdownMaxTerms > 0 && distinctTerms.length <= pushdownMaxTerms) {
+        val ts = distinctTerms.map(_.getString(0)).toSeq
+        (index.postings.filter(col("term").isin(ts: _*)),
+          index.lexicon.filter(col("term").isin(ts: _*)))
+      } else (index.postings, index.lexicon)
+    val qdf = lex.join(broadcast(qterms), Seq("term"))
+    post.join(broadcast(qdf), Seq("term"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_sum"),
         sum(col("df")).as("df_sum"), first(col("dl")).as("dl"))

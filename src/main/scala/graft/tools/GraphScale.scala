@@ -37,6 +37,44 @@ object GraphScale {
     val ckpt = java.nio.file.Files.createTempDirectory("graphscale-ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
 
+    // Skew/memory evidence for the shuffled-hash join conversions
+    // (r16, guide §2.3/§5): per-task shuffle-read max vs a running
+    // total (max/mean ratio proxies partition skew), cumulative spill,
+    // and whether any executed plan carried an AQE skew-split read —
+    // printed alongside the timing line so decade rows in SCALE.md can
+    // cite task-balance and spill directly.
+    val maxTaskShufRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val sumShufRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val totalSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            val rd = m.shuffleReadMetrics.totalBytesRead
+            maxTaskShufRead.accumulateAndGet(rd, Math.max(_: Long, _: Long))
+            sumShufRead.addAndGet(rd)
+            nTasks.incrementAndGet()
+            totalSpill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+          }
+        }
+      })
+    @volatile var sawSkewSplit = false
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit =
+          if (qe.executedPlan.toString.contains("skewed=true") ||
+              qe.executedPlan.toString.contains("isSkew=true"))
+            sawSkewSplit = true
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
+
     val n = nEdges * 2
     val edges = (shape match {
       case "hub" =>
@@ -356,7 +394,9 @@ object GraphScale {
       mismatch = pr.exceptAll(pr2).count() + pr2.exceptAll(pr).count()
     }
 
-    println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch}""")
+    val meanRd = if (nTasks.get() == 0) 0.0
+      else sumShufRead.get().toDouble / nTasks.get()
+    println(f"""{"op":"$op","edges":$nEdges,"iters":$iters,"shape":"$shape","nodes":$nodes,"sec":$sec%.1f,"bad_rows":$badRows,"total":${total},"unit":$unit,"dup_ids":$dupIds,"partition_mismatch":$mismatch,"max_task_shuffle_read_mb":${maxTaskShufRead.get() / 1e6}%.1f,"mean_task_shuffle_read_mb":${meanRd / 1e6}%.3f,"spill_mb":${totalSpill.get() / 1e6}%.1f,"aqe_skew_split":$sawSkewSplit}""")
     require((op == "bfs" || op == "sssp" || op == "kcore" ||
         op == "coreness" || op == "ktruss" || op == "walks" ||
         op == "walks_n2v" || op == "negs" || op == "betweenness" ||

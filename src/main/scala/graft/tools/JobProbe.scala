@@ -85,8 +85,18 @@ object JobProbe {
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      // give the async listener bus a moment to drain before reading
-      Thread.sleep(300)
+      // drain the async listener bus: poll until the counters are
+      // stable across two consecutive reads (a fixed sleep undercounts
+      // when the queue is backlogged after a large run), bounded at 5 s
+      var snap = (jobs, stages, tasks, runMs)
+      var stable = false
+      var waited = 0
+      while (!stable && waited < 5000) {
+        Thread.sleep(200); waited += 200
+        val now = (jobs, stages, tasks, runMs)
+        stable = now == snap
+        snap = now
+      }
       println(f"$name%-28s $dt%7.2f $jobs%5d $stages%6d $tasks%6d " +
         f"${runMs / 1e3}%7.1f ${gcMs / 1e3}%6.1f ${shufReadB / 1e6}%7.1f " +
         f"${shufWriteB / 1e6}%7.1f ${spillB / 1e6}%7.1f")

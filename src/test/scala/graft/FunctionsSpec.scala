@@ -1597,8 +1597,15 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(spark.sharedState.cacheManager.isEmpty,
       "pipeline leaked cached relations into the cache manager")
+    // two checkpoints legitimately outlive each call because the
+    // returned plan READS THROUGH them (the documented final-round
+    // contract; callers/benches unpersist when done): the CC final
+    // star set, and (r16) the scrub+score `uniq` checkpoint that
+    // runs the PII/quality scan once instead of once per consumer.
+    // The superseded intermediates (kept, CC rounds, pair caches)
+    // must still all be released — that is what this bound pins.
     val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
-    assert(leaked.size <= 2, s"leaked ${leaked.size} checkpoint RDDs (expected <= 1 final star set per call)")
+    assert(leaked.size <= 4, s"leaked ${leaked.size} checkpoint RDDs (expected <= 2 per call: final star set + uniq scrub checkpoint)")
   }
 
   test("int8-prefiltered verify is exactly the float-only verify (both pair engines)") {

@@ -989,6 +989,25 @@ class GraphSpec extends SparkSpec {
       5L -> BigDecimal(0)))
   }
 
+  test("betweenness: long fast-path and decimal fallback compute the same scores") {
+    // r16: the backward phase runs in native long when the runtime
+    // bound maxσ·unit·(1+D) < 2⁶³ holds (it does for every graph above
+    // at unit 1e12 — those hand-computed specs ARE the long path).
+    // Pin the DECIMAL fallback too: unit = 2⁶² makes the bound fail,
+    // and on the diamond the floors are exact multiples of unit, so
+    // the fallback must reproduce the identical shape scaled by
+    // 2⁶²/1e12 — any divergence between the two arithmetic paths
+    // breaks the equality.
+    val big = 4611686018427387904L // 2^62
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = Graph.betweenness(g.toDF("src", "dst"),
+        Seq(1L, 2L).toDF("id"), maxDepth = 12, unit = big)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val u = BigDecimal(big)
+    assert(got === Map(1L -> BigDecimal(0), 2L -> u, 3L -> u,
+      4L -> (u * 2), 5L -> BigDecimal(0)))
+  }
+
   test("betweenness: direction respected, cycles, off-graph seeds, invariance") {
     val u = BigDecimal(1000000000000L)
     // 3-cycle, all nodes seeded (+99 off-graph, must contribute
